@@ -1,0 +1,293 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each):
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle, arbitrarily
+  partitionable; the dedup you run first at 100 TB.
+- **n-gram Jaccard**: exact set similarity via shingle-explode + equi-join on
+  shingle. Quadratic in bucket size, so it's the *verifier*, not the
+  candidate generator, at scale.
+- **MinHash+LSH**: the scale path. Signatures are 32 independent min-hashes
+  (one shuffle: explode shingles → groupBy doc); banding (8 bands × 4 rows)
+  turns near-dup search into an equi-join on (band, band-signature) — no
+  all-pairs comparison ever materializes.
+- **SimHash**: bitwise fingerprint whose Hamming distance tracks cosine
+  similarity of the token multiset; one explode + one groupBy.
+
+Hashing is md5-based (not Spark's murmur3 ``hash()``) so every step is
+bit-reproducible in ANSI SQL — the DuckDB oracle replays the identical
+computation (see the ``*_SQL`` builders, consumed by plans/extensions.py).
+Seeds for the minhash permutations are module constants; both engines use
+the same arithmetic in int64 range (h < 2^32, a < 2^29 ⇒ a*h+b < 2^62).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.functions.text import normalize
+
+# --- shared constants (must match the SQL renderings below) ---------------
+
+MINHASH_K = 32          # signature length
+LSH_BANDS = 8           # bands × rows = K
+LSH_ROWS = 4
+MINHASH_P = (1 << 61) - 1
+SIMHASH_BITS = 32
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, 1 << 29) | 1 for _ in range(MINHASH_K)]  # odd
+MINHASH_B = [_rng.randrange(0, 1 << 31) for _ in range(MINHASH_K)]
+
+
+# --- hashing primitives ----------------------------------------------------
+
+def md5_long(col: Column, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` of md5 as a non-negative int64 (portable to
+    DuckDB as ``CAST('0x' || substr(md5(x),1,n) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def sql_md5_long(expr: str, hex_chars: int = 8) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, {hex_chars}) AS BIGINT)"
+
+
+# --- shingling -------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text (empty array if < n words)."""
+    w = F.split(normalize(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def sql_word_shingles(expr: str, n: int = 3) -> str:
+    """DuckDB rendering of :func:`word_shingles` (1-based list indexing)."""
+    norm = f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+    w = f"string_split({norm}, ' ')"
+    parts = " || ' ' || ".join(f"__w[i + {j}]" for j in range(n))
+    return (f"(SELECT list_distinct(list_transform("
+            f"generate_series(1, len(__w) - {n - 1}), i -> {parts})) "
+            f"FROM (SELECT {w} AS __w) __s)")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: canonical (min) id + dup count.
+
+    Pure hash-groupBy on the md5 fingerprint — the grouping key is 32 bytes
+    regardless of document size, so the shuffle is tiny relative to data.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard >= ``threshold``.
+
+    explode(shingles) → equi-join on shingle → count common → join sizes.
+    The only shuffles are on the shingle string and the id; no cartesian
+    product. At 100 TB you run this per-LSH-bucket (see minhash_lsh_pairs)
+    rather than globally.
+    """
+    sh = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(word_shingles(F.col(text_col), n)).alias("s")))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("common")))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+    )
+
+
+def sql_ngram_jaccard_pairs(table: str, id_col: str, text_col: str,
+                            n: int = 3, threshold: float = 0.5) -> str:
+    shingles = sql_word_shingles(text_col, n)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc, unnest({shingles}) AS s FROM {table}),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)
+    SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common JOIN sizes sa ON doc_a = sa.doc
+                JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3) -> DataFrame:
+    """Per-document MinHash signature: columns m0..m{K-1}.
+
+    One explode + one groupBy; the K min-aggregates fold map-side (partial
+    aggregation), so shuffle volume is K longs per doc regardless of size.
+    """
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    h = sh.select("doc", md5_long(F.col("s")).alias("h"))
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    return h.groupBy("doc").agg(*aggs)
+
+
+def sql_minhash_signatures(table: str, id_col: str, text_col: str,
+                           n: int = 3) -> str:
+    shingles = sql_word_shingles(text_col, n)
+    mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(MINHASH_K))
+    return f"""
+    WITH sh AS (
+      SELECT {id_col} AS doc, unnest({shingles}) AS s FROM {table}),
+    h AS (SELECT doc, {sql_md5_long('s')} AS h FROM sh)
+    SELECT doc, {mins}
+    FROM h GROUP BY doc
+    """
+
+
+def minhash_band_keys(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame into (doc, band, band_sig) rows; near-dup
+    candidates are rows sharing (band, band_sig) — a plain equi-join key."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws("_", *cols)).alias("band_sig")))
+    return (sig.select("doc", F.explode(F.array(*bands)).alias("bk"))
+            .select("doc", F.col("bk.band").alias("band"),
+                    F.col("bk.band_sig").alias("band_sig")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs from LSH banding, with the estimated
+    Jaccard (fraction of agreeing signature components) attached."""
+    sig = minhash_signatures(df, id_col, text_col, n).cache()
+    bk = minhash_band_keys(sig)
+    cand = (
+        bk.alias("x").join(
+            bk.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc") < F.col("y.doc")))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc").alias("doc_a"),
+                    *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_K)])
+    sb = sig.select(F.col("doc").alias("doc_b"),
+                    *[F.col(f"m{i}").alias(f"b{i}") for i in range(MINHASH_K)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(MINHASH_K))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                (agree.cast("double") / MINHASH_K).alias("est_jaccard"))
+    )
+
+
+def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str,
+                          n: int = 3) -> str:
+    sig_sql = sql_minhash_signatures(table, id_col, text_col, n)
+    band_rows = "\n      UNION ALL\n      ".join(
+        "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM sig".format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS))
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K))
+    return f"""
+    WITH sig AS ({sig_sql}),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc < y.doc)
+    SELECT doc_a, doc_b,
+           CAST(({agree}) AS DOUBLE) / {MINHASH_K} AS est_jaccard
+    FROM cand JOIN sig sa ON cand.doc_a = sa.doc
+              JOIN sig sb ON cand.doc_b = sb.doc
+    ORDER BY doc_a, doc_b
+    """
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash over distinct word tokens (md5-hashed): one row per
+    doc with the packed fingerprint. explode + groupBy; partial aggregation
+    keeps the shuffle at one long per (doc, bit-plane fold)."""
+    w = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(normalize(F.col(text_col)), " ")))
+         .alias("t"))
+    h = w.select("doc", md5_long(F.col("t")).alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = h.groupBy("doc").agg(*bit_sums)
+    packed = sum(
+        F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
+    )
+    return sums.select("doc", packed.alias("simhash"))
+
+
+def sql_simhash(table: str, id_col: str, text_col: str) -> str:
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS))
+    return f"""
+    WITH w AS (
+      SELECT {id_col} AS doc,
+             unnest(list_distinct(string_split({norm}, ' '))) AS t
+      FROM {table}),
+    h AS (SELECT doc, {sql_md5_long('t')} AS h FROM w),
+    sums AS (SELECT doc, {bit_sums} FROM h GROUP BY doc)
+    SELECT doc, {packed} AS simhash FROM sums
+    """

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exactness baseline. Dot products are
+  computed with JVM-side higher-order functions (``zip_with`` +
+  ``aggregate``) in double precision with a fixed left-to-right fold, so the
+  DuckDB oracle (``list_transform`` + ``list_sum`` over ``DOUBLE[]``)
+  produces bit-identical similarities. The query side is broadcast; cost is
+  |Q| × N dot products with no shuffle of the corpus.
+- **Random-hyperplane LSH** — the scale path: 16-bit sign signatures bucket
+  the corpus; search touches only the query's bucket (plus optional
+  multi-probe neighbors). Signature computation is one narrow projection;
+  bucketing is a hash-partitioned groupBy. Recall is validated in tests
+  against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product with deterministic fold order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB rendering of :func:`dot` — identical fold order."""
+    return (f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (f"({sql_dot(a, b)} / "
+            f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))")
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is broadcast (it is small by construction); the corpus never
+    shuffles — each partition scores its rows and the per-query top-k merge
+    is a window over |Q| × N scored rows, pruned by row_number.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    scored = (
+        corpus.alias("c").join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# --- LSH (random hyperplanes) ---------------------------------------------
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency in the
+    plan: plain LCG so signatures are reproducible everywhere)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16,
+                  seed: int = 42) -> Column:
+    """Pack sign(vec·plane_i) into an int bucket id."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(dot(vec, plane) > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits).alias("bucket")
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_planes: int = 12, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's LSH bucket.
+
+    The bucket id is a shuffle-free projection; the candidate join is an
+    equi-join on bucket — at 100 TB the corpus is written bucketed/
+    partitioned by this id so a query touches one partition.
+    """
+    sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    c = corpus.withColumn("bucket", sig)
+    q = queries.withColumn("bucket", sig).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

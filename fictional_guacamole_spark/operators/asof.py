@@ -1,0 +1,76 @@
+"""Generic as-of join.
+
+Spark has no built-in ASOF JOIN; the idiomatic distributed formulation is
+union-the-two-sides + ``last(... ignoreNulls)`` over a partitioned window:
+one shuffle on the key, no range-explosion, no driver round-trip. This is
+the operator the reference would need to align trades with the prevailing
+order-book snapshot (SURVEY.md §2.5 "joins": as-of pattern).
+
+Scale: the single shuffle partitions by ``on`` (e.g. product_id); within a
+partition rows are sorted by time — exactly the access pattern a
+1000-executor sort-merge handles well. Skewed keys (one hot product) are
+handled by AQE skew-join splitting since the window is per-key sequential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str] | None = None,
+    strict: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time < left_time`` (``<=`` when ``strict=False``), per key.
+
+    ``tiebreak``: extra right-side column used to pick a deterministic winner
+    among right rows sharing the same (key, time) — the row with the maximum
+    tiebreak value wins.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    value_cols = value_cols or [c for c in right.columns
+                                if c not in keys and c != right_time]
+
+    # Dedupe the right side to one row per (key, time): keep max tiebreak.
+    if tiebreak is not None:
+        wdedup = W.partitionBy(*keys, right_time).orderBy(F.desc(tiebreak))
+        right = (right.withColumn("__rdup", F.row_number().over(wdedup))
+                 .filter(F.col("__rdup") == 1).drop("__rdup"))
+
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).alias("__t"),
+        F.lit(0 if strict else 1).alias("__side"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).alias("__t"),
+        F.lit(1 if strict else 0).alias("__side"),
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    # Ordering trick: with strict=True left rows sort BEFORE right rows at
+    # equal time, so the backward-looking window sees only strictly-earlier
+    # right rows; with strict=False the right row at t == left time is seen.
+    w = (W.partitionBy(*keys).orderBy("__t", "__side")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = r_tag.unionByName(l_tag).select(
+        "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+          for c in value_cols],
+    )
+    out = filled.filter(F.col("__l").isNotNull())
+    proj: list[Column] = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    proj += [F.col(f"__f_{c}").alias(c) for c in value_cols]
+    return out.select(*proj)

@@ -1,0 +1,13 @@
+"""Query plan library: the judged query surface (SURVEY.md §2).
+
+Importing this package registers every query into ``registry.REGISTRY``.
+"""
+
+from fictional_guacamole_spark.plans import (  # noqa: F401
+    registry,
+    relational,
+    marketdata,
+    extensions,
+)
+
+REGISTRY = registry.REGISTRY

@@ -1,0 +1,295 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §2.5 extensions /
+BASELINE.json north star): dedup, similarity search, text analysis,
+multimodal plumbing — each over the driver's documents/embeddings fixtures,
+with DuckDB oracles wherever the computation is expressible in ANSI SQL
+(md5-based hashing makes even MinHash+LSH bit-reproducible cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.functions import dedup as D
+from fictional_guacamole_spark.functions import similarity as S
+from fictional_guacamole_spark.functions import text as X
+from fictional_guacamole_spark.functions.multimodal import (
+    as_binary_asset, extract_media_meta)
+from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.tables import load_table
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    survey_ref="extensions: exact dedup (hash-groupBy)",
+    description="Exact dedup: md5 fingerprint → canonical id + copy count",
+    bench=True,
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY fp
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_keys(docs, "text", "doc_id").orderBy("fp")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    survey_ref="extensions: n-gram Jaccard near-dup",
+    description="Doc pairs with word-3-gram Jaccard >= 0.5 (shingle equi-join)",
+    oracle=D.sql_ngram_jaccard_pairs("documents", "doc_id", "text",
+                                     n=3, threshold=0.5),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    survey_ref="extensions: MinHash+LSH near-dup (the 100 TB path)",
+    description="LSH-banded candidate pairs with estimated Jaccard",
+    bench=True,
+    oracle=D.sql_minhash_lsh_pairs("documents", "doc_id", "text", n=3),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+            .orderBy("doc_a", "doc_b"))
+
+
+@query(
+    "dedup_simhash",
+    survey_ref="extensions: SimHash fingerprints",
+    description="32-bit SimHash per document (packed bigint)",
+    oracle=D.sql_simhash("documents", "doc_id", "text") + " ORDER BY doc",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text").orderBy("doc")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _sim_oracle(k: int = 10, n_queries: int = 5) -> str:
+    cos = S.sql_cosine("q.embedding", "c.embedding")
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cos_sim
+      FROM q, embeddings c
+      WHERE q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "sim_cosine_topk",
+    survey_ref="extensions: brute-force cosine top-k (exact ANN baseline)",
+    description="Exact top-10 cosine neighbors for 5 query vectors",
+    bench=True,
+    oracle=_sim_oracle(),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.cosine_topk(emb, queries, k=10)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("query_id", "rank"))
+
+
+@query(
+    "sim_lsh_topk",
+    survey_ref="extensions: LSH-bucketed ANN (the scale path)",
+    # Bucketing depends on engine-side float fold in plane projections —
+    # recall vs the exact baseline is asserted in tests/test_extensions.py;
+    # driver records rows-only.
+    oracle=None,
+    description="Approximate top-10 neighbors via random-hyperplane buckets",
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.lsh_topk(emb, queries, dim=64, k=10, n_planes=12)
+            .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    survey_ref="extensions: quality scoring features",
+    description="Per-doc quality features: words, distinct ratio, lengths, stopwords",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents)
+    SELECT doc_id, lang,
+           len(w) AS n_words,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+             / len(w) AS mean_word_len,
+           CAST(len(list_filter(w, x -> list_contains(
+                ['the','a','and','of','to'], x))) AS DOUBLE)
+             / len(w) AS stopword_ratio
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = X.quality_stats(F.col("text"))
+    return (
+        docs.select("doc_id", "lang",
+                    stats["n_words"].alias("n_words"),
+                    stats["distinct_ratio"].alias("distinct_ratio"),
+                    stats["mean_word_len"].alias("mean_word_len"),
+                    stats["stopword_ratio"].alias("stopword_ratio"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_oracle() -> str:
+    hits = {
+        lang: (f"len(list_filter(w, x -> list_contains("
+               f"{[m for m in ms]}, x)))")
+        for lang, ms in X.LANG_MARKERS.items()
+    }
+    hit_cols = ",\n           ".join(f"{expr} AS hits_{lang}"
+                                     for lang, expr in hits.items())
+    langs = list(X.LANG_MARKERS)
+    best = f"greatest({', '.join('hits_' + la for la in langs)})"
+    case = "CASE WHEN " + f"{best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{la} = {best} THEN '{la}'" for la in langs) + " END"
+    return f"""
+    WITH n AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    h AS (SELECT doc_id, {hit_cols} FROM n)
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           {case} AS lang_guess
+    FROM h
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "text_lang_id",
+    survey_ref="extensions: language-ID heuristic",
+    description="Stopword-marker language guess with per-language hit counts",
+    oracle=_lang_oracle(),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = X.lang_scores(F.col("text"))
+    return (
+        docs.select("doc_id",
+                    *[scores[la].alias(f"hits_{la}") for la in X.LANG_MARKERS],
+                    X.lang_guess(F.col("text")).alias("lang_guess"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_count",
+    survey_ref="extensions: token counting (BPE-ish regex)",
+    description="Whitespace words vs BPE-ish regex tokens per document",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split({_NORM_SQL}, ' ')) AS n_words,
+           len(regexp_extract_all({_NORM_SQL}, '{X.TOKEN_PATTERN}')) AS n_tokens,
+           length({_NORM_SQL}) AS n_chars_norm
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id",
+                    F.size(X.words(F.col("text"))).alias("n_words"),
+                    X.token_count(F.col("text")).alias("n_tokens"),
+                    F.length(X.normalize(F.col("text"))).alias("n_chars_norm"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    survey_ref="extensions: document fingerprinting",
+    description="md5 fingerprint of normalized text per document",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_meta",
+    survey_ref="extensions: multimodal binary columns (JVM-side metadata)",
+    description="Binary payload metadata: byte length + hex prefix",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           hex(encode(substring(text, 1, 4))) AS head_hex
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.select("doc_id",
+                    F.length(payload).cast("long").alias("byte_len"),
+                    F.hex(F.encode(F.substring(F.col("text"), 1, 4), "UTF-8"))
+                     .alias("head_hex"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_decode_meta",
+    survey_ref="extensions: mapInPandas decode pipeline (stubbed codec)",
+    # codec is a deterministic fake (container has no image libs) — the
+    # Arrow/mapInPandas plumbing is the judged part; driver rows-only check.
+    oracle=None,
+    description="Stub image-decode metadata over binary assets via mapInPandas",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = as_binary_asset(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                             "image/fake")
+    return extract_media_meta(assets).orderBy("asset_id")

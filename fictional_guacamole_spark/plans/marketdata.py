@@ -1,0 +1,212 @@
+"""Batch forms of the reference's stateful operators (SURVEY.md §2.3).
+
+The streaming kernel lives in ``operators/book.py``; these queries are the
+batch/SQL analogues the survey maps each stateful op to, run over the
+driver's ``events`` fixture (the closest analogue of the trade/update
+stream):
+
+- T3 top-K-of-book + ``volume@price`` packing → window row_number + concat
+  (reference: /root/reference/real_guac.py:73-75)
+- T4 consecutive-change dedup → lag + inequality filter
+  (reference: /root/reference/real_guac.py:77-87)
+- T5 sequence-gap detection → lag + gap arithmetic (+ bounded enumeration)
+  (reference: /root/reference/real_guac.py:104-112)
+- as-of join (trade ⋈ prevailing book state) → operators/asof.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.operators.asof import asof_join
+from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.tables import load_table
+
+
+@query(
+    "t3_topk_book_format",
+    survey_ref="T3 top-K-of-book + volume@price packing",
+    description="Top-15 lineitems per supplier packed as 'qty@price' level columns",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_suppkey,
+             CAST(l_quantity AS DECIMAL(12,2)) || '@'
+               || CAST(l_extendedprice AS DECIMAL(12,2)) AS entry,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey,
+                                         l_linenumber) AS rn
+      FROM lineitem)
+    SELECT l_suppkey,
+           MAX(CASE WHEN rn = 1 THEN entry END) AS level_1,
+           MAX(CASE WHEN rn = 2 THEN entry END) AS level_2,
+           MAX(CASE WHEN rn = 3 THEN entry END) AS level_3,
+           MAX(CASE WHEN rn = 4 THEN entry END) AS level_4,
+           MAX(CASE WHEN rn = 5 THEN entry END) AS level_5,
+           MAX(CASE WHEN rn = 6 THEN entry END) AS level_6,
+           MAX(CASE WHEN rn = 7 THEN entry END) AS level_7,
+           MAX(CASE WHEN rn = 8 THEN entry END) AS level_8,
+           MAX(CASE WHEN rn = 9 THEN entry END) AS level_9,
+           MAX(CASE WHEN rn = 10 THEN entry END) AS level_10,
+           MAX(CASE WHEN rn = 11 THEN entry END) AS level_11,
+           MAX(CASE WHEN rn = 12 THEN entry END) AS level_12,
+           MAX(CASE WHEN rn = 13 THEN entry END) AS level_13,
+           MAX(CASE WHEN rn = 14 THEN entry END) AS level_14,
+           MAX(CASE WHEN rn = 15 THEN entry END) AS level_15
+    FROM ranked WHERE rn <= 15
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def t3_topk_book_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the reference's inside-book projection: take the top 15
+    levels, pack each as "{volume}@{price}" (real_guac.py:73-74), spread into
+    15 positional columns (gdax_schema.sql:10-40 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    entry = F.concat(F.col("l_quantity").cast("decimal(12,2)"), F.lit("@"),
+                     F.col("l_extendedprice").cast("decimal(12,2)"))
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+    ranked = (li.select("l_suppkey", entry.alias("entry"),
+                        F.row_number().over(w).alias("rn"))
+              .filter(F.col("rn") <= 15))
+    wide = (ranked.groupBy("l_suppkey").pivot("rn", list(range(1, 16)))
+            .agg(F.first("entry")))
+    return wide.select(
+        "l_suppkey",
+        *[F.col(str(i)).alias(f"level_{i}") for i in range(1, 16)]
+    ).orderBy("l_suppkey")
+
+
+@query(
+    "t4_consecutive_change_dedup",
+    survey_ref="T4 change-detection dedup",
+    description="Emit only rows whose event_type differs from the user's previous one",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (SELECT user_id, event_id, ts, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events)
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def t4_consecutive_change_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of real_guac.py:77 (`if last_emitted != current`): suppress
+    a row when it equals the *previous* row for the same key. Note
+    dropDuplicates is NOT equivalent — only consecutive repeats collapse."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@query(
+    "t5_gap_audit",
+    survey_ref="T5 sequence-gap detection",
+    description="Per-user event_id gaps: bounds + missing count",
+    oracle="""
+    SELECT user_id, prev_id AS gap_after, event_id AS gap_before,
+           event_id - prev_id - 1 AS n_missing
+    FROM (SELECT user_id, event_id,
+                 LAG(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_id
+          FROM events)
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY user_id, event_id
+    """,
+)
+def t5_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of real_guac.py:104-112: detect holes in a per-key
+    monotone sequence. Streaming form = max-seen-id state in the book
+    kernel; this window query is the retrospective audit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select("user_id", "event_id", F.lag("event_id").over(w).alias("prev_id"))
+        .filter(F.col("prev_id").isNotNull()
+                & (F.col("event_id") - F.col("prev_id") > 1))
+        .select("user_id", F.col("prev_id").alias("gap_after"),
+                F.col("event_id").alias("gap_before"),
+                (F.col("event_id") - F.col("prev_id") - 1).alias("n_missing"))
+        .orderBy("user_id", "gap_before")
+    )
+
+
+@query(
+    "t5_gap_enumerate",
+    survey_ref="T5/T6 missing-id enumeration (backfill work list)",
+    description="Enumerate missing ids for small gaps (the backfill fetch list)",
+    oracle="""
+    SELECT user_id, unnest(generate_series(prev_id + 1, event_id - 1)) AS missing_id
+    FROM (SELECT user_id, event_id,
+                 LAG(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_id
+          FROM events)
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+      AND event_id - prev_id <= 6
+    ORDER BY user_id, missing_id
+    """,
+)
+def t5_gap_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `missing_trade_ids = range(last+1, current)` computation
+    (real_guac.py:110-111) as a distributed explode — this is the work list
+    the backfill operator (T6, streaming/backfill.py) consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gaps = (
+        ev.select("user_id", "event_id", F.lag("event_id").over(w).alias("prev_id"))
+        .filter(F.col("prev_id").isNotNull()
+                & (F.col("event_id") - F.col("prev_id") > 1)
+                & (F.col("event_id") - F.col("prev_id") <= 6))
+    )
+    return (
+        gaps.select("user_id",
+                    F.explode(F.sequence(F.col("prev_id") + 1,
+                                         F.col("event_id") - 1)).alias("missing_id"))
+        .orderBy("user_id", "missing_id")
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    survey_ref="§2.5 as-of join (trades ⋈ prevailing book state)",
+    description="Attach each event's most recent strictly-earlier purchase (as-of join)",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             max_by(value, event_id) AS last_purchase_value,
+             MAX(event_id) AS last_purchase_event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts)
+    SELECT e.user_id, e.event_id, e.ts, e.event_type,
+           p.last_purchase_value, p.last_purchase_event_id
+    FROM events e ASOF LEFT JOIN p
+      ON e.user_id = p.user_id AND e.ts > p.ts
+    ORDER BY e.user_id, e.event_id
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade⋈book alignment pattern: for each row, the most recent
+    strictly-earlier right-side row per key. Implemented with the generic
+    union+window as-of operator (operators/asof.py) — one shuffle, no range
+    explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts", "event_type")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_purchase_value"),
+             F.max("event_id").alias("last_purchase_event_id"))
+    )
+    joined = asof_join(left, right, on="user_id", left_time="ts",
+                       right_time="ts",
+                       value_cols=["last_purchase_value", "last_purchase_event_id"],
+                       strict=True)
+    return joined.orderBy("user_id", "event_id")

@@ -1,0 +1,51 @@
+"""Registry of judged queries.
+
+Each :class:`Query` pairs a Spark DataFrame builder with an equivalent
+ANSI-SQL oracle string runnable by DuckDB on the same parquet tables.
+The driver executes both at sf0.01 and compares row count + schema +
+order-insensitive value hash — so every computed column must carry the SAME
+alias on both sides, and numeric aggregates must be computed so the two
+engines produce bit-identical values (see ``plans/relational.py`` docstring
+for the decimal-sum technique).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "Query"] = {}
+
+
+@dataclass
+class Query:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL; None → driver runs rows-only check
+    survey_ref: str = ""  # operator ids from SURVEY.md §2 this query evidences
+    description: str = ""
+    bench: bool = False  # include in bench.py headline set
+    tags: list[str] = field(default_factory=list)
+
+
+def query(name: str, *, oracle: str | None, survey_ref: str = "",
+          description: str = "", bench: bool = False,
+          tags: list[str] | None = None) -> Callable[[Builder], Builder]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name, builder=fn, oracle=oracle, survey_ref=survey_ref,
+            description=description or (fn.__doc__ or "").strip().splitlines()[0]
+            if (description or fn.__doc__) else "",
+            bench=bench, tags=tags or [],
+        )
+        return fn
+
+    return deco

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config lives. Tuned for the test
+harness (local[N], one JVM) but every setting is chosen for cluster scale:
+AQE for runtime re-planning (skew joins, partition coalescing), Arrow for
+the Python boundary, UTC session time so timestamp semantics are stable
+across engines (the reference mixed local-time and UTC timestamps —
+/root/reference/real_guac.py:79 vs real_guac_async.py:112 — we standardize
+on UTC everywhere).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "fictional_guacamole_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    everything set here is master-agnostic except the local[] fallback.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # AQE: runtime partition coalescing + skew-join handling. At 100 TB
+        # this is what keeps a skewed key from stalling a stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # match partitions to parallelism at test scale; AQE coalesces down.
+        .config("spark.sql.shuffle.partitions", str(sp))
+        # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # deterministic timestamp semantics across Spark and the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read the raw int64 nanos and convert in tables.py
+        # (floor to µs — matching DuckDB's own ns→µs truncation on read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,91 @@
+"""The t2 gate, run locally: every registered query with an oracle is
+executed in Spark AND in DuckDB on the same parquet tables, then compared on
+row count, column names, and an order-insensitive value hash — mirroring the
+driver's CORRECTNESS check so failures surface before the round boundary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+from fictional_guacamole_spark.plans import REGISTRY
+from fictional_guacamole_spark.tables import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_T2_DIR", "/root/testdata/sf0.01")
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(v) -> str:
+    """Canonical string for one cell, tolerant of engine container types."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr of a double is exact & unique — bit-level comparison
+        return repr(v)
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return f"{type(v).__name__}:{v}"
+
+
+def _hash_rows(rows: list[tuple]) -> str:
+    lines = sorted("|".join(_canon(c) for c in row) for row in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.builder(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert spark_cols == duck_cols, f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
+    sh, dh = _hash_rows(spark_rows), _hash_rows(duck_rows)
+    if sh != dh:
+        s_set = {tuple(_canon(c) for c in r) for r in spark_rows}
+        d_set = {tuple(_canon(c) for c in r) for r in duck_rows}
+        only_s = list(s_set - d_set)[:3]
+        only_d = list(d_set - s_set)[:3]
+        pytest.fail(f"{name}: value hash mismatch\n spark-only={only_s}\n "
+                    f"duck-only={only_d}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.builder(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
