@@ -1,0 +1,315 @@
+"""Order-book stateful kernel (SURVEY.md §2.3 T1–T5).
+
+The one genuinely custom stateful operator in the engine: per-product
+limit-order-book maintenance from snapshot + incremental L2 deltas, with
+top-K projection, consecutive-change dedup, and trade-sequence gap
+detection. Semantics follow the reference pipeline's *fixed* behavior
+(/root/reference/real_guac.py:42-112 and the corrected async Poloniex merge
+at /root/reference/polo_ws_async.py:75-95 — NOT the polo_ws.py:60-62 insert
+bug), re-expressed for Spark:
+
+- the book is a dict keyed by exact decimal price (the reference's O(n)
+  list scan per delta — real_guac.py:54 — becomes O(1) upsert/delete;
+  top-K is a heap select at emit time);
+- prices/volumes stay exact decimal strings end-to-end (the reference
+  stores raw exchange strings; double would change semantics);
+- state lives per key inside ``applyInPandasWithState`` — Spark owns
+  partitioning, checkpointing, and recovery, so the kernel scales by
+  adding executors (state for distinct products never co-resides).
+
+Emitted rows are a tagged union (book | trade | gap) so one stateful pass
+produces the book stream, the trade stream, and the gap side-output the
+backfill operator (T6, streaming/backfill.py) consumes.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import types as T
+
+BOOK_DEPTH = 15  # top levels per side, matching the reference's fixed depth
+                 # (/root/reference/real_guac.py:73-74)
+
+# ---------------------------------------------------------------------------
+# Pure-Python kernel (unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class OrderBook:
+    """Per-product book state: price→volume maps (exact string decimals)."""
+
+    bids: dict[str, str] = field(default_factory=dict)
+    asks: dict[str, str] = field(default_factory=dict)
+    last_emitted: tuple | None = None
+    max_trade_id: int | None = None
+
+    # -- T1: snapshot install ------------------------------------------------
+    def install_snapshot(self, bids: list[list[str]], asks: list[list[str]]) -> None:
+        """Replace the whole book. Input rows are [price, volume] string
+        pairs in any order (the reference sorts Poloniex snapshots itself —
+        polo_ws.py:43-44; we sort lazily at emit)."""
+        self.bids = {p: v for p, v in bids}
+        self.asks = {p: v for p, v in asks}
+
+    # -- T2: incremental merge ----------------------------------------------
+    def apply_change(self, side: str, price: str, volume: str) -> None:
+        """Upsert or delete one price level. volume == 0 deletes the level
+        (real_guac.py:56-60); otherwise the level is updated or inserted
+        (real_guac.py:62-71). Dict semantics make update/insert one path."""
+        book = self.bids if side in ("buy", "bid", "bids") else self.asks
+        if Decimal(volume) == 0:
+            book.pop(price, None)
+        else:
+            book[price] = volume
+
+    # -- T3: top-K projection -----------------------------------------------
+    def top_levels(self, depth: int = BOOK_DEPTH) -> tuple[list[str], list[str]]:
+        """Top levels as packed ``"{volume}@{price}"`` strings — bids by
+        price descending, asks ascending (real_guac.py:73-75). Books
+        shallower than ``depth`` yield shorter lists (the reference raised
+        IndexError; we treat shallow books as valid)."""
+        top_bids = heapq.nlargest(depth, self.bids, key=Decimal)
+        top_asks = heapq.nsmallest(depth, self.asks, key=Decimal)
+        return ([f"{self.bids[p]}@{p}" for p in top_bids],
+                [f"{self.asks[p]}@{p}" for p in top_asks])
+
+    # -- T4: consecutive-change dedup ---------------------------------------
+    def emit_if_changed(self, depth: int = BOOK_DEPTH) -> tuple[list[str], list[str]] | None:
+        """Return the top-K snapshot only if it differs from the previously
+        emitted one (real_guac.py:77-87) — suppresses deep-book churn."""
+        top = self.top_levels(depth)
+        key = (tuple(top[0]), tuple(top[1]))
+        if key == self.last_emitted:
+            return None
+        self.last_emitted = key
+        return top
+
+    # -- T5: sequence-gap detection -----------------------------------------
+    def observe_trade(self, trade_id: int) -> tuple[int, int] | None:
+        """Track the per-product high watermark; return (first_missing,
+        last_missing) when a gap precedes ``trade_id``. The first trade per
+        product initializes the watermark silently (real_guac.py:105-108)."""
+        last = self.max_trade_id
+        if last is not None and trade_id > last + 1:
+            gap = (last + 1, trade_id - 1)
+        else:
+            gap = None
+        if last is None or trade_id > last:
+            self.max_trade_id = trade_id
+        return gap
+
+    # -- state (de)serialization ---------------------------------------------
+    def to_state(self) -> tuple[str, str, str, int | None]:
+        return (json.dumps(self.bids), json.dumps(self.asks),
+                json.dumps(self.last_emitted), self.max_trade_id)
+
+    @classmethod
+    def from_state(cls, bids_json: str, asks_json: str,
+                   last_emitted_json: str, max_trade_id: int | None) -> "OrderBook":
+        last = json.loads(last_emitted_json) if last_emitted_json else None
+        if last is not None:
+            last = (tuple(last[0]), tuple(last[1]))
+        return cls(bids=json.loads(bids_json or "{}"),
+                   asks=json.loads(asks_json or "{}"),
+                   last_emitted=last,
+                   max_trade_id=max_trade_id)
+
+
+# ---------------------------------------------------------------------------
+# Spark schemas
+# ---------------------------------------------------------------------------
+
+# Normalized frame schema — both exchanges' messages after parse (P1–P5).
+FRAME_SCHEMA = T.StructType([
+    T.StructField("seq", T.LongType()),          # per-connection arrival order
+    T.StructField("server_ts", T.TimestampType()),
+    T.StructField("product_id", T.StringType()),
+    T.StructField("msg_type", T.StringType()),   # snapshot | l2update | match
+    T.StructField("bids", T.ArrayType(T.ArrayType(T.StringType()))),
+    T.StructField("asks", T.ArrayType(T.ArrayType(T.StringType()))),
+    # l2update changes: [side, price, volume] string triples
+    T.StructField("changes", T.ArrayType(T.ArrayType(T.StringType()))),
+    # match (trade) fields
+    T.StructField("trade_id", T.LongType()),
+    T.StructField("sequence", T.LongType()),
+    T.StructField("price", T.StringType()),
+    T.StructField("volume", T.StringType()),
+    T.StructField("side", T.StringType()),
+    T.StructField("exchange_ts", T.TimestampType()),
+])
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("bids_json", T.StringType()),
+    T.StructField("asks_json", T.StringType()),
+    T.StructField("last_emitted_json", T.StringType()),
+    T.StructField("max_trade_id", T.LongType()),
+])
+
+# Tagged-union output: one stateful pass emits book rows, trade rows, and
+# gap records (the backfill work list).
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("out_type", T.StringType()),   # book | trade | gap
+    T.StructField("product_id", T.StringType()),
+    T.StructField("server_ts", T.TimestampType()),
+    T.StructField("bids", T.ArrayType(T.StringType())),   # "vol@price" packed
+    T.StructField("asks", T.ArrayType(T.StringType())),
+    T.StructField("trade_id", T.LongType()),
+    T.StructField("sequence", T.LongType()),
+    T.StructField("price", T.StringType()),
+    T.StructField("volume", T.StringType()),
+    T.StructField("side", T.StringType()),
+    T.StructField("exchange_ts", T.TimestampType()),
+    T.StructField("backfilled", T.BooleanType()),
+    T.StructField("gap_first_id", T.LongType()),
+    T.StructField("gap_last_id", T.LongType()),
+])
+
+
+def _aslist(v: Any) -> list:
+    """Null/numpy-tolerant array accessor (Arrow hands pandas numpy arrays;
+    missing values arrive as None or NaN)."""
+    if v is None:
+        return []
+    if isinstance(v, float):  # NaN placeholder for a null array
+        return []
+    if hasattr(v, "tolist"):
+        return v.tolist()
+    return list(v)
+
+
+def _asint(v: Any) -> int | None:
+    """Null/NaN-tolerant integer accessor for nullable long columns."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return int(v)
+
+
+def process_frames(book: OrderBook, frames: Iterator[dict[str, Any]],
+                   depth: int = BOOK_DEPTH) -> Iterator[dict[str, Any]]:
+    """Apply ordered frames for ONE product to a book; yield output rows.
+
+    Pure function shared by the streaming kernel and batch replay — the
+    single source of truth for T1–T5 semantics.
+    """
+    for f in frames:
+        mtype = f.get("msg_type")
+        if mtype == "snapshot":
+            book.install_snapshot(_aslist(f.get("bids")), _aslist(f.get("asks")))
+            emitted = book.emit_if_changed(depth)
+            if emitted is not None:
+                yield _book_row(f, emitted)
+        elif mtype == "l2update":
+            for side, price, volume in _aslist(f.get("changes")):
+                book.apply_change(side, price, volume)
+            emitted = book.emit_if_changed(depth)
+            if emitted is not None:
+                yield _book_row(f, emitted)
+        elif mtype == "match":
+            tid = _asint(f.get("trade_id"))
+            if tid is not None:
+                gap = book.observe_trade(int(tid))
+                if gap is not None:
+                    yield {"out_type": "gap", "product_id": f["product_id"],
+                           "server_ts": f.get("server_ts"),
+                           "gap_first_id": gap[0], "gap_last_id": gap[1]}
+            yield {"out_type": "trade", "product_id": f["product_id"],
+                   "server_ts": f.get("server_ts"),
+                   "trade_id": tid, "sequence": _asint(f.get("sequence")),
+                   "price": f.get("price"), "volume": f.get("volume"),
+                   "side": f.get("side"), "exchange_ts": f.get("exchange_ts"),
+                   "backfilled": False}
+        # unknown types silently dropped, like the reference's dispatch
+        # (real_guac.py:42-91 has no else branch)
+
+
+def _book_row(frame: dict[str, Any], top: tuple[list[str], list[str]]) -> dict[str, Any]:
+    return {"out_type": "book", "product_id": frame["product_id"],
+            "server_ts": frame.get("server_ts"),
+            "bids": top[0], "asks": top[1]}
+
+
+def _rows_to_pdf(rows: list[dict[str, Any]]) -> pd.DataFrame:
+    """Tagged-union rows → pandas frame with None (not NaN) for absent
+    fields — Spark's Arrow converter rejects NaN in array/bool columns."""
+    cols = [f.name for f in OUTPUT_SCHEMA.fields]
+    pdf = pd.DataFrame(rows, columns=cols)
+    return pdf.astype(object).where(pd.notna(pdf), None)
+
+
+def book_kernel(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """The applyInPandasWithState function: one key = one product.
+
+    Frames within the micro-batch are replayed in ``seq`` order (websocket
+    frames are ordered per connection — the source stamps the arrival
+    index). State round-trips through STATE_SCHEMA between batches.
+    """
+    if state.exists:
+        book = OrderBook.from_state(*state.get)
+    else:
+        book = OrderBook()
+
+    out_rows: list[dict[str, Any]] = []
+    frames: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        frames.extend(pdf.to_dict("records"))
+    frames.sort(key=lambda r: r["seq"])
+    out_rows.extend(process_frames(book, frames))
+
+    state.update(book.to_state())
+    if out_rows:
+        yield _rows_to_pdf(out_rows)
+
+
+def book_kernel_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Stateless applyInPandas variant for batch replays: a full capture is
+    one group, so the book starts empty and replays every frame in order."""
+    frames = pdf.to_dict("records")
+    frames.sort(key=lambda r: r["seq"])
+    rows = list(process_frames(OrderBook(), iter(frames)))
+    return _rows_to_pdf(rows)
+
+
+def apply_book_kernel(frames_df, output_mode: str = "append"):
+    """Wire the kernel onto a frame DataFrame.
+
+    Streaming: ``applyInPandasWithState`` carries the book across
+    micro-batches. Batch (full-replay analytics / golden tests): the same
+    pure kernel via stateless ``applyInPandas`` — a batch holds the whole
+    history, so state starts empty per product.
+    """
+    grouped = frames_df.groupBy("product_id")
+    if frames_df.isStreaming:
+        return grouped.applyInPandasWithState(
+            book_kernel,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode=output_mode,
+            timeoutConf="NoTimeout",
+        )
+    return grouped.applyInPandas(book_kernel_batch, schema=OUTPUT_SCHEMA)
+
+
+def replay_frames_batch(spark, frames: list[dict[str, Any]],
+                        depth: int = BOOK_DEPTH) -> list[dict[str, Any]]:
+    """Batch golden-replay helper: run the pure kernel per product over an
+    ordered frame list (driver-side; for tests and parity goldens)."""
+    out: list[dict[str, Any]] = []
+    by_product: dict[str, list[dict[str, Any]]] = {}
+    for f in sorted(frames, key=lambda r: r["seq"]):
+        by_product.setdefault(f["product_id"], []).append(f)
+    for pid, fs in by_product.items():
+        out.extend(process_frames(OrderBook(), iter(fs), depth))
+    return out

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.operators.asof import asof_join
+from fictional_guacamole_spark.operators.book import apply_book_kernel
 from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.streaming.frames import ensure_frame_schema
 from fictional_guacamole_spark.tables import load_table
 
 
@@ -171,6 +173,63 @@ def t5_gap_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.explode(F.sequence(F.col("prev_id") + 1,
                                          F.col("event_id") - 1)).alias("missing_id"))
         .orderBy("user_id", "missing_id")
+    )
+
+
+@query(
+    "t2_book_kernel_gaps",
+    survey_ref="T1/T2/T5 stateful kernel (distributed batch mode)",
+    description="Run the order-book kernel over synthesized trade frames; "
+                "emit its trade + gap outputs",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT 'trade' AS out_type, CAST(user_id AS VARCHAR) AS product_id,
+           event_id AS trade_id,
+           CAST(NULL AS BIGINT) AS gap_first_id,
+           CAST(NULL AS BIGINT) AS gap_last_id
+    FROM p
+    UNION ALL
+    SELECT 'gap', CAST(user_id AS VARCHAR), CAST(NULL AS BIGINT),
+           prev_id + 1, event_id - 1
+    FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY product_id, out_type, trade_id NULLS FIRST,
+             gap_first_id NULLS FIRST
+    """,
+)
+def t2_book_kernel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL stateful kernel (operators/book.py) distributed via
+    applyInPandas, keyed by product: each user's purchase events become
+    'match' frames (trade_id = event_id), so the kernel's trade passthrough
+    and T5 gap side-output are cross-checked against a pure-SQL oracle.
+    Book (T1/T2) outputs are covered by golden/property tests — their
+    top-15 state evolution is not SQL-expressible."""
+    ev = load_table(spark, sf_dir, "events")
+    frames = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("seq"),
+        F.col("ts").alias("server_ts"),
+        F.col("user_id").cast("string").alias("product_id"),
+        F.lit("match").alias("msg_type"),
+        F.lit(None).cast("array<array<string>>").alias("bids"),
+        F.lit(None).cast("array<array<string>>").alias("asks"),
+        F.lit(None).cast("array<array<string>>").alias("changes"),
+        F.col("event_id").alias("trade_id"),
+        F.lit(None).cast("long").alias("sequence"),
+        F.lit(None).cast("string").alias("price"),
+        F.lit(None).cast("string").alias("volume"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("timestamp").alias("exchange_ts"),
+    )
+    out = apply_book_kernel(ensure_frame_schema(frames))
+    return (
+        out.select("out_type", "product_id", "trade_id",
+                   "gap_first_id", "gap_last_id")
+        .orderBy("product_id", "out_type",
+                 F.asc_nulls_first("trade_id"),
+                 F.asc_nulls_first("gap_first_id"))
     )
 
 

@@ -1,0 +1,150 @@
+"""Pipeline wiring: source → parse → stateful kernel → sinks, plus the
+schema-compat views that reproduce the reference's exact table shapes.
+
+Lifecycle (SURVEY.md §3.4): a raw frame stream (websocket live / replay in
+tests) is parsed to FRAME_SCHEMA (streaming/frames.py), run through one
+``applyInPandasWithState`` kernel keyed by product_id (operators/book.py),
+and the tagged output is demuxed in ``foreachBatch`` into three parquet
+sink tables — book snapshots, trades, gap audit — with trade gaps repaired
+by the backfill operator before the batch commits. Micro-batches replace
+the reference's Redis hand-off (T7); the per-row-INSERT sink
+(/root/reference/db_utils.py:24-31) becomes vectorized columnar appends.
+
+Scale posture: sink tables are partitioned by product_id (and date at
+cluster scale); the stateful shuffle is keyed by product_id so book state
+for distinct products lives on distinct executors; checkpointing makes
+restarts exactly-once into the idempotent parquet appends.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.operators.book import (
+    BOOK_DEPTH, apply_book_kernel)
+from fictional_guacamole_spark.streaming.backfill import Fetcher, backfill_gaps
+
+TRADE_SINK_SCHEMA = ("product_id string, server_ts timestamp, "
+                     "exchange_ts timestamp, sequence long, trade_id long, "
+                     "price string, volume string, side string, "
+                     "backfilled boolean")
+
+BOOK_COLS = ["product_id", "server_ts", "bids", "asks"]
+TRADE_COLS = ["product_id", "server_ts", "exchange_ts", "sequence",
+              "trade_id", "price", "volume", "side", "backfilled"]
+GAP_COLS = ["product_id", "server_ts", "gap_first_id", "gap_last_id"]
+
+
+def demux_outputs(out: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Split the kernel's tagged union into (books, trades, gaps)."""
+    books = out.filter(F.col("out_type") == "book").select(*BOOK_COLS)
+    trades = out.filter(F.col("out_type") == "trade").select(*TRADE_COLS)
+    gaps = out.filter(F.col("out_type") == "gap").select(*GAP_COLS)
+    return books, trades, gaps
+
+
+def run_pipeline(
+    frames: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    fetcher: Fetcher | None = None,
+    query_name: str = "exchange_pipeline",
+):
+    """Start the streaming query over an already-parsed FRAME_SCHEMA stream.
+
+    Returns the StreamingQuery. Sinks are parquet directories under
+    ``sink_dir``: books/, trades/, gaps/.
+    """
+    out = apply_book_kernel(frames)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        books, trades, gaps = demux_outputs(batch_df)
+        books.write.mode("append").partitionBy("product_id") \
+             .parquet(os.path.join(sink_dir, "books"))
+        trades.write.mode("append").partitionBy("product_id") \
+              .parquet(os.path.join(sink_dir, "trades"))
+        gap_rows = [r.asDict() for r in gaps.collect()]  # gaps are tiny ranges
+        if gap_rows:
+            gaps.write.mode("append").parquet(os.path.join(sink_dir, "gaps"))
+            if fetcher is not None:
+                repaired = backfill_gaps(gap_rows, fetcher)
+                if repaired:
+                    spark = batch_df.sparkSession
+                    rows = [{k: r.get(k) for k in TRADE_COLS}
+                            for r in repaired]
+                    (spark.createDataFrame(rows, schema=TRADE_SINK_SCHEMA)
+                     .write.mode("append").partitionBy("product_id")
+                     .parquet(os.path.join(sink_dir, "trades")))
+
+    return (out.writeStream
+            .foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start())
+
+
+# ---------------------------------------------------------------------------
+# Reference-schema compatibility views (K3/K4 parity)
+# ---------------------------------------------------------------------------
+
+def book_compat_view(books: DataFrame, depth: int = BOOK_DEPTH) -> DataFrame:
+    """Engine-native book rows (arrays of packed levels) → the reference's
+    34-column TEXT shape: server_datetime, product_id, bids_1..bids_15,
+    asks_1..asks_15 (/root/reference/schema/gdax_schema.sql:8-41), each a
+    ``"{volume}@{price}"`` string (real_guac.py:73-74). Shallow books yield
+    NULL in the unused level columns (the reference crashed instead)."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"  # strftime('%Y-%m-%dT%H:%M:%S.%f%Z')
+    # with naive datetimes, %Z renders '' — format has no suffix
+    cols = [F.date_format("server_ts", ts_fmt).alias("server_datetime"),
+            F.col("product_id")]
+    cols += [F.col("bids")[i].alias(f"bids_{i + 1}") for i in range(depth)]
+    cols += [F.col("asks")[i].alias(f"asks_{i + 1}") for i in range(depth)]
+    return books.select(*cols)
+
+
+def trades_compat_view(trades: DataFrame) -> DataFrame:
+    """Typed trade rows → the reference's 9-column all-TEXT trades shape
+    (/root/reference/schema/gdax_schema.sql:43-53): stringified timestamps,
+    ``'None'`` for backfilled sequence (redis_worker.py:67), ``'True'``/
+    ``'False'`` booleans (real_guac.py:101,129)."""
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    return trades.select(
+        F.date_format("server_ts", ts_fmt).alias("server_datetime"),
+        F.date_format("exchange_ts", ts_fmt).alias("exchange_datetime"),
+        F.coalesce(F.col("sequence").cast("string"), F.lit("None")).alias("sequence"),
+        F.col("trade_id").cast("string").alias("trade_id"),
+        F.col("product_id"),
+        F.col("price"), F.col("volume"), F.col("side"),
+        F.when(F.col("backfilled"), "True").otherwise("False").alias("backfilled"),
+    )
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    """K4: CSV export with header (the reference's only read path,
+    /root/reference/export_to_csv.py:8-18)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def create_sink_tables(spark: SparkSession, sink_dir: str) -> None:
+    """K3: declare the sink tables in the catalog over the parquet dirs
+    (the reference's DDL migration, db_utils.py:34-45, becomes idempotent
+    CREATE TABLE ... USING PARQUET LOCATION)."""
+    specs = {
+        "exchange_books": ("books", "product_id STRING, server_ts TIMESTAMP, "
+                                    "bids ARRAY<STRING>, asks ARRAY<STRING>"),
+        "exchange_trades": ("trades", "product_id STRING, server_ts TIMESTAMP, "
+                                      "exchange_ts TIMESTAMP, sequence BIGINT, "
+                                      "trade_id BIGINT, price STRING, "
+                                      "volume STRING, side STRING, "
+                                      "backfilled BOOLEAN"),
+        "exchange_gaps": ("gaps", "product_id STRING, server_ts TIMESTAMP, "
+                                  "gap_first_id BIGINT, gap_last_id BIGINT"),
+    }
+    for table, (sub, ddl) in specs.items():
+        spark.sql(f"CREATE TABLE IF NOT EXISTS {table} ({ddl}) USING PARQUET "
+                  f"LOCATION '{os.path.join(sink_dir, sub)}'")

@@ -1,0 +1,206 @@
+"""Unit + property tests for the order-book kernel (SURVEY.md §5.3).
+
+The property test drives random delta sequences through the incremental
+kernel and checks it against a naive apply-all-then-sort oracle — the
+invariant the reference's positional-insert code was trying to maintain
+(and got wrong on one path, polo_ws.py:60-62)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fictional_guacamole_spark.operators.book import (
+    OrderBook, process_frames, replay_frames_batch)
+
+
+def frame(seq, mtype, product="ETH-USD", **kw):
+    base = {"seq": seq, "msg_type": mtype, "product_id": product,
+            "server_ts": None, "bids": None, "asks": None, "changes": None,
+            "trade_id": None, "sequence": None, "price": None,
+            "volume": None, "side": None, "exchange_ts": None}
+    base.update(kw)
+    return base
+
+
+class TestSnapshotAndMerge:
+    def test_snapshot_install_sorts_on_emit(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100.5", "1"], ["101.0", "2"], ["99.9", "3"]],
+                           asks=[["102.0", "1"], ["101.5", "4"]])
+        bids, asks = b.top_levels(depth=15)
+        assert bids == ["2@101.0", "1@100.5", "3@99.9"]       # price desc
+        assert asks == ["4@101.5", "1@102.0"]                 # price asc
+
+    def test_update_existing_level(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100", "1"]], asks=[])
+        b.apply_change("buy", "100", "5")
+        assert b.top_levels()[0] == ["5@100"]
+
+    def test_delete_on_zero_volume(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100", "1"], ["99", "2"]], asks=[])
+        b.apply_change("buy", "100", "0")
+        assert b.top_levels()[0] == ["2@99"]
+
+    def test_delete_works_at_any_depth(self):
+        # the reference only deleted when the level was found by linear
+        # scan; deleting a never-seen price must be a no-op, not an error
+        b = OrderBook()
+        b.apply_change("sell", "55", "0")
+        assert b.top_levels() == ([], [])
+
+    def test_insert_new_level_keeps_order(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100", "1"], ["98", "1"]], asks=[])
+        b.apply_change("buy", "99", "7")
+        assert b.top_levels()[0] == ["1@100", "7@99", "1@98"]
+
+    def test_exact_decimal_prices_not_floats(self):
+        # 0.1 + 0.2 style prices must stay exact strings
+        b = OrderBook()
+        b.install_snapshot(bids=[["0.30000000000000004", "1"], ["0.3", "2"]],
+                           asks=[])
+        assert b.top_levels()[0] == ["1@0.30000000000000004", "2@0.3"]
+
+    def test_top15_truncates_deep_books(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[[str(100 + i), "1"] for i in range(40)], asks=[])
+        bids, _ = b.top_levels()
+        assert len(bids) == 15
+        assert bids[0] == "1@139"
+
+    def test_shallow_book_is_not_an_error(self):
+        # the reference raised IndexError below 15 levels (real_guac.py:73)
+        b = OrderBook()
+        b.install_snapshot(bids=[["1", "1"]], asks=[])
+        assert b.top_levels()[0] == ["1@1"]
+
+
+class TestChangeDedup:
+    def test_deep_book_change_suppressed(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[[str(200 - i), "1"] for i in range(20)], asks=[])
+        assert b.emit_if_changed() is not None
+        b.apply_change("buy", "170", "9")   # level 31 of the book
+        assert b.emit_if_changed() is None  # top-15 unchanged → no emit
+
+    def test_top_change_emits(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100", "1"]], asks=[])
+        assert b.emit_if_changed() is not None
+        b.apply_change("buy", "101", "2")
+        emitted = b.emit_if_changed()
+        assert emitted is not None and emitted[0][0] == "2@101"
+
+    def test_identical_snapshot_suppressed(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100", "1"]], asks=[])
+        assert b.emit_if_changed() is not None
+        b.install_snapshot(bids=[["100", "1"]], asks=[])
+        assert b.emit_if_changed() is None
+
+
+class TestGapDetection:
+    def test_first_trade_initializes_silently(self):
+        b = OrderBook()
+        assert b.observe_trade(500) is None
+
+    def test_contiguous_no_gap(self):
+        b = OrderBook()
+        b.observe_trade(1)
+        assert b.observe_trade(2) is None
+
+    def test_gap_detected_and_enumerable(self):
+        b = OrderBook()
+        b.observe_trade(10)
+        assert b.observe_trade(14) == (11, 13)
+
+    def test_out_of_order_trade_does_not_regress_watermark(self):
+        b = OrderBook()
+        b.observe_trade(10)
+        assert b.observe_trade(8) is None
+        assert b.max_trade_id == 10
+
+
+class TestStateRoundTrip:
+    def test_serialize_deserialize_identity(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[["100.1", "2.5"]], asks=[["101", "1"]])
+        b.emit_if_changed()
+        b.observe_trade(42)
+        b2 = OrderBook.from_state(*b.to_state())
+        assert b2.bids == b.bids and b2.asks == b.asks
+        assert b2.last_emitted == b.last_emitted
+        assert b2.max_trade_id == 42
+        assert b2.emit_if_changed() is None  # dedup state survived
+
+
+class TestProcessFrames:
+    def test_full_sequence_tagged_outputs(self):
+        frames = [
+            frame(0, "snapshot", bids=[["100", "1"]], asks=[["101", "2"]]),
+            frame(1, "l2update", changes=[["buy", "100.5", "3"]]),
+            frame(2, "match", trade_id=7, price="100.6", volume="0.5",
+                  side="buy"),
+            frame(3, "match", trade_id=10, price="100.7", volume="0.1",
+                  side="sell"),
+            frame(4, "unknown_type"),
+        ]
+        out = replay_frames_batch(None, frames)
+        kinds = [r["out_type"] for r in out]
+        assert kinds == ["book", "book", "trade", "gap", "trade"]
+        gap = next(r for r in out if r["out_type"] == "gap")
+        assert (gap["gap_first_id"], gap["gap_last_id"]) == (8, 9)
+        book = out[1]
+        assert book["bids"] == ["3@100.5", "1@100"]
+
+    def test_products_isolated(self):
+        frames = [
+            frame(0, "snapshot", product="A", bids=[["1", "1"]], asks=[]),
+            frame(1, "snapshot", product="B", bids=[["9", "9"]], asks=[]),
+        ]
+        out = replay_frames_batch(None, frames)
+        by_product = {r["product_id"]: r for r in out}
+        assert by_product["A"]["bids"] == ["1@1"]
+        assert by_product["B"]["bids"] == ["9@9"]
+
+
+# --- property test vs naive oracle -----------------------------------------
+
+prices = st.integers(min_value=1, max_value=30).map(str)
+volumes = st.integers(min_value=0, max_value=9).map(str)
+sides = st.sampled_from(["buy", "sell"])
+changes = st.lists(st.tuples(sides, prices, volumes), min_size=0, max_size=60)
+snapshot_levels = st.dictionaries(prices, volumes.filter(lambda v: v != "0"),
+                                  max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(snapshot_bids=snapshot_levels, snapshot_asks=snapshot_levels,
+       deltas=changes)
+def test_incremental_merge_equals_batch_oracle(snapshot_bids, snapshot_asks,
+                                               deltas):
+    """Incremental state after N deltas == naive dict-apply-then-sort."""
+    b = OrderBook()
+    b.install_snapshot(bids=list(snapshot_bids.items()),
+                       asks=list(snapshot_asks.items()))
+    for side, price, volume in deltas:
+        b.apply_change(side, price, volume)
+
+    # oracle: plain dict application
+    obids, oasks = dict(snapshot_bids), dict(snapshot_asks)
+    for side, price, volume in deltas:
+        book = obids if side == "buy" else oasks
+        if Decimal(volume) == 0:
+            book.pop(price, None)
+        else:
+            book[price] = volume
+    exp_bids = [f"{obids[p]}@{p}" for p in
+                sorted(obids, key=Decimal, reverse=True)[:15]]
+    exp_asks = [f"{oasks[p]}@{p}" for p in sorted(oasks, key=Decimal)[:15]]
+
+    assert b.top_levels() == (exp_bids, exp_asks)
