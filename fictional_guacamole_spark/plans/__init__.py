@@ -8,6 +8,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     relational,
     marketdata,
     extensions,
+    windows_streaming,
 )
 
 REGISTRY = registry.REGISTRY

@@ -132,7 +132,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return (S.lsh_topk(emb, queries, dim=64, k=10, n_planes=12)
+    return (S.lsh_topk(emb, queries, dim=64, k=10)
             .orderBy("query_id", "rank"))
 
 

@@ -1,0 +1,179 @@
+"""Event-time windowing surface (SURVEY.md §2.5 streaming row): tumbling /
+sliding / session windows in their batch form over the events fixture, each
+with an exact DuckDB oracle (session windows via gaps-and-islands). The
+same operators run as true streams with watermarks in
+tests/test_event_streams.py — semantics are identical by construction,
+which is the point: one declarative definition, batch or streaming
+execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.plans.compat import dsum, sql_dsum
+from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.tables import load_table
+
+
+@query(
+    "stream_tumbling_window",
+    survey_ref="§2.5 streaming: tumbling window agg",
+    description="Per-hour tumbling window: event counts + value sum by type",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "stream_sliding_window",
+    survey_ref="§2.5 streaming: sliding window agg",
+    description="2h windows sliding by 1h: value sum per window",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts)
+               - unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR]) AS window_start,
+             value
+      FROM events)
+    SELECT window_start, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM expanded
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # each event belongs to window_duration/slide = 2 windows; Spark's
+    # window() explodes exactly like the oracle's unnest of hour offsets
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events",
+                "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "stream_session_window",
+    survey_ref="§2.5 streaming: session window (gap-based)",
+    description="Per-user 30-min-gap sessions: bounds + event count",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window end = last event + gap; the oracle reproduces that via
+    # gaps-and-islands (the batch formulation of the same operator)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "agg_stats_moments",
+    survey_ref="§2.5 aggregations (statistical moments)",
+    description="Sample stddev/variance per return flag via exact sum-of-squares",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS s1,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+                AS DOUBLE) AS s2,
+           sqrt(({sql_dsum('l_quantity * l_quantity')}
+                 - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')}
+                   / COUNT(*)) / (COUNT(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance as derived expressions over exact decimal sums —
+    order-insensitive and engine-portable, unlike naive double
+    accumulation (F.stddev would differ bitwise between engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    s1 = F.sum(q.cast("decimal(25,6)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(30,10)")).cast("double")
+    s1b = F.sum((q * q).cast("decimal(25,6)")).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(n.alias("n"), s1.alias("s1"), s2.alias("s2"),
+             F.sqrt((s1b - s1 * s1 / n) / (n - F.lit(1))).alias("stddev_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    survey_ref="§2.5 aggregations (grouping sets + grouping_id)",
+    description="Explicit GROUPING SETS with grouping() disambiguation",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+             o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
+    """)

@@ -1,0 +1,91 @@
+"""events-stream tests (SURVEY.md §5.4): watermarks, windowed aggregations,
+and dedup-within-watermark over the events fixture replayed as a file
+stream — verifying the streaming execution of the same window operators the
+batch oracle queries cover (plans/windows_streaming.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.tables import SCHEMAS, load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, tmp_path_factory):
+    """Re-materialize events (µs timestamps) as a parquet dir usable as a
+    file-stream source."""
+    d = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, "/root/testdata/sf0.001", "events") \
+        .coalesce(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _stream(spark, d):
+    schema = SCHEMAS["events"].simpleString().replace("ts:bigint", "ts:timestamp")
+    return (spark.readStream
+            .schema("event_id long, ts timestamp, user_id long, "
+                    "event_type string, value double, props string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d))
+
+
+class TestWatermarkedWindows:
+    def test_tumbling_window_matches_batch(self, spark, events_stream_dir):
+        stream = _stream(spark, events_stream_dir)
+        agg = (stream.withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.format("memory").queryName("tumbling")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted = {(r["w"]["start"], r["n"])
+                   for r in spark.table("tumbling").collect()}
+        batch = {(r["w"]["start"], r["n"])
+                 for r in (load_table(spark, "/root/testdata/sf0.001", "events")
+                           .groupBy(F.window("ts", "1 hour").alias("w"))
+                           .agg(F.count(F.lit(1)).alias("n"))).collect()}
+        # append mode emits only watermark-closed windows: a subset that
+        # excludes at most the windows still open at end-of-stream
+        assert emitted <= batch
+        assert len(emitted) >= len(batch) - 2
+        assert all(e in batch for e in emitted)
+
+    def test_session_window_stream(self, spark, events_stream_dir):
+        stream = _stream(spark, events_stream_dir)
+        agg = (stream.withWatermark("ts", "2 hours")
+               .groupBy("user_id", F.session_window("ts", "30 minutes"))
+               .agg(F.count(F.lit(1)).alias("n")))
+        q = (agg.writeStream.format("memory").queryName("sessions")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted = spark.table("sessions").count()
+        batch = (load_table(spark, "/root/testdata/sf0.001", "events")
+                 .groupBy("user_id", F.session_window("ts", "30 minutes"))
+                 .agg(F.count(F.lit(1)).alias("n"))).count()
+        assert emitted > 0
+        assert emitted <= batch
+
+    def test_drop_duplicates_within_watermark(self, spark, tmp_path):
+        # duplicate every event twice in the source; the stream dedups on
+        # (event_id) within the watermark horizon
+        src = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+        dup_dir = str(tmp_path / "dup")
+        src.union(src).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+        stream = _stream(spark, dup_dir)
+        deduped = (stream.withWatermark("ts", "1 hour")
+                   .dropDuplicatesWithinWatermark(["event_id"]))
+        q = (deduped.writeStream.format("memory").queryName("dedup_wm")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.table("dedup_wm").count() == 200

@@ -1,0 +1,139 @@
+"""Quality tests for the extension operators that have no SQL oracle:
+LSH ANN recall vs the exact baseline, MinHash LSH vs planted near-dups,
+SimHash Hamming locality, approx_count_distinct error bounds, multimodal
+decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.functions.dedup import (
+    minhash_lsh_pairs, simhash)
+from fictional_guacamole_spark.functions.multimodal import (
+    as_binary_asset, extract_media_meta, frame_sample_plan)
+from fictional_guacamole_spark.functions.similarity import (
+    cosine_topk, lsh_topk)
+from fictional_guacamole_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestLshRecall:
+    def test_lsh_topk_recall_vs_bruteforce(self, spark):
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = cosine_topk(emb, queries, k=5)
+        approx = lsh_topk(emb, queries, dim=64, k=5)
+        exact_pairs = {(r["query_id"], r["neighbor_id"])
+                       for r in exact.collect()}
+        approx_pairs = {(r["query_id"], r["neighbor_id"])
+                        for r in approx.collect()}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # fixture neighbors are weak (cos ≈ 0.3): per-table collision
+        # probability ≈ 0.61^4 ≈ 0.14, compounded over 8 tables ≈ 0.70
+        # expected recall; 0.35 floor tolerates variance well above the
+        # random-candidate expectation
+        assert recall >= 0.35, f"LSH recall collapsed: {recall}"
+
+    def test_lsh_candidates_are_exact_cosines(self, spark):
+        # scores for returned candidates must equal the exact cosine —
+        # LSH only prunes, never perturbs
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in cosine_topk(emb, queries, k=200).collect()}
+        for r in lsh_topk(emb, queries, dim=64, k=5).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact:
+                assert abs(exact[key] - r["cos_sim"]) < 1e-12
+
+
+class TestMinhashPlantedDups:
+    @pytest.fixture(scope="class")
+    def docs_with_dups(self, spark):
+        docs = load_table(spark, SF, "documents").limit(100)
+        # plant near-duplicates: copy each doc with one word changed
+        mutated = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" mutated")).alias("text"))
+        return docs.select("doc_id", "text").union(mutated)
+
+    def test_planted_pairs_found(self, spark, docs_with_dups):
+        pairs = minhash_lsh_pairs(docs_with_dups, "doc_id", "text", n=3)
+        found = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        planted = {(i, i + 100000) for i in
+                   [r["doc_id"] for r in
+                    docs_with_dups.filter(F.col("doc_id") < 100000)
+                    .select("doc_id").collect()]}
+        hit = len(found & planted) / len(planted)
+        # one-word suffix mutation keeps Jaccard ≳ 0.95 → LSH at 8×4 bands
+        # catches essentially all of them
+        assert hit >= 0.95, f"planted near-dup recall {hit}"
+
+    def test_estimated_jaccard_high_for_planted(self, spark, docs_with_dups):
+        pairs = minhash_lsh_pairs(docs_with_dups, "doc_id", "text", n=3)
+        planted = pairs.filter(F.col("doc_b") - F.col("doc_a") == 100000)
+        est = [r["est_jaccard"] for r in planted.collect()]
+        assert est and sum(est) / len(est) > 0.7
+
+
+class TestSimhashLocality:
+    def test_near_dup_small_hamming(self, spark):
+        docs = load_table(spark, SF, "documents").limit(50)
+        mutated = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"))
+        both = simhash(docs.select("doc_id", "text").union(mutated),
+                       "doc_id", "text")
+        a = both.filter(F.col("doc") < 100000).select(
+            F.col("doc").alias("id"), F.col("simhash").alias("h1"))
+        b = both.filter(F.col("doc") >= 100000).select(
+            (F.col("doc") - 100000).alias("id"), F.col("simhash").alias("h2"))
+        joined = a.join(b, "id").select(
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("dist"))
+        dists = [r["dist"] for r in joined.collect()]
+        assert sum(dists) / len(dists) < 8, "simhash lost locality"
+
+
+class TestApproxDistinct:
+    def test_hll_within_5pct(self, spark):
+        li = load_table(spark, SF, "lineitem")
+        approx = li.agg(F.approx_count_distinct("l_orderkey", 0.02)
+                        .alias("a")).collect()[0]["a"]
+        exact = li.select("l_orderkey").distinct().count()
+        assert abs(approx - exact) / exact < 0.05
+
+
+class TestMultimodal:
+    def test_decode_meta_deterministic(self, spark):
+        docs = load_table(spark, SF, "documents").limit(20)
+        assets = as_binary_asset(docs, "doc_id",
+                                 F.encode(F.col("text"), "UTF-8"), "image/fake")
+        meta1 = {r["asset_id"]: (r["width"], r["height"], r["n_channels"],
+                                 r["content_md5"])
+                 for r in extract_media_meta(assets).collect()}
+        meta2 = {r["asset_id"]: (r["width"], r["height"], r["n_channels"],
+                                 r["content_md5"])
+                 for r in extract_media_meta(assets).collect()}
+        assert meta1 == meta2
+        assert all(64 <= v[0] < 256 for v in meta1.values())
+
+    def test_byte_len_matches_utf8(self, spark):
+        docs = load_table(spark, SF, "documents").limit(5)
+        assets = as_binary_asset(docs, "doc_id",
+                                 F.encode(F.col("text"), "UTF-8"), "image/fake")
+        meta = extract_media_meta(assets)
+        joined = meta.join(docs, meta.asset_id == docs.doc_id)
+        for r in joined.select("byte_len", "text").collect():
+            assert r["byte_len"] == len(r["text"].encode("utf-8"))
+
+    def test_frame_sample_plan_shape(self, spark):
+        docs = load_table(spark, SF, "documents").limit(5)
+        assets = as_binary_asset(docs, "doc_id",
+                                 F.encode(F.col("text"), "UTF-8"), "video/fake")
+        plan = frame_sample_plan(assets, every_n=1)
+        rows = plan.collect()
+        assert len(rows) >= 5
+        assert set(plan.columns) == {"asset_id", "frame_index"}

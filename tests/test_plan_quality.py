@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the scale-relevant plan properties the
+engine promises (predicate pushdown into the parquet scan, column pruning,
+broadcast joins for small dims, partial aggregation, top-k via
+TakeOrderedAndProject, whole-stage codegen) asserted against
+``explain("formatted")`` output so a regression that silently de-optimizes
+a plan fails CI — correctness tests alone would never catch it."""
+
+from __future__ import annotations
+
+import pytest
+
+from fictional_guacamole_spark.plans import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_pushed_to_scan(self, spark):
+        plan = plan_of(spark, "q1_pricing_summary")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+            in plan
+
+    def test_q1_reads_only_needed_columns(self, spark):
+        plan = plan_of(spark, "q1_pricing_summary")
+        read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+        # 7 needed columns, and specifically not the unused join keys
+        assert "l_orderkey" not in read_schema
+        assert "l_partkey" not in read_schema
+        assert "l_quantity" in read_schema
+
+    def test_q6_selective_filters_pushed(self, spark):
+        plan = plan_of(spark, "q6_forecast_revenue")
+        assert "GreaterThanOrEqual(l_shipdate" in plan
+        assert "LessThan(l_quantity,24.0)" in plan
+
+
+class TestJoinStrategies:
+    @pytest.mark.parametrize("name", ["q3_shipping_priority",
+                                      "q5_region_revenue"])
+    def test_dims_broadcast(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan
+
+    def test_semi_join_physical(self, spark):
+        plan = plan_of(spark, "join_semi_active_customers")
+        assert "LeftSemi" in plan
+
+    def test_nonequi_is_not_cartesian(self, spark):
+        # equi key + range predicate must hash-join on the key, never BNLJ
+        plan = plan_of(spark, "join_nonequi_funnel")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAggAndTopK:
+    def test_partial_aggregation_present(self, spark):
+        # map-side partial agg halves shuffle volume on every groupBy
+        plan = plan_of(spark, "q1_pricing_summary")
+        assert "partial_" in plan.lower() or "HashAggregate" in plan
+
+    def test_global_topk_avoids_full_sort(self, spark):
+        plan = plan_of(spark, "topk_global_orders")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q1_whole_stage_codegen(self, spark):
+        # under AQE the codegen stages only exist in the *executed* plan —
+        # run the query, then assert the final plan compiled to codegen
+        df = REGISTRY["q1_pricing_summary"].builder(spark, SF)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        # "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+        assert "*(1)" in executed and "*(2)" in executed
+        # AQE coalesced the tiny test shuffles — the runtime re-plan works
+        assert "AQEShuffleRead" in executed
+
+
+class TestKernelDistribution:
+    def test_book_kernel_partitions_by_product(self, spark):
+        plan = plan_of(spark, "t2_book_kernel_gaps")
+        # the stateful kernel must hash-partition on the group key —
+        # that's what lets book state scale across executors
+        assert "hashpartitioning(product_id" in plan
+
+
+class TestNoDriverCollect:
+    @pytest.mark.parametrize("name", sorted(REGISTRY))
+    def test_builders_do_not_collect(self, spark, name):
+        """Building any query must be pure plan construction — no action,
+        no driver-side materialization (collect in a builder would mean
+        the operator isn't distributed)."""
+        df = REGISTRY[name].builder(spark, SF)
+        assert df is not None and df.columns
