@@ -57,15 +57,36 @@ def sql_md5_long(expr: str, hex_chars: int = 8) -> str:
 
 # --- shingling -------------------------------------------------------------
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of normalized text (empty array if < n words)."""
-    w = F.split(normalize(col), " ")
+def word_shingles(words_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an array-of-words column (empty array if
+    < n words).
+
+    PERFORMANCE: ``words_col`` must be an already-materialized (named)
+    column. When a split+regexp expression is inlined here, every
+    ``element_at`` inside the transform lambda re-evaluates it per element
+    — measured 20× slower. :func:`shingle_rows` does the staging.
+    """
+    w = words_col
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)]),
     )
     return F.when(F.size(w) >= n, F.array_distinct(grams)) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """(doc, shingle) rows: words staged as a column, then n-grams exploded.
+
+    The two-step projection matters: a named intermediate column is
+    computed once per row, while an inline expression is re-evaluated
+    inside every higher-order-function lambda invocation.
+    """
+    staged = df.select(F.col(id_col).alias("doc"),
+                       F.split(normalize(F.col(text_col)), " ").alias("__w"))
+    return staged.select("doc",
+                         F.explode(word_shingles(F.col("__w"), n)).alias("s"))
 
 
 def sql_word_shingles(expr: str, n: int = 3) -> str:
@@ -104,8 +125,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     product. At 100 TB you run this per-LSH-bucket (see minhash_lsh_pairs)
     rather than globally.
     """
-    sh = (df.select(F.col(id_col).alias("doc"),
-                    F.explode(word_shingles(F.col(text_col), n)).alias("s")))
+    sh = shingle_rows(df, id_col, text_col, n)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -154,8 +174,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     One explode + one groupBy; the K min-aggregates fold map-side (partial
     aggregation), so shuffle volume is K longs per doc regardless of size.
     """
-    sh = df.select(F.col(id_col).alias("doc"),
-                   F.explode(word_shingles(F.col(text_col), n)).alias("s"))
+    sh = shingle_rows(df, id_col, text_col, n)
     h = sh.select("doc", md5_long(F.col("s")).alias("h"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))

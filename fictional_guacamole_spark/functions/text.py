@@ -42,21 +42,25 @@ def token_count(col: Column) -> Column:
     return F.regexp_count(normalize(col), F.lit(TOKEN_PATTERN))
 
 
-def marker_hits(col: Column, markers: list[str]) -> Column:
-    """How many word tokens belong to a marker set (stopword-count style)."""
+def marker_hits(words_col: Column, markers: list[str]) -> Column:
+    """How many word tokens belong to a marker set (stopword-count style).
+
+    ``words_col`` must be a materialized array column (see the staging
+    note on :func:`quality_stats`).
+    """
     lit_markers = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(words(col), lambda w: F.array_contains(lit_markers, w)))
+    return F.size(F.filter(words_col, lambda w: F.array_contains(lit_markers, w)))
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
+def lang_scores(words_col: Column) -> dict[str, Column]:
     """Marker-hit count per candidate language."""
-    return {lang: marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
+    return {lang: marker_hits(words_col, ms) for lang, ms in LANG_MARKERS.items()}
 
 
-def lang_guess(col: Column) -> Column:
+def lang_guess(words_col: Column) -> Column:
     """Argmax over marker hits with deterministic precedence en>es>de>fr;
     'und' when nothing matches."""
-    s = lang_scores(col)
+    s = lang_scores(words_col)
     best = F.greatest(*s.values())
     out = F.when(best <= 0, F.lit("und"))
     for lang in LANG_MARKERS:  # insertion order = precedence
@@ -73,15 +77,21 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
-def quality_stats(col: Column) -> dict[str, Column]:
+def quality_stats(words_col: Column) -> dict[str, Column]:
     """Heuristic quality-scoring features: word count, distinct ratio,
-    mean word length, stopword ratio. All exact-arithmetic portable."""
-    w = words(col)
+    mean word length, stopword ratio. All exact-arithmetic portable.
+
+    PERFORMANCE: ``words_col`` must be a *named, materialized* column
+    (``df.withColumn("w", words(col))``), not an inline split expression —
+    expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element, turning these stats quadratic per document.
+    """
+    w = words_col
     n_words = F.size(w)
     n_distinct = F.size(F.array_distinct(w))
     total_word_chars = F.aggregate(
         w, F.lit(0), lambda acc, x: acc + F.length(x))
-    stop_hits = marker_hits(col, LANG_MARKERS["en"])
+    stop_hits = marker_hits(w, LANG_MARKERS["en"])
     return {
         "n_words": n_words,
         "distinct_ratio": n_distinct.cast("double") / n_words,

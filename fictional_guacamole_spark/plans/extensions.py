@@ -161,13 +161,14 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    stats = X.quality_stats(F.col("text"))
+    staged = docs.select("doc_id", "lang", X.words(F.col("text")).alias("w"))
+    stats = X.quality_stats(F.col("w"))
     return (
-        docs.select("doc_id", "lang",
-                    stats["n_words"].alias("n_words"),
-                    stats["distinct_ratio"].alias("distinct_ratio"),
-                    stats["mean_word_len"].alias("mean_word_len"),
-                    stats["stopword_ratio"].alias("stopword_ratio"))
+        staged.select("doc_id", "lang",
+                      stats["n_words"].alias("n_words"),
+                      stats["distinct_ratio"].alias("distinct_ratio"),
+                      stats["mean_word_len"].alias("mean_word_len"),
+                      stats["stopword_ratio"].alias("stopword_ratio"))
         .orderBy("doc_id")
     )
 
@@ -203,11 +204,12 @@ def _lang_oracle() -> str:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scores = X.lang_scores(F.col("text"))
+    staged = docs.select("doc_id", X.words(F.col("text")).alias("w"))
+    scores = X.lang_scores(F.col("w"))
     return (
-        docs.select("doc_id",
-                    *[scores[la].alias(f"hits_{la}") for la in X.LANG_MARKERS],
-                    X.lang_guess(F.col("text")).alias("lang_guess"))
+        staged.select("doc_id",
+                      *[scores[la].alias(f"hits_{la}") for la in X.LANG_MARKERS],
+                      X.lang_guess(F.col("w")).alias("lang_guess"))
         .orderBy("doc_id")
     )
 
