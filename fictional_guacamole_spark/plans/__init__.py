@@ -6,6 +6,7 @@ Importing this package registers every query into ``registry.REGISTRY``.
 from fictional_guacamole_spark.plans import (  # noqa: F401
     registry,
     relational,
+    relational_ext,
     marketdata,
     extensions,
     windows_streaming,

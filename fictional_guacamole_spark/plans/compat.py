@@ -13,6 +13,12 @@ query library:
 Both engines perform the identical exact computation, so the hashes match
 bit-for-bit. Averages are expressed as decimal-sum / count (IEEE division of
 identical operands is identical).
+
+CAVEAT: the double→decimal cast is only cross-engine-exact while
+|value| · 10^scale stays well under 2^53 — beyond that the scaling multiply
+itself rounds, and engines may disagree in the last bit (observed with
+price² ≈ 1e10 at scale 6). For products of large terms, cast the *inputs*
+to decimal and multiply in decimal instead (see agg_corr_price_discount).
 """
 
 from __future__ import annotations

@@ -1,0 +1,281 @@
+"""Second tranche of the relational surface: exact percentiles,
+correlation from exact moments, additional TPC-H-shaped multi-joins,
+null-handling and array scalar functions, correlated EXISTS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.plans.compat import dsum, sql_dsum
+from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.tables import load_table
+
+
+@query(
+    "agg_percentiles",
+    survey_ref="§2.5 aggregations (exact ordered-set)",
+    description="Exact interpolated median/quartiles per return flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (sort-based, linear interpolation) — verified
+    bit-identical to DuckDB's quantile_cont. The approx_percentile sketch
+    is the scale path; exact is the correctness baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+             F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+             F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_corr_price_discount",
+    survey_ref="§2.5 aggregations (bivariate moments)",
+    description="Pearson correlation from exact decimal co-moments",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS xd,
+             CAST(l_discount AS DECIMAL(9,6)) AS yd
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
+             CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
+             CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
+             CAST(SUM(yd * yd) AS DOUBLE) AS syy
+      FROM d GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+           AS corr_price_disc
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr() computed from exact decimal moments (F.corr's streaming
+    double accumulation is order-dependent, so it can't hash-match an
+    oracle). Inputs are cast to decimal FIRST and multiplied in decimal:
+    casting a large double *product* to decimal is itself inexact once
+    |value|·10^scale exceeds 2^53 (price² ≈ 1e10 at scale 6 crosses it),
+    and the two engines disagree in the last bit — exact decimal products
+    sidestep the entire issue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_extendedprice").cast("decimal(18,2)")
+    yd = F.col("l_discount").cast("decimal(9,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(xd).cast("double")
+    sy = F.sum(yd).cast("double")
+    sxy = F.sum(xd * yd).cast("double")
+    sxx = F.sum(xd * xd).cast("double")
+    syy = F.sum(yd * yd).cast("double")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx)
+                                  * F.sqrt(n * syy - sy * sy))
+    return (li.groupBy("l_returnflag")
+            .agg(corr.alias("corr_price_disc"))
+            .orderBy("l_returnflag"))
+
+
+@query(
+    "q7_nation_volume",
+    survey_ref="§2.5 joins (two dimension paths, OR pair filter)",
+    description="Shipping volume between two nation pairs by year (TPC-H Q7 shape)",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')))
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"),
+                    F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE")))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q10_returned_items",
+    survey_ref="§2.5 joins+agg+topk (TPC-H Q10 shape)",
+    description="Top-20 customers by revenue lost to returned items",
+    bench=True,
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "scalar_null_handling",
+    survey_ref="§2.5 scalar funcs (null semantics)",
+    description="coalesce / nullif / null-safe comparisons over a left join",
+    oracle="""
+    SELECT p_partkey,
+           COALESCE(CAST(l_orderkey AS VARCHAR), 'never-ordered') AS order_ref,
+           NULLIF(p_size, 25) AS size_or_null,
+           (l_orderkey IS NULL) AS is_unordered,
+           CASE WHEN l_quantity IS NULL THEN -1.0
+                ELSE l_quantity END AS qty_filled
+    FROM part LEFT JOIN (
+        SELECT l_partkey, MIN(l_orderkey) AS l_orderkey,
+               MIN(l_quantity) AS l_quantity
+        FROM lineitem GROUP BY l_partkey) li
+      ON p_partkey = li.l_partkey
+    ORDER BY p_partkey
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(F.min("l_orderkey").alias("l_orderkey"),
+               F.min("l_quantity").alias("l_quantity")))
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left")
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("l_orderkey").cast("string"),
+                       F.lit("never-ordered")).alias("order_ref"),
+            F.nullif(F.col("p_size"), F.lit(25)).alias("size_or_null"),
+            F.col("l_orderkey").isNull().alias("is_unordered"),
+            F.when(F.col("l_quantity").isNull(), -1.0)
+             .otherwise(F.col("l_quantity")).alias("qty_filled"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    survey_ref="§2.5 array funcs (construct/slice/search)",
+    description="Array construction, slicing, membership, position, sort",
+    oracle="""
+    SELECT n_nationkey,
+           [n_name, CAST(n_regionkey AS VARCHAR)] AS pair,
+           list_sort(string_split(n_name, 'A')) AS name_parts,
+           list_contains(string_split(n_name, 'A'), 'N') AS has_n_fragment,
+           len(string_split(n_name, 'A')) AS n_fragments,
+           string_split(n_name, 'A')[1:2] AS first_two
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    parts = F.split(F.col("n_name"), "A")
+    staged = nat.select("n_nationkey", "n_name", "n_regionkey",
+                        parts.alias("parts"))
+    return (
+        staged.select(
+            "n_nationkey",
+            F.array(F.col("n_name"), F.col("n_regionkey").cast("string"))
+             .alias("pair"),
+            F.sort_array(F.col("parts")).alias("name_parts"),
+            F.array_contains(F.col("parts"), "N").alias("has_n_fragment"),
+            F.size(F.col("parts")).alias("n_fragments"),
+            F.slice(F.col("parts"), 1, 2).alias("first_two"))
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    survey_ref="§2.5 correlated EXISTS subquery",
+    description="Suppliers with at least one high-value shipment (EXISTS)",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_extendedprice > 90000)
+    ORDER BY s_suppkey
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_extendedprice > 90000)
+        ORDER BY s_suppkey
+    """)
