@@ -44,12 +44,23 @@ BOOK_DEPTH = 15  # top levels per side, matching the reference's fixed depth
 
 @dataclass
 class OrderBook:
-    """Per-product book state: price→volume maps (exact string decimals)."""
+    """Per-product book state: price→volume maps (exact string decimals).
+
+    Emit-path optimization: the top-``depth`` selection is only recomputed
+    when a change could have touched it. A change strictly outside the
+    previously-emitted price range (below the 15th bid / above the 15th
+    ask, with a full top) provably leaves the top unchanged, so deep-book
+    churn — the common case on a real feed — is O(1) per delta instead of
+    an O(n) re-select. ``top_levels`` itself always computes honestly.
+    """
 
     bids: dict[str, str] = field(default_factory=dict)
     asks: dict[str, str] = field(default_factory=dict)
     last_emitted: tuple | None = None
     max_trade_id: int | None = None
+    _bid_floor: Decimal | None = field(default=None, repr=False)
+    _ask_ceil: Decimal | None = field(default=None, repr=False)
+    _dirty: bool = field(default=True, repr=False)
 
     # -- T1: snapshot install ------------------------------------------------
     def install_snapshot(self, bids: list[list[str]], asks: list[list[str]]) -> None:
@@ -58,17 +69,27 @@ class OrderBook:
         polo_ws.py:43-44; we sort lazily at emit)."""
         self.bids = {p: v for p, v in bids}
         self.asks = {p: v for p, v in asks}
+        self._dirty = True
 
     # -- T2: incremental merge ----------------------------------------------
     def apply_change(self, side: str, price: str, volume: str) -> None:
         """Upsert or delete one price level. volume == 0 deletes the level
         (real_guac.py:56-60); otherwise the level is updated or inserted
         (real_guac.py:62-71). Dict semantics make update/insert one path."""
-        book = self.bids if side in ("buy", "bid", "bids") else self.asks
+        is_bid = side in ("buy", "bid", "bids")
+        book = self.bids if is_bid else self.asks
         if Decimal(volume) == 0:
             book.pop(price, None)
         else:
             book[price] = volume
+        if not self._dirty:
+            d = Decimal(price)
+            if is_bid:
+                if self._bid_floor is None or d >= self._bid_floor:
+                    self._dirty = True
+            else:
+                if self._ask_ceil is None or d <= self._ask_ceil:
+                    self._dirty = True
 
     # -- T3: top-K projection -----------------------------------------------
     def top_levels(self, depth: int = BOOK_DEPTH) -> tuple[list[str], list[str]]:
@@ -84,8 +105,23 @@ class OrderBook:
     # -- T4: consecutive-change dedup ---------------------------------------
     def emit_if_changed(self, depth: int = BOOK_DEPTH) -> tuple[list[str], list[str]] | None:
         """Return the top-K snapshot only if it differs from the previously
-        emitted one (real_guac.py:77-87) — suppresses deep-book churn."""
+        emitted one (real_guac.py:77-87) — suppresses deep-book churn.
+
+        Fast path: when no change since the last emit touched the top
+        price range, the top is provably identical — skip the re-select
+        entirely. When the top is shorter than ``depth`` the floor/ceil
+        guards are disabled (any insert can join a short top).
+        """
+        if not self._dirty:
+            return None
         top = self.top_levels(depth)
+        # refresh the change-tracking thresholds for the fast path
+        top_bids, top_asks = top
+        self._bid_floor = (Decimal(top_bids[-1].rsplit("@", 1)[1])
+                           if len(top_bids) == depth else None)
+        self._ask_ceil = (Decimal(top_asks[-1].rsplit("@", 1)[1])
+                          if len(top_asks) == depth else None)
+        self._dirty = False
         key = (tuple(top[0]), tuple(top[1]))
         if key == self.last_emitted:
             return None
@@ -241,6 +277,14 @@ def _book_row(frame: dict[str, Any], top: tuple[list[str], list[str]]) -> dict[s
             "bids": top[0], "asks": top[1]}
 
 
+def _pdf_to_frames(pdf: pd.DataFrame) -> list[dict[str, Any]]:
+    """pandas batch → list of frame dicts (itertuples is several times
+    faster than to_dict('records') on wide frames)."""
+    cols = list(pdf.columns)
+    return [dict(zip(cols, row))
+            for row in pdf.itertuples(index=False, name=None)]
+
+
 def _rows_to_pdf(rows: list[dict[str, Any]]) -> pd.DataFrame:
     """Tagged-union rows → pandas frame with None (not NaN) for absent
     fields — Spark's Arrow converter rejects NaN in array/bool columns."""
@@ -264,7 +308,7 @@ def book_kernel(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.
     out_rows: list[dict[str, Any]] = []
     frames: list[dict[str, Any]] = []
     for pdf in pdfs:
-        frames.extend(pdf.to_dict("records"))
+        frames.extend(_pdf_to_frames(pdf))
     frames.sort(key=lambda r: r["seq"])
     out_rows.extend(process_frames(book, frames))
 
@@ -276,8 +320,7 @@ def book_kernel(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.
 def book_kernel_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     """Stateless applyInPandas variant for batch replays: a full capture is
     one group, so the book starts empty and replays every frame in order."""
-    frames = pdf.to_dict("records")
-    frames.sort(key=lambda r: r["seq"])
+    frames = _pdf_to_frames(pdf.sort_values("seq"))
     rows = list(process_frames(OrderBook(), iter(frames)))
     return _rows_to_pdf(rows)
 

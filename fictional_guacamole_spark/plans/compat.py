@@ -29,21 +29,48 @@ from pyspark.sql import functions as F
 DEC = "decimal(25,6)"
 
 
+def dec_to_double_exact(d: Column) -> Column:
+    """Decimal column → double, bit-identically across engines even when
+    the decimal exceeds 53 bits of mantissa.
+
+    A direct decimal→double cast diverges in the last bit between engines
+    for large values (DuckDB converts int128→double then divides by
+    10^scale — two roundings; the JVM rounds the full decimal once).
+    Splitting into integer part (exact as long) + fraction (exactly one
+    correctly-rounded small conversion in both engines) leaves a single
+    identical rounded addition. Decimal *rescaling* is NOT portable either
+    (Spark rounds half-up, DuckDB differs on ties) — never rescale.
+    """
+    i = F.floor(d)
+    return i.cast("long").cast("double") + (d - i).cast("double")
+
+
+def sql_dec_to_double_exact(d: str) -> str:
+    """DuckDB rendering of :func:`dec_to_double_exact`."""
+    return (f"(CAST(CAST(FLOOR({d}) AS BIGINT) AS DOUBLE)"
+            f" + CAST(({d}) - FLOOR({d}) AS DOUBLE))")
+
+
 def dsum(col: Column) -> Column:
-    """Order-insensitive, engine-portable sum of a double column."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Order-insensitive, engine-portable sum of a double column.
+
+    The final decimal→double conversion goes through the split form so the
+    result stays bit-identical even when the sum exceeds 53 mantissa bits.
+    """
+    return dec_to_double_exact(F.sum(col.cast(DEC)))
 
 
 def davg(col: Column) -> Column:
     """Engine-portable average: exact decimal sum / count."""
-    return F.sum(col.cast(DEC)).cast("double") / F.count(col)
+    return dec_to_double_exact(F.sum(col.cast(DEC))) / F.count(col)
 
 
 def sql_dsum(expr: str) -> str:
     """DuckDB-side rendering of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+    return sql_dec_to_double_exact(f"SUM(CAST({expr} AS DECIMAL(25,6)))")
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB-side rendering of :func:`davg`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+    return (sql_dec_to_double_exact(f"SUM(CAST({expr} AS DECIMAL(25,6)))")
+            + f" / COUNT({expr})")

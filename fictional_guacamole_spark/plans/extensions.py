@@ -136,6 +136,40 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+@query(
+    "dedup_embedding_cosine",
+    survey_ref="extensions: embedding-cosine near-dup",
+    description="Vector pairs with cosine >= 0.5 for a bounded probe set",
+    oracle=f"""
+    WITH probe AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50)
+    SELECT p.vec_id AS vec_a, c.vec_id AS vec_b,
+           {S.sql_cosine('p.embedding', 'c.embedding')} AS cos_sim
+    FROM probe p JOIN embeddings c ON p.vec_id < c.vec_id
+    WHERE {S.sql_cosine('p.embedding', 'c.embedding')} >= 0.5
+    ORDER BY vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate detection: exact cosine threshold
+    over a bounded probe set (the verification kernel). At corpus scale the
+    probe side comes from LSH buckets (sim_lsh_topk's bucketing) so the
+    exact check only runs within candidate groups — same exact kernel,
+    pruned candidate generation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    pairs = (
+        F.broadcast(probe).crossJoin(
+            emb.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("e_b")))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                S.cosine(F.col("e_a"), F.col("e_b")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.5)
+    )
+    return pairs.orderBy("vec_a", "vec_b")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -234,6 +234,51 @@ def t2_book_kernel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bench_book_kernel_throughput",
+    survey_ref="T1–T5 kernel throughput at scale (bench)",
+    # rows-only: output is the kernel's full tagged union incl. book rows
+    # (top-15 state evolution is not SQL-expressible); trade/gap parity is
+    # covered by t2_book_kernel_gaps.
+    oracle=None,
+    description="Full lineitem history as frames through the stateful kernel",
+    bench=True,
+)
+def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput probe for the custom kernel: every lineitem becomes an
+    l2update or match frame keyed by supplier (100 books at sf0.1, ~6k
+    frames each). Exercises the real Arrow → pandas → state-merge path at
+    the same per-key frame volume a deep live book would see."""
+    li = load_table(spark, sf_dir, "lineitem")
+    is_trade = F.col("l_returnflag") == "R"
+    frames = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.col("l_shipdate").alias("server_ts"),
+        F.col("l_suppkey").cast("string").alias("product_id"),
+        F.when(is_trade, "match").otherwise("l2update").alias("msg_type"),
+        F.lit(None).cast("array<array<string>>").alias("bids"),
+        F.lit(None).cast("array<array<string>>").alias("asks"),
+        F.when(~is_trade, F.array(F.array(
+            F.when(F.col("l_linenumber") % 2 == 0, "buy").otherwise("sell"),
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+            F.col("l_quantity").cast("decimal(12,2)").cast("string"))))
+         .alias("changes"),
+        F.when(is_trade, F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+         .cast("long").alias("trade_id"),
+        F.lit(None).cast("long").alias("sequence"),
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string")
+         .alias("price"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("string")
+         .alias("volume"),
+        F.lit("buy").alias("side"),
+        F.lit(None).cast("timestamp").alias("exchange_ts"),
+    )
+    out = apply_book_kernel(ensure_frame_schema(frames))
+    return out.groupBy("out_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("product_id").alias("n_products"))
+
+
+@query(
     "asof_join_last_purchase",
     survey_ref="§2.5 as-of join (trades ⋈ prevailing book state)",
     description="Attach each event's most recent strictly-earlier purchase (as-of join)",

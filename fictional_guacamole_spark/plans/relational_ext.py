@@ -8,7 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fictional_guacamole_spark.plans.compat import dsum, sql_dsum
+from fictional_guacamole_spark.plans.compat import (
+    dec_to_double_exact, dsum, sql_dec_to_double_exact, sql_dsum)
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.tables import load_table
 
@@ -45,19 +46,25 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_price_discount",
     survey_ref="§2.5 aggregations (bivariate moments)",
     description="Pearson correlation from exact decimal co-moments",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT l_returnflag,
              CAST(l_extendedprice AS DECIMAL(18,2)) AS xd,
              CAST(l_discount AS DECIMAL(9,6)) AS yd
       FROM lineitem),
-    m AS (
+    s AS (
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(xd) AS DOUBLE) AS sx, CAST(SUM(yd) AS DOUBLE) AS sy,
-             CAST(SUM(xd * yd) AS DOUBLE) AS sxy,
-             CAST(SUM(xd * xd) AS DOUBLE) AS sxx,
-             CAST(SUM(yd * yd) AS DOUBLE) AS syy
-      FROM d GROUP BY l_returnflag)
+             SUM(xd) AS dsx, SUM(yd) AS dsy, SUM(xd * yd) AS dsxy,
+             SUM(xd * xd) AS dsxx, SUM(yd * yd) AS dsyy
+      FROM d GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n,
+             {sql_dec_to_double_exact('dsx')} AS sx,
+             {sql_dec_to_double_exact('dsy')} AS sy,
+             {sql_dec_to_double_exact('dsxy')} AS sxy,
+             {sql_dec_to_double_exact('dsxx')} AS sxx,
+             {sql_dec_to_double_exact('dsyy')} AS syy
+      FROM s)
     SELECT l_returnflag,
            (n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
@@ -78,11 +85,11 @@ def agg_corr_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     xd = F.col("l_extendedprice").cast("decimal(18,2)")
     yd = F.col("l_discount").cast("decimal(9,6)")
     n = F.count(F.lit(1))
-    sx = F.sum(xd).cast("double")
-    sy = F.sum(yd).cast("double")
-    sxy = F.sum(xd * yd).cast("double")
-    sxx = F.sum(xd * xd).cast("double")
-    syy = F.sum(yd * yd).cast("double")
+    sx = dec_to_double_exact(F.sum(xd))
+    sy = dec_to_double_exact(F.sum(yd))
+    sxy = dec_to_double_exact(F.sum(xd * yd))
+    sxx = dec_to_double_exact(F.sum(xd * xd))
+    syy = dec_to_double_exact(F.sum(yd * yd))
     corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx)
                                   * F.sqrt(n * syy - sy * sy))
     return (li.groupBy("l_returnflag")

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fictional_guacamole_spark.plans.compat import dsum, sql_dsum
+from fictional_guacamole_spark.plans.compat import (
+    dec_to_double_exact, dsum, sql_dec_to_double_exact, sql_dsum)
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.tables import load_table
 
@@ -121,8 +122,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*) AS n,
            {sql_dsum('l_quantity')} AS s1,
-           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
-                AS DOUBLE) AS s2,
+           {sql_dec_to_double_exact(
+               'SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))')} AS s2,
            sqrt(({sql_dsum('l_quantity * l_quantity')}
                  - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')}
                    / COUNT(*)) / (COUNT(*) - 1)) AS stddev_qty
@@ -138,9 +139,9 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     n = F.count(F.lit(1))
-    s1 = F.sum(q.cast("decimal(25,6)")).cast("double")
-    s2 = F.sum((q * q).cast("decimal(30,10)")).cast("double")
-    s1b = F.sum((q * q).cast("decimal(25,6)")).cast("double")
+    s1 = dec_to_double_exact(F.sum(q.cast("decimal(25,6)")))
+    s2 = dec_to_double_exact(F.sum((q * q).cast("decimal(30,10)")))
+    s1b = dec_to_double_exact(F.sum((q * q).cast("decimal(25,6)")))
     return (
         li.groupBy("l_returnflag")
         .agg(n.alias("n"), s1.alias("s1"), s2.alias("s2"),

@@ -169,6 +169,33 @@ class TestProcessFrames:
         assert by_product["B"]["bids"] == ["9@9"]
 
 
+class TestEmitFastPath:
+    def test_deep_change_fast_path_then_top_change(self):
+        b = OrderBook()
+        b.install_snapshot(bids=[[str(200 - i), "1"] for i in range(30)],
+                           asks=[[str(300 + i), "1"] for i in range(30)])
+        assert b.emit_if_changed() is not None
+        # deep updates: fast path, no emit, thresholds stay valid
+        for p in range(150, 160):
+            b.apply_change("buy", str(p), "7")
+            assert b.emit_if_changed() is None
+        # then a genuine top change must still emit correctly
+        b.apply_change("buy", "250", "9")
+        emitted = b.emit_if_changed()
+        assert emitted is not None and emitted[0][0] == "9@250"
+
+    def test_short_top_insert_below_floor_still_emits(self):
+        # with fewer than depth levels any insert joins the top — the
+        # floor guard must be disabled for short tops
+        b = OrderBook()
+        b.install_snapshot(bids=[["100", "1"], ["90", "1"]], asks=[])
+        assert b.emit_if_changed() is not None
+        b.apply_change("buy", "50", "2")   # below previous min price
+        emitted = b.emit_if_changed()
+        assert emitted is not None
+        assert emitted[0] == ["1@100", "1@90", "2@50"]
+
+
 # --- property test vs naive oracle -----------------------------------------
 
 prices = st.integers(min_value=1, max_value=30).map(str)
@@ -204,3 +231,50 @@ def test_incremental_merge_equals_batch_oracle(snapshot_bids, snapshot_asks,
     exp_asks = [f"{oasks[p]}@{p}" for p in sorted(oasks, key=Decimal)[:15]]
 
     assert b.top_levels() == (exp_bids, exp_asks)
+
+
+@settings(max_examples=200, deadline=None)
+@given(snapshot_bids=snapshot_levels, snapshot_asks=snapshot_levels,
+       deltas=changes)
+def test_emit_fast_path_equals_naive_emitter(snapshot_bids, snapshot_asks,
+                                             deltas):
+    """The dirty/threshold fast path must produce the exact same emit
+    sequence as recomputing + comparing the top on every single change."""
+    depth = 3  # small depth so deltas routinely cross the threshold
+
+    b = OrderBook()
+    b.install_snapshot(bids=list(snapshot_bids.items()),
+                       asks=list(snapshot_asks.items()))
+    emits = [b.emit_if_changed(depth)]
+
+    # naive reference: plain dicts, full re-sort + compare each step
+    obids, oasks = dict(snapshot_bids), dict(snapshot_asks)
+    last = None
+
+    def naive_top():
+        eb = [f"{obids[p]}@{p}" for p in
+              sorted(obids, key=Decimal, reverse=True)[:depth]]
+        ea = [f"{oasks[p]}@{p}" for p in sorted(oasks, key=Decimal)[:depth]]
+        return eb, ea
+
+    def naive_emit():
+        nonlocal last
+        top = naive_top()
+        key = (tuple(top[0]), tuple(top[1]))
+        if key == last:
+            return None
+        last = key
+        return top
+
+    naive_emits = [naive_emit()]
+    for side, price, volume in deltas:
+        b.apply_change(side, price, volume)
+        emits.append(b.emit_if_changed(depth))
+        book = obids if side == "buy" else oasks
+        if Decimal(volume) == 0:
+            book.pop(price, None)
+        else:
+            book[price] = volume
+        naive_emits.append(naive_emit())
+
+    assert emits == naive_emits
