@@ -269,6 +269,63 @@ def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str,
     """
 
 
+def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """The production near-dup pipeline: LSH banding generates candidates,
+    exact n-gram Jaccard verifies them — no all-pairs stage anywhere.
+
+    At 100 TB this is the only shape that works: candidate generation is
+    an equi-join on (band, band_sig); the exact verifier joins shingles
+    ONLY for candidate pairs (a semi-join against the candidate set), so
+    verification cost is proportional to candidate volume, not corpus².
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, n) \
+        .select("doc_a", "doc_b")
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
+    common = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("s_a") == F.col("s_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("common").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("common")))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sql_lsh_verified_pairs(table: str, id_col: str, text_col: str,
+                           n: int = 3, threshold: float = 0.5) -> str:
+    lsh = sql_minhash_lsh_pairs(table, id_col, text_col, n)
+    shingles = sql_word_shingles(text_col, n)
+    return f"""
+    WITH lsh_pairs AS ({lsh}),
+    cand AS (SELECT doc_a, doc_b FROM lsh_pairs),
+    sh AS (SELECT {id_col} AS doc, unnest({shingles}) AS s FROM {table}),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c JOIN sh a ON a.doc = c.doc_a
+                  JOIN sh b ON b.doc = c.doc_b AND a.s = b.s
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM common JOIN sizes sa ON doc_a = sa.doc
+                JOIN sizes sb ON doc_b = sb.doc
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -71,6 +71,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_lsh_verified",
+    survey_ref="extensions: LSH-candidates + exact-verify (production shape)",
+    description="LSH candidate pairs verified by exact n-gram Jaccard",
+    oracle=D.sql_lsh_verified_pairs("documents", "doc_id", "text",
+                                    n=3, threshold=0.5),
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.lsh_verified_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
+@query(
     "dedup_simhash",
     survey_ref="extensions: SimHash fingerprints",
     description="32-bit SimHash per document (packed bigint)",

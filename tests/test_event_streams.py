@@ -73,6 +73,46 @@ class TestWatermarkedWindows:
         assert emitted > 0
         assert emitted <= batch
 
+    def test_stream_stream_interval_join(self, spark, events_stream_dir):
+        """Stream⋈stream with event-time bounds: purchases joined to the
+        signup they followed within 1h — the streaming execution of the
+        join_nonequi_funnel batch query (same predicate, inner form)."""
+        s = (_stream(spark, events_stream_dir)
+             .filter(F.col("event_type") == "signup")
+             .withWatermark("ts", "2 hours")
+             .select(F.col("user_id").alias("s_user"),
+                     F.col("event_id").alias("s_id"),
+                     F.col("ts").alias("s_ts")))
+        p = (_stream(spark, events_stream_dir)
+             .filter(F.col("event_type") == "purchase")
+             .withWatermark("ts", "2 hours")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("event_id").alias("p_id"),
+                     F.col("ts").alias("p_ts")))
+        joined = s.join(
+            p, F.expr("s_user = p_user AND p_ts > s_ts "
+                      "AND p_ts <= s_ts + INTERVAL 1 HOUR"))
+        q = (joined.writeStream.format("memory").queryName("ssj")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed = {(r["s_id"], r["p_id"])
+                    for r in spark.table("ssj").collect()}
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        sb = ev.filter(F.col("event_type") == "signup").alias("s")
+        pb = ev.filter(F.col("event_type") == "purchase").alias("p")
+        batch = {(r["s_id"], r["p_id"]) for r in
+                 sb.join(pb,
+                         (F.col("s.user_id") == F.col("p.user_id"))
+                         & (F.col("p.ts") > F.col("s.ts"))
+                         & (F.col("p.ts") <= F.col("s.ts")
+                            + F.expr("INTERVAL 1 HOUR")))
+                 .select(F.col("s.event_id").alias("s_id"),
+                         F.col("p.event_id").alias("p_id")).collect()}
+        assert streamed == batch
+
     def test_drop_duplicates_within_watermark(self, spark, tmp_path):
         # duplicate every event twice in the source; the stream dedups on
         # (event_id) within the watermark horizon
