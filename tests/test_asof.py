@@ -1,0 +1,51 @@
+"""Property tests for the generic as-of join (operators/asof.py): the
+union+window distributed formulation must agree with a naive per-row
+python as-of on random keyed time series, across strict/non-strict modes,
+ties, and keys missing from either side."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fictional_guacamole_spark.operators.asof import asof_join
+
+left_rows = st.lists(
+    st.tuples(st.integers(1, 3),          # key
+              st.integers(0, 20),         # time
+              st.integers(0, 99)),        # payload
+    min_size=1, max_size=25)
+right_rows = st.lists(
+    st.tuples(st.integers(1, 3),
+              st.integers(0, 20),
+              st.integers(100, 199)),     # value
+    min_size=0, max_size=25)
+
+
+def naive_asof(left, right, strict):
+    out = {}
+    for i, (lk, lt, lp) in enumerate(left):
+        best = None
+        for rk, rt, rv in right:
+            if rk != lk:
+                continue
+            if (rt < lt) if strict else (rt <= lt):
+                # most recent; tie on time → max value wins (tiebreak col)
+                if best is None or (rt, rv) > best:
+                    best = (rt, rv)
+        out[i] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(left=left_rows, right=right_rows, strict=st.booleans())
+def test_asof_join_matches_naive(spark, left, right, strict):
+    ldf = spark.createDataFrame(
+        [(k, t, p, i) for i, (k, t, p) in enumerate(left)],
+        "k long, t long, payload long, row_id long")
+    rdf = spark.createDataFrame(right, "k long, t long, val long") \
+        if right else spark.createDataFrame([], "k long, t long, val long")
+    joined = asof_join(ldf, rdf, on="k", left_time="t", right_time="t",
+                       value_cols=["val"], strict=strict, tiebreak="val")
+    got = {r["row_id"]: r["val"] for r in joined.collect()}
+    assert got == naive_asof(left, right, strict)

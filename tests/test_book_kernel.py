@@ -206,6 +206,37 @@ snapshot_levels = st.dictionaries(prices, volumes.filter(lambda v: v != "0"),
                                   max_size=20)
 
 
+@settings(max_examples=50, deadline=None)
+@given(deltas=changes,
+       trade_ids=st.lists(st.integers(1, 40), min_size=0, max_size=10))
+def test_process_batch_equals_process_frames(deltas, trade_ids):
+    """The columnar fast path used by the Spark kernels must emit the
+    exact row sequence of the dict-based reference implementation."""
+    import pandas as pd
+    from fictional_guacamole_spark.operators.book import (
+        OUTPUT_SCHEMA, process_batch)
+
+    frames = [frame(0, "snapshot", bids=[["100", "1"], ["90", "2"]],
+                    asks=[["110", "1"]])]
+    seq = 1
+    for side, price, volume in deltas:
+        frames.append(frame(seq, "l2update", changes=[[side, price, volume]]))
+        seq += 1
+    for tid in trade_ids:
+        frames.append(frame(seq, "match", trade_id=tid,
+                            price="1", volume="1", side="buy"))
+        seq += 1
+
+    ref = list(process_frames(OrderBook(), iter(frames)))
+    cols = [f.name for f in OUTPUT_SCHEMA.fields]
+    fast = process_batch(OrderBook(), pd.DataFrame(frames))
+
+    def canon(rows):
+        return [{k: r.get(k) for k in cols} for r in rows]
+
+    assert canon(fast) == canon(ref)
+
+
 @settings(max_examples=200, deadline=None)
 @given(snapshot_bids=snapshot_levels, snapshot_asks=snapshot_levels,
        deltas=changes)

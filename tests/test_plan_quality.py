@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fictional_guacamole_spark.plans import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -88,6 +90,26 @@ class TestKernelDistribution:
         # the stateful kernel must hash-partition on the group key —
         # that's what lets book state scale across executors
         assert "hashpartitioning(product_id" in plan
+
+
+class TestPartitionedWrites:
+    def test_partition_pruning_on_partitioned_dataset(self, spark, tmp_path):
+        """The 100 TB layout story: datasets written partitioned by a
+        coarse key must prune partitions at read time (the scan lists only
+        matching directories — at scale this is the difference between
+        reading 100 TB and reading one partition)."""
+        from fictional_guacamole_spark.tables import load_table
+        li = load_table(spark, SF, "lineitem")
+        p = str(tmp_path / "li_part")
+        li.write.partitionBy("l_returnflag").parquet(p)
+        back = spark.read.parquet(p).filter(F.col("l_returnflag") == "R")
+        plan = back._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        assert "PartitionFilters" in plan
+        assert "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+        n_r = li.filter(F.col("l_returnflag") == "R").count()
+        assert back.count() == n_r
 
 
 class TestNoDriverCollect:
