@@ -61,24 +61,35 @@ def run_pipeline(
     """
     out = apply_book_kernel(frames)
 
+    def write_idempotent(df: DataFrame, sub: str, batch_id: int) -> None:
+        """Exactly-once append: each write lands in a `_batch=<id>`
+        partition with dynamic overwrite, so a replayed micro-batch (after
+        a crash between sink write and checkpoint commit) REPLACES its own
+        partition instead of duplicating rows. This is the parquet
+        equivalent of a transactional sink's (queryId, batchId) dedup."""
+        (df.withColumn("_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch", "product_id")
+         .parquet(os.path.join(sink_dir, sub)))
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         books, trades, gaps = demux_outputs(batch_df)
-        books.write.mode("append").partitionBy("product_id") \
-             .parquet(os.path.join(sink_dir, "books"))
-        trades.write.mode("append").partitionBy("product_id") \
-              .parquet(os.path.join(sink_dir, "trades"))
+        write_idempotent(books, "books", batch_id)
         gap_rows = [r.asDict() for r in gaps.collect()]  # gaps are tiny ranges
+        # backfill BEFORE the trades write so live + repaired rows land in
+        # one idempotent write (a second write into the same _batch
+        # partition would overwrite the first)
+        if gap_rows and fetcher is not None:
+            repaired = backfill_gaps(gap_rows, fetcher)
+            if repaired:
+                spark = batch_df.sparkSession
+                rows = [{k: r.get(k) for k in TRADE_COLS} for r in repaired]
+                trades = trades.unionByName(
+                    spark.createDataFrame(rows, schema=TRADE_SINK_SCHEMA))
+        write_idempotent(trades, "trades", batch_id)
         if gap_rows:
-            gaps.write.mode("append").parquet(os.path.join(sink_dir, "gaps"))
-            if fetcher is not None:
-                repaired = backfill_gaps(gap_rows, fetcher)
-                if repaired:
-                    spark = batch_df.sparkSession
-                    rows = [{k: r.get(k) for k in TRADE_COLS}
-                            for r in repaired]
-                    (spark.createDataFrame(rows, schema=TRADE_SINK_SCHEMA)
-                     .write.mode("append").partitionBy("product_id")
-                     .parquet(os.path.join(sink_dir, "trades")))
+            write_idempotent(gaps, "gaps", batch_id)
 
     return (out.writeStream
             .foreachBatch(write_batch)
@@ -135,16 +146,20 @@ def create_sink_tables(spark: SparkSession, sink_dir: str) -> None:
     (the reference's DDL migration, db_utils.py:34-45, becomes idempotent
     CREATE TABLE ... USING PARQUET LOCATION)."""
     specs = {
-        "exchange_books": ("books", "product_id STRING, server_ts TIMESTAMP, "
+        "exchange_books": ("books", "server_ts TIMESTAMP, "
                                     "bids ARRAY<STRING>, asks ARRAY<STRING>"),
-        "exchange_trades": ("trades", "product_id STRING, server_ts TIMESTAMP, "
+        "exchange_trades": ("trades", "server_ts TIMESTAMP, "
                                       "exchange_ts TIMESTAMP, sequence BIGINT, "
                                       "trade_id BIGINT, price STRING, "
                                       "volume STRING, side STRING, "
                                       "backfilled BOOLEAN"),
-        "exchange_gaps": ("gaps", "product_id STRING, server_ts TIMESTAMP, "
+        "exchange_gaps": ("gaps", "server_ts TIMESTAMP, "
                                   "gap_first_id BIGINT, gap_last_id BIGINT"),
     }
     for table, (sub, ddl) in specs.items():
-        spark.sql(f"CREATE TABLE IF NOT EXISTS {table} ({ddl}) USING PARQUET "
-                  f"LOCATION '{os.path.join(sink_dir, sub)}'")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}, _batch BIGINT, product_id STRING) "
+            f"USING PARQUET PARTITIONED BY (_batch, product_id) "
+            f"LOCATION '{os.path.join(sink_dir, sub)}'")
+        spark.sql(f"ALTER TABLE {table} RECOVER PARTITIONS")

@@ -195,6 +195,25 @@ class TestStreamingEndToEnd:
         create_sink_tables(spark, sink)
         assert spark.table("exchange_trades").count() == 4
 
+    def test_reprocessing_overwrites_instead_of_duplicating(
+            self, spark, gdax_capture, tmp_path):
+        """Full reprocess against an existing sink (lost checkpoint, same
+        output dir): the _batch-partition dynamic overwrite replaces each
+        batch's partition instead of appending duplicates."""
+        def run(ckpt: str) -> None:
+            frames = ensure_frame_schema(
+                parse_gdax_frames(read_frames_stream(spark, gdax_capture,
+                                                     frames_per_batch=4)))
+            q = run_pipeline(frames, sink, ckpt, query_name=f"rp-{ckpt[-1]}")
+            q.processAllAvailable()
+            q.stop()
+
+        sink = str(tmp_path / "sink3")
+        run(str(tmp_path / "ckptA"))
+        run(str(tmp_path / "ckptB"))  # fresh checkpoint, same sink
+        trades = spark.read.parquet(f"{sink}/trades")
+        assert trades.count() == 2  # replaced, not doubled
+
     def test_restart_resumes_from_checkpoint(self, spark, gdax_capture,
                                              tmp_path):
         frames = ensure_frame_schema(
