@@ -356,25 +356,46 @@ def process_batch(book: OrderBook, pdf: pd.DataFrame,
     return out
 
 
-def book_kernel(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """The applyInPandasWithState function: one key = one product.
+def make_book_kernel(state_ttl_ms: int | None = None):
+    """Build the applyInPandasWithState function: one key = one product.
 
     Frames within the micro-batch are replayed in ``seq`` order (websocket
     frames are ordered per connection — the source stamps the arrival
     index). State round-trips through STATE_SCHEMA between batches.
+
+    ``state_ttl_ms`` bounds total state at cluster scale: a product idle
+    longer than the TTL is evicted (books re-seed from the exchange's next
+    snapshot — the same thing that happens on any reconnect, so eviction
+    is semantically a planned reconnect). Trade watermarks restart too;
+    the first trade after eviction re-initializes silently per T5's
+    first-trade rule.
     """
-    if state.exists:
-        book = OrderBook.from_state(*state.get)
-    else:
-        book = OrderBook()
 
-    batches = list(pdfs)
-    pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
-    out_rows = process_batch(book, pdf)
+    def book_kernel(key: tuple, pdfs: Iterator[pd.DataFrame],
+                    state) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            book = OrderBook.from_state(*state.get)
+        else:
+            book = OrderBook()
 
-    state.update(book.to_state())
-    if out_rows:
-        yield _rows_to_pdf(out_rows)
+        batches = list(pdfs)
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        out_rows = process_batch(book, pdf)
+
+        state.update(book.to_state())
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out_rows:
+            yield _rows_to_pdf(out_rows)
+
+    return book_kernel
+
+
+# default instance used by batch replays and TTL-less streams
+book_kernel = make_book_kernel()
 
 
 def book_kernel_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -383,22 +404,25 @@ def book_kernel_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     return _rows_to_pdf(process_batch(OrderBook(), pdf))
 
 
-def apply_book_kernel(frames_df, output_mode: str = "append"):
+def apply_book_kernel(frames_df, output_mode: str = "append",
+                      state_ttl_ms: int | None = None):
     """Wire the kernel onto a frame DataFrame.
 
     Streaming: ``applyInPandasWithState`` carries the book across
-    micro-batches. Batch (full-replay analytics / golden tests): the same
-    pure kernel via stateless ``applyInPandas`` — a batch holds the whole
-    history, so state starts empty per product.
+    micro-batches (optionally with idle-key TTL eviction — see
+    make_book_kernel). Batch (full-replay analytics / golden tests): the
+    same pure kernel via stateless ``applyInPandas`` — a batch holds the
+    whole history, so state starts empty per product.
     """
     grouped = frames_df.groupBy("product_id")
     if frames_df.isStreaming:
         return grouped.applyInPandasWithState(
-            book_kernel,
+            make_book_kernel(state_ttl_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode=output_mode,
-            timeoutConf="NoTimeout",
+            timeoutConf=("ProcessingTimeTimeout" if state_ttl_ms
+                         else "NoTimeout"),
         )
     return grouped.applyInPandas(book_kernel_batch, schema=OUTPUT_SCHEMA)
 

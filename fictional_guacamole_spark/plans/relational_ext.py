@@ -263,6 +263,93 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_first_last_nth",
+    survey_ref="§2.5 windows (first/last/nth value)",
+    description="First, latest, and second order values per customer frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_spend,
+           LAST_VALUE(o_totalprice) OVER w AS latest_spend,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_spend"),
+            F.last("o_totalprice").over(w).alias("latest_spend"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "agg_arg_extremes",
+    survey_ref="§2.5 aggregations (max_by/min_by)",
+    description="Argmax/argmin: each nation's richest and poorest customer",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal * 1e7 - c_custkey) AS richest,
+           min_by(c_name, c_acctbal * 1e7 - c_custkey) AS poorest,
+           MAX(c_acctbal) AS top_balance
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite numeric key: acctbal dominates (2-decimal steps × 1e7 ≫
+    # custkey range), ties broken deterministically by lowest custkey —
+    # portable where DuckDB lacks multi-key max_by
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.col("c_acctbal") * F.lit(1e7) - F.col("c_custkey")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.max_by("c_name", key).alias("richest"),
+             F.min_by("c_name", key).alias("poorest"),
+             F.max("c_acctbal").alias("top_balance"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "set_union_missing_columns",
+    survey_ref="§2.5 set ops (unionByName allowMissingColumns)",
+    description="Schema-evolved union: missing columns null-padded by name",
+    oracle="""
+    SELECT c_custkey AS party_key, c_name AS party_name,
+           c_mktsegment AS segment, CAST(NULL AS DOUBLE) AS acctbal
+    FROM customer WHERE c_custkey <= 50
+    UNION ALL
+    SELECT s_suppkey, s_name, CAST(NULL AS VARCHAR), s_acctbal
+    FROM supplier
+    ORDER BY party_name
+    """,
+)
+def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") <= 50)
+            .select(F.col("c_custkey").alias("party_key"),
+                    F.col("c_name").alias("party_name"),
+                    F.col("c_mktsegment").alias("segment")))
+    sup = (load_table(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("party_key"),
+                   F.col("s_name").alias("party_name"),
+                   F.col("s_acctbal").alias("acctbal")))
+    return (cust.unionByName(sup, allowMissingColumns=True)
+            .orderBy("party_name"))
+
+
+@query(
     "subquery_exists_correlated",
     survey_ref="§2.5 correlated EXISTS subquery",
     description="Suppliers with at least one high-value shipment (EXISTS)",

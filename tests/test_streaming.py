@@ -232,6 +232,34 @@ class TestStreamingEndToEnd:
         assert trades.count() == 2  # not doubled
 
 
+class TestStateTtl:
+    def test_ttl_stream_produces_same_active_output(self, spark,
+                                                    gdax_capture, tmp_path):
+        """With a long TTL no eviction fires mid-run: outputs must equal
+        the no-TTL run (the TTL wiring is exercised end-to-end; eviction
+        semantics == reconnect re-snapshot, per make_book_kernel)."""
+        from fictional_guacamole_spark.operators.book import apply_book_kernel
+        frames = ensure_frame_schema(
+            parse_gdax_frames(read_frames_stream(spark, gdax_capture,
+                                                 frames_per_batch=100)))
+        out = apply_book_kernel(frames, state_ttl_ms=3_600_000)
+        # availableNow: drain everything then stop — processAllAvailable
+        # never settles once processing-time timeouts are registered
+        q = (out.writeStream.format("memory").queryName("ttl_books")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True)
+             .start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        rows = spark.table("ttl_books")
+        assert rows.filter(F.col("out_type") == "book").count() == 3
+        assert rows.filter(F.col("out_type") == "trade").count() == 2
+        assert rows.filter(F.col("out_type") == "gap").count() == 1
+
+
 class TestCompatViews:
     def test_book_compat_34_columns(self, spark, gdax_capture):
         raw = read_frames_batch(spark, gdax_capture)
