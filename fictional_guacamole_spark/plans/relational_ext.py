@@ -350,6 +350,83 @@ def set_union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_null_safe_eq",
+    survey_ref="§2.5 null-safe equality (<=>)",
+    description="Null-safe comparison: NULL <=> NULL is true, not null",
+    oracle="""
+    SELECT p_partkey,
+           (size_a IS NOT DISTINCT FROM size_b) AS same_bucket,
+           (size_a = size_b) AS naive_eq
+    FROM (SELECT p_partkey,
+                 NULLIF(p_size, 25) AS size_a,
+                 NULLIF(CAST(p_partkey % 50 AS INTEGER), 25) AS size_b
+          FROM part)
+    ORDER BY p_partkey
+    """,
+)
+def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    staged = part.select(
+        "p_partkey",
+        F.nullif(F.col("p_size"), F.lit(25)).alias("size_a"),
+        F.nullif((F.col("p_partkey") % 50).cast("int"), F.lit(25))
+         .alias("size_b"))
+    return (
+        staged.select(
+            "p_partkey",
+            F.col("size_a").eqNullSafe(F.col("size_b")).alias("same_bucket"),
+            (F.col("size_a") == F.col("size_b")).alias("naive_eq"))
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    survey_ref="§2.5 map funcs (JSON → map → keys/values/lookup)",
+    description="Parse props JSON to a map; extract keys, values, lookups",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           (json_extract_string(props, '$.missing') IS NULL) AS missing_absent
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    staged = ev.select("event_id", m.alias("m"))
+    return (
+        staged.select(
+            "event_id",
+            F.map_keys(F.col("m")).alias("prop_keys"),
+            F.element_at(F.col("m"), "k").alias("k_value"),
+            F.element_at(F.col("m"), "missing").isNull()
+             .alias("missing_absent"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "set_intersect_all_quantities",
+    survey_ref="§2.5 set ops (INTERSECT ALL, multiset semantics)",
+    description="Quantity values common to both return flags, with multiplicity",
+    oracle="""
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_quantity
+    """,
+)
+def set_intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_quantity")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_quantity")
+    return a.intersectAll(r).orderBy("l_quantity")
+
+
+@query(
     "subquery_exists_correlated",
     survey_ref="§2.5 correlated EXISTS subquery",
     description="Suppliers with at least one high-value shipment (EXISTS)",

@@ -60,18 +60,52 @@ def _hash_rows(rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+_SPARK_TYPE_CLASS = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f",
+    "string": "s", "boolean": "b", "timestamp": "t", "timestamp_ntz": "t",
+    "date": "d", "binary": "y",
+}
+_DUCK_TYPE_CLASS = {
+    "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+    "HUGEINT": "i", "FLOAT": "f", "DOUBLE": "f",
+    "VARCHAR": "s", "BOOLEAN": "b", "TIMESTAMP": "t", "TIMESTAMP_NS": "t",
+    "DATE": "d", "BLOB": "y",
+}
+
+
+def _spark_type_class(dt: str) -> str:
+    if dt.startswith("array<"):
+        return "l<" + _spark_type_class(dt[6:-1]) + ">"
+    if dt.startswith("decimal"):
+        return "dec"
+    return _SPARK_TYPE_CLASS.get(dt, dt)
+
+
+def _duck_type_class(dt: str) -> str:
+    if dt.endswith("[]"):
+        return "l<" + _duck_type_class(dt[:-2]) + ">"
+    if dt.startswith("DECIMAL"):
+        return "dec"
+    return _DUCK_TYPE_CLASS.get(dt, dt)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     q = REGISTRY[name]
     sdf = q.builder(spark, SF_DIR)
     spark_cols = [c.lower() for c in sdf.columns]
+    spark_types = [_spark_type_class(t) for _, t in sdf.dtypes]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.execute(q.oracle)
-    duck_cols = [d[0].lower() for d in res.description]
-    duck_rows = res.fetchall()
+    rel = duck.sql(q.oracle)
+    duck_cols = [c.lower() for c in rel.columns]
+    duck_types = [_duck_type_class(str(t)) for t in rel.types]
+    duck_rows = rel.fetchall()
 
     assert spark_cols == duck_cols, f"{name}: column mismatch"
+    assert spark_types == duck_types, (
+        f"{name}: dtype mismatch {list(zip(spark_cols, spark_types, duck_types))}")
     assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
     sh, dh = _hash_rows(spark_rows), _hash_rows(duck_rows)
     if sh != dh:
