@@ -97,15 +97,27 @@ def _book_pairs(map_json: Column) -> Column:
 
 
 def parse_polo_frames(raw: DataFrame, value_col: str = "value",
-                      seq_col: str = "seq") -> DataFrame:
+                      seq_col: str = "seq",
+                      channel_map: dict[str, str] | None = None) -> DataFrame:
     """Poloniex positional frames → FRAME_SCHEMA.
 
     P3 flatten: one frame carries many messages (`for message in msg[2]`,
     polo_ws.py:38) → posexplode keeps intra-frame order in the kernel's
-    seq (frame_seq * 2^20 + position). The channel-id→pair mapping the
-    reference builds from snapshots (polo_ws.py:48) is reproduced with a
-    last-known-pair join per channel; heartbeat frames (no messages) drop
+    seq (frame_seq * 2^20 + position); heartbeat frames (no messages) drop
     out via explode of an empty array.
+
+    Channel-id→pair resolution (the reference builds this map from
+    snapshots at polo_ws.py:48):
+
+    - ``channel_map`` given (streaming mode): resolved with a literal
+      ``create_map`` — zero joins, pure codegen. The subscriber knows the
+      pairs it subscribed (the subscribe packet names them — polo_ws.py:
+      121-128) and Poloniex channel ids are published constants, so a
+      static map is the faithful model.
+    - ``channel_map`` omitted (batch replay/analytics): the mapping is
+      learned from the capture's own snapshots via a broadcast join of
+      the distinct (channel, pair) set. (A stream can't self-join this
+      way — Spark correctly rejects the unbounded stream-stream join.)
     """
     channel = F.get_json_object(F.col(value_col), "$[0]")
     proto_seq = F.get_json_object(F.col(value_col), "$[1]").cast("long")
@@ -125,13 +137,16 @@ def parse_polo_frames(raw: DataFrame, value_col: str = "value",
         "frame_seq", "channel", "proto_seq", "pos", "m", kind.alias("kind"),
         pair_from_snapshot.alias("snap_pair"))
 
-    # channel → currencyPair mapping, learned from 'i' snapshots
-    # (polo_ws.py:48). Batch form: broadcast join of the distinct mapping;
-    # in the streaming pipeline the kernel keys on product_id resolved here.
-    chan_map = (with_kind.filter(F.col("kind") == "i")
-                .select("channel", F.col("snap_pair").alias("pair"))
-                .distinct())
-    resolved = with_kind.join(F.broadcast(chan_map), "channel", "left")
+    if channel_map is not None:
+        lit_map = F.create_map(
+            *[F.lit(x) for pair in channel_map.items() for x in pair])
+        resolved = with_kind.withColumn(
+            "pair", F.element_at(lit_map, F.col("channel")))
+    else:
+        chan_map = (with_kind.filter(F.col("kind") == "i")
+                    .select("channel", F.col("snap_pair").alias("pair"))
+                    .distinct())
+        resolved = with_kind.join(F.broadcast(chan_map), "channel", "left")
 
     seq = F.col("frame_seq") * (1 << 20) + F.col("pos")
     # polo epoch seconds → UTC timestamp (polo_ws.py:94 equivalent)

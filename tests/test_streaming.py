@@ -54,11 +54,16 @@ POLO_FRAMES = [
     [148, 1, [["i", {"currencyPair": "BTC_ETH",
                      "orderBook": [{"0.091": "2.0", "0.092": "1.0"},
                                    {"0.090": "5.0", "0.089": "4.0"}]}]]],
+    # second product on its own channel — keyed-state isolation
+    [149, 1, [["i", {"currencyPair": "BTC_XMR",
+                     "orderBook": [{"0.010": "9.0"}, {"0.009": "8.0"}]}]]],
     # one frame, many messages (P3 flatten): delta + trade
     [148, 2, [["o", 1, "0.0905", "1.25"],
               ["t", "7001", 0, "0.0906", "0.5", 1704448800]]],
     # heartbeat-ish frame with no messages
     [1010, 3, []],
+    # delta for the second product, resolved via the channel map
+    [149, 2, [["o", 0, "0.011", "3.5"]]],
     # trade with a gap (7002 missing)
     [148, 4, [["t", "7003", 1, "0.0907", "0.25", 1704448860]]],
 ]
@@ -94,23 +99,52 @@ class TestPoloParse:
         raw = read_frames_batch(spark, polo_capture)
         frames = parse_polo_frames(raw)
         rows = frames.orderBy("seq").collect()
-        # heartbeat frame (no messages) dropped → 4 messages total
-        assert len(rows) == 4
-        snap = rows[0]
-        assert snap["msg_type"] == "snapshot"
-        assert snap["product_id"] == "BTC_ETH"
+        # heartbeat frame (no messages) dropped → 6 messages total
+        assert len(rows) == 6
+        by_kind = {}
+        for r in rows:
+            by_kind.setdefault((r["product_id"], r["msg_type"]), []).append(r)
+        snap = by_kind[("BTC_ETH", "snapshot")][0]
         # bids/asks unpacked from the price→volume maps, [asks, bids] order
         assert sorted(snap["bids"]) == [["0.089", "4.0"], ["0.090", "5.0"]]
         assert sorted(snap["asks"]) == [["0.091", "2.0"], ["0.092", "1.0"]]
-        delta = rows[1]
-        assert delta["msg_type"] == "l2update"
-        assert delta["product_id"] == "BTC_ETH"  # resolved via channel map
+        delta = by_kind[("BTC_ETH", "l2update")][0]
         assert delta["changes"] == [["buy", "0.0905", "1.25"]]
-        trade = rows[2]
-        assert trade["msg_type"] == "match"
+        # second channel resolves to its own pair via the channel map
+        delta2 = by_kind[("BTC_XMR", "l2update")][0]
+        assert delta2["changes"] == [["sell", "0.011", "3.5"]]
+        trade = by_kind[("BTC_ETH", "match")][0]
         assert trade["side"] == "sell"           # 0 → sell (P5)
         assert trade["trade_id"] == 7001
         assert trade["exchange_ts"] is not None  # epoch → timestamp (P5)
+
+    def test_polo_pipeline_end_to_end(self, spark, polo_capture, tmp_path):
+        """Full Poloniex path: replay stream → parse → kernel → sinks,
+        two products' books maintained independently in one query."""
+        frames = ensure_frame_schema(
+            parse_polo_frames(read_frames_stream(spark, polo_capture,
+                                                 frames_per_batch=3),
+                              channel_map={"148": "BTC_ETH",
+                                           "149": "BTC_XMR"}))
+        sink = str(tmp_path / "polo_sink")
+        q = run_pipeline(frames, sink, str(tmp_path / "polo_ckpt"),
+                         query_name="polo")
+        q.processAllAvailable()
+        q.stop()
+        books = spark.read.parquet(f"{sink}/books")
+        eth = books.filter(F.col("product_id") == "BTC_ETH") \
+                   .orderBy("server_ts").collect()
+        xmr = books.filter(F.col("product_id") == "BTC_XMR") \
+                   .orderBy("server_ts").collect()
+        assert eth and xmr
+        # ETH book: snapshot then bid upsert at 0.0905
+        assert eth[-1]["bids"][0] == "1.25@0.0905"
+        # XMR book saw only its own delta (ask inserted at 0.011)
+        assert xmr[-1]["asks"] == ["9.0@0.010", "3.5@0.011"]
+        assert xmr[-1]["bids"] == ["8.0@0.009"]
+        trades = spark.read.parquet(f"{sink}/trades")
+        assert trades.count() == 2
+        assert trades.filter(F.col("product_id") == "BTC_XMR").count() == 0
 
 
 class TestKernelOnSpark:
