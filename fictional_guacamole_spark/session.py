@@ -46,6 +46,14 @@ def get_spark(app_name: str = "fictional_guacamole_spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # RocksDB state store: streaming state lives off-heap/on-disk per
+        # executor instead of in the JVM heap — the backend that holds at
+        # 100 TB state volumes (changelog checkpointing keeps commits
+        # incremental). Bundled with Spark 4; used by the book kernel and
+        # every watermarked aggregation.
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider")
     )
     if "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
