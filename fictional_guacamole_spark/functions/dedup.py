@@ -326,6 +326,71 @@ def sql_lsh_verified_pairs(table: str, id_col: str, text_col: str,
     """
 
 
+def dedup_components(pairs: DataFrame, ids: DataFrame,
+                     max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, canonical_id).
+
+    The last step of a dedup pipeline: pair evidence (from LSH/Jaccard)
+    becomes duplicate *groups*, each keeping its minimum id as canonical.
+    Label propagation: every node repeatedly adopts the minimum label in
+    its neighborhood until fixpoint — each iteration is one distributed
+    join+groupBy (Pregel-lite); iteration count is bounded by the graph
+    diameter, which for near-dup clusters is tiny. The driver only
+    coordinates the loop and checks convergence (an O(1) count per
+    round), never touches row data.
+
+    ``pairs``: (doc_a, doc_b) edges. ``ids``: one-column frame of all doc
+    ids (isolated docs become their own canonical).
+    """
+    id_col = ids.columns[0]
+    labels = ids.select(F.col(id_col).alias("node"),
+                        F.col(id_col).alias("label"))
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+             .distinct().cache())
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(F.col("node"),
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nbr_label"), F.col("label")))
+                     .alias("label"))
+        )
+        new_labels = new_labels.cache()
+        changed = (labels.alias("o").join(new_labels.alias("n"), "node")
+                   .filter(F.col("o.label") != F.col("n.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"),
+                         F.col("label").alias("canonical_id"))
+
+
+def sql_dedup_components(pairs_sql: str, table: str, id_col: str) -> str:
+    """DuckDB oracle: min-label connected components via recursive CTE
+    (UNION semantics dedupe visited (node,label) states; the final
+    aggregate keeps each node's minimum reachable label)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    walk(node, label) AS (
+      SELECT {id_col}, {id_col} FROM {table}
+      UNION
+      SELECT e.u, w.label
+      FROM walk w JOIN edges e ON e.v = w.node
+      WHERE w.label < e.u)
+    SELECT node AS doc, MIN(label) AS canonical_id
+    FROM walk GROUP BY node
+    """
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

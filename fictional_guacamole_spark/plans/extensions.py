@@ -83,6 +83,32 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
+_COMPONENT_PAIRS_SQL = (
+    "SELECT doc_a, doc_b FROM ("
+    + D.sql_minhash_lsh_pairs("documents", "doc_id", "text", n=3)
+    + ") WHERE est_jaccard >= 0.5")
+
+
+@query(
+    "dedup_components",
+    survey_ref="extensions: duplicate-group resolution (iterative algorithm)",
+    description="Connected components over near-dup pairs → canonical doc ids",
+    oracle=D.sql_dedup_components(_COMPONENT_PAIRS_SQL, "documents", "doc_id")
+    + " ORDER BY doc",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative label propagation (distributed join per round, driver
+    only checks convergence) cross-checked against a recursive-CTE oracle.
+    Evidences the 'iterative algorithm' operator class: rounds bounded by
+    cluster diameter, all row work stays on executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+             .filter(F.col("est_jaccard") >= 0.5)
+             .select("doc_a", "doc_b"))
+    return (D.dedup_components(pairs, docs.select("doc_id"))
+            .orderBy("doc"))
+
+
 @query(
     "dedup_simhash",
     survey_ref="extensions: SimHash fingerprints",

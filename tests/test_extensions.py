@@ -79,6 +79,21 @@ class TestMinhashPlantedDups:
         assert est and sum(est) / len(est) > 0.7
 
 
+class TestDedupComponents:
+    def test_chain_triangle_isolated(self, spark):
+        from fictional_guacamole_spark.functions.dedup import dedup_components
+        # chain 1-2-3-4 (diameter forces multiple propagation rounds),
+        # triangle 10-11-12, isolated 99
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+            "doc_a long, doc_b long")
+        ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]],
+                                    "doc_id long")
+        got = {r["doc"]: r["canonical_id"]
+               for r in dedup_components(pairs, ids).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
 class TestSimhashLocality:
     def test_near_dup_small_hamming(self, spark):
         docs = load_table(spark, SF, "documents").limit(50)
