@@ -1,0 +1,138 @@
+"""Volume streaming test: a deterministic 20k-frame, two-product capture
+through the complete pipeline (replay source → parse → stateful kernel →
+idempotent sinks), validating at volume what the golden tests validate at
+frame granularity:
+
+- final book state == pure-Python replay of the same frames (the
+  streaming micro-batch boundaries must not change T1–T5 semantics)
+- every detected gap exactly matches the planted trade-id gaps
+- change-dedup: book-row count == pure replay's emit count
+"""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.operators.book import (
+    OrderBook, process_frames)
+from fictional_guacamole_spark.sources.replay import (
+    read_frames_stream, write_capture)
+from fictional_guacamole_spark.streaming.frames import (
+    ensure_frame_schema, parse_gdax_frames)
+from fictional_guacamole_spark.streaming.pipeline import run_pipeline
+
+N_FRAMES = 20_000
+PRODUCTS = ["ETH-USD", "BTC-USD"]
+
+
+def _gen_frames(seed: int = 42) -> tuple[list[str], dict]:
+    """Deterministic feed: snapshots, zipfian-depth deltas (mostly deep
+    book — exercising the emit fast path), deletes, trades with planted
+    gaps."""
+    rng = random.Random(seed)
+    frames: list[str] = []
+    mid = {"ETH-USD": 3000.0, "BTC-USD": 60000.0}
+    next_tid = {p: 1000 for p in PRODUCTS}
+    planted_gaps: dict[str, list[tuple[int, int]]] = {p: [] for p in PRODUCTS}
+    live_prices: dict[str, list[str]] = {p: [] for p in PRODUCTS}
+
+    def ts(i: int) -> str:
+        return f"2024-02-01T{i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}.{i % 1000:03d}000Z"
+
+    for p in PRODUCTS:
+        bids = [[f"{mid[p] - 0.5 - i * 0.5:.2f}", "1.00"] for i in range(40)]
+        asks = [[f"{mid[p] + 0.5 + i * 0.5:.2f}", "1.00"] for i in range(40)]
+        live_prices[p] = [b[0] for b in bids] + [a[0] for a in asks]
+        frames.append(json.dumps({
+            "type": "snapshot", "product_id": p, "bids": bids, "asks": asks,
+            "time": ts(0)}))
+
+    for i in range(N_FRAMES - len(PRODUCTS)):
+        p = rng.choice(PRODUCTS)
+        kind = rng.random()
+        if kind < 0.80:  # delta: update/insert at zipf-ish depth
+            side = rng.choice(["buy", "sell"])
+            sign = -1 if side == "buy" else 1
+            depth = rng.paretovariate(1.2)  # mostly deep
+            price = f"{mid[p] + sign * (0.5 + min(depth, 200) * 0.5):.2f}"
+            vol = f"{rng.randint(1, 99) / 10:.2f}"
+            live_prices[p].append(price)
+            frames.append(json.dumps({
+                "type": "l2update", "product_id": p,
+                "changes": [[side, price, vol]], "time": ts(i + 1)}))
+        elif kind < 0.90:  # delete a known level
+            price = rng.choice(live_prices[p])
+            side = "buy" if float(price) < mid[p] else "sell"
+            frames.append(json.dumps({
+                "type": "l2update", "product_id": p,
+                "changes": [[side, price, "0"]], "time": ts(i + 1)}))
+        else:  # trade; 10% of trades jump the id sequence (planted gap)
+            tid = next_tid[p]
+            if rng.random() < 0.10:
+                skip = rng.randint(1, 5)
+                planted_gaps[p].append((tid, tid + skip - 1))
+                tid += skip
+            next_tid[p] = tid + 1
+            frames.append(json.dumps({
+                "type": "match", "product_id": p, "trade_id": tid,
+                "sequence": i, "price": f"{mid[p]:.2f}",
+                "size": "0.10", "side": "buy", "time": ts(i + 1)}))
+    return frames, planted_gaps
+
+
+@pytest.fixture(scope="module")
+def volume_capture(tmp_path_factory):
+    frames, planted = _gen_frames()
+    p = tmp_path_factory.mktemp("volume") / "feed.jsonl"
+    return str(write_capture(str(p), frames)), frames, planted
+
+
+def test_volume_pipeline_matches_pure_replay(spark, volume_capture, tmp_path):
+    path, frames_json, planted_gaps = volume_capture
+    frames = ensure_frame_schema(parse_gdax_frames(
+        read_frames_stream(spark, path, frames_per_batch=2500)))
+    sink = str(tmp_path / "sink")
+    q = run_pipeline(frames, sink, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    # pure-Python replay over the same frames = ground truth
+    books: dict[str, OrderBook] = {p: OrderBook() for p in PRODUCTS}
+    expected_rows: dict[str, list] = {p: [] for p in PRODUCTS}
+    for i, raw in enumerate(frames_json):
+        f = json.loads(raw)
+        f["seq"] = i
+        f["msg_type"] = f.pop("type")
+        f["volume"] = f.pop("size", None)
+        pid = f["product_id"]
+        expected_rows[pid].extend(process_frames(books[pid], iter([f])))
+
+    trades = spark.read.parquet(f"{sink}/trades")
+    book_rows = spark.read.parquet(f"{sink}/books")
+    gaps = spark.read.parquet(f"{sink}/gaps")
+
+    for p in PRODUCTS:
+        exp = expected_rows[p]
+        exp_books = [r for r in exp if r["out_type"] == "book"]
+        exp_trades = [r for r in exp if r["out_type"] == "trade"]
+
+        # change-dedup parity at volume
+        assert book_rows.filter(F.col("product_id") == p).count() == len(exp_books)
+        assert trades.filter(F.col("product_id") == p).count() == len(exp_trades)
+
+        # final emitted top-15 identical to ground truth
+        last = (book_rows.filter(F.col("product_id") == p)
+                .orderBy(F.desc("server_ts")).limit(1).collect()[0])
+        exp_last = exp_books[-1]
+        assert list(last["bids"]) == exp_last["bids"]
+        assert list(last["asks"]) == exp_last["asks"]
+
+        # every planted gap detected, nothing else
+        got_gaps = {(r["gap_first_id"], r["gap_last_id"])
+                    for r in gaps.filter(F.col("product_id") == p).collect()}
+        assert got_gaps == set(planted_gaps[p])
