@@ -105,6 +105,39 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     Both are dynamic SQL confs, so this is safe on a live session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_pyfiles(spark)
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers.
+
+    Module-level functions (the book kernel, mapInPandas decoders) pickle
+    by reference, so workers must be able to import
+    ``fictional_guacamole_spark``. When the caller's process started
+    outside the repo (the driver harness does), workers inherit a
+    PYTHONPATH without it — addPyFile distributes a zip of the package
+    and puts it on every worker's sys.path. Idempotent per session.
+    """
+    if getattr(spark, "_fg_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.mkdtemp(prefix="fg_spark_"),
+                            "fictional_guacamole_spark.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("fictional_guacamole_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._fg_pyfiles_added = True
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
