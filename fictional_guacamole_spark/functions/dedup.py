@@ -360,7 +360,9 @@ def dedup_components(pairs: DataFrame, ids: DataFrame,
                             F.coalesce(F.col("nbr_label"), F.col("label")))
                      .alias("label"))
         )
-        new_labels = new_labels.cache()
+        # localCheckpoint truncates lineage — without it each round's plan
+        # embeds every previous round and analysis cost compounds
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (labels.alias("o").join(new_labels.alias("n"), "node")
                    .filter(F.col("o.label") != F.col("n.label")).count())
         labels = new_labels

@@ -105,6 +105,11 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     Both are dynamic SQL confs, so this is safe on a live session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # performance, not correctness: match shuffle width to the host (the
+    # harness session defaults to 200 — AQE coalesces, but iterative and
+    # small-stage queries still pay per-partition overhead)
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   os.environ.get("SPARK_GRAFT_CPUS", "32"))
     _ensure_pyfiles(spark)
 
 
