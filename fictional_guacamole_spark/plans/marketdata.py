@@ -282,6 +282,7 @@ def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_last_purchase",
     survey_ref="§2.5 as-of join (trades ⋈ prevailing book state)",
     description="Attach each event's most recent strictly-earlier purchase (as-of join)",
+    bench=True,
     oracle="""
     WITH p AS (
       SELECT user_id, ts,

@@ -447,6 +447,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_topk_orders_per_customer",
     survey_ref="§2.5 windows (rank/top-k); T3 batch form",
     description="Top-3 orders per customer by value (row_number <= 3)",
+    bench=True,
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, rn
     FROM (SELECT o_custkey, o_orderkey, o_totalprice,

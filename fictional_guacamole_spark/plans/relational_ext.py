@@ -427,6 +427,68 @@ def set_intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_percent_rank",
+    survey_ref="§2.5 windows (distribution functions)",
+    description="percent_rank and cume_dist of order value within priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_orderpriority", "o_orderkey",
+                      F.percent_rank().over(w).alias("pct_rank"),
+                      F.cume_dist().over(w).alias("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+@query(
+    "text_edit_distance",
+    survey_ref="extensions: fuzzy string matching (levenshtein)",
+    description="Edit distance between document prefixes for a probe set",
+    oracle="""
+    WITH probe AS (
+      SELECT doc_id, substring(text, 1, 40) AS prefix
+      FROM documents WHERE doc_id < 20)
+    SELECT p.doc_id AS doc_a, c.doc_id AS doc_b,
+           levenshtein(p.prefix, substring(c.text, 1, 40)) AS edit_dist
+    FROM probe p JOIN documents c ON p.doc_id < c.doc_id
+    WHERE levenshtein(p.prefix, substring(c.text, 1, 40)) <= 20
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded fuzzy matching: edit distance over fixed-length prefixes of
+    a probe set — the verification kernel for fuzzy dedup (candidate
+    generation at scale comes from LSH buckets, same as Jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probe = (docs.filter(F.col("doc_id") < 20)
+             .select(F.col("doc_id").alias("doc_a"),
+                     F.substring("text", 1, 40).alias("prefix")))
+    cand = docs.select(F.col("doc_id").alias("doc_b"),
+                       F.substring("text", 1, 40).alias("c_prefix"))
+    return (
+        F.broadcast(probe).crossJoin(cand)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.levenshtein(F.col("prefix"), F.col("c_prefix"))
+                 .alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 20)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
     "subquery_exists_correlated",
     survey_ref="§2.5 correlated EXISTS subquery",
     description="Suppliers with at least one high-value shipment (EXISTS)",

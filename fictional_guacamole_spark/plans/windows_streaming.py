@@ -79,6 +79,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     survey_ref="§2.5 streaming: session window (gap-based)",
     description="Per-user 30-min-gap sessions: bounds + event count",
+    bench=True,
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
