@@ -7,6 +7,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     registry,
     relational,
     relational_ext,
+    tpch_extra,
     marketdata,
     extensions,
     windows_streaming,

@@ -147,6 +147,33 @@ class TestPoloParse:
         assert trades.filter(F.col("product_id") == "BTC_XMR").count() == 0
 
 
+class TestMalformedFrames:
+    def test_corrupt_lines_dropped_not_fatal(self, spark, tmp_path):
+        """P7: truncated/garbage/empty-object frames must be dropped by
+        the parse guard (from_json null → filter), never crash the
+        pipeline, and never corrupt book state for valid frames."""
+        frames = [
+            json.dumps({"type": "snapshot", "product_id": "ETH-USD",
+                        "bids": [["100", "1"]], "asks": [["101", "1"]],
+                        "time": "2024-01-05T10:00:00.000001Z"}),
+            '{"type": "l2update", "product_id": "ETH-USD", "changes": [["b',
+            "not json at all {{{",
+            "{}",
+            json.dumps({"type": "l2update", "product_id": "ETH-USD",
+                        "changes": [["buy", "100", "7"]],
+                        "time": "2024-01-05T10:00:02.000001Z"}),
+        ]
+        cap = write_capture(str(tmp_path / "corrupt.jsonl"), frames)
+        parsed = ensure_frame_schema(
+            parse_gdax_frames(read_frames_batch(spark, cap)))
+        rows = parsed.orderBy("seq").collect()
+        assert [r["msg_type"] for r in rows] == ["snapshot", "l2update"]
+        out = apply_book_kernel(parsed)
+        books, _, _ = demux_outputs(out)
+        final = books.orderBy("server_ts").collect()[-1]
+        assert final["bids"] == ["7@100"]
+
+
 class TestKernelOnSpark:
     def test_batch_kernel_over_parsed_frames(self, spark, gdax_capture):
         raw = read_frames_batch(spark, gdax_capture)
