@@ -327,6 +327,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@query(
+    "sample_deterministic",
+    survey_ref="extensions: deterministic hash sampling (reproducible splits)",
+    description="~10% document sample + stratified-by-lang 20% sample, hash-keyed",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           (bucket < 10) AS in_sample_10pct,
+           (bucket < 20) AS in_lang_sample_20pct
+    FROM keyed
+    ORDER BY doc_id
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling for training pipelines must be reproducible and join-stable
+    — df.sample() is neither (seed interacts with partitioning). Hash the
+    key into buckets instead: the same row lands in the same split on any
+    cluster, any partitioning, any engine (md5 here, so the oracle
+    replays it exactly). Stratification = the same bucket test applied
+    within any grouping."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (D.md5_long(F.col("doc_id").cast("string")) % 100)
+    staged = docs.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+    return (
+        staged.select("doc_id", "lang", "bucket",
+                      (F.col("bucket") < 10).alias("in_sample_10pct"),
+                      (F.col("bucket") < 20).alias("in_lang_sample_20pct"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_filter",
+    survey_ref="extensions: quality filtering (training-data gate)",
+    description="Documents passing word-count / distinct-ratio / length gates",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    feats AS (
+      SELECT doc_id, lang, len(w) AS n_words,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w) AS mean_word_len
+      FROM n)
+    SELECT doc_id, lang, n_words, distinct_ratio, mean_word_len
+    FROM feats
+    WHERE n_words >= 30 AND distinct_ratio >= 0.2
+      AND mean_word_len BETWEEN 3.0 AND 12.0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard pre-training quality gate: length + lexical-diversity +
+    word-shape thresholds, computed JVM-side so at 100 TB it filters at
+    scan speed before anything heavier (dedup, similarity) runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", "lang", X.words(F.col("text")).alias("w"))
+    stats = X.quality_stats(F.col("w"))
+    feats = staged.select("doc_id", "lang",
+                          stats["n_words"].alias("n_words"),
+                          stats["distinct_ratio"].alias("distinct_ratio"),
+                          stats["mean_word_len"].alias("mean_word_len"))
+    return (
+        feats.filter((F.col("n_words") >= 30)
+                     & (F.col("distinct_ratio") >= 0.2)
+                     & F.col("mean_word_len").between(3.0, 12.0))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
