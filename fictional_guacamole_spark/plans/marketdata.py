@@ -234,6 +234,32 @@ def t2_book_kernel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_hot_key",
+    survey_ref="§2.5 joins (skew mitigation via salting)",
+    description="Salted equi-join on a skewed key — identical to plain join",
+    oracle="""
+    SELECT e.user_id, e.event_id, c.c_name AS user_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting is a physical-plan strategy, not a semantic one — the
+    oracle is the PLAIN join, proving the salted execution changes nothing
+    but the shuffle distribution (operators/skew.py; equality also
+    property-tested on 90%-skewed data in tests/test_skew.py)."""
+    from fictional_guacamole_spark.operators.skew import salted_join
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_name").alias("user_name")))
+    joined = salted_join(ev, cust, on="user_id", n_salts=8,
+                         hot_keys=[0, 1, 2])
+    return joined.select("user_id", "event_id", "user_name") \
+                 .orderBy("event_id")
+
+
+@query(
     "bench_book_kernel_throughput",
     survey_ref="T1–T5 kernel throughput at scale (bench)",
     # rows-only: output is the kernel's full tagged union incl. book rows
