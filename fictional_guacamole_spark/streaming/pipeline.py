@@ -19,7 +19,6 @@ restarts exactly-once into the idempotent parquet appends.
 from __future__ import annotations
 
 import os
-from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

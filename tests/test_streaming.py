@@ -321,6 +321,33 @@ class TestStateTtl:
         assert rows.filter(F.col("out_type") == "gap").count() == 1
 
 
+class TestMetricsListener:
+    def test_progress_metrics_recorded(self, spark, gdax_capture, tmp_path):
+        from fictional_guacamole_spark.streaming.monitoring import (
+            attach_metrics, detach_metrics)
+        log = str(tmp_path / "metrics.jsonl")
+        listener = attach_metrics(spark, log)
+        try:
+            frames = ensure_frame_schema(
+                parse_gdax_frames(read_frames_stream(spark, gdax_capture,
+                                                     frames_per_batch=4)))
+            q = run_pipeline(frames, str(tmp_path / "s"),
+                             str(tmp_path / "c"), query_name="metered")
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            detach_metrics(spark, listener)
+        events = [json.loads(ln) for ln in open(log)]
+        kinds = {e["event"] for e in events}
+        assert "started" in kinds and "progress" in kinds
+        prog = [e for e in events if e["event"] == "progress"
+                and e["num_input_rows"] > 0]
+        assert prog, "no non-empty batch progress recorded"
+        assert any(so["rows_total"] > 0
+                   for e in prog for so in e["state_operators"]), \
+            "stateful operator metrics missing"
+
+
 class TestCompatViews:
     def test_book_compat_34_columns(self, spark, gdax_capture):
         raw = read_frames_batch(spark, gdax_capture)
