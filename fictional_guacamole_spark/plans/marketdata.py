@@ -234,6 +234,98 @@ def t2_book_kernel_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cogroup_event_order_align",
+    survey_ref="§2.5 UDF surface: cogrouped applyInPandas",
+    description="Per-user pandas cogroup: events annotated with prior-order count",
+    oracle="""
+    SELECT e.user_id, e.event_id,
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey = e.user_id) AS user_order_count
+    FROM events e
+    ORDER BY e.user_id, e.event_id
+    """,
+)
+def cogroup_event_order_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-map UDF surface: both sides grouped on the key, each
+    key's two pandas frames handed to one Python function (the general
+    tool for per-key alignment logic that joins can't express — custom
+    matching, interleaving, pandas merge_asof). Kept SQL-checkable here:
+    annotate each event with its user's order count."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    orders = (load_table(spark, sf_dir, "orders")
+              .select(F.col("o_custkey").alias("user_id"), "o_orderkey"))
+
+    def align(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=["user_id", "event_id",
+                                         "user_order_count"])
+        out = left[["user_id", "event_id"]].copy()
+        out["user_order_count"] = len(right)
+        return out
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(align,
+                       schema="user_id long, event_id long, "
+                              "user_order_count long")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "udtf_gap_expand",
+    survey_ref="§2.5 UDF surface: Python UDTF (table function)",
+    description="UDTF expanding per-user id gaps into missing-id rows",
+    oracle="""
+    SELECT user_id, unnest(generate_series(prev_id + 1, event_id - 1)) AS missing_id
+    FROM (SELECT user_id, event_id,
+                 LAG(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_id
+          FROM events)
+    WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+      AND event_id - prev_id <= 6
+    ORDER BY user_id, missing_id
+    """,
+)
+def udtf_gap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF: one input row → many output rows in Python —
+    the lateral-expansion surface for logic beyond sequence()/explode()
+    (paging plans, retry schedules). Same semantics as t5_gap_enumerate so
+    the SQL oracle cross-checks the UDTF execution path itself."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="missing_id bigint")
+    class GapExpander:
+        def eval(self, first_missing, last_missing):
+            # the LATERAL evaluates before the outer WHERE filters — the
+            # first row per key carries NULL bounds; emit nothing for it
+            if first_missing is None or last_missing is None:
+                return
+            for mid in range(int(first_missing), int(last_missing) + 1):
+                yield (mid,)
+
+    spark.udtf.register("gap_expander", GapExpander)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_v")
+    return spark.sql("""
+        WITH gaps AS (
+          SELECT user_id, event_id,
+                 LAG(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) AS prev_id
+          FROM events_v)
+        SELECT g.user_id, t.missing_id
+        FROM gaps g,
+             LATERAL gap_expander(g.prev_id + 1, g.event_id - 1) t
+        WHERE g.prev_id IS NOT NULL AND g.event_id - g.prev_id > 1
+          AND g.event_id - g.prev_id <= 6
+        ORDER BY g.user_id, t.missing_id
+    """)
+
+
+@query(
     "join_salted_hot_key",
     survey_ref="§2.5 joins (skew mitigation via salting)",
     description="Salted equi-join on a skewed key — identical to plain join",
