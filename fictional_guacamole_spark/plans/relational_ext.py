@@ -427,6 +427,54 @@ def set_intersect_all_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_pure_theta",
+    survey_ref="§2.5 joins (pure theta, no equi key → BNLJ)",
+    description="Nation × region pairs under an inequality-only condition",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation JOIN region ON n_regionkey <> r_regionkey
+    ORDER BY n_name, r_name
+    """,
+)
+def join_pure_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuinely key-less theta join compiles to broadcast nested-loop —
+    acceptable ONLY when one side is tiny (region: 5 rows at any SF).
+    The engine's rule: theta joins must have a broadcastable side or be
+    rewritten with an equi component (see join_nonequi_funnel)."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg),
+                 nat.n_regionkey != reg.r_regionkey)
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    )
+
+
+@query(
+    "subquery_correlated_min",
+    survey_ref="§2.5 correlated scalar-aggregate subquery (TPC-H Q2 shape)",
+    description="Suppliers holding their nation's minimum account balance",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier s
+    WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s_suppkey
+    """,
+)
+def subquery_correlated_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql("""
+        SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s.s_nationkey)
+        ORDER BY s_suppkey
+    """)
+
+
+@query(
     "window_percent_rank",
     survey_ref="§2.5 windows (distribution functions)",
     description="percent_rank and cume_dist of order value within priority",

@@ -24,6 +24,32 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+class TestBuiltinStreamSources:
+    def test_rate_source_streams(self, spark, tmp_path):
+        """The built-in rate source (SURVEY §2.5 scans row): a synthetic
+        unbounded stream for load/smoke testing — drives the same
+        transformations as any exchange stream."""
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", "500").load()
+                  .withColumn("bucket", F.col("value") % 10))
+        q = (stream.writeStream.format("memory").queryName("rate_probe")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "rc"))
+             .start())
+        try:
+            import time
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if spark.table("rate_probe").count() > 0:
+                    break
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        rows = spark.table("rate_probe")
+        assert rows.count() > 0
+        assert set(rows.columns) == {"timestamp", "value", "bucket"}
+
+
 class TestFormatRoundTrips:
     def test_csv_scan_matches_parquet(self, spark, supplier_df, tmp_path):
         p = str(tmp_path / "supplier_csv")
