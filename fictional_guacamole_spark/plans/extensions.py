@@ -401,6 +401,86 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_training_corpus",
+    survey_ref="extensions capstone: full training-data pipeline composition",
+    description="Quality gate → exact dedup → near-dup removal → "
+                "deterministic sample → embedding join",
+    bench=True,
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang, string_split({_NORM_SQL}, ' ') AS w,
+             md5({_NORM_SQL}) AS fp
+      FROM documents),
+    quality AS (
+      SELECT doc_id, lang, fp, len(w) AS n_words
+      FROM norm
+      WHERE len(w) >= 30
+        AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.2),
+    exact_canon AS (
+      SELECT doc_id, lang, n_words,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS is_canonical
+      FROM quality),
+    near_pairs AS ({D.sql_ngram_jaccard_pairs("documents", "doc_id", "text",
+                                              n=3, threshold=0.5)}),
+    survivors AS (
+      SELECT doc_id, lang, n_words FROM exact_canon
+      WHERE is_canonical
+        AND doc_id NOT IN (SELECT doc_b FROM near_pairs)),
+    sampled AS (
+      SELECT doc_id, lang, n_words
+      FROM survivors
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 100 < 50)
+    SELECT s.doc_id, s.lang, s.n_words,
+           sqrt({S.sql_dot('e.embedding', 'e.embedding')}) AS emb_norm
+    FROM sampled s JOIN embeddings e ON s.doc_id = e.vec_id
+    ORDER BY s.doc_id
+    """,
+)
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star use case end-to-end in one plan: every stage is a
+    reusable operator from this library, the whole thing is lazily
+    composed into ONE Catalyst plan (no materialization between stages),
+    and the DuckDB oracle replays the exact computation. Stage order
+    matters at 100 TB: cheap scan-speed gates (quality, exact-dedup
+    fingerprints) run before the shuffle-heavy near-dup join; sampling
+    runs before the embedding join so the join only touches survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    staged = docs.select(
+        "doc_id", "lang", X.words(F.col("text")).alias("w"),
+        X.fingerprint(F.col("text")).alias("fp"))
+    stats = X.quality_stats(F.col("w"))
+    quality = (staged.select("doc_id", "lang", "fp",
+                            stats["n_words"].alias("n_words"),
+                            stats["distinct_ratio"].alias("dr"))
+               .filter((F.col("n_words") >= 30) & (F.col("dr") >= 0.2)))
+
+    from pyspark.sql import Window as W
+    canon = quality.withColumn(
+        "is_canonical",
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")))
+
+    near_b = (D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.5)
+              .select(F.col("doc_b").alias("doc_id")).distinct())
+    survivors = (canon.filter("is_canonical")
+                 .join(near_b, "doc_id", "left_anti"))
+
+    sampled = survivors.filter(
+        (D.md5_long(F.col("doc_id").cast("string")) % 100) < 50)
+
+    return (
+        sampled.join(emb, sampled.doc_id == emb.vec_id)
+        .select("doc_id", "lang", "n_words",
+                F.sqrt(S.dot(F.col("embedding"), F.col("embedding")))
+                 .alias("emb_norm"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
