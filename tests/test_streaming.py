@@ -368,6 +368,10 @@ class TestCompatViews:
         frames = ensure_frame_schema(parse_gdax_frames(raw))
         _, trades, _ = demux_outputs(apply_book_kernel(frames))
         compat = trades_compat_view(trades)
+        # exact column order of the reference DDL (gdax_schema.sql:43-53)
+        assert compat.columns == [
+            "server_datetime", "exchange_datetime", "sequence", "trade_id",
+            "product_id", "price", "volume", "side", "backfilled"]
         rows = {r["trade_id"]: r for r in compat.collect()}
         assert rows["100"]["backfilled"] == "False"
         assert rows["100"]["sequence"] == "900"
