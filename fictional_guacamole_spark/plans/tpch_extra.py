@@ -113,6 +113,77 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_late_shipment_orders",
+    survey_ref="§2.5 correlated EXISTS with arithmetic (TPC-H Q4 shape)",
+    description="Order counts by priority where some lineitem shipped >100 days late",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # SQL form: Catalyst rewrites the correlated EXISTS into a left-semi
+    # join on orderkey with the date arithmetic as the join residual
+    return spark.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+@query(
+    "q22_dormant_customers",
+    survey_ref="§2.5 scalar subquery + anti join combo (TPC-H Q22 shape)",
+    description="High-balance customers with no orders, bucketed by name suffix",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_dsum('c_acctbal')} / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0)
+    SELECT substring(c_name, length(c_name), 1) AS name_digit,
+           COUNT(*) AS n_custs,
+           {sql_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT v FROM avg_bal)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY 1
+    ORDER BY name_digit
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0)
+               .agg((dsum(F.col("c_acctbal")) / F.count(F.lit(1)))
+                    .alias("v")))
+    rich = cust.join(F.broadcast(avg_bal)) \
+               .filter(F.col("c_acctbal") > F.col("v"))
+    dormant = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                        "left_anti")
+    return (
+        dormant.groupBy(
+            F.substring(F.col("c_name"), -1, 1).alias("name_digit"))
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             dsum(F.col("c_acctbal")).alias("total_bal"))
+        .orderBy("name_digit")
+    )
+
+
+@query(
     "q19_disjunctive_predicates",
     survey_ref="§2.5 disjunctive multi-column predicates (TPC-H Q19 shape)",
     description="Revenue under OR-of-ANDs bucket predicates (size × qty bands)",

@@ -113,6 +113,28 @@ class TestWatermarkedWindows:
                          F.col("p.event_id").alias("p_id")).collect()}
         assert streamed == batch
 
+    def test_update_mode_running_counts(self, spark, events_stream_dir):
+        """Update output mode: per-type running counts re-emit changed
+        groups each micro-batch; the last emission per key must equal the
+        batch ground truth."""
+        stream = _stream(spark, events_stream_dir)
+        agg = stream.groupBy("event_type").count()
+        q = (agg.writeStream.format("memory").queryName("upd_counts")
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # memory sink in update mode appends every re-emission; the final
+        # state per key is the last row written for it
+        import pandas as pd
+        pdf = spark.table("upd_counts").toPandas()
+        final = pdf.groupby("event_type")["count"].last().to_dict()
+        truth = {r["event_type"]: r["count"] for r in
+                 (load_table(spark, "/root/testdata/sf0.001", "events")
+                  .groupBy("event_type").count()).collect()}
+        assert final == truth
+
     def test_drop_duplicates_within_watermark(self, spark, tmp_path):
         # duplicate every event twice in the source; the stream dedups on
         # (event_id) within the watermark horizon
