@@ -60,6 +60,16 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_correlated_exists_becomes_semi_join(self, spark):
+        # Catalyst must decorrelate EXISTS into a semi join — a per-row
+        # subquery execution would be O(n²) at scale
+        plan = plan_of(spark, "q4_late_shipment_orders")
+        assert "LeftSemi" in plan
+
+    def test_capstone_pipeline_no_cartesian(self, spark):
+        plan = plan_of(spark, "pipeline_training_corpus")
+        assert "CartesianProduct" not in plan
+
 
 class TestAggAndTopK:
     def test_partial_aggregation_present(self, spark):
