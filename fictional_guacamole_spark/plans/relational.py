@@ -395,17 +395,31 @@ def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_approx_distinct",
     survey_ref="§2.5 aggregations (approx sketch)",
-    # HLL sketches are engine-specific — no cross-engine oracle; the driver
-    # records a rows-only check and tests/test_extensions.py bounds the error
-    # against the exact count.
-    oracle=None,
-    description="approx_count_distinct (HLL) per return flag",
+    # HLL sketch values are engine-specific, so the judged columns are the
+    # exact distinct count plus a boolean asserting the HLL estimate landed
+    # within 3× its configured relative standard deviation (rsd=0.05) —
+    # deterministic for fixed data, and cross-engine comparable.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="approx_count_distinct (HLL) per return flag, error-bounded",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    rsd = 0.05
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .agg(F.countDistinct("l_orderkey").alias("exact_orders"),
+             F.approx_count_distinct("l_orderkey", rsd).alias("_approx"))
+        .select(
+            "l_returnflag", "exact_orders",
+            (F.abs(F.col("_approx") - F.col("exact_orders"))
+             <= 3 * rsd * F.col("exact_orders")).alias("approx_within_bound"))
         .orderBy("l_returnflag")
     )
 

@@ -235,16 +235,22 @@ def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Array construction, slicing, membership, position, sort",
     oracle="""
     SELECT n_nationkey,
-           [n_name, CAST(n_regionkey AS VARCHAR)] AS pair,
-           list_sort(string_split(n_name, 'A')) AS name_parts,
+           array_to_string([n_name, CAST(n_regionkey AS VARCHAR)], '|')
+             AS pair,
+           array_to_string(list_sort(string_split(n_name, 'A')), '|')
+             AS name_parts,
            list_contains(string_split(n_name, 'A'), 'N') AS has_n_fragment,
            len(string_split(n_name, 'A')) AS n_fragments,
-           string_split(n_name, 'A')[1:2] AS first_two
+           array_to_string(string_split(n_name, 'A')[1:2], '|') AS first_two
     FROM nation
     ORDER BY n_nationkey
     """,
 )
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The array ops (construct / sort / contains / size / slice) are the
+    # operator evidence; the judged projection serializes every array column
+    # through array_join so the driver's comparator (pandas factorize, which
+    # cannot hash list cells) sees only scalars.
     nat = load_table(spark, sf_dir, "nation")
     parts = F.split(F.col("n_name"), "A")
     staged = nat.select("n_nationkey", "n_name", "n_regionkey",
@@ -252,12 +258,15 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         staged.select(
             "n_nationkey",
-            F.array(F.col("n_name"), F.col("n_regionkey").cast("string"))
-             .alias("pair"),
-            F.sort_array(F.col("parts")).alias("name_parts"),
+            F.array_join(
+                F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+                "|").alias("pair"),
+            F.array_join(F.sort_array(F.col("parts")), "|")
+             .alias("name_parts"),
             F.array_contains(F.col("parts"), "N").alias("has_n_fragment"),
             F.size(F.col("parts")).alias("n_fragments"),
-            F.slice(F.col("parts"), 1, 2).alias("first_two"))
+            F.array_join(F.slice(F.col("parts"), 1, 2), "|")
+             .alias("first_two"))
         .orderBy("n_nationkey")
     )
 
@@ -386,7 +395,7 @@ def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Parse props JSON to a map; extract keys, values, lookups",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), '|') AS prop_keys,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
            (json_extract_string(props, '$.missing') IS NULL) AS missing_absent
     FROM events
@@ -394,13 +403,17 @@ def scalar_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # map_keys is the operator evidence; the judged column serializes the
+    # (sorted, so key order is engine-independent) key list to a string so
+    # the driver's pandas-based comparator can hash it.
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,bigint>")
     staged = ev.select("event_id", m.alias("m"))
     return (
         staged.select(
             "event_id",
-            F.map_keys(F.col("m")).alias("prop_keys"),
+            F.array_join(F.sort_array(F.map_keys(F.col("m"))), "|")
+             .alias("prop_keys"),
             F.element_at(F.col("m"), "k").alias("k_value"),
             F.element_at(F.col("m"), "missing").isNull()
              .alias("missing_absent"))

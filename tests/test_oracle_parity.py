@@ -66,9 +66,14 @@ _SPARK_TYPE_CLASS = {
     "string": "s", "boolean": "b", "timestamp": "t", "timestamp_ntz": "t",
     "date": "d", "binary": "y",
 }
+# HUGEINT deliberately does NOT alias "i": Spark has no int128, so a HUGEINT
+# oracle column (DuckDB's SUM over integers) always diverges from Spark's
+# BIGINT in the driver's dtype-sensitive canonicalizer — CAST the oracle's
+# SUM to BIGINT instead (this is exactly how q12 failed the r1 driver gate
+# while passing the then-coarser local mirror).
 _DUCK_TYPE_CLASS = {
     "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
-    "HUGEINT": "i", "FLOAT": "f", "DOUBLE": "f",
+    "HUGEINT": "hugeint", "FLOAT": "f", "DOUBLE": "f",
     "VARCHAR": "s", "BOOLEAN": "b", "TIMESTAMP": "t", "TIMESTAMP_NS": "t",
     "DATE": "d", "BLOB": "y",
 }
@@ -92,8 +97,19 @@ def _duck_type_class(dt: str) -> str:
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
+    from fictional_guacamole_spark.plans import JUDGE_WINDOW
+
     q = REGISTRY[name]
     sdf = q.builder(spark, SF_DIR)
+    if name in JUDGE_WINDOW:
+        # the driver's comparator canonicalizes through a pandas sort +
+        # factorize, which crashes on list/map/struct cells — every judged
+        # output column must be a scalar type
+        nonscalar = [(c, t) for c, t in sdf.dtypes
+                     if t.startswith(("array", "map", "struct"))]
+        assert not nonscalar, (
+            f"{name}: judged output has non-scalar columns {nonscalar}; "
+            "serialize them (array_join/to_json) on both engines")
     spark_cols = [c.lower() for c in sdf.columns]
     spark_types = [_spark_type_class(t) for _, t in sdf.dtypes]
     spark_rows = [tuple(r) for r in sdf.collect()]

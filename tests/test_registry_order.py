@@ -1,0 +1,69 @@
+"""Guards the driver-judged query window.
+
+The driver judges the first 50 registry entries; everything past the window
+gets no CORRECTNESS row. These tests pin (a) the window is exactly the
+curated JUDGE_WINDOW list, (b) every operator family keeps at least one
+in-window representative, and (c) in-window rows-only queries are the few
+deliberate exceptions (sketches / stubbed codecs), so a new registration
+can't silently demote a family to "claimed but unverified".
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from fictional_guacamole_spark.plans import JUDGE_WINDOW, REGISTRY
+
+DRIVER_CAP = 50
+
+
+def test_window_is_exactly_the_first_fifty():
+    assert len(JUDGE_WINDOW) == DRIVER_CAP
+    assert len(set(JUDGE_WINDOW)) == DRIVER_CAP, "duplicate window entries"
+    head = list(itertools.islice(REGISTRY, DRIVER_CAP))
+    assert head == JUDGE_WINDOW
+
+
+def test_every_family_has_an_inwindow_representative():
+    window = set(JUDGE_WINDOW)
+    # family → at least one of these names must be judged
+    families = {
+        "tpch": {"q1_pricing_summary", "q3_shipping_priority"},
+        "joins": {"join_nonequi_funnel", "join_salted_hot_key",
+                  "asof_join_last_purchase"},
+        "aggregations": {"agg_rollup_nation_segment", "agg_percentiles",
+                         "agg_approx_distinct"},
+        "windows": {"window_running_spend",
+                    "window_topk_orders_per_customer"},
+        "set_ops": {"set_intersect_repeat_customers"},
+        "pivot": {"pivot_status_by_priority"},
+        "scalar_funcs": {"scalar_string_funcs", "scalar_date_funcs",
+                         "scalar_json_extract", "scalar_array_funcs",
+                         "scalar_map_funcs"},
+        "topk": {"topk_global_orders"},
+        "book_kernel_T1_T5": {"t2_book_kernel_gaps", "t3_topk_book_format",
+                              "t4_consecutive_change_dedup", "t5_gap_audit"},
+        "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand"},
+        "streaming": {"stream_tumbling_window", "stream_session_window"},
+        "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
+                  "dedup_lsh_verified", "dedup_components", "dedup_simhash",
+                  "dedup_ngram_jaccard"},
+        "similarity": {"sim_cosine_topk", "sim_lsh_topk",
+                       "dedup_embedding_cosine"},
+        "text_analysis": {"text_stats", "text_lang_id", "text_token_count",
+                          "text_fingerprint", "text_edit_distance"},
+        "sampling_quality": {"sample_deterministic", "text_quality_filter"},
+        "capstone": {"pipeline_training_corpus"},
+        "multimodal": {"multimodal_binary_meta", "multimodal_decode_meta"},
+    }
+    for family, names in families.items():
+        assert names & window, f"family {family} has no judged representative"
+        assert names <= set(REGISTRY), f"family {family} names unknown queries"
+
+
+def test_inwindow_rows_only_queries_are_the_known_exceptions():
+    # rows-only (no oracle) earns a weaker driver check — keep the set tiny
+    # and deliberate: the LSH ANN (non-deterministic bucketing params would
+    # pin semantics too tightly) and the stubbed multimodal codec.
+    rows_only = {n for n in JUDGE_WINDOW if REGISTRY[n].oracle is None}
+    assert rows_only == {"sim_lsh_topk", "multimodal_decode_meta"}
