@@ -30,7 +30,17 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
     normally and the two results union. With ``hot_keys=None`` every key
     is salted (correct, but replicates the whole right side — only for
     pathologically uniform skew).
+
+    Only inner/left/semi/anti ``how`` are supported: the right side is
+    exploded across ``n_salts`` salts, so a right/full outer join would
+    emit each unmatched right row once per salt.
     """
+    if how.lower().replace("_", "") in {
+            "right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salted right "
+            "side is replicated n_salts times, so unmatched right rows "
+            "would be duplicated; salt the other side or use AQE skew join")
     salt = (F.abs(F.hash(F.monotonically_increasing_id())) % n_salts)
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
 

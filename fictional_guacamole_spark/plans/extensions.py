@@ -421,8 +421,8 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_words,
              (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS is_canonical
       FROM quality),
-    near_pairs AS ({D.sql_ngram_jaccard_pairs("documents", "doc_id", "text",
-                                              n=3, threshold=0.5)}),
+    near_pairs AS ({D.sql_lsh_verified_pairs("documents", "doc_id", "text",
+                                             n=3, threshold=0.5)}),
     survivors AS (
       SELECT doc_id, lang, n_words FROM exact_canon
       WHERE is_canonical
@@ -463,8 +463,13 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_canonical",
         F.col("doc_id") == F.min("doc_id").over(W.partitionBy("fp")))
 
-    near_b = (D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
-                                    threshold=0.5)
+    # Near-dup candidates come from the LSH-banded path, not the global
+    # shingle self-join: a frequent shingle ("one of the") is a hot join
+    # key whose fan-out grows quadratically with the docs containing it,
+    # while LSH banding keys on (band, band_sig) — collision volume is
+    # governed by actual similarity, so it survives a 100× corpus.
+    near_b = (D.lsh_verified_pairs(docs, "doc_id", "text", n=3,
+                                   threshold=0.5)
               .select(F.col("doc_b").alias("doc_id")).distinct())
     survivors = (canon.filter("is_canonical")
                  .join(near_b, "doc_id", "left_anti"))

@@ -51,17 +51,22 @@ class ReplayStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple:
         start_line = start["line"]
         rows = []
+        # The end offset advances by lines SCANNED, not rows emitted: a
+        # blank line inside the window would otherwise be re-scanned (its
+        # followers re-emitted = duplicate seq values), and a window of all
+        # blanks would leave the offset pinned forever.
+        last_scanned = start_line - 1
         with open(self.path, encoding="utf-8") as fh:
             for i, line in enumerate(fh):
                 if i < start_line:
                     continue
                 if i >= start_line + self.frames_per_batch:
                     break
+                last_scanned = i
                 line = line.strip()
                 if line:
                     rows.append((i, line))
-        end = {"line": start_line + len(rows)} if rows else start
-        return iter(rows), end
+        return iter(rows), {"line": last_scanned + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> iter:
         rows = []

@@ -46,19 +46,21 @@ def demux_outputs(out: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return books, trades, gaps
 
 
-def run_pipeline(
-    frames: DataFrame,
-    sink_dir: str,
-    checkpoint_dir: str,
-    fetcher: Fetcher | None = None,
-    query_name: str = "exchange_pipeline",
-):
-    """Start the streaming query over an already-parsed FRAME_SCHEMA stream.
+# Bound on gap ranges collected to the driver per micro-batch. Backfill is
+# inherently a driver/REST side effect (SURVEY §2.1 S3) and gaps arrive as
+# coalesced ranges, so in normal operation this is single digits — but an
+# exchange outage can emit an outage-sized burst, and an unbounded collect
+# would eat the driver. Ranges past the cap are NOT repaired in-batch; they
+# remain durably recorded in the gaps sink, and a later repair pass can
+# find them by anti-joining the gaps sink against backfilled trades.
+MAX_BACKFILL_RANGES_PER_BATCH = int(
+    os.environ.get("SPARK_GRAFT_MAX_BACKFILL_RANGES", "10000"))
 
-    Returns the StreamingQuery. Sinks are parquet directories under
-    ``sink_dir``: books/, trades/, gaps/.
-    """
-    out = apply_book_kernel(frames)
+
+def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
+                      max_backfill_ranges: int = MAX_BACKFILL_RANGES_PER_BATCH):
+    """Build the foreachBatch callable (factored out so the overflow path
+    is testable without a live stream)."""
 
     def write_idempotent(df: DataFrame, sub: str, batch_id: int) -> None:
         """Exactly-once append: each write lands in a `_batch=<id>`
@@ -75,7 +77,12 @@ def run_pipeline(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         books, trades, gaps = demux_outputs(batch_df)
         write_idempotent(books, "books", batch_id)
-        gap_rows = [r.asDict() for r in gaps.collect()]  # gaps are tiny ranges
+        # bounded driver collect (see MAX_BACKFILL_RANGES_PER_BATCH above)
+        gap_rows = [r.asDict()
+                    for r in gaps.limit(max_backfill_ranges + 1).collect()]
+        have_gaps = bool(gap_rows)
+        if len(gap_rows) > max_backfill_ranges:
+            gap_rows = gap_rows[:max_backfill_ranges]
         # backfill BEFORE the trades write so live + repaired rows land in
         # one idempotent write (a second write into the same _batch
         # partition would overwrite the first)
@@ -87,11 +94,29 @@ def run_pipeline(
                 trades = trades.unionByName(
                     spark.createDataFrame(rows, schema=TRADE_SINK_SCHEMA))
         write_idempotent(trades, "trades", batch_id)
-        if gap_rows:
+        if have_gaps:
+            # the FULL distributed gaps frame — including any ranges past
+            # the in-batch repair cap — lands in the audit sink
             write_idempotent(gaps, "gaps", batch_id)
 
+    return write_batch
+
+
+def run_pipeline(
+    frames: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    fetcher: Fetcher | None = None,
+    query_name: str = "exchange_pipeline",
+):
+    """Start the streaming query over an already-parsed FRAME_SCHEMA stream.
+
+    Returns the StreamingQuery. Sinks are parquet directories under
+    ``sink_dir``: books/, trades/, gaps/.
+    """
+    out = apply_book_kernel(frames)
     return (out.writeStream
-            .foreachBatch(write_batch)
+            .foreachBatch(make_batch_writer(sink_dir, fetcher))
             .outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .queryName(query_name)

@@ -53,3 +53,12 @@ class TestSaltedJoin:
         left, _ = skewed
         hot = top_heavy_keys(left, "k", threshold_share=0.5)
         assert hot == [1]
+
+    @pytest.mark.parametrize("how", ["right", "rightouter", "full",
+                                     "fullouter", "outer", "full_outer"])
+    def test_right_and_full_outer_rejected(self, spark, skewed, how):
+        # the salted right side is exploded n_salts times, so unmatched
+        # right rows would be emitted once per salt — refuse loudly
+        left, right = skewed
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", how=how, hot_keys=[1])

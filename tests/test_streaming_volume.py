@@ -136,3 +136,39 @@ def test_volume_pipeline_matches_pure_replay(spark, volume_capture, tmp_path):
         got_gaps = {(r["gap_first_id"], r["gap_last_id"])
                     for r in gaps.filter(F.col("product_id") == p).collect()}
         assert got_gaps == set(planted_gaps[p])
+
+
+def test_gap_burst_bounds_driver_collect(spark, tmp_path):
+    """Outage-sized gap burst: an exchange outage can emit far more gap
+    ranges in one micro-batch than the driver should ever collect. The
+    batch writer must (a) attempt in-batch repair for at most the cap,
+    and (b) still record EVERY range in the gaps sink so a later repair
+    pass can finish the job."""
+    from datetime import datetime, timezone
+
+    from fictional_guacamole_spark.operators.book import OUTPUT_SCHEMA
+    from fictional_guacamole_spark.streaming.pipeline import make_batch_writer
+
+    n_gaps, cap = 500, 100
+    ts = datetime(2024, 2, 1, tzinfo=timezone.utc)
+    rows = [{"out_type": "gap", "product_id": "ETH-USD", "server_ts": ts,
+             "gap_first_id": i * 10, "gap_last_id": i * 10 + 2}
+            for i in range(n_gaps)]
+    batch = spark.createDataFrame(rows, OUTPUT_SCHEMA)
+
+    calls: list[tuple] = []
+
+    def outage_fetcher(product_id: str, after_id: int) -> list[dict]:
+        calls.append((product_id, after_id))
+        return []  # exchange still down — nothing recoverable yet
+
+    writer = make_batch_writer(str(tmp_path / "sink"), outage_fetcher,
+                               max_backfill_ranges=cap)
+    writer(batch, 0)
+
+    # repair attempts bounded by the cap (driver memory stays bounded)
+    attempted = {c[1] for c in calls}
+    assert 0 < len(attempted) <= cap
+    # ...but the durable audit sink holds the full burst
+    gaps = spark.read.parquet(str(tmp_path / "sink" / "gaps"))
+    assert gaps.count() == n_gaps
