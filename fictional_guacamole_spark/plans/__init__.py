@@ -26,6 +26,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     relational,
     relational_ext,
     tpch_extra,
+    tpch_full,
     marketdata,
     extensions,
     windows_streaming,
