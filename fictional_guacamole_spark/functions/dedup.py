@@ -82,9 +82,16 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     The two-step projection matters: a named intermediate column is
     computed once per row, while an inline expression is re-evaluated
     inside every higher-order-function lambda invocation.
+
+    The (id, text) projection fans out before the compute: normalize +
+    split + n-gram transform + md5 downstream is the CPU-heavy part of
+    every dedup path, and a single-row-group local scan would otherwise
+    pin it to one core (no-op on a many-partition cluster scan).
     """
-    staged = df.select(F.col(id_col).alias("doc"),
-                       F.split(normalize(F.col(text_col)), " ").alias("__w"))
+    from fictional_guacamole_spark.tables import fan_out
+    staged = fan_out(df.select(F.col(id_col).alias("doc"),
+                               F.col(text_col).alias("__t"))) \
+        .select("doc", F.split(normalize(F.col("__t")), " ").alias("__w"))
     return staged.select("doc",
                          F.explode(word_shingles(F.col("__w"), n)).alias("s"))
 
@@ -125,7 +132,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     product. At 100 TB you run this per-LSH-bucket (see minhash_lsh_pairs)
     rather than globally.
     """
-    sh = shingle_rows(df, id_col, text_col, n)
+    # the shingle frame feeds three subtrees (sizes + both join sides);
+    # cache so the explode/normalize pipeline runs once
+    sh = shingle_rows(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -167,14 +176,11 @@ def sql_ngram_jaccard_pairs(table: str, id_col: str, text_col: str,
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       n: int = 3) -> DataFrame:
-    """Per-document MinHash signature: columns m0..m{K-1}.
-
-    One explode + one groupBy; the K min-aggregates fold map-side (partial
-    aggregation), so shuffle volume is K longs per doc regardless of size.
-    """
-    sh = shingle_rows(df, id_col, text_col, n)
+def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    """MinHash signature from an existing (doc, s) shingle frame — lets a
+    pipeline that also needs the shingles for exact verification compute
+    them ONCE (cache the shingle frame, derive both) instead of Catalyst
+    re-evaluating the shingle transform in every subtree."""
     h = sh.select("doc", md5_long(F.col("s")).alias("h"))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
@@ -182,6 +188,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         for i in range(MINHASH_K)
     ]
     return h.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n: int = 3) -> DataFrame:
+    """Per-document MinHash signature: columns m0..m{K-1}.
+
+    One explode + one groupBy; the K min-aggregates fold map-side (partial
+    aggregation), so shuffle volume is K longs per doc regardless of size.
+    """
+    return minhash_signatures_from_shingles(
+        shingle_rows(df, id_col, text_col, n))
 
 
 def sql_minhash_signatures(table: str, id_col: str, text_col: str,
@@ -279,9 +296,24 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     ONLY for candidate pairs (a semi-join against the candidate set), so
     verification cost is proportional to candidate volume, not corpus².
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, n) \
-        .select("doc_a", "doc_b")
-    sh = shingle_rows(df, id_col, text_col, n)
+    # ONE shingle computation feeds candidate generation (via signatures)
+    # AND exact verification: the shingle frame is ~n× the corpus text, so
+    # recomputing it per subtree (4 subtrees here) is the dominant CPU cost
+    # — cache it (MEMORY_AND_DISK, spills rather than OOMs at scale).
+    sh = shingle_rows(df, id_col, text_col, n).cache()
+    # signatures are tiny (K longs/doc) and feed both sides of the band
+    # self-join — cache so the min-agg runs once
+    sig = minhash_signatures_from_shingles(sh).cache()
+    bk = minhash_band_keys(sig)
+    cand = (
+        bk.alias("x").join(
+            bk.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_sig") == F.col("y.band_sig"))
+            & (F.col("x.doc") < F.col("y.doc")))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
     b = sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))

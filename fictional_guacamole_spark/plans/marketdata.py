@@ -23,7 +23,7 @@ from fictional_guacamole_spark.operators.asof import asof_join
 from fictional_guacamole_spark.operators.book import apply_book_kernel
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.streaming.frames import ensure_frame_schema
-from fictional_guacamole_spark.tables import load_table
+from fictional_guacamole_spark.tables import fan_out, load_table
 
 
 @query(
@@ -366,7 +366,10 @@ def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2update or match frame keyed by supplier (100 books at sf0.1, ~6k
     frames each). Exercises the real Arrow → pandas → state-merge path at
     the same per-key frame volume a deep live book would see."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # frame construction (decimal→string casts, array packing) is the
+    # narrow CPU-heavy stage before the kernel's keyed shuffle — fan it out
+    # so the local single-row-group scan doesn't pin it to one core
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     is_trade = F.col("l_returnflag") == "R"
     frames = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),

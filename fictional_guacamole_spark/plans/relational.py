@@ -54,7 +54,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    from fictional_guacamole_spark.tables import fan_out
+    # the 7 exact decimal aggregates are the CPU-heavy part; fan the scan
+    # out so the partial (map-side) aggregation runs on every core even
+    # when the local single-row-group file scans as one partition
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -155,6 +155,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    session's parallelism; a no-op otherwise.
+
+    Why this exists: the local fixture files are single-row-group parquet,
+    so the scan yields ONE non-empty partition and every CPU-heavy stage
+    fed directly by it (shingling, frame construction, vector math) runs on
+    one core of local[32]. On a real cluster the same scan has thousands of
+    row groups and this helper does nothing — the guard makes it scale-safe
+    to leave in production plans. Use it only upstream of compute-bound
+    narrow stages; never before a groupBy/join that shuffles anyway (the
+    exchange already redistributes)."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: list[str] | None = None) -> dict[str, DataFrame]:
     """Read fixture tables and register each as a temp view of the same name."""
