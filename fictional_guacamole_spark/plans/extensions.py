@@ -176,6 +176,27 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk",
+    survey_ref="extensions: IVF ANN (data-adaptive scale path)",
+    # Cell centroids come from MLlib k-means (engine-side float math, no
+    # portable SQL rendering) — recall vs the exact baseline is asserted in
+    # tests/test_extensions.py; driver records rows-only.
+    oracle=None,
+    description="Approximate top-10 neighbors via inverted-file k-means cells",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means cells partition the corpus; each query scores its
+    n_probe nearest cells only. The data-adaptive counterpart of
+    sim_lsh_topk's oblivious hyperplanes — at 100 TB the assigned corpus is
+    written partitioned by cell id so a probe is a partition-pruned read
+    (functions/similarity.py::ivf_topk docstring has the layout math)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+            .orderBy("query_id", "rank"))
+
+
+@query(
     "dedup_embedding_cosine",
     survey_ref="extensions: embedding-cosine near-dup",
     description="Vector pairs with cosine >= 0.5 for a bounded probe set",

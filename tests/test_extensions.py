@@ -14,7 +14,7 @@ from fictional_guacamole_spark.functions.dedup import (
 from fictional_guacamole_spark.functions.multimodal import (
     as_binary_asset, extract_media_meta, frame_sample_plan)
 from fictional_guacamole_spark.functions.similarity import (
-    cosine_topk, lsh_topk)
+    cosine_topk, ivf_topk, lsh_topk)
 from fictional_guacamole_spark.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -36,6 +36,49 @@ class TestLshRecall:
         # expected recall; 0.35 floor tolerates variance well above the
         # random-candidate expectation
         assert recall >= 0.35, f"LSH recall collapsed: {recall}"
+
+    def test_ivf_topk_recall_vs_bruteforce(self, spark):
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        exact = cosine_topk(emb, queries, k=5)
+        approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=4)
+        exact_pairs = {(r["query_id"], r["neighbor_id"])
+                       for r in exact.collect()}
+        approx_pairs = {(r["query_id"], r["neighbor_id"])
+                        for r in approx.collect()}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # probing half the cells (4/8) of a weakly-clustered fixture: the
+        # query's own cell plus 3 nearest should hold well over half the
+        # true neighbors; 0.5 floor leaves room for k-means variance
+        assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+    def test_ivf_candidates_are_exact_cosines(self, spark):
+        # IVF only prunes, never perturbs: returned scores must equal the
+        # exact cosine for the same pair
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in cosine_topk(emb, queries, k=200).collect()}
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8,
+                          n_probe=4).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact:
+                assert abs(exact[key] - r["cos_sim"]) < 1e-12
+
+    def test_ivf_cells_partition_the_corpus(self, spark):
+        # every corpus row lands in exactly one cell, and cells are
+        # reasonably balanced (no degenerate all-in-one-cell clustering)
+        from fictional_guacamole_spark.functions.similarity import (
+            nearest_cells, train_ivf_centroids)
+        emb = load_table(spark, SF, "embeddings")
+        cents = train_ivf_centroids(emb, n_centroids=8)
+        assert len(cents) == 8 and len(cents[0]) == 64
+        assigned = emb.select(
+            nearest_cells(F.col("embedding"), cents, 1)[0].alias("cid"))
+        counts = {r["cid"]: r["count"] for r in
+                  assigned.groupBy("cid").count().collect()}
+        assert sum(counts.values()) == emb.count()
+        assert max(counts.values()) < emb.count() * 0.9
 
     def test_lsh_candidates_are_exact_cosines(self, spark):
         # scores for returned candidates must equal the exact cosine —
