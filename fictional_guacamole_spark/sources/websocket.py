@@ -14,11 +14,13 @@ The reference's connection behavior being reproduced:
   read() call reconnects and continues; Spark's offset contract makes the
   restart safe (frames are only committed once read returns).
 
-The actual socket client requires the ``websockets``/``websocket-client``
-package, which is not available in this container — the import is gated
-and tests use the replay source. The DataSource contract (offsets,
-prefetch buffer, reconnect) is exercised by the replay reader, which
-implements the same base class.
+Transport: ``websocket-client`` when installed (TLS-capable), else the
+vendored minimal RFC 6455 client (sources/ws_client.py, ws:// only) —
+so the source is live-testable without third-party packages. The full
+path (handshake → subscribe packet → frames → Spark micro-batches →
+reconnect) runs against a loopback server in
+tests/test_websocket_source.py; the replay reader additionally exercises
+the shared offset/restart contract.
 """
 
 from __future__ import annotations
@@ -64,12 +66,12 @@ class WebsocketStreamReader(SimpleDataSourceStreamReader):
     def _connect(self):
         try:
             from websocket import create_connection  # websocket-client
-        except ImportError as exc:  # pragma: no cover - gated dependency
-            raise ImportError(
-                "live websocket source requires the 'websocket-client' "
-                "package; use the frame_replay source for offline runs"
-            ) from exc
-        ws = create_connection(self.url, timeout=self.recv_timeout_s)
+            ws = create_connection(self.url, timeout=self.recv_timeout_s)
+        except ImportError:
+            # stdlib fallback (ws:// only): same send/recv/close surface,
+            # loopback-integration-tested in tests/test_websocket_source.py
+            from fictional_guacamole_spark.sources.ws_client import connect
+            ws = connect(self.url, timeout=self.recv_timeout_s)
         for packet in SUBSCRIBE_BUILDERS[self.exchange](self.products):
             ws.send(packet)
         return ws
@@ -85,7 +87,13 @@ class WebsocketStreamReader(SimpleDataSourceStreamReader):
         while len(rows) < self.max_frames_per_batch:
             try:
                 frame = self._ws.recv()
-            except Exception:
+            except Exception as exc:
+                if isinstance(exc, TimeoutError) \
+                        or "Timeout" in type(exc).__name__:
+                    # quiet socket (no traffic inside recvTimeout): end the
+                    # micro-batch but KEEP the connection — a slow market
+                    # must not become a reconnect storm
+                    break
                 # S5 reconnect path: drop the connection; the next micro-
                 # batch reconnects (fresh snapshot; T5/T6 repair trades).
                 self._ws = None
