@@ -86,8 +86,11 @@ JUDGE_WINDOW: list[str] = [
     "sample_deterministic",
     "text_quality_filter",
     "pipeline_training_corpus",
+    # multimodal: both entries oracle-backed — the mapInPandas codec path
+    # is evidenced by feature_extract (same Arrow surface as decode_meta,
+    # but hash-verifiable); decode_meta stays locally tested in the tail
     "multimodal_binary_meta",
-    "multimodal_decode_meta",
+    "multimodal_feature_extract",
 ]
 
 

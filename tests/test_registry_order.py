@@ -54,7 +54,8 @@ def test_every_family_has_an_inwindow_representative():
                           "text_fingerprint", "text_edit_distance"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter"},
         "capstone": {"pipeline_training_corpus"},
-        "multimodal": {"multimodal_binary_meta", "multimodal_decode_meta"},
+        "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
+                       "multimodal_decode_meta"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"
@@ -63,7 +64,9 @@ def test_every_family_has_an_inwindow_representative():
 
 def test_inwindow_rows_only_queries_are_the_known_exceptions():
     # rows-only (no oracle) earns a weaker driver check — keep the set tiny
-    # and deliberate: the LSH ANN (non-deterministic bucketing params would
-    # pin semantics too tightly) and the stubbed multimodal codec.
+    # and deliberate: only the LSH ANN (engine-side float bucketing has no
+    # portable SQL rendering; recall is tested against the exact baseline).
+    # The multimodal mapInPandas path is evidenced by the ORACLE-backed
+    # multimodal_feature_extract since r2.
     rows_only = {n for n in JUDGE_WINDOW if REGISTRY[n].oracle is None}
-    assert rows_only == {"sim_lsh_topk", "multimodal_decode_meta"}
+    assert rows_only == {"sim_lsh_topk"}
