@@ -106,6 +106,126 @@ def sql_word_shingles(expr: str, n: int = 3) -> str:
             f"FROM (SELECT {w} AS __w) __s)")
 
 
+# --- winnowing (rolling-hash fingerprints) ---------------------------------
+
+WINNOW_K = 5   # char k-gram length
+WINNOW_W = 4   # window of consecutive k-gram hashes; density ≈ 2/(w+1)
+
+
+def winnow_rows(df: DataFrame, id_col: str, text_col: str,
+                k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc, fp) rows: distinct winnowing fingerprints per document
+    (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+    Fingerprinting", SIGMOD 2003).
+
+    Hash every char ``k``-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum — any shared substring of length
+    ≥ k+w-1 is guaranteed to share a fingerprint, while the index holds
+    only ~2/(w+1) of the k-gram hashes. That density factor is the scale
+    story versus shingle indexing: the fingerprint equi-join shuffles a
+    fraction of the shingle join's rows for the same guarantee.
+
+    Staging discipline: grams and hashes are materialized as named array
+    columns between selects — ``slice(__h, j, w)`` inside the window
+    lambda must reference a concrete column, or the whole hash pipeline
+    re-evaluates per window position (the measured 20× HOF pitfall).
+    Documents shorter than ``k`` chars yield no fingerprints; documents
+    with fewer than ``w`` k-grams yield one (the global minimum).
+    """
+    from fictional_guacamole_spark.tables import fan_out
+    staged = fan_out(df.select(F.col(id_col).alias("doc"),
+                               F.col(text_col).alias("__raw"))) \
+        .select("doc", normalize(F.col("__raw")).alias("__t"))
+    # Spark's sequence(1, stop) DESCENDS when stop < 1 — gate short docs
+    # to an empty gram list instead (CaseWhen branches evaluate lazily)
+    gram_seq = F.transform(
+        F.sequence(F.lit(1), F.length("__t") - (k - 1)),
+        lambda i: F.col("__t").substr(i, F.lit(k)))
+    grams = staged.select(
+        "doc",
+        F.when(F.length("__t") >= k, gram_seq)
+         .otherwise(F.array().cast("array<string>")).alias("__g"))
+    # explicit unary lambda: F.transform would otherwise bind md5_long's
+    # hex_chars parameter to the element INDEX (binary-lambda dispatch)
+    hashes = grams.select(
+        "doc", F.transform(F.col("__g"), lambda g: md5_long(g)).alias("__h"))
+    n = F.size("__h")
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda j: F.array_min(F.slice(F.col("__h"), j, w)))
+    fps = (F.when(n >= w, windows)
+           .when(n > 0, F.array(F.array_min(F.col("__h"))))
+           .otherwise(F.array().cast("array<long>")))
+    return hashes.select("doc",
+                         F.explode(F.array_distinct(fps)).alias("fp"))
+
+
+def sql_winnow_rows(table: str, id_col: str, text_col: str,
+                    k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB rendering of :func:`winnow_rows` (1-based, inclusive list
+    slicing; identical md5-based k-gram hashes)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    gram_hash = sql_md5_long(f"substr(__t, i, {k})")
+    return f"""
+    SELECT doc, unnest(list_distinct(
+      CASE WHEN len(__h) >= {w} THEN
+        list_transform(generate_series(1, len(__h) - {w - 1}),
+                       j -> list_min(__h[j:j + {w - 1}]))
+      WHEN len(__h) > 0 THEN [list_min(__h)]
+      ELSE [] END)) AS fp
+    FROM (
+      SELECT doc, list_transform(
+        generate_series(1, greatest(len(__t) - {k - 1}, 0)),
+        i -> {gram_hash}) AS __h
+      FROM (SELECT {id_col} AS doc, {norm} AS __t FROM {table}) s1) s2
+    """
+
+
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
+                 k: int = WINNOW_K, w: int = WINNOW_W,
+                 min_shared: int = 3) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥ ``min_shared`` winnowing
+    fingerprints, with the fingerprint-Jaccard attached. Same equi-join
+    shape as the shingle pair join but over the ~2/(w+1)-density index."""
+    fp = winnow_rows(df, id_col, text_col, k, w).cache()
+    sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    sim = (F.col("shared").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "shared", "n_a", "n_b",
+                    sim.alias("fp_jaccard")))
+
+
+def sql_winnow_pairs(table: str, id_col: str, text_col: str,
+                     k: int = WINNOW_K, w: int = WINNOW_W,
+                     min_shared: int = 3) -> str:
+    rows = sql_winnow_rows(table, id_col, text_col, k, w)
+    return f"""
+    WITH fp AS ({rows}),
+    sizes AS (SELECT doc, COUNT(*) AS n_fp FROM fp GROUP BY doc),
+    shared AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+      HAVING COUNT(*) >= {min_shared})
+    SELECT doc_a, doc_b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+           CAST(shared AS DOUBLE) / (sa.n_fp + sb.n_fp - shared) AS fp_jaccard
+    FROM shared JOIN sizes sa ON doc_a = sa.doc
+                JOIN sizes sb ON doc_b = sb.doc
+    ORDER BY doc_a, doc_b
+    """
+
+
 # --- exact dedup -----------------------------------------------------------
 
 def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -350,6 +350,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_winnow_fingerprints",
+    survey_ref="extensions: rolling-hash document fingerprinting (winnowing)",
+    description="Winnowing fingerprint summary per document (count + extremes)",
+    oracle=f"""
+    WITH fp AS ({D.sql_winnow_rows('documents', 'doc_id', 'text')})
+    SELECT doc, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM fp GROUP BY doc ORDER BY doc
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (SIGMOD 2003) selects each w-window's minimum k-gram
+    hash: ~2/(w+1) index density with a guaranteed hit for any shared
+    substring of length ≥ k+w-1. The judged projection summarizes the
+    per-doc fingerprint set with scalars; the raw (doc, fp) rows are the
+    dedup_winnow_pairs input."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.winnow_rows(docs, "doc_id", "text")
+    return (fp.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_fp"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp"))
+            .orderBy("doc"))
+
+
+@query(
+    "dedup_winnow_pairs",
+    survey_ref="extensions: fingerprint-join near-dup candidates (winnowing)",
+    description="Document pairs sharing >= 3 winnowing fingerprints",
+    oracle=D.sql_winnow_pairs("documents", "doc_id", "text"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing counterpart of the shingle pair join: identical
+    equi-join shape, but the fingerprint index holds ~2/(w+1) of the
+    k-gram hashes, so the shuffle is proportionally smaller for the same
+    substring-match guarantee."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.winnow_pairs(docs, "doc_id", "text")
+            .orderBy("doc_a", "doc_b"))
+
+
+@query(
     "sample_deterministic",
     survey_ref="extensions: deterministic hash sampling (reproducible splits)",
     description="~10% document sample + stratified-by-lang 20% sample, hash-keyed",

@@ -164,6 +164,44 @@ class TestApproxDistinct:
         assert abs(approx - exact) / exact < 0.05
 
 
+class TestWinnowing:
+    def test_shared_substring_guarantees_shared_fingerprint(self, spark):
+        # the winnowing guarantee: any common substring of length >=
+        # k + w - 1 (= 8 chars at k=5, w=4) yields at least one common
+        # fingerprint — planted docs share a long clause
+        from fictional_guacamole_spark.functions.dedup import winnow_pairs
+        rows = [(1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "yesterday the quick brown fox jumps over a fence"),
+                (3, "completely unrelated text about spark plans here")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in winnow_pairs(df, "doc_id", "text",
+                                       min_shared=1).collect()}
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_density_well_below_gram_count(self, spark):
+        # winnowing keeps ~2/(w+1) of the k-gram hashes; assert the index
+        # is materially sparser than the full gram set (the scale story)
+        from fictional_guacamole_spark.functions.dedup import (
+            WINNOW_K, winnow_rows)
+        docs = load_table(spark, SF, "documents").limit(50)
+        n_fp = winnow_rows(docs, "doc_id", "text").count()
+        n_grams = docs.select(
+            F.sum(F.greatest(F.length(F.col("text")) - (WINNOW_K - 1),
+                             F.lit(0)))).collect()[0][0]
+        assert n_fp < 0.6 * n_grams  # distinct-window mins, far below 1:1
+
+    def test_short_and_empty_docs(self, spark):
+        from fictional_guacamole_spark.functions.dedup import winnow_rows
+        rows = [(1, "ab"), (2, ""), (3, "abcdef")]  # <k, empty, k<=len<k+w-1
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r["doc"]: r["fp"] for r in
+               winnow_rows(df, "doc_id", "text").collect()}
+        assert 1 not in got and 2 not in got  # too short: no fingerprints
+        assert 3 in got  # fewer than w grams: single global-min fingerprint
+
+
 class TestMultimodal:
     def test_decode_meta_deterministic(self, spark):
         docs = load_table(spark, SF, "documents").limit(20)
