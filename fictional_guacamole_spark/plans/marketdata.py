@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.operators.asof import asof_join
+from fictional_guacamole_spark.plans.compat import dsum
 from fictional_guacamole_spark.operators.book import apply_book_kernel
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.streaming.frames import ensure_frame_schema
@@ -397,6 +398,51 @@ def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("out_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("product_id").alias("n_products"))
+
+
+@query(
+    "agg_ohlcv_candles",
+    survey_ref="§2.5 time-bucketed rollup (OHLCV candles / hypertable rollup shape)",
+    description="Hourly OHLCV candles per event type (tumbling event-time buckets)",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket_start,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(CAST(FLOOR(SUM(CAST(value AS DECIMAL(25,6)))) AS BIGINT) AS DOUBLE)
+             + CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                    - FLOOR(SUM(CAST(value AS DECIMAL(25,6)))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, bucket_start
+    ORDER BY event_type, bucket_start
+    """,
+)
+def agg_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-rollup shape over a trade-like stream: tumbling
+    event-time buckets with open/high/low/close picked by deterministic
+    arg-extremes (event_id orders within a bucket — min_by/max_by, not
+    first/last, so both engines agree under any row order) and an exact
+    decimal volume sum. The same expression works under a streaming
+    groupBy(window(...)) — stream_tumbling_window evidences that wiring;
+    this is the batch/backfill form a candle hypertable materializes."""
+    ev = load_table(spark, sf_dir, "events")
+    # window(ts, "1 hour").start == date_trunc('hour', ts) for tumbling
+    # hour windows (epoch-aligned) — use window() to evidence the bucket
+    # operator itself
+    return (ev.groupBy(
+                "event_type",
+                F.window("ts", "1 hour").getField("start")
+                 .alias("bucket_start"))
+            .agg(F.min_by("value", "event_id").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "event_id").alias("close"),
+                 dsum(F.col("value")).alias("volume"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy("event_type", "bucket_start"))
 
 
 @query(
