@@ -135,6 +135,46 @@ class TestWatermarkedWindows:
                   .groupBy("event_type").count()).collect()}
         assert final == truth
 
+    def test_streaming_ohlcv_matches_batch_query(self, spark,
+                                                 events_stream_dir):
+        """The agg_ohlcv_candles expression under readStream: identical
+        aggregate (min_by/max_by extremes + decimal volume) over a
+        watermarked tumbling window must converge to the registered batch
+        query's result."""
+        from fictional_guacamole_spark.plans import REGISTRY
+        from fictional_guacamole_spark.plans.compat import dsum
+
+        stream = _stream(spark, events_stream_dir)
+        agg = (stream.withWatermark("ts", "2 hours")
+               .groupBy("event_type",
+                        F.window("ts", "1 hour").getField("start")
+                         .alias("bucket_start"))
+               .agg(F.min_by("value", "event_id").alias("open"),
+                    F.max("value").alias("high"),
+                    F.min("value").alias("low"),
+                    F.max_by("value", "event_id").alias("close"),
+                    dsum(F.col("value")).alias("volume"),
+                    F.count(F.lit(1)).alias("n_events")))
+        q = (agg.writeStream.format("memory").queryName("ohlcv_stream")
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        import pandas as pd
+        pdf = spark.table("ohlcv_stream").toPandas()
+        # update mode re-emits refined groups; last emission per key wins
+        final = {tuple(k): tuple(v) for k, v in
+                 pdf.groupby(["event_type", "bucket_start"])
+                    [["open", "high", "low", "close", "volume", "n_events"]]
+                    .last().iterrows()}
+        batch = {(r["event_type"], pd.Timestamp(r["bucket_start"])):
+                 (r["open"], r["high"], r["low"], r["close"], r["volume"],
+                  r["n_events"])
+                 for r in REGISTRY["agg_ohlcv_candles"]
+                 .builder(spark, "/root/testdata/sf0.001").collect()}
+        assert final == batch
+
     def test_drop_duplicates_within_watermark(self, spark, tmp_path):
         # duplicate every event twice in the source; the stream dedups on
         # (event_id) within the watermark horizon
