@@ -192,6 +192,33 @@ class TestWinnowing:
                              F.lit(0)))).collect()[0][0]
         assert n_fp < 0.6 * n_grams  # distinct-window mins, far below 1:1
 
+    def test_guarantee_property_random_docs(self, spark):
+        # property form of the winnowing theorem: ANY shared substring of
+        # length >= k+w-1 (8 chars) contains w consecutive shared k-gram
+        # hashes — one complete shared window — whose minimum is selected
+        # in both documents
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fictional_guacamole_spark.functions.dedup import winnow_pairs
+
+        letters = st.text(alphabet="abcdef", min_size=0, max_size=30)
+        chunk = st.text(alphabet="uvwxyz", min_size=8, max_size=20)
+
+        @settings(max_examples=12, deadline=None)
+        @given(chunk, letters, letters, letters, letters)
+        def check(shared, pre_a, suf_a, pre_b, suf_b):
+            doc_a = f"{pre_a} {shared} {suf_a}"
+            doc_b = f"{pre_b} {shared} {suf_b}"
+            df = spark.createDataFrame([(1, doc_a), (2, doc_b)],
+                                       ["doc_id", "text"])
+            pairs = winnow_pairs(df, "doc_id", "text",
+                                 min_shared=1).collect()
+            assert any((r["doc_a"], r["doc_b"]) == (1, 2) for r in pairs), \
+                f"no shared fingerprint for docs sharing {shared!r}"
+
+        check()
+
     def test_short_and_empty_docs(self, spark):
         from fictional_guacamole_spark.functions.dedup import winnow_rows
         rows = [(1, "ab"), (2, ""), (3, "abcdef")]  # <k, empty, k<=len<k+w-1
