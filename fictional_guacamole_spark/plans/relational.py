@@ -428,6 +428,55 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_percentile",
+    survey_ref="§2.5 aggregations (quantile sketch)",
+    # like agg_approx_distinct: the sketch value is engine-specific, so the
+    # judged columns are the EXACT interpolated quantiles plus a boolean
+    # asserting the sketch landed within its accuracy guarantee — for
+    # percentile_approx(accuracy=a) the rank error is bounded by n/a, so
+    # the estimate must fall between the exact quantiles at rank ± n/a
+    # (checked with 2× slack for interpolation at bucket edges).
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.50) AS exact_p50,
+           quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+           TRUE AS sketch_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    description="percentile_approx sketch per return flag, error-bounded",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    accuracy = 10_000
+    # percentile_approx's rank error is bounded by n/accuracy (quantile
+    # fraction 1/accuracy). The sketch also returns an ACTUAL element while
+    # exact percentile interpolates, so the bracket needs at least one
+    # element-gap of slack: 1/accuracy + 1/n. A fixed 0.002 fraction covers
+    # both terms for every group ≥ 1k rows (the smallest test SF) while
+    # still failing loudly for a broken sketch (which lands whole quantile
+    # ranges away).
+    frac = 0.002
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.50)").alias("exact_p50"),
+             F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+             F.expr(f"percentile(l_extendedprice, {0.50 - frac})").alias("_lo50"),
+             F.expr(f"percentile(l_extendedprice, {min(1.0, 0.50 + frac)})").alias("_hi50"),
+             F.expr(f"percentile(l_extendedprice, {0.95 - frac})").alias("_lo95"),
+             F.expr(f"percentile(l_extendedprice, {min(1.0, 0.95 + frac)})").alias("_hi95"),
+             F.expr(f"percentile_approx(l_extendedprice, 0.50, {accuracy})").alias("_a50"),
+             F.expr(f"percentile_approx(l_extendedprice, 0.95, {accuracy})").alias("_a95"))
+        .select("l_returnflag", "exact_p50", "exact_p95",
+                (F.col("_a50").between(F.col("_lo50"), F.col("_hi50"))
+                 & F.col("_a95").between(F.col("_lo95"), F.col("_hi95")))
+                .alias("sketch_within_bound"))
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (batch forms of the reference's stateful ops are in
 # plans/marketdata.py; these are the general-purpose window surface)
