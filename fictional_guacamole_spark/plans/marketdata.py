@@ -401,6 +401,46 @@ def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_bucketed",
+    survey_ref="§2.5 key-less range join via time-bucket equi-join",
+    description="Purchases falling inside any early user's signup window",
+    oracle="""
+    WITH windows AS (
+      SELECT user_id AS window_user,
+             MIN(ts) AS w_start,
+             MIN(ts) + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_type = 'signup' AND user_id < 50
+      GROUP BY user_id)
+    SELECT e.event_id, e.user_id, window_user, w_start
+    FROM events e JOIN windows
+      ON e.ts >= w_start AND e.ts <= w_end
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id, window_user
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less interval containment (which purchases fall inside ANY
+    early user's 2-hour signup window) — the shape that nested-loops on
+    naive Spark. operators/rangejoin.py discretizes the time axis so it
+    runs as an equi-join on the bucket id (gated: no BNLJ/Cartesian in
+    tests/test_plan_quality.py) with the exact range as residual."""
+    from fictional_guacamole_spark.operators.rangejoin import interval_join
+    ev = load_table(spark, sf_dir, "events")
+    windows = (ev.filter((F.col("event_type") == "signup")
+                         & (F.col("user_id") < 50))
+               .groupBy(F.col("user_id").alias("window_user"))
+               .agg(F.min("ts").alias("w_start"))
+               .withColumn("w_end",
+                           F.col("w_start") + F.expr("INTERVAL 2 HOURS")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    joined = interval_join(purchases, windows, "ts", "w_start", "w_end",
+                           bucket_seconds=3600)
+    return (joined.select("event_id", "user_id", "window_user", "w_start")
+            .orderBy("event_id", "window_user"))
+
+
+@query(
     "agg_ohlcv_candles",
     survey_ref="§2.5 time-bucketed rollup (OHLCV candles / hypertable rollup shape)",
     description="Hourly OHLCV candles per event type (tumbling event-time buckets)",

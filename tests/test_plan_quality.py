@@ -60,6 +60,16 @@ class TestJoinStrategies:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_keyless_interval_join_is_not_nested_loop(self, spark):
+        # the whole point of the bucketized interval join: a key-less
+        # range predicate must run as an equi hash join on the time
+        # bucket, never BNLJ/Cartesian (contrast join_pure_theta, which
+        # deliberately exercises the BNLJ fallback rule)
+        plan = plan_of(spark, "join_interval_bucketed")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Join" in plan  # it IS a join, on the bucket key
+
     def test_correlated_exists_becomes_semi_join(self, spark):
         # Catalyst must decorrelate EXISTS into a semi join — a per-row
         # subquery execution would be O(n²) at scale
