@@ -8,7 +8,7 @@ exact DuckDB-SQL rendering used by the oracle queries in
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword language heuristic.
@@ -98,3 +98,87 @@ def quality_stats(words_col: Column) -> dict[str, Column]:
         "mean_word_len": total_word_chars.cast("double") / n_words,
         "stopword_ratio": stop_hits.cast("double") / n_words,
     }
+
+
+def bigrams(words_col: Column) -> Column:
+    """All word 2-grams WITH multiplicity (unlike dedup.word_shingles,
+    which distincts — repetition measurement needs the duplicates)."""
+    w = words_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)))
+    return F.when(F.size(w) >= 2, grams) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(staged: DataFrame, id_col: str,
+                     words_col: str) -> DataFrame:
+    """Per-document repetition features (the Gopher-rule repetition family:
+    Rae et al. 2021, "Scaling Language Models", Table A1 — adapted from
+    lines to tokens since corpus text here is newline-free):
+
+    - ``top_word_frac``: occurrences of the most frequent word / n_words
+    - ``dup_2gram_frac``: fraction of 2-gram instances whose 2-gram occurs
+      more than once in the document
+
+    ``staged`` must carry a MATERIALIZED words array column (the HOF
+    staging rule). Shape: explode → per-(doc, gram) count → per-doc fold;
+    both shuffles key on (doc, gram), so the work distributes by document
+    and never concentrates — at 100 TB this is scan-shaped.
+    """
+    doc = F.col(id_col)
+    uni = (staged.select(doc.alias("doc"),
+                         F.explode(F.col(words_col)).alias("g"))
+           .groupBy("doc", "g").agg(F.count(F.lit(1)).alias("n"))
+           .groupBy("doc")
+           .agg(F.max("n").alias("top_word_n"),
+                F.sum("n").alias("n_words_rep")))
+    bg = (staged.select(doc.alias("doc"),
+                        F.explode(bigrams(F.col(words_col))).alias("g"))
+          .groupBy("doc", "g").agg(F.count(F.lit(1)).alias("n"))
+          .groupBy("doc")
+          .agg(F.sum(F.when(F.col("n") >= 2, F.col("n")).otherwise(F.lit(0)))
+                .alias("dup_2gram_n"),
+               F.sum("n").alias("n_2grams")))
+    return (uni.join(bg, "doc", "left")
+            .select("doc",
+                    (F.col("top_word_n").cast("double")
+                     / F.col("n_words_rep")).alias("top_word_frac"),
+                    F.coalesce(F.col("dup_2gram_n").cast("double")
+                               / F.col("n_2grams"), F.lit(0.0))
+                     .alias("dup_2gram_frac")))
+
+
+def sql_repetition_stats(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB rendering of :func:`repetition_stats` over ``normalize``d
+    text (identical grouping arithmetic; count/count division of identical
+    integers is bit-identical across engines)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH __w AS (SELECT {id_col} AS doc,
+                        string_split({norm}, ' ') AS w FROM {table}),
+    __uni AS (
+      SELECT doc, MAX(n) AS top_word_n, SUM(n) AS n_words_rep
+      FROM (SELECT doc, g, COUNT(*) AS n
+            FROM (SELECT doc, unnest(w) AS g FROM __w)
+            GROUP BY doc, g)
+      GROUP BY doc),
+    __bg AS (
+      SELECT doc,
+             SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_2gram_n,
+             SUM(n) AS n_2grams
+      FROM (SELECT doc, g, COUNT(*) AS n
+            FROM (SELECT doc,
+                         unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                             generate_series(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i + 1])
+                           ELSE [] END) AS g
+                  FROM __w)
+            GROUP BY doc, g)
+      GROUP BY doc)
+    SELECT __uni.doc,
+           CAST(top_word_n AS DOUBLE) / n_words_rep AS top_word_frac,
+           COALESCE(CAST(dup_2gram_n AS DOUBLE) / n_2grams, 0.0)
+             AS dup_2gram_frac
+    FROM __uni LEFT JOIN __bg ON __uni.doc = __bg.doc
+    """

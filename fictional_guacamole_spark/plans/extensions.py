@@ -549,6 +549,144 @@ def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_gopher_quality",
+    survey_ref="extensions: Gopher-rule quality scoring (repetition + shape)",
+    description="Gopher-style quality gates: length, word shape, stopwords, "
+                "repetition (top-word / duplicate-2-gram fractions)",
+    oracle=f"""
+    WITH rep AS ({X.sql_repetition_stats('documents', 'doc_id', 'text')}),
+    n AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    shape AS (
+      SELECT doc_id, len(w) AS n_words,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+               / len(w) AS mean_word_len,
+             CAST(len(list_filter(w, x -> list_contains(
+                  ['the','a','and','of','to'], x))) AS BIGINT) AS stop_hits
+      FROM n)
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.stop_hits,
+           r.top_word_frac, r.dup_2gram_frac,
+           (s.n_words BETWEEN 50 AND 100000
+            AND s.mean_word_len BETWEEN 3.0 AND 10.0
+            AND s.stop_hits >= 2
+            AND r.top_word_frac <= 0.20
+            AND r.dup_2gram_frac <= 0.50) AS pass_gopher
+    FROM shape s JOIN rep r ON s.doc_id = r.doc
+    ORDER BY s.doc_id
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality scoring (Rae et al. 2021, Table A1), the
+    standard pre-training corpus gate: document-shape thresholds (length,
+    mean word length, stopword presence) plus repetition fractions —
+    adapted to token granularity because the fixture text is newline-free.
+    Shape features are scan-speed column expressions; repetition needs the
+    (doc, gram) explode+count shape from functions/text.repetition_stats,
+    which distributes by document at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", X.words(F.col("text")).alias("w"))
+    stats = X.quality_stats(F.col("w"))
+    shape = staged.select(
+        "doc_id", stats["n_words"].alias("n_words"),
+        stats["mean_word_len"].alias("mean_word_len"),
+        X.marker_hits(F.col("w"), X.LANG_MARKERS["en"])
+         .cast("long").alias("stop_hits"))
+    rep = X.repetition_stats(staged, "doc_id", "w")
+    gate = ((F.col("n_words").between(50, 100000))
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("stop_hits") >= 2)
+            & (F.col("top_word_frac") <= 0.20)
+            & (F.col("dup_2gram_frac") <= 0.50))
+    return (shape.join(rep, shape.doc_id == rep.doc)
+            .select("doc_id", "n_words", "mean_word_len", "stop_hits",
+                    "top_word_frac", "dup_2gram_frac",
+                    gate.alias("pass_gopher"))
+            .orderBy("doc_id"))
+
+
+SEQ_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@query(
+    "pipeline_sequence_pack",
+    survey_ref="extensions: training-sequence packing (token-budget layout)",
+    description="Greedy token packing: docs → fixed-budget training sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all({_NORM_SQL}, '{X.TOKEN_PATTERN}'))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM toks)
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / {SEQ_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: lay documents head-to-tail in a
+    deterministic order and chunk the token stream into fixed-budget
+    sequences — the layout step between a cleaned corpus and a tokenized
+    training shard. Packing is per ``source`` shard: the running sum
+    windows PARTITION BY source, so at 100 TB every shard packs in
+    parallel and nothing serializes through a global window (a global
+    ORDER BY window would single-thread the cumsum)."""
+    from pyspark.sql import Window as W
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    w = (W.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (toks.withColumn("start_offset", start)
+            .withColumn("seq_id",
+                        F.floor(F.col("start_offset") / SEQ_PACK_BUDGET)
+                         .cast("long"))
+            .orderBy("doc_id"))
+
+
+@query(
+    "sample_stratified",
+    survey_ref="extensions: stratified deterministic sampling (corpus rebalance)",
+    description="Per-language hash-sampling rates: en 10%, others 50%",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket,
+             CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate_pct
+      FROM documents)
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           CAST(rate_pct AS INT) AS rate_pct
+    FROM keyed
+    WHERE bucket < rate_pct
+    ORDER BY doc_id
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates — the corpus
+    rebalancing step (e.g. cap the dominant language while keeping the
+    long tail). Same md5-bucket determinism as sample_deterministic (so
+    splits are reproducible across engines, partitionings, and reruns);
+    the per-group rate is just a column expression, so unlike
+    ``df.sampleBy`` there is no driver-side fraction map and no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (D.md5_long(F.col("doc_id").cast("string")) % 100).cast("int")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (docs.select("doc_id", "lang", bucket.alias("bucket"),
+                        rate.cast("int").alias("rate_pct"))
+            .filter(F.col("bucket") < F.col("rate_pct"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -761,7 +761,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            CAST(day(o_orderdate) AS INTEGER) AS order_day,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month_start,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
            CAST(date_diff('day', o_orderdate,
                           TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_2002
@@ -778,7 +778,12 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.quarter("o_orderdate").alias("order_quarter"),
             F.month("o_orderdate").alias("order_month"),
             F.dayofmonth("o_orderdate").alias("order_day"),
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+            # emitted as a string: Spark DATE reaches pandas as datetime.date
+            # while DuckDB DATE/TIMESTAMP arrives as datetime64 — a
+            # dtype-sensitive canonicalizer (the q12 failure class) would
+            # hash them apart even though the values are equal
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")),
+                          "yyyy-MM-dd").alias("order_month_start"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
             F.datediff(F.lit("2002-01-01 00:00:00").cast("timestamp"),
                        F.col("o_orderdate")).alias("days_to_2002"))

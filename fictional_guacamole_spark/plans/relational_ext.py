@@ -573,3 +573,41 @@ def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND l.l_extendedprice > 90000)
         ORDER BY s_suppkey
     """)
+
+
+@query(
+    "scalar_variant_funcs",
+    survey_ref="§2.5 semi-structured Variant type (Spark 4 parse_json)",
+    description="VariantType field access over the events.props payload",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing,
+           (json_extract(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VariantType: ``parse_json`` builds the binary variant
+    once, then typed ``variant_get`` paths extract fields without
+    re-parsing the JSON text per access — at scan scale this is the
+    replacement for repeated get_json_object over the same payload.
+    The judged projection is scalar-typed (the variant itself never
+    reaches the result schema); the DuckDB oracle replays the same
+    extractions over the raw JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    staged = ev.select("event_id", v.alias("__v"))
+    return (
+        staged.select(
+            "event_id",
+            F.variant_get(F.col("__v"), "$.k", "bigint").alias("k_int"),
+            F.variant_get(F.col("__v"), "$.k", "string").alias("k_str"),
+            F.try_variant_get(F.col("__v"), "$.missing", "bigint")
+             .alias("k_missing"),
+            F.variant_get(F.col("__v"), "$.k", "string").isNotNull()
+             .alias("has_k"))
+        .orderBy("event_id")
+    )
