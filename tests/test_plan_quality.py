@@ -186,3 +186,61 @@ class TestNoDriverCollect:
         the operator isn't distributed)."""
         df = REGISTRY[name].builder(spark, SF)
         assert df is not None and df.columns
+
+
+class TestBucketedLayout:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """The fact⋈fact layout story: two tables written with the same
+        bucket spec must sort-merge-join with NO Exchange on either side —
+        the write-once shuffle replaces the per-query shuffle (at 100 TB,
+        the single biggest recurring cost in the orders⋈lineitem family).
+        Broadcast is disabled so the test exercises the SMJ path that
+        matters when neither side is small."""
+        from fictional_guacamole_spark.operators.bucketing import (
+            bucketed_join, write_bucketed)
+        from fictional_guacamole_spark.tables import load_table
+
+        orders = load_table(spark, SF, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice")
+        li = load_table(spark, SF, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            write_bucketed(orders, "b_orders", "o_orderkey", 8)
+            write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                           "b_lineitem", "o_orderkey", 8)
+            joined = bucketed_join(spark, "b_orders", "b_lineitem",
+                                   "o_orderkey")
+            plan = joined._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted"))
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # and it is not just a pretty plan — the join is correct
+            expected = orders.join(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "o_orderkey").count()
+            assert joined.count() == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    def test_mismatched_bucket_counts_still_correct(self, spark):
+        """Guard the semantics note in operators/bucketing.py: bucket
+        specs are an optimization, never a correctness dependency."""
+        from fictional_guacamole_spark.operators.bucketing import (
+            write_bucketed)
+        from fictional_guacamole_spark.tables import load_table
+        nation = load_table(spark, SF, "nation")
+        try:
+            write_bucketed(nation, "b_nation_4", "n_nationkey", 4)
+            write_bucketed(nation.select("n_nationkey", "n_name"),
+                           "b_nation_2", "n_nationkey", 2)
+            j = (spark.table("b_nation_4").select("n_nationkey")
+                 .join(spark.table("b_nation_2"), "n_nationkey"))
+            assert j.count() == nation.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_nation_4")
+            spark.sql("DROP TABLE IF EXISTS b_nation_2")
