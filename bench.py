@@ -14,7 +14,12 @@ A warm-up query runs first so JVM/codegen startup isn't attributed to the
 first measured query.
 
 Per-run timings are also appended to BENCH_HISTORY.jsonl (committed) so
-later rounds can diff per-query regressions, not just the total.
+later rounds can diff per-query regressions, not just the total. The r2
+verdict found the host's noise band (14.9–45.5 s for an identical query
+set) made single totals unusable for regression detection, so the output
+now also carries ``vs_history``: each query's min-of-3 against the rolling
+median of its committed history, making a real regression (a plan change)
+distinguishable from a loaded host (every query moves together).
 """
 
 from __future__ import annotations
@@ -47,14 +52,45 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_queries.items()):
-        # min of two runs: the host shows multi-second scheduling noise,
+        # min of three runs: the host shows multi-second scheduling noise,
         # and min is the standard robust estimator for wall-time benches
+        # (r2's min-of-2 left the official number ~2× the r1 fluke)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             materialize(q.builder(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+
+    # per-query delta vs the committed history's rolling median, so a real
+    # regression (one query moves, plan changed) is distinguishable from a
+    # loaded host (every query moves together)
+    hist_path = Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl"
+    hist_by_query: dict[str, list[float]] = {}
+    try:
+        sf_val = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        for line in hist_path.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if str(rec.get("sf")) != sf_val:
+                continue
+            for qn, secs in (rec.get("queries") or {}).items():
+                hist_by_query.setdefault(qn, []).append(float(secs))
+    except OSError:
+        pass
+
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    vs_history = {
+        qn: {"median": round(median(h), 4),
+             "delta_pct": round(100.0 * (timings[qn] - median(h)) / median(h), 1)}
+        for qn, h in hist_by_query.items() if qn in timings and h
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -62,12 +98,14 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "vs_history": vs_history,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     print(json.dumps(out))
     try:
         hist = dict(out, ts=int(time.time()),
                     round=os.environ.get("SPARK_GRAFT_ROUND"))
+        hist.pop("vs_history", None)  # keep history lines raw-timings-only
         with open(Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl",
                   "a") as f:
             f.write(json.dumps(hist) + "\n")

@@ -168,6 +168,55 @@ def _bucketed_topk(c: DataFrame, queries: DataFrame, bk_col: str, k: int,
     )
 
 
+def sql_lsh_topk_oracle(table: str = "embeddings", id_col: str = "vec_id",
+                        n_queries: int = 5, k: int = 10, dim: int = 64,
+                        n_planes: int = 4, n_tables: int = 8,
+                        seed: int = 42) -> str:
+    """Full DuckDB replay of :func:`lsh_topk` — the hyperplanes are
+    deterministic LCG literals, so the SAME plane values are rendered into a
+    ``VALUES`` CTE and the whole bucketing + scoring pipeline becomes plain
+    SQL. Sign tests (``dot > 0``) agree bit-for-bit because the dot product
+    uses the shared deterministic fold (:func:`sql_dot` ≡ :func:`dot`,
+    already proven identical by ``sim_cosine_topk``); bucket packing is
+    integer arithmetic. Result: the approximate ANN path gets a FULL value
+    oracle, not a rows-only check."""
+    rows = []
+    for t in range(n_tables):
+        for i, p in enumerate(_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            lit = "[" + ", ".join(repr(x) for x in p) + "]"
+            rows.append(f"({t}, {1 << i}, CAST({lit} AS DOUBLE[]))")
+    values = ",\n      ".join(rows)
+    proj = ("list_sum(list_transform(generate_series(1, len(e.embedding)), "
+            "i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]))")
+    cos = sql_cosine("q.embedding", "n.embedding")
+    return f"""
+    WITH planes(t, bit, p) AS (VALUES
+      {values}),
+    sigs AS (
+      SELECT e.{id_col} AS vec_id, pl.t,
+             SUM(CASE WHEN {proj} > 0 THEN pl.bit ELSE 0 END) AS bucket
+      FROM {table} e CROSS JOIN planes pl
+      GROUP BY e.{id_col}, pl.t),
+    cand AS (
+      SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+      FROM sigs qs JOIN sigs cs ON qs.t = cs.t AND qs.bucket = cs.bucket
+      WHERE qs.vec_id < {n_queries} AND qs.vec_id <> cs.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {cos} AS cos_sim
+      FROM cand c
+      JOIN {table} q ON q.{id_col} = c.query_id
+      JOIN {table} n ON n.{id_col} = c.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
 # --- IVF (inverted-file index via MLlib k-means) ---------------------------
 
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,

@@ -17,6 +17,19 @@ family already has an in-window sibling (e.g. ``window_percent_rank`` backs
 up ``window_topk_orders_per_customer``; ``q5``/``q7`` back up ``q3``/``q10``)
 — each remains locally verified every test run.
 
+Round 3 rotates the window (per the r2 verdict): eight queries that earned
+green CORRECTNESS_r02 rows (``dedup_simhash``, ``dedup_ngram_jaccard``,
+``text_fingerprint``, ``text_edit_distance``, ``agg_percentiles``,
+``udtf_gap_expand``, ``scalar_array_funcs``, ``scalar_map_funcs``) move to
+the tail, making room for the six round-2 operators that had only local
+verification (``join_interval_bucketed``, ``agg_approx_percentile``,
+``text_gopher_quality``, ``sample_stratified``, ``scalar_variant_funcs``,
+``pipeline_sequence_pack``) plus two round-3 additions
+(``asof_trades_book``: the trades⋈book as-of over REAL kernel output;
+``sim_ivf_topk``: now error-bound-oracled). Every family keeps an in-window
+representative, and the union of r1–r3 green rows covers every family's
+rotated-out members.
+
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
 """
@@ -44,9 +57,10 @@ JUDGE_WINDOW: list[str] = [
     "q19_disjunctive_predicates",  # disjunctive multi-column pushdown
     # -- join / agg / window / set / pivot / scalar categories ------------
     "join_nonequi_funnel",         # theta/range join
+    "join_interval_bucketed",      # key-less interval join (bucketized, r2)
     "agg_rollup_nation_segment",   # ROLLUP hierarchy
-    "agg_percentiles",             # exact ordered-set aggregates
     "agg_approx_distinct",         # HLL sketch, error-bounded oracle
+    "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
     "window_running_spend",        # running frame agg
     "window_topk_orders_per_customer",  # rank + filter (per-group top-k)
     "topk_global_orders",          # global TakeOrderedAndProject
@@ -55,36 +69,35 @@ JUDGE_WINDOW: list[str] = [
     "scalar_string_funcs",         # P5 value decoding evidence
     "scalar_date_funcs",           # P6 timestamp evidence
     "scalar_json_extract",         # P1 JSON deserialization evidence
-    "scalar_array_funcs",          # array construct/sort/slice/search
-    "scalar_map_funcs",            # JSON → map → keys/lookup
+    "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
     # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
     "t2_book_kernel_gaps",         # T1/T2/T5 stateful kernel, batch mode
     "t3_topk_book_format",         # T3 top-K + volume@price packing
     "t4_consecutive_change_dedup", # T4 change-detection dedup
     "t5_gap_audit",                # T5 sequence-gap detection
     "cogroup_event_order_align",   # cogrouped applyInPandas
-    "udtf_gap_expand",             # Python UDTF
+    "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
     "asof_join_last_purchase",     # as-of join
     "join_salted_hot_key",         # skew-mitigation salting
     "stream_tumbling_window",      # streaming window agg (batch-verified)
     "stream_session_window",       # session window
     # -- LLM training-data pipeline operators -----------------------------
     "dedup_exact_documents",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_components",
-    "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_topk",
+    "sim_ivf_topk",
     "dedup_embedding_cosine",
     "text_stats",
     "text_lang_id",
     "text_token_count",
-    "text_fingerprint",
-    "text_edit_distance",
+    "text_gopher_quality",         # Gopher quality rules (r2)
     "sample_deterministic",
+    "sample_stratified",           # per-stratum hash-bucket sampling (r2)
     "text_quality_filter",
+    "pipeline_sequence_pack",      # sequence packing (r2)
     "pipeline_training_corpus",
     # multimodal: both entries oracle-backed — the mapInPandas codec path
     # is evidenced by feature_extract (same Arrow surface as decode_meta,

@@ -486,6 +486,80 @@ def agg_ohlcv_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_trades_book",
+    survey_ref="§2.5 as-of join: trades ⋈ prevailing book state (REAL kernel output)",
+    description="Align kernel trade rows with the prevailing top-of-book via as-of join",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, event_id, ts,
+             '1.00@' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS best_bid,
+             '2.00@' || CAST(CAST(value + 100 AS DECIMAL(12,2)) AS VARCHAR) AS best_ask
+      FROM events WHERE event_type = 'view'),
+    books AS (
+      SELECT user_id, ts, best_bid, best_ask
+      FROM (SELECT user_id, ts, best_bid, best_ask,
+                   LAG(best_bid || '|' || best_ask)
+                     OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+            FROM snaps)
+      WHERE prev IS NULL OR prev <> best_bid || '|' || best_ask),
+    trades AS (
+      SELECT user_id, event_id AS trade_id, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS price,
+             CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS volume
+      FROM events WHERE event_type = 'purchase')
+    SELECT CAST(t.user_id AS VARCHAR) AS product_id, t.trade_id,
+           t.price, t.volume, b.best_bid, b.best_ask
+    FROM trades t ASOF LEFT JOIN books b
+      ON t.user_id = b.user_id AND t.ts > b.ts
+    ORDER BY t.trade_id
+    """,
+)
+def asof_trades_book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's trade⋈book alignment (SURVEY §2.5) over the REAL
+    stateful kernel's output: 'view' events become snapshot frames (a
+    one-level book with a derived ask side), 'purchase' events become match
+    frames, both replay through apply_book_kernel; each emitted trade row is
+    then as-of joined (operators/asof.py, one shuffle) to the most recent
+    strictly-earlier emitted book row of its product. The oracle replays
+    snapshot install (T1), consecutive-change dedup (T4: LAG-suppressed
+    repeats) and the as-of alignment in pure SQL (DuckDB ASOF JOIN), so the
+    kernel's book EMISSION semantics — not just trade passthrough — get a
+    driver-green value check."""
+    ev = load_table(spark, sf_dir, "events")
+    price = F.col("value").cast("decimal(12,2)").cast("string")
+    ask_price = (F.col("value") + 100).cast("decimal(12,2)").cast("string")
+    is_snap = F.col("event_type") == "view"
+    frames = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.col("event_id").alias("seq"),
+        F.col("ts").alias("server_ts"),
+        F.col("user_id").cast("string").alias("product_id"),
+        F.when(is_snap, "snapshot").otherwise("match").alias("msg_type"),
+        F.when(is_snap, F.array(F.array(price, F.lit("1.00")))).alias("bids"),
+        F.when(is_snap, F.array(F.array(ask_price, F.lit("2.00")))).alias("asks"),
+        F.lit(None).cast("array<array<string>>").alias("changes"),
+        F.when(~is_snap, F.col("event_id")).cast("long").alias("trade_id"),
+        F.lit(None).cast("long").alias("sequence"),
+        F.when(~is_snap, price).alias("price"),
+        F.when(~is_snap, price).alias("volume"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("timestamp").alias("exchange_ts"),
+    )
+    out = apply_book_kernel(ensure_frame_schema(frames))
+    books = out.filter(F.col("out_type") == "book").select(
+        "product_id", F.col("server_ts").alias("book_ts"),
+        F.element_at("bids", 1).alias("best_bid"),
+        F.element_at("asks", 1).alias("best_ask"))
+    trades = out.filter(F.col("out_type") == "trade").select(
+        "product_id", "trade_id", "server_ts", "price", "volume")
+    joined = asof_join(trades, books, on="product_id",
+                       left_time="server_ts", right_time="book_ts",
+                       value_cols=["best_bid", "best_ask"], strict=True)
+    return (joined.select("product_id", "trade_id", "price", "volume",
+                          "best_bid", "best_ask")
+            .orderBy("trade_id"))
+
+
+@query(
     "asof_join_last_purchase",
     survey_ref="§2.5 as-of join (trades ⋈ prevailing book state)",
     description="Attach each event's most recent strictly-earlier purchase (as-of join)",

@@ -2,12 +2,16 @@
 API — the modern stateful-processor surface (successor of
 ``applyInPandasWithState``, with named state variables, TTL, and timers).
 
-Semantics: the reference's per-product trade-id completeness check
-(/root/reference/real_guac.py:104-112 — track ``last_trade_ids``, alarm on
-``current > last + 1``), held as keyed ValueState. The engine's primary
-implementation of T5 is the book kernel's gap side-output
-(operators/book.py) on applyInPandasWithState; this module carries the
-identical semantics on the v2 API so both stateful surfaces are covered.
+Semantics: the gap ARITHMETIC mirrors the reference's per-product trade-id
+completeness check (/root/reference/real_guac.py:104-112 — track
+``last_trade_ids``, alarm on ``current > last + 1``), held as keyed
+ValueState; the STATE UPDATE deliberately deviates by keeping the maximum
+id (a monotone watermark) where the reference overwrites unconditionally —
+see the :func:`merge_sequence_batch` docstring for the rationale
+(batch-split invariance). The engine's primary implementation of T5 is the
+book kernel's gap side-output (operators/book.py) on
+applyInPandasWithState; this module carries the same check on the v2 API
+so both stateful surfaces are covered.
 
 CONTAINER LIMITATION: transformWithStateInPandas drives its state server
 through a protobuf RPC channel, and the ``google.protobuf`` package is not

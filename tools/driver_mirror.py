@@ -95,8 +95,9 @@ def main() -> int:
             print(f"ROWS  {name}: spark={len(sdf)} duck={len(ddf)}")
         elif sh != dh:
             failures.append(name)
-            only_s = [l for l in slines if l not in set(dlines)][:2]
-            only_d = [l for l in dlines if l not in set(slines)][:2]
+            ds, ss = set(dlines), set(slines)
+            only_s = [l for l in slines if l not in ds][:2]
+            only_d = [l for l in dlines if l not in ss][:2]
             sdt = dict(zip(sdf[sorted(sdf.columns)].columns,
                            [str(t) for t in sdf[sorted(sdf.columns)].dtypes]))
             ddt = dict(zip(ddf[sorted(ddf.columns)].columns,
