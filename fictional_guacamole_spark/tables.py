@@ -71,12 +71,9 @@ SCHEMAS: dict[str, T.StructType] = {
         T.StructField("l_linestatus", T.StringType()),
         T.StructField("l_shipdate", T.TimestampType()),
     ]),
-    # ts is stored as parquet TIMESTAMP(NANOS): read as raw int64 nanos
-    # (spark.sql.legacy.parquet.nanosAsLong) and floor to µs in load_table —
-    # bit-identical to DuckDB's ns→µs truncation on read.
     "events": T.StructType([
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -103,7 +100,6 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """Queries may run under a caller-provided SparkSession (the driver's
     harness passes its own); set the configs our reads depend on at runtime.
     Both are dynamic SQL confs, so this is safe on a live session."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # performance, not correctness: match shuffle width to the host (the
     # harness session defaults to 200 — AQE coalesces, but iterative and
@@ -148,11 +144,7 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with its declared schema."""
     _ensure_session_conf(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        from pyspark.sql import functions as F
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
