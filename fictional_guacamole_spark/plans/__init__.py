@@ -17,18 +17,21 @@ family already has an in-window sibling (e.g. ``window_percent_rank`` backs
 up ``window_topk_orders_per_customer``; ``q5``/``q7`` back up ``q3``/``q10``)
 — each remains locally verified every test run.
 
-Round 3 rotates the window (per the r2 verdict): eight queries that earned
-green CORRECTNESS_r02 rows (``dedup_simhash``, ``dedup_ngram_jaccard``,
-``text_fingerprint``, ``text_edit_distance``, ``agg_percentiles``,
-``udtf_gap_expand``, ``scalar_array_funcs``, ``scalar_map_funcs``) move to
-the tail, making room for the six round-2 operators that had only local
-verification (``join_interval_bucketed``, ``agg_approx_percentile``,
-``text_gopher_quality``, ``sample_stratified``, ``scalar_variant_funcs``,
-``pipeline_sequence_pack``) plus two round-3 additions
-(``asof_trades_book``: the trades⋈book as-of over REAL kernel output;
-``sim_ivf_topk``: now error-bound-oracled). Every family keeps an in-window
-representative, and the union of r1–r3 green rows covers every family's
-rotated-out members.
+Round 3 rotated the window (per the r2 verdict) to judge the round-2
+operators that had only local verification. Round 5 rotates a third time
+(per the r4 verdict, its #1 task): the 18 registered queries that had never
+earned a driver CORRECTNESS row in any round — q2/q8/q9/q11/q13/q15/q16/
+q17/q20/q21 (the remaining TPC-H shapes), ``t5_gap_enumerate``,
+``agg_ohlcv_candles``, ``agg_stats_moments``, ``agg_grouping_sets``,
+``stream_sliding_window``, ``text_winnow_fingerprints``,
+``dedup_winnow_pairs``, ``multimodal_decode_meta`` — move into the window,
+displacing 18 siblings that are green in both CORRECTNESS_r03 and _r04
+(their family keeps an in-window representative AND a green row in the
+r1–r5 union). ``bench_book_kernel_throughput`` stays bench-only by design:
+its output is a throughput measurement frame, and the kernel it measures is
+already value-judged through ``t2_book_kernel_gaps`` / ``asof_trades_book``.
+With this rotation the union of r1–r5 driver-green rows covers all 105
+registered queries except that one bench frame.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -46,64 +49,70 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.
+# Round-5 rotation: (in) the 18 never-driver-judged queries; (out) 18
+# siblings green in both r3 and r4 — q3, q12, q18, q22, q19,
+# join_nonequi_funnel, join_interval_bucketed, agg_rollup_nation_segment,
+# agg_approx_distinct, window_running_spend, scalar_string_funcs,
+# scalar_date_funcs, t3_topk_book_format, t4_consecutive_change_dedup,
+# stream_tumbling_window, dedup_lsh_verified, text_stats, text_lang_id.
 JUDGE_WINDOW: list[str] = [
     # -- flagship TPC-H shapes (joins+aggs+subqueries+pushdown) -----------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
-    "q3_shipping_priority",        # join + agg + top-k
     "q10_returned_items",          # broadcast-dim + fact join + top-k
-    "q12_priority_shipping",       # conditional aggregation (CASE in SUM)
-    "q18_large_orders",            # semi join on aggregated subquery
-    "q22_dormant_customers",       # scalar subquery + anti join
-    "q19_disjunctive_predicates",  # disjunctive multi-column pushdown
+    "q2_min_cost_supplier",        # correlated min subquery, 5-way join (r5)
+    "q8_nation_market_share",      # 8-way join + conditional share (r5)
+    "q9_product_type_profit",      # LIKE filter + 6-way join profit (r5)
+    "q11_important_stock",         # group HAVING vs scalar subquery (r5)
+    "q13_order_count_distribution",  # outer join + double agg (r5)
+    "q15_top_supplier",            # agg view + max-equality join (r5)
+    "q16_supplier_part_variety",   # anti join + distinct count (r5)
+    "q17_small_quantity_revenue",  # correlated avg subquery (r5)
+    "q20_excess_shippers",         # nested semi joins (r5)
+    "q21_waiting_suppliers",       # exists/not-exists multi-lineitem (r5)
     # -- join / agg / window / set / pivot / scalar categories ------------
-    "join_nonequi_funnel",         # theta/range join
-    "join_interval_bucketed",      # key-less interval join (bucketized, r2)
-    "agg_rollup_nation_segment",   # ROLLUP hierarchy
-    "agg_approx_distinct",         # HLL sketch, error-bounded oracle
     "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
-    "window_running_spend",        # running frame agg
+    "agg_grouping_sets",           # explicit GROUPING SETS (r5)
+    "agg_stats_moments",           # stddev/skew/kurtosis moments (r5)
+    "agg_ohlcv_candles",           # time-bucket OHLCV candles (r5)
     "window_topk_orders_per_customer",  # rank + filter (per-group top-k)
     "topk_global_orders",          # global TakeOrderedAndProject
     "set_intersect_repeat_customers",   # INTERSECT
     "pivot_status_by_priority",    # pivot
-    "scalar_string_funcs",         # P5 value decoding evidence
-    "scalar_date_funcs",           # P6 timestamp evidence
     "scalar_json_extract",         # P1 JSON deserialization evidence
     "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
     # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
     "t2_book_kernel_gaps",         # T1/T2/T5 stateful kernel, batch mode
-    "t3_topk_book_format",         # T3 top-K + volume@price packing
-    "t4_consecutive_change_dedup", # T4 change-detection dedup
     "t5_gap_audit",                # T5 sequence-gap detection
+    "t5_gap_enumerate",            # T5 per-missing-seq enumeration (r5)
     "cogroup_event_order_align",   # cogrouped applyInPandas
     "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
     "asof_join_last_purchase",     # as-of join
     "join_salted_hot_key",         # skew-mitigation salting
-    "stream_tumbling_window",      # streaming window agg (batch-verified)
     "stream_session_window",       # session window
+    "stream_sliding_window",       # sliding/hopping window agg (r5)
     # -- LLM training-data pipeline operators -----------------------------
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "dedup_lsh_verified",
     "dedup_components",
+    "dedup_winnow_pairs",          # winnowing fingerprint pairs (r5)
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
     "dedup_embedding_cosine",
-    "text_stats",
-    "text_lang_id",
     "text_token_count",
     "text_gopher_quality",         # Gopher quality rules (r2)
+    "text_winnow_fingerprints",    # SIGMOD'03 winnowing fingerprints (r5)
     "sample_deterministic",
     "sample_stratified",           # per-stratum hash-bucket sampling (r2)
     "text_quality_filter",
     "pipeline_sequence_pack",      # sequence packing (r2)
     "pipeline_training_corpus",
-    # multimodal: both entries oracle-backed — the mapInPandas codec path
-    # is evidenced by feature_extract (same Arrow surface as decode_meta,
-    # but hash-verifiable); decode_meta stays locally tested in the tail
     "multimodal_binary_meta",
     "multimodal_feature_extract",
+    # rows-only by design: decode_meta exercises the stubbed codec path —
+    # its sibling feature_extract (same mapInPandas Arrow surface) carries
+    # the value hash; decode_meta's driver row certifies schema+rows
+    "multimodal_decode_meta",
 ]
 
 
