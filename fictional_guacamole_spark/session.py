@@ -39,11 +39,10 @@ def get_spark(app_name: str = "fictional_guacamole_spark",
         # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # deterministic timestamp semantics across Spark and the DuckDB oracle
+        # (the events fixture is physical TIMESTAMP(MICROS) at every SF —
+        # verified via pyarrow ParquetFile.schema — so no legacy nanos flag
+        # is needed and get_spark() sessions match caller-provided ones)
         .config("spark.sql.session.timeZone", "UTC")
-        # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read the raw int64 nanos and convert in tables.py
-        # (floor to µs — matching DuckDB's own ns→µs truncation on read).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # RocksDB state store: streaming state lives off-heap/on-disk per
