@@ -24,7 +24,7 @@ from fictional_guacamole_spark.plans.compat import dsum
 from fictional_guacamole_spark.operators.book import apply_book_kernel
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.streaming.frames import ensure_frame_schema
-from fictional_guacamole_spark.tables import fan_out, load_table
+from fictional_guacamole_spark.tables import load_table
 
 
 @query(
@@ -367,10 +367,21 @@ def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2update or match frame keyed by supplier (100 books at sf0.1, ~6k
     frames each). Exercises the real Arrow → pandas → state-merge path at
     the same per-key frame volume a deep live book would see."""
-    # frame construction (decimal→string casts, array packing) is the
-    # narrow CPU-heavy stage before the kernel's keyed shuffle — fan it out
-    # so the local single-row-group scan doesn't pin it to one core
-    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    # ONE shuffle, of the narrow raw columns: repartition on the exact
+    # string key the kernel groups by, so (a) Catalyst elides the
+    # groupBy("product_id") exchange under FlatMapGroupsInPandas (the
+    # projection's alias is the same cast expression), and (b) the wide
+    # frame projection (decimal→string casts, array packing) runs
+    # DISTRIBUTED after the cheap shuffle instead of shuffling the built
+    # frames a second time. Verified plan: a single Exchange
+    # hashpartitioning(cast(l_suppkey as string)) directly under the
+    # kernel — at 100 TB this halves shuffle volume vs. shuffling the
+    # packed frames and keeps the hot projection off the scan's narrow
+    # parallelism.
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "l_suppkey",
+                  "l_returnflag", "l_extendedprice", "l_quantity")
+          .repartition(F.col("l_suppkey").cast("string")))
     is_trade = F.col("l_returnflag") == "R"
     frames = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),

@@ -220,11 +220,12 @@ snapshot_levels = st.dictionaries(prices, volumes.filter(lambda v: v != "0"),
 @given(deltas=changes,
        trade_ids=st.lists(st.integers(1, 40), min_size=0, max_size=10))
 def test_process_batch_equals_process_frames(deltas, trade_ids):
-    """The columnar fast path used by the Spark kernels must emit the
-    exact row sequence of the dict-based reference implementation."""
+    """The columnar fast path used by the Spark kernels must emit, per
+    output type, the exact row sequence of the dict-based reference
+    implementation (the union is split into book/trade/gap streams at
+    emission; each stream keeps its own order)."""
     import pandas as pd
-    from fictional_guacamole_spark.operators.book import (
-        OUTPUT_SCHEMA, process_batch)
+    from fictional_guacamole_spark.operators.book import process_batch
 
     frames = [frame(0, "snapshot", bids=[["100", "1"], ["90", "2"]],
                     asks=[["110", "1"]])]
@@ -238,13 +239,18 @@ def test_process_batch_equals_process_frames(deltas, trade_ids):
         seq += 1
 
     ref = list(process_frames(OrderBook(), iter(frames)))
-    cols = [f.name for f in OUTPUT_SCHEMA.fields]
     fast = process_batch(OrderBook(), pd.DataFrame(frames))
 
-    def canon(rows):
-        return [{k: r.get(k) for k in cols} for r in rows]
-
-    assert canon(fast) == canon(ref)
+    assert fast.books == [
+        (r["product_id"], r["server_ts"], r["bids"], r["asks"])
+        for r in ref if r["out_type"] == "book"]
+    assert fast.trades == [
+        (r["product_id"], r["server_ts"], r["trade_id"], r["sequence"],
+         r["price"], r["volume"], r["side"], r["exchange_ts"])
+        for r in ref if r["out_type"] == "trade"]
+    assert fast.gaps == [
+        (r["product_id"], r["server_ts"], r["gap_first_id"], r["gap_last_id"])
+        for r in ref if r["out_type"] == "gap"]
 
 
 @settings(max_examples=200, deadline=None)
