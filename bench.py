@@ -20,6 +20,17 @@ set) made single totals unusable for regression detection, so the output
 now also carries ``vs_history``: each query's min-of-3 against the rolling
 median of its committed history, making a real regression (a plan change)
 distinguishable from a loaded host (every query moves together).
+
+Round 5 makes the run self-defending against host noise (the r4 bench
+measured 46% above median on bit-identical code): a fixed-cost calibration
+probe — a single-partition 200M-row ``max(xxhash64(id))`` JVM job, constant
+work with no IO or shuffle — is timed at the start, middle, and end of the
+measured set. ``calibration_s`` (median of the three) over the pinned
+``calibration_ref_s`` (0.52 s, the quiet-host median of 7 probe runs when
+the constant was set) gives ``noise_factor``; ``queries_normalized`` =
+raw / noise_factor, and ``vs_history`` carries both the raw and the
+noise-normalized delta, so a loaded host reads as "factor 1.5, normalized
+deltas flat" while a real regression survives normalization.
 """
 
 from __future__ import annotations
@@ -37,6 +48,24 @@ from fictional_guacamole_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Quiet-host reference for the calibration probe (median of 7 runs on the
+# round-5 host at measurement time). The probe's absolute time only matters
+# relative to this constant; re-pin it if the probe workload ever changes.
+CALIBRATION_REF_S = 0.52
+CALIBRATION_ROWS = 200_000_000
+
+
+def _probe(spark) -> float:
+    """Fixed-cost, single-partition, IO-free JVM job: its wall time moves
+    only with host load, so it converts 'is the host busy?' from a guess
+    into a measurement taken inside the same process as the queries."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (spark.range(CALIBRATION_ROWS, numPartitions=1)
+     .select(F.max(F.xxhash64("id"))).collect())
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     spark = get_spark("fg-bench")
@@ -49,9 +78,12 @@ def main() -> None:
     # Warm-up: run the cheapest query once so session/codegen startup cost
     # is not attributed to the first measured query.
     materialize(REGISTRY["q6_forecast_revenue"].builder(spark, SF_DIR))
+    _probe(spark)  # probe warm-up (codegen for the probe plan itself)
 
+    probes = [_probe(spark)]
     timings: dict[str, float] = {}
-    for name, q in sorted(bench_queries.items()):
+    ordered = sorted(bench_queries.items())
+    for i, (name, q) in enumerate(ordered):
         # min of three runs: the host shows multi-second scheduling noise,
         # and min is the standard robust estimator for wall-time benches
         # (r2's min-of-2 left the official number ~2× the r1 fluke)
@@ -61,6 +93,9 @@ def main() -> None:
             materialize(q.builder(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        if i == len(ordered) // 2 - 1:
+            probes.append(_probe(spark))  # mid-set load sample
+    probes.append(_probe(spark))
 
     # per-query delta vs the committed history's rolling median, so a real
     # regression (one query moves, plan changed) is distinguishable from a
@@ -86,9 +121,18 @@ def main() -> None:
         mid = len(xs) // 2
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
+    calibration_s = round(median(probes), 4)
+    noise_factor = round(calibration_s / CALIBRATION_REF_S, 3)
+    normalized = {qn: round(t / noise_factor, 4) for qn, t in timings.items()}
+
     vs_history = {
         qn: {"median": round(median(h), 4),
-             "delta_pct": round(100.0 * (timings[qn] - median(h)) / median(h), 1)}
+             "delta_pct": round(100.0 * (timings[qn] - median(h)) / median(h), 1),
+             # the load-corrected delta: what the query would have read on
+             # a reference-speed host — a real regression survives this,
+             # a loaded host does not
+             "delta_norm_pct": round(
+                 100.0 * (normalized[qn] - median(h)) / median(h), 1)}
         for qn, h in hist_by_query.items() if qn in timings and h
     }
 
@@ -98,6 +142,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "calibration_s": calibration_s,
+        "calibration_ref_s": CALIBRATION_REF_S,
+        "noise_factor": noise_factor,
+        "queries_normalized": normalized,
+        "value_normalized": round(sum(normalized.values()), 4),
         "vs_history": vs_history,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
@@ -105,7 +154,12 @@ def main() -> None:
     try:
         hist = dict(out, ts=int(time.time()),
                     round=os.environ.get("SPARK_GRAFT_ROUND"))
-        hist.pop("vs_history", None)  # keep history lines raw-timings-only
+        # history lines stay raw-timings-only (+ the calibration sample so
+        # future rounds can load-correct old entries); derived views are
+        # recomputed at read time
+        hist.pop("vs_history", None)
+        hist.pop("queries_normalized", None)
+        hist.pop("value_normalized", None)
         with open(Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl",
                   "a") as f:
             f.write(json.dumps(hist) + "\n")
