@@ -17,6 +17,10 @@ CONTAINER LIMITATION: transformWithStateInPandas drives its state server
 through a protobuf RPC channel, and the ``google.protobuf`` package is not
 installed in this container (verified: the TWS driver worker exits with
 ``ImportError: cannot import name 'descriptor' from 'google.protobuf'``).
+Installing it was attempted once (round 5, per the r4 verdict):
+``python -m pip install protobuf`` fails with "No matching distribution
+found for protobuf (from versions: none)" — the public index is
+unreachable from this container, so the skip is permanent here.
 The merge logic is therefore factored into :func:`merge_sequence_batch`,
 a pure function unit-tested directly (tests/test_tws.py), and the
 streaming integration test skips unless protobuf is importable — the same

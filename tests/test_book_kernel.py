@@ -104,6 +104,122 @@ class TestChangeDedup:
         assert b.emit_if_changed() is None
 
 
+class _NaiveDedupBook:
+    """Oracle for the fast-path dirty guard: full re-select on every emit,
+    dedup by comparing against the last emitted top — no boundary
+    tracking, so it can't share the fast path's bugs."""
+
+    def __init__(self):
+        self.bids: dict[float, tuple[str, str]] = {}
+        self.asks: dict[float, tuple[str, str]] = {}
+        self.last = None
+
+    def change(self, side, price, volume):
+        book = self.bids if side == "buy" else self.asks
+        f = float(price)
+        if float(volume) == 0.0:
+            book.pop(f, None)
+        else:
+            book[f] = (price, volume)
+
+    def emit(self, depth):
+        top = ([f"{self.bids[f][1]}@{self.bids[f][0]}"
+                for f in sorted(self.bids, reverse=True)[:depth]],
+               [f"{self.asks[f][1]}@{self.asks[f][0]}"
+                for f in sorted(self.asks)[:depth]])
+        key = (tuple(top[0]), tuple(top[1]))
+        if key == self.last:
+            return None
+        self.last = key
+        return top
+
+
+# Tight price universe + depth 3 ⇒ every sequence oscillates levels at and
+# around the emitted boundary (the _bid_floor/_ask_ceil fast-path guards),
+# including boundary-equal deletes, same-key re-inserts, crossed books
+# (both sides share the universe), and shallow↔full transitions.
+_boundary_prices = st.sampled_from([f"{p}" for p in range(1, 7)])
+_boundary_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("change"),
+                  st.sampled_from(["buy", "sell"]),
+                  _boundary_prices,
+                  st.sampled_from(["0", "0", "1", "2"])),  # delete-heavy
+        st.tuples(st.just("emit")),
+    ),
+    min_size=1, max_size=80)
+
+
+class TestBoundaryFastPath:
+    """r4 verdict task 8: adversarial oscillation of the depth-th level
+    exactly at the dirty-guard boundary (operators/book.py:102-108 and the
+    floor/ceil refresh in emit_if_changed)."""
+
+    @settings(max_examples=300, deadline=None)
+    @given(snapshot_bids=st.dictionaries(
+               _boundary_prices, st.sampled_from(["1", "2"]), max_size=5),
+           snapshot_asks=st.dictionaries(
+               _boundary_prices, st.sampled_from(["1", "2"]), max_size=5),
+           ops=_boundary_ops)
+    def test_dirty_guard_equals_full_reselect(self, snapshot_bids,
+                                              snapshot_asks, ops):
+        depth = 3
+        fast = OrderBook()
+        fast.install_snapshot(bids=list(snapshot_bids.items()),
+                              asks=list(snapshot_asks.items()))
+        naive = _NaiveDedupBook()
+        for p, v in snapshot_bids.items():
+            naive.change("buy", p, v)
+        for p, v in snapshot_asks.items():
+            naive.change("sell", p, v)
+        assert fast.emit_if_changed(depth) == naive.emit(depth)
+
+        for op in ops:
+            if op[0] == "change":
+                _, side, price, volume = op
+                fast.apply_change(side, price, volume)
+                naive.change(side, price, volume)
+            else:
+                assert fast.emit_if_changed(depth) == naive.emit(depth)
+        # final emit always compared, so trailing batched changes count
+        assert fast.emit_if_changed(depth) == naive.emit(depth)
+
+    def test_boundary_equal_delete_then_reinsert(self):
+        # delete exactly the emitted floor level, then re-insert the same
+        # key with the same volume before the next emit: top is unchanged
+        # overall and must dedup, but both ops sit ON the boundary
+        b = OrderBook()
+        b.install_snapshot(bids=[["5", "1"], ["4", "1"], ["3", "1"],
+                                 ["2", "1"]], asks=[])
+        assert b.emit_if_changed(3) is not None   # floor = 3
+        b.apply_change("buy", "3", "0")           # boundary-equal delete
+        b.apply_change("buy", "3", "1")           # boundary re-insert
+        assert b.emit_if_changed(3) is None
+        b.apply_change("buy", "3", "0")           # delete again, emit now
+        emitted = b.emit_if_changed(3)
+        assert emitted is not None and emitted[0] == ["1@5", "1@4", "1@2"]
+
+    def test_oscillation_below_floor_stays_clean(self):
+        # churn strictly below a full top must never dirty the book
+        b = OrderBook()
+        b.install_snapshot(bids=[["9", "1"], ["8", "1"], ["7", "1"]],
+                           asks=[])
+        assert b.emit_if_changed(3) is not None   # floor = 7
+        for _ in range(5):
+            b.apply_change("buy", "6.99", "2")
+            b.apply_change("buy", "6.99", "0")
+        assert b.emit_if_changed(3) is None
+
+    def test_short_top_disables_guard(self):
+        # with a shallow top the floor is None: ANY insert must emit
+        b = OrderBook()
+        b.install_snapshot(bids=[["9", "1"], ["8", "1"]], asks=[])
+        assert b.emit_if_changed(3) is not None
+        b.apply_change("buy", "1", "1")           # far below, but top short
+        emitted = b.emit_if_changed(3)
+        assert emitted is not None and emitted[0] == ["1@9", "1@8", "1@1"]
+
+
 class TestGapDetection:
     def test_first_trade_initializes_silently(self):
         b = OrderBook()
