@@ -14,13 +14,14 @@ The reference's connection behavior being reproduced:
   read() call reconnects and continues; Spark's offset contract makes the
   restart safe (frames are only committed once read returns).
 
-Transport: ``websocket-client`` when installed (TLS-capable), else the
-vendored minimal RFC 6455 client (sources/ws_client.py, ws:// only) —
-so the source is live-testable without third-party packages. The full
-path (handshake → subscribe packet → frames → Spark micro-batches →
-reconnect) runs against a loopback server in
-tests/test_websocket_source.py; the replay reader additionally exercises
-the shared offset/restart contract.
+Transport: ``websocket-client`` when installed, else the vendored minimal
+RFC 6455 client (sources/ws_client.py) — both speak ``ws://`` and
+``wss://`` (the vendored client wraps with stdlib ``ssl``), so the source
+is live-testable without third-party packages. The full path (handshake →
+subscribe packet → frames → Spark micro-batches → reconnect) runs against
+a loopback server in tests/test_websocket_source.py, including a TLS
+loopback with a self-signed certificate; the replay reader additionally
+exercises the shared offset/restart contract.
 """
 
 from __future__ import annotations
@@ -60,18 +61,33 @@ class WebsocketStreamReader(SimpleDataSourceStreamReader):
         self.products = json.loads(options.get("products", "[]"))
         self.max_frames_per_batch = int(options.get("framesPerBatch", "1000"))
         self.recv_timeout_s = float(options.get("recvTimeout", "1.0"))
+        # wss:// trust: default is the system store (right for real
+        # exchange endpoints); tlsCafile points at a CA bundle for private
+        # deployments — and for the self-signed loopback TLS test
+        self.tls_cafile = options.get("tlsCafile")
         self._ws = None
         self._seq = 0
+
+    def _ssl_context(self):
+        if self.tls_cafile:
+            import ssl
+            return ssl.create_default_context(cafile=self.tls_cafile)
+        return None  # connect() falls back to the system default context
 
     def _connect(self):
         try:
             from websocket import create_connection  # websocket-client
-            ws = create_connection(self.url, timeout=self.recv_timeout_s)
+            sslopt = ({"ca_certs": self.tls_cafile}
+                      if self.tls_cafile else None)
+            ws = create_connection(self.url, timeout=self.recv_timeout_s,
+                                   sslopt=sslopt)
         except ImportError:
-            # stdlib fallback (ws:// only): same send/recv/close surface,
-            # loopback-integration-tested in tests/test_websocket_source.py
+            # stdlib fallback (ws:// and wss://): same send/recv/close
+            # surface, loopback-integration-tested (incl. TLS) in
+            # tests/test_websocket_source.py
             from fictional_guacamole_spark.sources.ws_client import connect
-            ws = connect(self.url, timeout=self.recv_timeout_s)
+            ws = connect(self.url, timeout=self.recv_timeout_s,
+                         ssl_context=self._ssl_context())
         for packet in SUBSCRIBE_BUILDERS[self.exchange](self.products):
             ws.send(packet)
         return ws

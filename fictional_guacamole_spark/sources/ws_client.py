@@ -1,19 +1,22 @@
-"""Minimal RFC 6455 websocket client (stdlib only).
+"""Minimal RFC 6455 websocket client (stdlib only), ws:// and wss://.
 
 Fallback transport for the live source (sources/websocket.py) when the
 ``websocket-client`` package is absent. Implements exactly what an
 exchange feed needs — client handshake, masked text/binary frames,
-fragmentation reassembly, ping→pong, clean close — and nothing else
-(no extensions, no compression, no wss:// TLS here; production deploys
-with ``websocket-client`` installed get TLS from it).
+fragmentation reassembly, ping→pong, clean close, and TLS via the stdlib
+``ssl`` module (the reference endpoints are ``wss://ws-feed.gdax.com``,
+/root/reference/real_guac.py:17, and ``wss://api2.poloniex.com``,
+/root/reference/polo_ws.py:17) — and nothing else (no extensions, no
+compression).
 
 The interface mirrors ``websocket.create_connection``: ``connect()``
 returns an object with ``send(str)``, ``recv() -> str``, ``settimeout``,
 and ``close()`` — the reader treats both transports identically. The
 loopback integration tests (tests/test_websocket_source.py) drive THIS
-client against a stdlib server fixture, which is what promotes the S1/S2
-source + S5 reconnect from contract-tested to integration-tested without
-network access.
+client against a stdlib server fixture — including a TLS loopback with a
+self-signed certificate for the wss:// path — which is what promotes the
+S1/S2 source + S5 reconnect from contract-tested to integration-tested
+without network access.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ import base64
 import hashlib
 import os
 import socket
+import ssl
 import struct
 from urllib.parse import urlparse
 
@@ -126,16 +130,26 @@ class MinimalWebSocket:
         return fin, op, payload
 
 
-def connect(url: str, timeout: float = 5.0) -> MinimalWebSocket:
-    """Open a ``ws://`` connection and perform the RFC 6455 handshake."""
+def connect(url: str, timeout: float = 5.0,
+            ssl_context: ssl.SSLContext | None = None) -> MinimalWebSocket:
+    """Open a ``ws://`` or ``wss://`` connection and perform the RFC 6455
+    handshake. For ``wss://`` the TCP socket is wrapped with
+    ``ssl_context`` (default: ``ssl.create_default_context()`` — system
+    trust store + hostname verification, the right default for real
+    exchange endpoints; tests pass a context trusting their self-signed
+    loopback certificate)."""
     u = urlparse(url)
-    if u.scheme != "ws":
+    if u.scheme not in ("ws", "wss"):
         raise WebSocketError(
-            f"minimal client supports ws:// only, got {u.scheme!r} "
-            "(install websocket-client for TLS)")
-    host, port = u.hostname, u.port or 80
+            f"unsupported scheme {u.scheme!r} (expected ws:// or wss://)")
+    use_tls = u.scheme == "wss"
+    host, port = u.hostname, u.port or (443 if use_tls else 80)
     path = (u.path or "/") + (f"?{u.query}" if u.query else "")
     sock = socket.create_connection((host, port), timeout=timeout)
+    if use_tls:
+        ctx = ssl_context if ssl_context is not None \
+            else ssl.create_default_context()
+        sock = ctx.wrap_socket(sock, server_hostname=host)
     key = base64.b64encode(os.urandom(16)).decode()
     request = (
         f"GET {path} HTTP/1.1\r\n"

@@ -109,10 +109,11 @@ class LoopbackWsServer:
     """Accepts websocket connections, records what clients send, and plays
     a per-connection script of server frames."""
 
-    def __init__(self, script):
+    def __init__(self, script, ssl_context=None):
         # script(conn_index) -> list of actions:
         #   ("text", str) | ("ping", bytes) | ("close",) | ("fragmented", str)
         self.script = script
+        self.ssl_context = ssl_context       # server-side TLS for wss://
         self.received: list[list[str]] = []   # per-connection client texts
         self.connections = 0
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
@@ -142,6 +143,13 @@ class LoopbackWsServer:
                              args=(sock, conn_idx), daemon=True).start()
 
     def _handle(self, sock, conn_idx: int) -> None:
+        try:
+            if self.ssl_context is not None:
+                sock.settimeout(2.0)
+                sock = self.ssl_context.wrap_socket(sock, server_side=True)
+        except (OSError, ConnectionError):
+            sock.close()   # client rejected our cert (untrusted-cert test)
+            return
         conn = _ServerConn(sock)
         try:
             conn.handshake()
@@ -196,8 +204,8 @@ class LoopbackWsServer:
 def ws_server():
     servers = []
 
-    def make(script, expect_subscribes=1):
-        srv = LoopbackWsServer(script)
+    def make(script, expect_subscribes=1, ssl_context=None):
+        srv = LoopbackWsServer(script, ssl_context=ssl_context)
         srv.expect_subscribes = expect_subscribes
         srv.pongs = []
         servers.append(srv)
@@ -206,6 +214,31 @@ def ws_server():
     yield make
     for s in servers:
         s.stop()
+
+
+@pytest.fixture(scope="module")
+def tls_material(tmp_path_factory):
+    """Self-signed loopback certificate + keyed server context for the
+    wss:// tests. stdlib ``ssl`` cannot mint certificates, so the cert
+    comes from the openssl CLI; the whole TLS surface skips cleanly on a
+    host without it."""
+    import shutil
+    import ssl
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl CLI unavailable; cannot mint loopback cert")
+    d = tmp_path_factory.mktemp("tls")
+    key, cert = d / "key.pem", d / "cert.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "2",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
+    server_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    server_ctx.load_cert_chain(str(cert), str(key))
+    return server_ctx, str(cert)
 
 
 # --------------------------------------------------------------------------
@@ -270,6 +303,54 @@ def _frames(product: str, n: int, start: int = 0):
         for i in range(n)]
 
 
+class TestTlsTransport:
+    """wss:// over the vendored client: real TLS handshake against a
+    loopback server with a self-signed certificate, plus the
+    trust-verification failure path."""
+
+    def test_wss_handshake_and_roundtrip(self, ws_server, tls_material):
+        import ssl
+
+        server_ctx, cafile = tls_material
+        srv = ws_server(lambda i: [("text", "enc-hello")],
+                        ssl_context=server_ctx)
+        client_ctx = ssl.create_default_context(cafile=cafile)
+        ws = connect(f"wss://127.0.0.1:{srv.port}/feed", timeout=3.0,
+                     ssl_context=client_ctx)
+        ws.send("over-tls")
+        assert ws.recv() == "enc-hello"
+        ws.close()
+        assert srv.received[0] == ["over-tls"]
+
+    def test_wss_fragmented_and_ping_over_tls(self, ws_server, tls_material):
+        import ssl
+
+        server_ctx, cafile = tls_material
+        srv = ws_server(
+            lambda i: [("ping", b"k"), ("fragmented", "tls-split")],
+            expect_subscribes=0, ssl_context=server_ctx)
+        client_ctx = ssl.create_default_context(cafile=cafile)
+        ws = connect(f"wss://127.0.0.1:{srv.port}/", timeout=3.0,
+                     ssl_context=client_ctx)
+        assert ws.recv() == "tls-split"      # pong answered inline first
+        assert srv.pongs and srv.pongs[0][1] == b"k"
+        ws.close()
+
+    def test_wss_untrusted_cert_rejected(self, ws_server, tls_material):
+        import ssl
+
+        server_ctx, _ = tls_material
+        srv = ws_server(lambda i: [], ssl_context=server_ctx)
+        # default trust store does NOT contain the loopback CA: the
+        # connection must fail verification, not silently downgrade
+        with pytest.raises(ssl.SSLError):
+            connect(f"wss://127.0.0.1:{srv.port}/", timeout=3.0)
+
+    def test_non_ws_scheme_rejected(self):
+        with pytest.raises(WebSocketError):
+            connect("https://example.invalid/")
+
+
 class TestWebsocketSparkSource:
     def test_gdax_stream_end_to_end(self, spark, ws_server, tmp_path):
         """Full path: readStream over the websocket DataSource → memory
@@ -324,6 +405,26 @@ class TestWebsocketSparkSource:
         assert len(list(rows)) == 3 and end == {"frame": 3}
         expected = SUBSCRIBE_BUILDERS["polo"](["USDT_BTC", "USDT_ETH"])
         assert srv.received[0] == expected
+
+    def test_wss_reader_end_to_end(self, ws_server, tls_material):
+        """S1 over TLS: the reader connects wss://, trusts the loopback CA
+        via the tlsCafile option, subscribes, and drains frames — the
+        reference's actual transport (wss://ws-feed.gdax.com)."""
+        from fictional_guacamole_spark.sources.websocket import (
+            WebsocketStreamReader)
+
+        server_ctx, cafile = tls_material
+        srv = ws_server(lambda i: _frames("BTC-USD", 4),
+                        ssl_context=server_ctx)
+        reader = WebsocketStreamReader({
+            "url": f"wss://127.0.0.1:{srv.port}/",
+            "exchange": "gdax", "products": json.dumps(["BTC-USD"]),
+            "framesPerBatch": "4", "recvTimeout": "0.5",
+            "tlsCafile": cafile})
+        rows, end = reader.read({"frame": 0})
+        assert len(list(rows)) == 4 and end == {"frame": 4}
+        sub = json.loads(srv.received[0][0])
+        assert sub["type"] == "subscribe"
 
     def test_reconnect_after_server_drop(self, spark, ws_server):
         """S5: the server drops the connection after 5 frames; the next
