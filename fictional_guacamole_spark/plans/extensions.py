@@ -793,3 +793,69 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = as_binary_asset(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
                              "image/fake")
     return extract_media_meta(assets).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# S4 SQLite scan demonstration (sources/sqlite.py)
+# ---------------------------------------------------------------------------
+
+def _events_sqlite_db(sf_dir: str) -> str:
+    """Materialize the events fixture into a cached SQLite file (the
+    reference's store shape, db_utils.py:17-32) so the scan under test
+    reads from REAL sqlite pages, not parquet. Timestamps are stored as
+    epoch microseconds INTEGER — sqlite has no timestamp type, and epoch
+    micros round-trip exactly (TEXT rendering would not)."""
+    import hashlib
+    import os
+    import sqlite3
+    import tempfile
+
+    import duckdb
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    db_path = os.path.join(tempfile.gettempdir(), f"fg_events_{tag}.db")
+    if os.path.exists(db_path):
+        return db_path
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, value, epoch_us(ts) "
+        f"FROM '{src}' ORDER BY event_id").fetchall()
+    tmp = db_path + ".build"
+    con = sqlite3.connect(tmp)
+    try:
+        con.execute("CREATE TABLE events (event_id INTEGER, user_id INTEGER,"
+                    " event_type TEXT, value REAL, ts_us INTEGER)")
+        con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+        con.commit()
+    finally:
+        con.close()
+    os.replace(tmp, db_path)  # atomic: concurrent builders converge
+    return db_path
+
+
+@query(
+    "sqlite_scan_events",
+    survey_ref="S4 table scan: SQLite store, range-partitioned parallel read",
+    description="Purchases scanned out of a SQLite materialization of events",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def sqlite_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 against the reference's actual store: events live in a SQLite
+    file; the engine scans them with sources/sqlite.py::read_sqlite — an
+    8-way rowid-range parallel read with the event_type predicate and the
+    column list pushed into SQLite itself (the JDBC
+    partitionColumn/lowerBound/upperBound shape, minus the jar the
+    container doesn't have)."""
+    from fictional_guacamole_spark.sources.sqlite import read_sqlite
+
+    db_path = _events_sqlite_db(sf_dir)
+    df = read_sqlite(
+        spark, db_path, "events",
+        columns=["event_id", "user_id", "event_type", "value", "ts_us"],
+        where="event_type = 'purchase'", num_partitions=8)
+    return df.orderBy("event_id")
