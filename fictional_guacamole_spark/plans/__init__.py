@@ -25,12 +25,14 @@ q17/q20/q21 (the remaining TPC-H shapes), ``t5_gap_enumerate``,
 ``agg_ohlcv_candles``, ``agg_stats_moments``, ``agg_grouping_sets``,
 ``stream_sliding_window``, ``text_winnow_fingerprints``,
 ``dedup_winnow_pairs``, ``multimodal_decode_meta`` — move into the window,
-displacing 18 siblings that are green in both CORRECTNESS_r03 and _r04
+along with the brand-new ``sqlite_scan_events`` (S4 against the
+reference's actual SQLite store), displacing 19 siblings that are green
+in both CORRECTNESS_r03 and _r04
 (their family keeps an in-window representative AND a green row in the
 r1–r5 union). ``bench_book_kernel_throughput`` stays bench-only by design:
 its output is a throughput measurement frame, and the kernel it measures is
 already value-judged through ``t2_book_kernel_gaps`` / ``asof_trades_book``.
-With this rotation the union of r1–r5 driver-green rows covers all 105
+With this rotation the union of r1–r5 driver-green rows covers all 106
 registered queries except that one bench frame.
 
 tests/test_registry_order.py pins the window's family coverage so a future
@@ -49,12 +51,13 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.
-# Round-5 rotation: (in) the 18 never-driver-judged queries; (out) 18
-# siblings green in both r3 and r4 — q3, q12, q18, q22, q19,
+# Round-5 rotation: (in) the 18 never-driver-judged queries + the new
+# sqlite_scan_events; (out) 19 siblings green in both r3 and r4 — q3, q12, q18, q22, q19,
 # join_nonequi_funnel, join_interval_bucketed, agg_rollup_nation_segment,
 # agg_approx_distinct, window_running_spend, scalar_string_funcs,
 # scalar_date_funcs, t3_topk_book_format, t4_consecutive_change_dedup,
-# stream_tumbling_window, dedup_lsh_verified, text_stats, text_lang_id.
+# stream_tumbling_window, dedup_lsh_verified, text_stats, text_lang_id,
+# sample_deterministic.
 JUDGE_WINDOW: list[str] = [
     # -- flagship TPC-H shapes (joins+aggs+subqueries+pushdown) -----------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
@@ -102,7 +105,7 @@ JUDGE_WINDOW: list[str] = [
     "text_token_count",
     "text_gopher_quality",         # Gopher quality rules (r2)
     "text_winnow_fingerprints",    # SIGMOD'03 winnowing fingerprints (r5)
-    "sample_deterministic",
+    "sqlite_scan_events",          # S4 vs the reference's SQLite store (r5)
     "sample_stratified",           # per-stratum hash-bucket sampling (r2)
     "text_quality_filter",
     "pipeline_sequence_pack",      # sequence packing (r2)
