@@ -586,3 +586,47 @@ def sql_simhash(table: str, id_col: str, text_col: str) -> str:
     sums AS (SELECT doc, {bit_sums} FROM h GROUP BY doc)
     SELECT doc, {packed} AS simhash FROM sums
     """
+
+
+# --- benchmark decontamination (cross-corpus n-gram semi-join) -------------
+
+def decontaminate(train: DataFrame, probes: DataFrame, id_col: str,
+                  text_col: str, n: int = 4) -> DataFrame:
+    """Flag training documents that share ANY word n-gram with a probe
+    (benchmark) corpus — the contamination check every serious training
+    pipeline runs before a model sees the data (the eval suite must not
+    leak into the corpus).
+
+    Scale shape: the probe side is benchmark suites — megabytes against a
+    100 TB corpus — so its distinct shingles BROADCAST and the check runs
+    as a map-side semi-join at scan speed; the corpus never shuffles. The
+    n-gram length trades precision for recall exactly like dedup
+    shingling (real pipelines use 8–13-gram windows; the synthetic
+    fixture's tiny vocabulary makes 4 the informative scale in tests).
+    """
+    t = shingle_rows(train, id_col, text_col, n)
+    p_shingles = (shingle_rows(probes, id_col, text_col, n)
+                  .select("s").distinct())
+    hits = (t.join(F.broadcast(p_shingles), "s")
+            .select("doc").distinct()
+            .withColumn("contaminated", F.lit(True)))
+    return (train.select(F.col(id_col).alias("doc"))
+            .join(hits, "doc", "left")
+            .select("doc",
+                    F.coalesce(F.col("contaminated"), F.lit(False))
+                    .alias("contaminated")))
+
+
+def sql_decontaminate(train_sql: str, probes_sql: str, id_col: str,
+                      text_col: str, n: int = 4) -> str:
+    """DuckDB replay of :func:`decontaminate` (same shingle rendering)."""
+    grams = sql_word_shingles(text_col, n)
+    return f"""
+    WITH train AS ({train_sql}), probes AS ({probes_sql}),
+    t_sh AS (SELECT {id_col} AS doc, unnest({grams}) AS s FROM train),
+    p_sh AS (SELECT DISTINCT unnest({grams}) AS s FROM probes),
+    hits AS (SELECT DISTINCT doc FROM t_sh JOIN p_sh USING (s))
+    SELECT train.{id_col} AS doc,
+           (hits.doc IS NOT NULL) AS contaminated
+    FROM train LEFT JOIN hits ON train.{id_col} = hits.doc
+    """

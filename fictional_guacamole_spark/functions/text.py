@@ -182,3 +182,38 @@ def sql_repetition_stats(table: str, id_col: str, text_col: str) -> str:
              AS dup_2gram_frac
     FROM __uni LEFT JOIN __bg ON __uni.doc = __bg.doc
     """
+
+
+def vocab_topk(df, text_col: str, k: int = 100):
+    """Top-k corpus vocabulary by term frequency — the fixture-statistics
+    pass (vocabulary coverage, tokenizer fitting, stopword discovery) of a
+    training-data pipeline.
+
+    Scale shape: explode → partial count per partition (map-side combine)
+    → one shuffle on the term → TakeOrderedAndProject for the global
+    top-k. Term cardinality, not corpus size, bounds the shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    from fictional_guacamole_spark.tables import fan_out
+
+    staged = fan_out(df.select(F.col(text_col).alias("__t"))) \
+        .select(F.split(normalize(F.col("__t")), " ").alias("__w"))
+    terms = staged.select(F.explode("__w").alias("word")) \
+                  .filter(F.col("word") != "")
+    return (terms.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("word"))
+            .limit(k))
+
+
+def sql_vocab_topk(table: str, text_col: str, k: int = 100) -> str:
+    """DuckDB replay of :func:`vocab_topk` (same normalization)."""
+    norm = (f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))")
+    return f"""
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM {table})
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT {k}
+    """

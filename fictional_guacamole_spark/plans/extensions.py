@@ -859,3 +859,42 @@ def sqlite_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["event_id", "user_id", "event_type", "value", "ts_us"],
         where="event_type = 'purchase'", num_partitions=8)
     return df.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_decontaminate",
+    survey_ref="extensions: benchmark decontamination (cross-corpus n-grams)",
+    description="Training docs sharing any 4-gram with the probe corpus",
+    oracle=D.sql_decontaminate(
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 20",
+        "SELECT doc_id, text FROM documents WHERE doc_id < 20",
+        "doc_id", "text", n=4) + " ORDER BY doc",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leak check: docs 0-19 stand in for a benchmark suite; every
+    training doc sharing any word 4-gram with them is flagged. The probe
+    shingle set broadcasts, so at corpus scale this is a map-side
+    semi-join at scan speed (functions/dedup.py::decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.decontaminate(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        "doc_id", "text", n=4).orderBy("doc")
+
+
+@query(
+    "text_vocab_topk",
+    survey_ref="extensions: corpus vocabulary statistics (top-k terms)",
+    description="Top-100 corpus terms by frequency",
+    oracle=X.sql_vocab_topk("documents", "text", k=100),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-k (tokenizer fitting / stopword
+    discovery): explode → map-side-combined count → one shuffle on the
+    term → global TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.vocab_topk(docs, "text", k=100)

@@ -293,3 +293,41 @@ class TestMultimodal:
         corpus = feats.withColumnRenamed("asset_id", "vec_id")
         top = cosine_topk(corpus, queries, k=3).collect()
         assert {r["query_id"] for r in top} == set(qids)
+
+
+class TestDecontaminationAndVocab:
+    def test_decontaminate_flags_planted_overlap(self, spark):
+        probes = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(10, "a quick brown fox jumps in the field"),   # shares 4-gram
+             (11, "entirely different words appear here today"),
+             (12, "the quick brown fox returns again")],     # shares 4-gram
+            "doc_id long, text string")
+        from fictional_guacamole_spark.functions.dedup import decontaminate
+
+        got = {r.doc: r.contaminated
+               for r in decontaminate(train, probes, "doc_id", "text",
+                                      n=4).collect()}
+        assert got == {10: True, 11: False, 12: True}
+
+    def test_decontaminate_plan_broadcasts_probe_side(self, spark):
+        from fictional_guacamole_spark.functions.dedup import decontaminate
+        from fictional_guacamole_spark.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        df = decontaminate(docs.filter("doc_id >= 20"),
+                           docs.filter("doc_id < 20"), "doc_id", "text")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_vocab_topk_counts_and_order(self, spark):
+        df = spark.createDataFrame(
+            [("b b  a",), ("a c B",), ("",)], "text string")
+        from fictional_guacamole_spark.functions.text import vocab_topk
+
+        rows = [(r.word, r.n_occurrences)
+                for r in vocab_topk(df, "text", k=2).collect()]
+        # b:3 (case-folded), a:2; empty strings dropped; ties impossible
+        assert rows == [("b", 3), ("a", 2)]
