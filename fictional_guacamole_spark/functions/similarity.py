@@ -61,13 +61,21 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     shuffles — each partition scores its rows and the per-query top-k merge
     is a window over |Q| × N scored rows, pruned by row_number.
     """
+    # Norms staged as named columns BEFORE the |Q|×N join: each vector's
+    # norm is computed once instead of once per pair (|Q|× for the corpus
+    # side). Same fold, same sqrt, same multiply order as the inline form
+    # — bit-identical to the DuckDB oracle, just not redundant.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_norm"))
+    c = corpus.select(F.col(id_col), F.col(vec_col),
+                      norm(F.col(vec_col)).alias("c_norm"))
     scored = (
-        corpus.alias("c").join(F.broadcast(q))
+        c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", F.col(id_col).alias("neighbor_id"),
-                cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"))
+                (dot(F.col("q_vec"), F.col(vec_col))
+                 / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -147,19 +155,23 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def _bucketed_topk(c: DataFrame, queries: DataFrame, bk_col: str, k: int,
                    id_col: str, vec_col: str, query_keys) -> DataFrame:
+    # same norm staging as cosine_topk: one norm per vector, not per pair
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_norm"),
                        F.explode(query_keys(F.col(vec_col))).alias(bk_col))
     cand = (
         c.join(F.broadcast(q), bk_col)
         .filter(F.col("query_id") != F.col(id_col))
-        .select("query_id", "q_vec", F.col(id_col).alias("neighbor_id"),
+        .select("query_id", "q_vec", "q_norm",
+                F.col(id_col).alias("neighbor_id"),
                 F.col(vec_col).alias("n_vec"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id", "neighbor_id",
-        cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim"))
+        (dot(F.col("q_vec"), F.col("n_vec"))
+         / (F.col("q_norm") * norm(F.col("n_vec")))).alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
