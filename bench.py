@@ -48,9 +48,15 @@ from fictional_guacamole_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Quiet-host reference for the calibration probe (median of 7 runs on the
-# round-5 host at measurement time). The probe's absolute time only matters
-# relative to this constant; re-pin it if the probe workload ever changes.
+# Quiet-host reference for the calibration probe. Provenance: 0.52 is the
+# median of 7 warm probe runs on the round-5 host at pin time (raw runs not
+# individually recorded that round — the gap this note closes). A round-6
+# re-derivation via `python bench.py --calibrate` (same workload, local[32],
+# pyspark 4.1.2, 2026-08-13) read raw [0.478, 0.4668, 0.5096, 0.4786,
+# 0.4575, 0.4528, 0.4879] → median 0.478, i.e. the host runs ~8% fast vs
+# the pin; the pin stays 0.52 because changing it rescales every committed
+# noise_factor. To re-pin after a host/JVM/probe-workload change, run
+# `--calibrate` on a quiet host and record the raw list here.
 CALIBRATION_REF_S = 0.52
 CALIBRATION_ROWS = 200_000_000
 
@@ -65,6 +71,19 @@ def _probe(spark) -> float:
     (spark.range(CALIBRATION_ROWS, numPartitions=1)
      .select(F.max(F.xxhash64("id"))).collect())
     return time.perf_counter() - t0
+
+
+def calibrate() -> None:
+    """Re-derive CALIBRATION_REF_S: print 7 warm probe timings + median.
+    Run on a quiet host; paste the median (and the raw list, for
+    provenance) into the constant's comment above."""
+    spark = get_spark("fg-bench-calibrate")
+    _probe(spark)  # codegen warm-up, not counted
+    runs = [round(_probe(spark), 4) for _ in range(7)]
+    med = sorted(runs)[3]
+    print(json.dumps({"probe_runs": runs, "median": med,
+                      "pinned": CALIBRATION_REF_S}))
+    spark.stop()
 
 
 def main() -> None:
@@ -137,36 +156,53 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only the LAST ~2000 chars of stdout, so the
+    # contract line must stay compact (r5's full-diagnostic line grew to
+    # ~2.4k chars and BENCH_r05.json parsed nothing). Contract fields only
+    # here; every derived view (normalized timings, history deltas) goes
+    # to stderr + BENCH_HISTORY.jsonl, never stdout.
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "calibration_s": calibration_s,
-        "calibration_ref_s": CALIBRATION_REF_S,
         "noise_factor": noise_factor,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    diagnostics = {
+        "calibration_ref_s": CALIBRATION_REF_S,
         "queries_normalized": normalized,
         "value_normalized": round(sum(normalized.values()), 4),
         "vs_history": vs_history,
-        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
-    print(json.dumps(out))
+    print(json.dumps(diagnostics), file=sys.stderr)
     try:
-        hist = dict(out, ts=int(time.time()),
+        hist = dict(out, calibration_ref_s=CALIBRATION_REF_S,
+                    ts=int(time.time()),
                     round=os.environ.get("SPARK_GRAFT_ROUND"))
         # history lines stay raw-timings-only (+ the calibration sample so
         # future rounds can load-correct old entries); derived views are
         # recomputed at read time
-        hist.pop("vs_history", None)
-        hist.pop("queries_normalized", None)
-        hist.pop("value_normalized", None)
         with open(Path(__file__).resolve().parent / "BENCH_HISTORY.jsonl",
                   "a") as f:
             f.write(json.dumps(hist) + "\n")
     except OSError:
         pass  # history is best-effort; never fail the bench line
     spark.stop()
+    line = json.dumps(out)
+    if len(line) > 1500:  # defend the tail-capture budget, whatever grows
+        slim = dict(out, queries={q: round(t, 2)
+                                  for q, t in timings.items()})
+        line = json.dumps(slim)
+        if len(line) > 1500:
+            line = json.dumps({k: v for k, v in out.items()
+                               if k != "queries"})
+    print(line)  # LAST stdout line: the driver's parse target
 
 
 if __name__ == "__main__":
-    main()
+    if "--calibrate" in sys.argv[1:]:
+        calibrate()
+    else:
+        main()
