@@ -181,6 +181,35 @@ def sql_extract_feature_columns(table: str, id_col: str, text_col: str,
     return f"SELECT {id_col} AS asset_id, {comps} FROM {table}"
 
 
+def sql_decode_meta(table: str, id_col: str, text_col: str,
+                    media_type: str) -> str:
+    """DuckDB rendering of :func:`extract_media_meta` over a text column
+    encoded as the binary payload (``as_binary_asset`` + the deterministic
+    ``_fake_decode``, component by component): the decode dims are bytes
+    0/1/2 of the payload's md5 digest — hex pairs 1-2 / 3-4 / 5-6 of the
+    digest DuckDB's ``md5`` returns, with the same empty-payload → (0,0,0)
+    and NULL-md5 mapping as the Python kernel."""
+    return f"""
+    WITH b AS (
+      SELECT {id_col} AS asset_id, '{media_type}' AS media_type,
+             octet_length(encode({text_col})) AS byte_len,
+             md5({text_col}) AS h
+      FROM {table})
+    SELECT asset_id, media_type, CAST(byte_len AS BIGINT) AS byte_len,
+           CASE WHEN byte_len = 0 THEN NULL ELSE h END AS content_md5,
+           CAST(CASE WHEN byte_len = 0 THEN 0
+                ELSE 64 + CAST('0x' || substr(h, 1, 2) AS INT) % 192
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN byte_len = 0 THEN 0
+                ELSE 64 + CAST('0x' || substr(h, 3, 2) AS INT) % 192
+                END AS INTEGER) AS height,
+           CAST(CASE WHEN byte_len = 0 THEN 0
+                ELSE 1 + CAST('0x' || substr(h, 5, 2) AS INT) % 4
+                END AS INTEGER) AS n_channels
+    FROM b
+    """
+
+
 def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: emits (asset_id, frame_index) work units
     without decoding. The decoder itself is the stubbed step.

@@ -116,9 +116,10 @@ JUDGE_WINDOW: list[str] = [
     "pipeline_training_corpus",
     "multimodal_binary_meta",
     "multimodal_feature_extract",
-    # rows-only by design: decode_meta exercises the stubbed codec path —
-    # its sibling feature_extract (same mapInPandas Arrow surface) carries
-    # the value hash; decode_meta's driver row certifies schema+rows
+    # round 6: decode_meta gained a full value oracle (its fake codec is an
+    # md5-derived deterministic function, replayed in SQL by
+    # functions/multimodal.py::sql_decode_meta) — previously oracle=None,
+    # which the r5 driver recorded as err:no_oracle, not schema+rows
     "multimodal_decode_meta",
 ]
 

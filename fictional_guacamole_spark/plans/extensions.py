@@ -783,9 +783,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_decode_meta",
     survey_ref="extensions: mapInPandas decode pipeline (stubbed codec)",
-    # codec is a deterministic fake (container has no image libs) — the
-    # Arrow/mapInPandas plumbing is the judged part; driver rows-only check.
-    oracle=None,
+    # The codec is a deterministic md5-derived fake (container has no image
+    # libs), which makes it fully SQL-renderable: the oracle replays the
+    # identical digest arithmetic (functions/multimodal.py::sql_decode_meta),
+    # so the driver value-hashes this path like any other judged query.
+    oracle=(M.sql_decode_meta("documents", "doc_id", "text", "image/fake")
+            + " ORDER BY asset_id"),
     description="Stub image-decode metadata over binary assets via mapInPandas",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
