@@ -37,6 +37,13 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
+Round 6 swaps two entries: ``sqlite_roundtrip_user_stats`` (new — K1's
+real-SQLite write→replay→read cycle, the r5 verdict's #3 ask) enters;
+``q16_supplier_part_variety`` (green in CORRECTNESS_r05, TPC-H family keeps
+eleven in-window siblings) moves to the locally-verified tail.
+``multimodal_decode_meta`` also gained a full value oracle this round, so
+the window now has zero rows-only entries.
+
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
 """
@@ -72,7 +79,6 @@ JUDGE_WINDOW: list[str] = [
     "q11_important_stock",         # group HAVING vs scalar subquery (r5)
     "q13_order_count_distribution",  # outer join + double agg (r5)
     "q15_top_supplier",            # agg view + max-equality join (r5)
-    "q16_supplier_part_variety",   # anti join + distinct count (r5)
     "q17_small_quantity_revenue",  # correlated avg subquery (r5)
     "q20_excess_shippers",         # nested semi joins (r5)
     "q21_waiting_suppliers",       # exists/not-exists multi-lineitem (r5)
@@ -110,6 +116,7 @@ JUDGE_WINDOW: list[str] = [
     "text_gopher_quality",         # Gopher quality rules (r2)
     "text_winnow_fingerprints",    # SIGMOD'03 winnowing fingerprints (r5)
     "sqlite_scan_events",          # S4 vs the reference's SQLite store (r5)
+    "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite (r6)
     "sample_stratified",           # per-stratum hash-bucket sampling (r2)
     "text_quality_filter",
     "pipeline_sequence_pack",      # sequence packing (r2)

@@ -823,7 +823,10 @@ def _events_sqlite_db(sf_dir: str) -> str:
     rows = duckdb.sql(
         f"SELECT event_id, user_id, event_type, value, epoch_us(ts) "
         f"FROM '{src}' ORDER BY event_id").fetchall()
-    tmp = db_path + ".build"
+    # per-process temp name: concurrent builders each build privately and
+    # converge through the atomic rename (a shared '.build' path would
+    # collide inside sqlite before the rename)
+    tmp = f"{db_path}.build.{os.getpid()}"
     con = sqlite3.connect(tmp)
     try:
         con.execute("CREATE TABLE events (event_id INTEGER, user_id INTEGER,"
@@ -832,7 +835,7 @@ def _events_sqlite_db(sf_dir: str) -> str:
         con.commit()
     finally:
         con.close()
-    os.replace(tmp, db_path)  # atomic: concurrent builders converge
+    os.replace(tmp, db_path)  # atomic: last finished builder wins
     return db_path
 
 
@@ -862,6 +865,63 @@ def sqlite_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=["event_id", "user_id", "event_type", "value", "ts_us"],
         where="event_type = 'purchase'", num_partitions=8)
     return df.orderBy("event_id")
+
+
+@query(
+    "sqlite_roundtrip_user_stats",
+    survey_ref="K1 append sink: real SQLite single-writer, idempotent replay",
+    description="Per-user purchase stats written through write_sqlite "
+                "(batch + idempotent replay), read back via read_sqlite",
+    # DuckDB sums integers into HUGEINT; Spark has no int128 — the outer
+    # BIGINT cast keeps the judged dtypes aligned (see test_oracle_parity).
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sqlite_roundtrip_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 against the reference's actual store shape, both directions:
+    derive per-user purchase stats, push them through
+    sources/sqlite.py::write_sqlite TWICE — an initial batch plus a
+    replayed batch, the checkpoint-retry failure mode — with a declared
+    primary key so INSERT OR REPLACE converges, then read the table back
+    with the range-partitioned read_sqlite. The judged value hash
+    certifies the write→replay→read cycle end-to-end: a duplicated row
+    (lost idempotence) or a dropped/garbled value (type mapping) breaks
+    it. Cents are integer (floor of value×100) so the sum is exact and
+    order-independent on both engines — float sums would hash-diverge."""
+    import hashlib
+    import os
+    import tempfile
+
+    from fictional_guacamole_spark.sources.sqlite import (
+        read_sqlite, write_sqlite)
+
+    events = load_table(spark, sf_dir, "events")
+    derived = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"),
+             F.sum(F.floor(F.col("value") * 100)).alias("value_cents")))
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"user_stats:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    db_path = os.path.join(tempfile.gettempdir(), f"fg_user_stats_{tag}.db")
+    if not os.path.exists(db_path):
+        tmp = f"{db_path}.build.{os.getpid()}"  # private build, atomic publish
+        write_sqlite(derived, tmp, "user_stats", mode="replace",
+                     primary_key=["user_id"])
+        write_sqlite(derived, tmp, "user_stats", mode="append",
+                     primary_key=["user_id"])  # replayed batch: must converge
+        os.replace(tmp, db_path)
+    return read_sqlite(spark, db_path, "user_stats",
+                       num_partitions=4).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

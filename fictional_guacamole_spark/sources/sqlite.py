@@ -18,8 +18,13 @@ module executor-side:
 - :func:`write_sqlite` — the K1 append analogue. SQLite is a
   single-writer store (the reference writes from one process —
   real_guac.py's single consumer loop), so the frame is written from one
-  task via ``coalesce(1)``; idempotence comes from ``INSERT OR REPLACE``
-  on the table's primary key when one is declared.
+  task via ``coalesce(1)``. Pass ``primary_key`` to get idempotent
+  appends: the DDL declares the key and rows go in with ``INSERT OR
+  REPLACE``, so a retried/replayed batch converges instead of
+  duplicating. WITHOUT a declared key the write is plain ``INSERT`` and
+  retries DO duplicate — callers needing exactly-once must supply the
+  key (streaming/pipeline.py's parquet sink gets the same property from
+  dynamic-partition overwrite instead).
 
 At 100 TB the data does not live in SQLite — the pattern is what scales:
 a metadata/lookup table in any single-node store becomes a
@@ -31,6 +36,7 @@ near-sequential IO.
 
 from __future__ import annotations
 
+import re
 import sqlite3
 from typing import Iterator
 
@@ -38,6 +44,17 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_idents(*names: str) -> None:
+    """SQL-identifier whitelist for everything interpolated into DDL/DML.
+    Names are always double-quoted at the use site too; this guard keeps
+    the public API safe even against quote-smuggling inputs."""
+    bad = [n for n in names if not _IDENT.match(n or "")]
+    if bad:
+        raise ValueError(f"invalid SQL identifier(s): {bad}")
 
 # SQLite type affinity (https://www.sqlite.org/datatype3.html §3.1) →
 # Spark type. Declared types are free-form; affinity is what the engine
@@ -81,24 +98,39 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
     ``columns`` prunes the SELECT list and ``where`` pushes the predicate
     into SQLite itself (both evaluated store-side, per task). The rowid
     space is split evenly; sparse rowids only skew partition sizes, never
-    correctness (ranges partition the keyspace).
+    correctness (ranges partition the keyspace) — see the adversarial-gap
+    property tests in tests/test_source_formats.py.
+
+    Parallelism requires an implicit rowid; a ``WITHOUT ROWID`` table or a
+    view has none, so those fall back to one whole-table partition (the
+    predicate/column pushdown still applies). A future ``partition_column``
+    argument is the JDBC-style answer if a parallel scan of such a table
+    is ever needed.
     """
+    _check_idents(table, *(columns or []))
     schema = _schema_of(db_path, table, columns)
     con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
     try:
-        lo, hi = con.execute(
-            f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
+        try:
+            lo, hi = con.execute(
+                f'SELECT MIN(rowid), MAX(rowid) FROM "{table}"').fetchone()
+            has_rowid = True
+        except sqlite3.OperationalError:
+            # WITHOUT ROWID table or view: no implicit rowid to range over
+            lo, hi, has_rowid = 0, 0, False
     finally:
         con.close()
-    if lo is None:  # empty table
+    if has_rowid and lo is None:  # empty table
         return spark.createDataFrame([], schema)
 
-    n = max(1, min(num_partitions, hi - lo + 1))
-    step = (hi - lo + 1 + n - 1) // n
-    ranges = [(lo + i * step, min(hi, lo + (i + 1) * step - 1))
-              for i in range(n) if lo + i * step <= hi]
+    if has_rowid:
+        n = max(1, min(num_partitions, hi - lo + 1))
+        step = (hi - lo + 1 + n - 1) // n
+        ranges = [(lo + i * step, min(hi, lo + (i + 1) * step - 1))
+                  for i in range(n) if lo + i * step <= hi]
+    else:
+        ranges = [(0, 0)]  # single whole-table scan task
     select_list = ", ".join(f'"{f.name}"' for f in schema.fields)
-    pred = f" AND ({where})" if where else ""
     arrow_names = [f.name for f in schema.fields]
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,36 +140,62 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
             con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
             try:
                 for r_lo, r_hi in zip(pdf["lo"], pdf["hi"]):
-                    out = pd.read_sql_query(
-                        f'SELECT {select_list} FROM "{table}" '
-                        f"WHERE rowid BETWEEN ? AND ?{pred}",
-                        con, params=(int(r_lo), int(r_hi)))
+                    if has_rowid:
+                        pred = f" AND ({where})" if where else ""
+                        out = pd.read_sql_query(
+                            f'SELECT {select_list} FROM "{table}" '
+                            f"WHERE rowid BETWEEN ? AND ?{pred}",
+                            con, params=(int(r_lo), int(r_hi)))
+                    else:
+                        pred = f" WHERE {where}" if where else ""
+                        out = pd.read_sql_query(
+                            f'SELECT {select_list} FROM "{table}"{pred}', con)
                     out.columns = arrow_names
                     if len(out):
                         yield out
             finally:
                 con.close()
 
-    bounds = spark.createDataFrame(ranges, "lo long, hi long") \
-                  .repartition(len(ranges), "lo")
+    # exactly one range per task: parallelize's even slicing guarantees it,
+    # where repartition(n, "lo") hash-partitions and can collide two ranges
+    # into one task (halving effective scan parallelism) while idling another
+    bounds = spark.createDataFrame(
+        spark.sparkContext.parallelize(ranges, len(ranges)),
+        "lo long, hi long")
     return bounds.mapInPandas(scan, schema=schema)
 
 
 def write_sqlite(df: DataFrame, db_path: str, table: str,
-                 mode: str = "append") -> None:
+                 mode: str = "append",
+                 primary_key: list[str] | None = None) -> None:
     """Single-writer append into SQLite (K1 analogue; see module doc).
 
-    ``mode='replace'`` recreates the table from the frame's schema. The
-    write funnels through one task because SQLite serializes writers —
-    the same single-consumer shape as the reference's ingest loop.
+    ``mode='replace'`` recreates the table from the frame's schema. With
+    ``primary_key``, the DDL declares the key and rows are written with
+    ``INSERT OR REPLACE`` — a replayed batch (checkpoint retry) converges
+    to the same table instead of duplicating. Without it, appends are
+    plain ``INSERT`` and are NOT idempotent. The write funnels through one
+    task because SQLite serializes writers — the same single-consumer
+    shape as the reference's ingest loop.
     """
+    if mode not in ("append", "replace"):
+        raise ValueError(f"mode must be 'append' or 'replace', got {mode!r}")
     names = df.schema.fieldNames()
+    pk = list(primary_key or [])
+    _check_idents(table, *names, *pk)
+    missing = [c for c in pk if c not in names]
+    if missing:
+        raise ValueError(f"primary_key columns not in frame: {missing}")
     ddl_types = {T.LongType(): "INTEGER", T.IntegerType(): "INTEGER",
                  T.DoubleType(): "REAL", T.FloatType(): "REAL",
                  T.BinaryType(): "BLOB"}
     cols_ddl = ", ".join(
         f'"{f.name}" {ddl_types.get(f.dataType, "TEXT")}'
         for f in df.schema.fields)
+    if pk:
+        cols_ddl += ", PRIMARY KEY (" + ", ".join(
+            f'"{c}"' for c in pk) + ")"
+    verb = "INSERT OR REPLACE" if pk else "INSERT"
 
     def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         con = sqlite3.connect(db_path, timeout=30.0)
@@ -146,7 +204,7 @@ def write_sqlite(df: DataFrame, db_path: str, table: str,
                 con.execute(f'DROP TABLE IF EXISTS "{table}"')
             con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({cols_ddl})')
             placeholders = ", ".join("?" for _ in names)
-            ins = (f'INSERT INTO "{table}" '
+            ins = (f'{verb} INTO "{table}" '
                    f'({", ".join(chr(34) + n + chr(34) for n in names)}) '
                    f"VALUES ({placeholders})")
             total = 0

@@ -148,3 +148,141 @@ class TestSqliteSource:
         assert df.count() == 0 and df.columns == ["a", "b"]
         with pytest.raises(ValueError, match="not found"):
             read_sqlite(spark, empty, "nope")
+
+
+class TestSqliteSinkIdempotence:
+    """K1's exactly-once story for the SQLite sink: a declared primary key
+    turns appends into INSERT OR REPLACE, so a replayed batch (checkpoint
+    retry) converges; without a key, replays duplicate — both behaviors
+    are pinned so the docstring can't drift from reality again."""
+
+    def test_replayed_append_with_pk_converges(self, spark, supplier_df,
+                                               tmp_path):
+        from fictional_guacamole_spark.sources.sqlite import (
+            read_sqlite, write_sqlite)
+
+        path = str(tmp_path / "idem.db")
+        frame = supplier_df.select("s_suppkey", "s_name", "s_acctbal")
+        write_sqlite(frame, path, "supplier", mode="replace",
+                     primary_key=["s_suppkey"])
+        for _ in range(2):  # replay the identical batch twice
+            write_sqlite(frame, path, "supplier", mode="append",
+                         primary_key=["s_suppkey"])
+        got = read_sqlite(spark, path, "supplier", num_partitions=3)
+        want = frame.select("s_suppkey", "s_name",
+                            F.col("s_acctbal").cast("double"))
+        assert _rows(got) == _rows(want)
+
+    def test_pk_replace_updates_in_place(self, spark, supplier_df, tmp_path):
+        from fictional_guacamole_spark.sources.sqlite import (
+            read_sqlite, write_sqlite)
+
+        path = str(tmp_path / "upsert.db")
+        frame = supplier_df.select("s_suppkey", "s_acctbal")
+        write_sqlite(frame, path, "supplier", mode="replace",
+                     primary_key=["s_suppkey"])
+        bumped = frame.withColumn("s_acctbal", F.col("s_acctbal") + 1)
+        write_sqlite(bumped, path, "supplier", mode="append",
+                     primary_key=["s_suppkey"])
+        got = read_sqlite(spark, path, "supplier")
+        want = bumped.select("s_suppkey", F.col("s_acctbal").cast("double"))
+        assert _rows(got) == _rows(want)
+
+    def test_append_without_pk_duplicates(self, spark, supplier_df, tmp_path):
+        from fictional_guacamole_spark.sources.sqlite import (
+            read_sqlite, write_sqlite)
+
+        path = str(tmp_path / "dup.db")
+        frame = supplier_df.select("s_suppkey", "s_name")
+        write_sqlite(frame, path, "supplier", mode="replace")
+        write_sqlite(frame, path, "supplier", mode="append")
+        n = frame.count()
+        assert read_sqlite(spark, path, "supplier").count() == 2 * n
+
+    def test_identifier_and_mode_validation(self, supplier_df, tmp_path):
+        from fictional_guacamole_spark.sources.sqlite import write_sqlite
+
+        path = str(tmp_path / "bad.db")
+        frame = supplier_df.select("s_suppkey")
+        with pytest.raises(ValueError, match="identifier"):
+            write_sqlite(frame, path, 'x"; DROP TABLE t; --')
+        with pytest.raises(ValueError, match="mode"):
+            write_sqlite(frame, path, "t", mode="overwrite")
+        with pytest.raises(ValueError, match="primary_key"):
+            write_sqlite(frame, path, "t", primary_key=["nope"])
+
+
+class TestSqliteHostileRowids:
+    """The scan partitions the ROWID KEYSPACE, not the row count — deletes
+    and sparse/adversarial rowid layouts must never lose or duplicate rows,
+    and the documented failure mode is only size skew (sqlite.py docstring).
+    Mirrors the book kernel's boundary-suite rigor for the source layer."""
+
+    def _make_db(self, path, rowids):
+        import sqlite3
+
+        con = sqlite3.connect(path)
+        con.execute("CREATE TABLE t (a INTEGER, b TEXT)")
+        con.executemany("INSERT INTO t (rowid, a, b) VALUES (?, ?, ?)",
+                        [(r, r * 7, f"v{r}") for r in rowids])
+        con.commit(); con.close()
+        return path
+
+    @pytest.mark.parametrize("rowids", [
+        [1, 2, 3, 1_000_000],                   # one far outlier
+        [10**9 + i for i in range(5)],          # dense but huge offset
+        [1, 10**6, 10**12],                     # exponential gaps
+        list(range(1, 30, 7)) + [10**7],        # arithmetic + outlier
+        [5],                                    # single row
+        [-3, -1, 2, 9],                         # negative rowids are legal
+    ])
+    def test_gapped_rowids_complete_and_exact(self, spark, tmp_path, rowids):
+        from fictional_guacamole_spark.sources.sqlite import read_sqlite
+
+        db = self._make_db(str(tmp_path / "gaps.db"), rowids)
+        for n_part in (1, 4, 16):
+            got = read_sqlite(spark, db, "t", num_partitions=n_part)
+            assert _rows(got) == sorted((r * 7, f"v{r}") for r in rowids)
+
+    def test_post_delete_scan_is_complete(self, spark, tmp_path):
+        import sqlite3
+
+        from fictional_guacamole_spark.sources.sqlite import read_sqlite
+
+        db = self._make_db(str(tmp_path / "del.db"), list(range(1, 201)))
+        con = sqlite3.connect(db)
+        con.execute("DELETE FROM t WHERE a % 21 < 14")  # shred the middle
+        con.commit(); con.close()
+        survivors = [r for r in range(1, 201) if (r * 7) % 21 >= 14]
+        got = read_sqlite(spark, db, "t", num_partitions=8)
+        assert _rows(got) == sorted((r * 7, f"v{r}") for r in survivors)
+
+    def test_dense_rowids_partition_balance(self, spark, tmp_path):
+        """For DENSE rowids the range split is even by construction: no
+        partition may carry more than ceil(n/k) + epsilon rows."""
+        from fictional_guacamole_spark.sources.sqlite import read_sqlite
+
+        n, k = 1000, 8
+        db = self._make_db(str(tmp_path / "dense.db"), list(range(1, n + 1)))
+        df = read_sqlite(spark, db, "t", num_partitions=k)
+        sizes = [len(p) for p in df.rdd.glom().collect()]
+        assert sum(sizes) == n
+        assert max(sizes) <= -(-n // k) + 1
+
+    def test_without_rowid_falls_back_to_single_partition(self, spark,
+                                                          tmp_path):
+        import sqlite3
+
+        from fictional_guacamole_spark.sources.sqlite import read_sqlite
+
+        db = str(tmp_path / "worid.db")
+        con = sqlite3.connect(db)
+        con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT) "
+                    "WITHOUT ROWID")
+        con.executemany("INSERT INTO t VALUES (?, ?)",
+                        [(i, f"v{i}") for i in range(50)])
+        con.commit(); con.close()
+        got = read_sqlite(spark, db, "t", num_partitions=8)
+        assert _rows(got) == [(i, f"v{i}") for i in range(50)]
+        filtered = read_sqlite(spark, db, "t", where="k < 10")
+        assert filtered.count() == 10
