@@ -177,6 +177,20 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+# SF-aware IVF recall floors, keyed on an integer-exact corpus fingerprint
+# (sum of FLOOR(embedding[0]*1000) — per-row double math is IEEE-identical
+# across engines and the integer sum is order-independent, so Spark and
+# DuckDB derive the same floor from the same data with no sf_dir channel).
+# Floors are the measured per-query recall minima for the pinned
+# deterministic training (seed 4, k-means++, md5-ordered 4096-row sample):
+# min 6 at sf0.001 (fp -1712), min 7 at sf0.01 (fp 826, the judged SF),
+# min 5 at sf0.1 (fp 557) = the conservative default for unknown corpora.
+_IVF_FLOORS = {-1712: 6, 826: 7}
+_IVF_DEFAULT_FLOOR = 5
+_IVF_FP_SQL = ("CAST(SUM(CAST(FLOOR(embedding[1] * 1000) AS BIGINT)) "
+               "AS BIGINT)")
+
+
 @query(
     "sim_ivf_topk",
     survey_ref="extensions: IVF ANN (data-adaptive scale path)",
@@ -186,18 +200,23 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the judged recall floor is exact, not jitter-padded. The centroids
     # are still engine-side float math with no portable SQL rendering, so
     # the oracle pins recall@10 vs the in-engine exact baseline at the
-    # floor: n_hit_floored = LEAST(n_hit, 5) must equal 5 for EVERY query
-    # — the hash certifies per-query recall ≥ 5/10. Observed per-query
-    # n_hit: min 6 (sf0.001), min 7 (sf0.01, the judged SF), min 5
-    # (sf0.1). The strong recall assertion (exact thresholds, cell
-    # balance) lives in tests/test_extensions.py.
-    oracle="""
-    SELECT vec_id AS query_id, CAST(5 AS INTEGER) AS n_hit_floored,
+    # SF-aware floor above: n_hit_floored = LEAST(n_hit, floor) must equal
+    # the floor for EVERY query — at the judged sf0.01 the hash certifies
+    # per-query recall ≥ 7/10 (the observed minimum there, zero slack).
+    # The strong recall assertion (exact thresholds, cell balance) lives
+    # in tests/test_extensions.py.
+    oracle=f"""
+    WITH flo AS (
+      SELECT CASE {' '.join(f'WHEN {_IVF_FP_SQL} = {fp} THEN {fl}'
+                            for fp, fl in _IVF_FLOORS.items())}
+             ELSE {_IVF_DEFAULT_FLOOR} END AS f
+      FROM embeddings)
+    SELECT vec_id AS query_id, CAST(f AS INTEGER) AS n_hit_floored,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings, flo WHERE vec_id < 5
     ORDER BY query_id
     """,
-    description="IVF ANN recall@10 vs exact baseline, floor-pinned",
+    description="IVF ANN recall@10 vs exact baseline, SF-aware floor",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means cells partition the corpus; each query scores its
@@ -206,7 +225,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     written partitioned by cell id so a probe is a partition-pruned read
     (functions/similarity.py::ivf_topk docstring has the layout math).
     Judged output: recall@10 against the exact cosine baseline, with the
-    hit count floored at 5 so the value hash pins recall ≥ 5/10."""
+    hit count floored at the corpus-fingerprint-derived floor so the value
+    hash pins recall ≥ 7/10 at the judged SF (see _IVF_FLOORS)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
@@ -214,13 +234,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (approx.join(exact.select("query_id", "neighbor_id"),
                         ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
+                  .alias("fp"))
+    floor_col = F.lit(_IVF_DEFAULT_FLOOR)
+    for fp, fl in _IVF_FLOORS.items():
+        floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
     return (queries.select(F.col("vec_id").alias("query_id"))
             .join(hits, "query_id", "left")
+            .crossJoin(F.broadcast(sig))  # 1-row corpus signature
             .select("query_id",
-                    F.least(n_hit, F.lit(5)).cast("int")
+                    F.least(n_hit, floor_col).cast("int")
                     .alias("n_hit_floored"),
-                    (n_hit >= 5).alias("recall_ok"))
+                    (n_hit >= floor_col).alias("recall_ok"))
             .orderBy("query_id"))
 
 
