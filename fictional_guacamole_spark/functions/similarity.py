@@ -147,6 +147,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     """
     bk = lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
     c = corpus.select(F.col(id_col), F.col(vec_col),
+                      norm(F.col(vec_col)).alias("c_norm"),
                       F.explode(bk).alias("bk"))
     return _bucketed_topk(c, queries, bk_col="bk", k=k,
                           id_col=id_col, vec_col=vec_col,
@@ -155,7 +156,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def _bucketed_topk(c: DataFrame, queries: DataFrame, bk_col: str, k: int,
                    id_col: str, vec_col: str, query_keys) -> DataFrame:
-    # same norm staging as cosine_topk: one norm per vector, not per pair
+    # same norm staging as cosine_topk, on BOTH sides: callers compute
+    # c_norm on the un-exploded corpus row (one norm per vector, replicated
+    # by the bucket explode as a value, not recomputed) and q_norm is
+    # staged here — so scoring below does one dot product per candidate
+    # pair and zero norm folds
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
                        norm(F.col(vec_col)).alias("q_norm"),
@@ -165,13 +170,14 @@ def _bucketed_topk(c: DataFrame, queries: DataFrame, bk_col: str, k: int,
         .filter(F.col("query_id") != F.col(id_col))
         .select("query_id", "q_vec", "q_norm",
                 F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("n_vec"))
+                F.col(vec_col).alias("n_vec"),
+                "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id", "neighbor_id",
         (dot(F.col("q_vec"), F.col("n_vec"))
-         / (F.col("q_norm") * norm(F.col("n_vec")))).alias("cos_sim"))
+         / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -268,7 +274,17 @@ def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
         d2 = np.min(
             ((x[:, None, :] - np.array(picks)[None, :, :]) ** 2).sum(axis=2),
             axis=1)
-        picks.append(x[rng.choice(len(x), p=d2 / d2.sum())])
+        tot = d2.sum()
+        if tot == 0.0:
+            # degenerate corpus: every sampled point already coincides with
+            # a chosen center, so the ∝d² draw is 0/0 — any pick duplicates
+            # an existing center; take x[0] deterministically (no RNG state
+            # consumed, so non-degenerate corpora are bit-unchanged).
+            # Lloyd's below tolerates the duplicate (empty cells keep their
+            # centroid).
+            picks.append(x[0])
+            continue
+        picks.append(x[rng.choice(len(x), p=d2 / tot)])
     cents = np.array(picks)
     for _ in range(max_iter):
         d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
@@ -316,6 +332,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     centroids = train_ivf_centroids(corpus, n_centroids, vec_col, seed)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
+        norm(F.col(vec_col)).alias("c_norm"),
         nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"))
     return _bucketed_topk(
         c, queries, bk_col="cid", k=k, id_col=id_col, vec_col=vec_col,

@@ -331,3 +331,21 @@ class TestDecontaminationAndVocab:
                 for r in vocab_topk(df, "text", k=2).collect()]
         # b:3 (case-folded), a:2; empty strings dropped; ties impossible
         assert rows == [("b", 3), ("a", 2)]
+
+
+class TestIvfDegenerateCorpus:
+    def test_fewer_distinct_vectors_than_centroids(self, spark):
+        """k-means++ seeding draws ∝ squared distance to chosen centers;
+        when the corpus has fewer distinct vectors than n_centroids the
+        distance mass hits exactly zero mid-seeding — the guard must pick
+        deterministically instead of dividing by zero (ADVICE r5)."""
+        from fictional_guacamole_spark.functions.similarity import (
+            train_ivf_centroids)
+
+        rows = [(i, [float(i % 3), 1.0]) for i in range(40)]  # 3 distinct
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = train_ivf_centroids(df, n_centroids=8)
+        assert len(cents) == 8
+        assert all(len(c) == 2 for c in cents)
+        # training twice is bit-identical (determinism survives the guard)
+        assert cents == train_ivf_centroids(df, n_centroids=8)
