@@ -630,3 +630,85 @@ def sql_decontaminate(train_sql: str, probes_sql: str, id_col: str,
            (hits.doc IS NOT NULL) AS contaminated
     FROM train LEFT JOIN hits ON train.{id_col} = hits.doc
     """
+
+
+# --- C4-style line-level global dedup --------------------------------------
+
+LINE_DEDUP_MIN_WORDS = 5  # units shorter than this never participate
+
+
+def line_dedup_summary(df: DataFrame, id_col: str,
+                       text_col: str) -> DataFrame:
+    """C4-style line-level global deduplication (Raffel et al. 2020 dedup
+    three-sentence spans across the whole corpus; the fixture text is
+    newline-free, so the unit here is the sentence — normalized text split
+    on '. ').
+
+    A unit with ≥ LINE_DEDUP_MIN_WORDS words is "dedupable"; its canonical
+    owner is the minimum doc id containing it, and every other document
+    drops its copy. Output is the per-document summary (unit counts +
+    drops) — the scalar-typed judged projection of the survivor layout.
+
+    Scale shape: explode to (doc, unit) → distinct → global groupBy on the
+    unit string for owners → equi-join back. Both shuffles key on the unit
+    hash, so frequency skew concentrates only identical strings (bounded
+    by corpus duplication itself); at 100 TB the unit key would be
+    md5(unit) to keep shuffle rows narrow — semantics unchanged.
+    """
+    from fictional_guacamole_spark.functions.text import normalize
+
+    doc = F.col(id_col)
+    # strip the trailing period after the split: the document-final
+    # sentence otherwise keeps its '.' and can never match a mid-document
+    # copy of the same sentence
+    units = (df.select(doc.alias("doc"),
+                       F.explode(F.split(normalize(F.col(text_col)), r"\. "))
+                       .alias("u"))
+             .select("doc",
+                     F.regexp_replace(F.col("u"), r"\.$", "").alias("unit"))
+             .filter(F.col("unit") != ""))
+    per_doc = units.groupBy("doc").agg(F.count(F.lit(1)).alias("n_units"))
+    cand = (units
+            .filter(F.size(F.split(F.col("unit"), " "))
+                    >= LINE_DEDUP_MIN_WORDS)
+            .select("doc", "unit").distinct())
+    owners = cand.groupBy("unit").agg(F.min("doc").alias("owner"))
+    dropped = (cand.join(owners, "unit")
+               .groupBy("doc")
+               .agg(F.count(F.lit(1)).alias("n_candidates"),
+                    F.sum(F.when(F.col("owner") < F.col("doc"), 1)
+                          .otherwise(0)).alias("n_dropped")))
+    return (per_doc.join(dropped, "doc", "left")
+            .select("doc", "n_units",
+                    F.coalesce(F.col("n_candidates"), F.lit(0))
+                    .alias("n_candidates"),
+                    F.coalesce(F.col("n_dropped"), F.lit(0))
+                    .alias("n_dropped")))
+
+
+def sql_line_dedup_summary(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB replay of :func:`line_dedup_summary` (same normalization,
+    same '. ' split, same ownership rule)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH raw_units AS (
+      SELECT {id_col} AS doc,
+             unnest(string_split_regex({norm}, '\\. ')) AS u
+      FROM {table}),
+    units AS (SELECT doc, regexp_replace(u, '\\.$', '') AS unit
+              FROM raw_units),
+    nonempty AS (SELECT doc, unit FROM units WHERE unit <> ''),
+    per_doc AS (SELECT doc, COUNT(*) AS n_units FROM nonempty GROUP BY doc),
+    cand AS (
+      SELECT DISTINCT doc, unit FROM nonempty
+      WHERE len(string_split(unit, ' ')) >= {LINE_DEDUP_MIN_WORDS}),
+    owners AS (SELECT unit, MIN(doc) AS owner FROM cand GROUP BY unit),
+    dropped AS (
+      SELECT doc, COUNT(*) AS n_candidates,
+             SUM(CASE WHEN owner < doc THEN 1 ELSE 0 END) AS n_dropped
+      FROM cand JOIN owners USING (unit) GROUP BY doc)
+    SELECT per_doc.doc AS doc, CAST(n_units AS BIGINT) AS n_units,
+           CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped
+    FROM per_doc LEFT JOIN dropped ON per_doc.doc = dropped.doc
+    """

@@ -206,6 +206,130 @@ def vocab_topk(df, text_col: str, k: int = 100):
             .limit(k))
 
 
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str,
+               k: int = 5) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the term-importance pass of a
+    corpus pipeline (keyword extraction, topic seeding, index pruning).
+
+    The weight is the LINEAR idf variant ``tf × (N / df)`` rather than the
+    log form: orderings agree (log is monotone in N/df), and it keeps the
+    score inside exact IEEE ± × ÷ of integer-valued doubles, which is
+    bit-identical across engines — ``ln`` is a transcendental whose last
+    bit may differ between libm implementations, so a log-weighted score
+    could not be value-hash-judged.
+
+    Scale shape: tf is a groupBy on (doc, term); df reuses tf's output
+    with a groupBy on term (term-cardinality-bounded, not corpus-bounded);
+    N is a 1-row broadcast; the final per-doc top-k is a window pruned by
+    row_number. Everything keys on doc or term — no hot global key.
+    """
+    doc = F.col(id_col)
+    staged = df.select(doc.alias("doc"), words(F.col(text_col)).alias("w"))
+    terms = (staged.select("doc", F.explode("w").alias("term"))
+             .filter(F.col("term") != ""))
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = staged.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc", "term", "tf", "doc_freq",
+                      (F.col("tf").cast("double")
+                       * F.col("n_docs").cast("double")
+                       / F.col("doc_freq").cast("double")).alias("tfidf")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc", "term", "tf", "doc_freq", "tfidf", "rank"))
+
+
+def sql_tfidf_topk(table: str, id_col: str, text_col: str,
+                   k: int = 5) -> str:
+    """DuckDB replay of :func:`tfidf_topk` (same normalization, same
+    left-to-right tf × N ÷ df double arithmetic)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH terms AS (
+      SELECT {id_col} AS doc, unnest(string_split({norm}, ' ')) AS term
+      FROM {table}),
+    tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM terms
+      WHERE term <> '' GROUP BY doc, term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+    scored AS (
+      SELECT doc, tf.term, tf, doc_freq,
+             CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+               / CAST(doc_freq AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+    ranked AS (
+      SELECT doc, term, CAST(tf AS BIGINT) AS tf,
+             CAST(doc_freq AS BIGINT) AS doc_freq, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc
+                  ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+      FROM scored)
+    SELECT doc, term, tf, doc_freq, tfidf, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+# PII patterns, portable between Java regex (Spark) and RE2 (DuckDB):
+# plain character classes and bounded repetition only — no lookarounds, no
+# backreferences. Applied to NORMALIZED (lowercased) text.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing — the compliance gate every training pipeline runs
+    before text leaves the raw zone: emails, IPv4 addresses, and SSN-shaped
+    ids are counted and replaced with typed placeholder tokens.
+
+    Pure JVM regexp column expressions (scan speed at 100 TB; no Python,
+    no shuffle). Redaction ORDER matters and is fixed: email first (its
+    domain part could otherwise be mangled by the IP rule), then IP, then
+    SSN — the classes are disjoint after normalization but the fixed order
+    makes the output deterministic by construction. The judged frame
+    carries the counts plus md5 of the redacted text, pinning the full
+    transform without shipping document bodies through the judge."""
+    norm = normalize(F.col(text_col))
+    n_emails = F.regexp_count(norm, F.lit(PII_EMAIL))
+    step1 = F.regexp_replace(norm, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(step1, F.lit(PII_IPV4))
+    step2 = F.regexp_replace(step1, PII_IPV4, "<IP>")
+    n_ids = F.regexp_count(step2, F.lit(PII_SSN))
+    step3 = F.regexp_replace(step2, PII_SSN, "<ID>")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_ids.cast("long").alias("n_ids"),
+        F.length(step3).alias("redacted_len"),
+        F.md5(step3).alias("redacted_fp"))
+
+
+def sql_pii_redact(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB replay of :func:`pii_redact` — same patterns, same fixed
+    redaction order, same placeholders."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    s1 = f"regexp_replace({norm}, '{PII_EMAIL}', '<EMAIL>', 'g')"
+    s2 = f"regexp_replace({s1}, '{PII_IPV4}', '<IP>', 'g')"
+    s3 = f"regexp_replace({s2}, '{PII_SSN}', '<ID>', 'g')"
+    return f"""
+    SELECT {id_col} AS doc,
+           CAST(len(regexp_extract_all({norm}, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all({s1}, '{PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all({s2}, '{PII_SSN}')) AS BIGINT)
+             AS n_ids,
+           length({s3}) AS redacted_len,
+           md5({s3}) AS redacted_fp
+    FROM {table}
+    """
+
+
 def sql_vocab_topk(table: str, text_col: str, k: int = 100) -> str:
     """DuckDB replay of :func:`vocab_topk` (same normalization)."""
     norm = (f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))")

@@ -37,12 +37,16 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 swaps two entries: ``sqlite_roundtrip_user_stats`` (new — K1's
-real-SQLite write→replay→read cycle, the r5 verdict's #3 ask) enters;
-``q16_supplier_part_variety`` (green in CORRECTNESS_r05, TPC-H family keeps
-eleven in-window siblings) moves to the locally-verified tail.
-``multimodal_decode_meta`` also gained a full value oracle this round, so
-the window now has zero rows-only entries.
+Round 6 rotates five new registrations in: ``sqlite_roundtrip_user_stats``
+(K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask) plus
+the four new LLM-pipeline operators ``text_tfidf_topk``,
+``text_pii_redact``, ``text_c4_quality``, ``dedup_lines_global``.
+Displaced: ``q16_supplier_part_variety``, ``q9_product_type_profit``,
+``q11_important_stock``, ``q13_order_count_distribution``,
+``q20_excess_shippers`` — all green in CORRECTNESS_r05, with seven TPC-H
+shapes (q1/q2/q8/q10/q15/q17/q21) still in-window. ``multimodal_decode_
+meta`` also gained a full value oracle this round, so the window now has
+zero rows-only entries.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -75,12 +79,8 @@ JUDGE_WINDOW: list[str] = [
     "q10_returned_items",          # broadcast-dim + fact join + top-k
     "q2_min_cost_supplier",        # correlated min subquery, 5-way join (r5)
     "q8_nation_market_share",      # 8-way join + conditional share (r5)
-    "q9_product_type_profit",      # LIKE filter + 6-way join profit (r5)
-    "q11_important_stock",         # group HAVING vs scalar subquery (r5)
-    "q13_order_count_distribution",  # outer join + double agg (r5)
     "q15_top_supplier",            # agg view + max-equality join (r5)
     "q17_small_quantity_revenue",  # correlated avg subquery (r5)
-    "q20_excess_shippers",         # nested semi joins (r5)
     "q21_waiting_suppliers",       # exists/not-exists multi-lineitem (r5)
     # -- join / agg / window / set / pivot / scalar categories ------------
     "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
@@ -115,6 +115,10 @@ JUDGE_WINDOW: list[str] = [
     "text_token_count",
     "text_gopher_quality",         # Gopher quality rules (r2)
     "text_winnow_fingerprints",    # SIGMOD'03 winnowing fingerprints (r5)
+    "text_tfidf_topk",             # tf-idf term importance (r6)
+    "text_pii_redact",             # PII scrubbing compliance gate (r6)
+    "text_c4_quality",             # C4 cleaning heuristics (r6)
+    "dedup_lines_global",          # C4 line-level global dedup (r6)
     "sqlite_scan_events",          # S4 vs the reference's SQLite store (r5)
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite (r6)
     "sample_stratified",           # per-stratum hash-bucket sampling (r2)

@@ -976,6 +976,104 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_topk",
+    survey_ref="extensions: tf-idf term importance (corpus statistics)",
+    description="Top-5 terms per document by linear tf-idf",
+    oracle=X.sql_tfidf_topk("documents", "doc_id", "text", k=5)
+    + " ORDER BY doc, rank",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term importance — keyword extraction / topic seeding.
+    Linear idf (tf × N/df) keeps the score inside exact IEEE arithmetic so
+    the value hash holds cross-engine; orderings match the log form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_topk(docs, "doc_id", "text", k=5).orderBy("doc", "rank")
+
+
+@query(
+    "text_pii_redact",
+    survey_ref="extensions: PII scrubbing (compliance gate)",
+    description="Email/IPv4/SSN redaction counts + redacted-text fingerprint",
+    oracle=X.sql_pii_redact("documents", "doc_id", "text") + " ORDER BY doc",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-release compliance pass: typed placeholder redaction at
+    scan speed (pure JVM regexp expressions, no shuffle). Judged via
+    per-class counts + md5 of the redacted text — the full transform is
+    pinned without moving document bodies through the judge."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pii_redact(docs, "doc_id", "text").orderBy("doc")
+
+
+@query(
+    "dedup_lines_global",
+    survey_ref="extensions: C4-style line-level global dedup",
+    description="Per-doc sentence-unit counts with cross-corpus duplicate drops",
+    oracle=D.sql_line_dedup_summary("documents", "doc_id", "text")
+    + " ORDER BY 1",
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (C4 drops duplicated three-sentence spans
+    corpus-wide): sentence units with ≥5 words keep only their minimum-doc
+    occurrence. Complements the whole-document exact/near-dup family —
+    boilerplate removal works at the unit level."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.line_dedup_summary(docs, "doc_id", "text").orderBy("doc")
+
+
+# C4 cleaning heuristics (Raffel et al. 2020 §2.2, token-granularity
+# adaptation — fixture text is newline-free so the "line" rules apply to
+# the document body). Shared between builder and oracle.
+C4_MIN_WORDS = 5
+
+
+@query(
+    "text_c4_quality",
+    survey_ref="extensions: C4 cleaning heuristics (boilerplate gates)",
+    description="C4-style gates: terminal punctuation, brace/boilerplate "
+                "markers, minimum length",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents)
+    SELECT doc_id,
+           (t LIKE '%.' OR t LIKE '%!' OR t LIKE '%?') AS ends_terminal,
+           contains(t, '{{') AS has_brace,
+           contains(t, 'lorem ipsum') AS has_lorem,
+           contains(t, 'javascript') AS has_js,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+           ((t LIKE '%.' OR t LIKE '%!' OR t LIKE '%?')
+            AND NOT contains(t, '{{')
+            AND NOT contains(t, 'lorem ipsum')
+            AND NOT contains(t, 'javascript')
+            AND len(string_split(t, ' ')) >= {C4_MIN_WORDS}) AS pass_c4
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def text_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning family (terminal-punctuation requirement, brace /
+    'lorem ipsum' / 'javascript' boilerplate markers, minimum length) —
+    the sibling of the Gopher gates, both pure scan-speed column
+    expressions. Distinct operators because real pipelines stack them."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.normalize(F.col("text"))
+    ends = (t.endswith(".") | t.endswith("!") | t.endswith("?"))
+    brace = t.contains("{")
+    lorem = t.contains("lorem ipsum")
+    js = t.contains("javascript")
+    n_words = F.size(F.split(t, " ")).cast("long")
+    return (docs.select(
+        "doc_id", ends.alias("ends_terminal"), brace.alias("has_brace"),
+        lorem.alias("has_lorem"), js.alias("has_js"),
+        n_words.alias("n_words"),
+        (ends & ~brace & ~lorem & ~js
+         & (n_words >= C4_MIN_WORDS)).alias("pass_c4"))
+        .orderBy("doc_id"))
+
+
+@query(
     "text_vocab_topk",
     survey_ref="extensions: corpus vocabulary statistics (top-k terms)",
     description="Top-100 corpus terms by frequency",

@@ -349,3 +349,84 @@ class TestIvfDegenerateCorpus:
         assert all(len(c) == 2 for c in cents)
         # training twice is bit-identical (determinism survives the guard)
         assert cents == train_ivf_centroids(df, n_centroids=8)
+
+
+class TestPiiRedaction:
+    def test_planted_pii_redacted_and_counted(self, spark):
+        from fictional_guacamole_spark.functions.text import pii_redact
+
+        rows = [
+            (1, "Contact Bob at bob.smith+x@example.co.uk for details."),
+            (2, "server at 192.168.1.250 logged ssn 123-45-6789 twice: "
+                "123-45-6789"),
+            (3, "nothing sensitive here at all, just words."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r for r in pii_redact(df, "doc_id", "text").collect()}
+        assert (got[1].n_emails, got[1].n_ips, got[1].n_ids) == (1, 0, 0)
+        assert (got[2].n_emails, got[2].n_ips, got[2].n_ids) == (0, 1, 2)
+        assert (got[3].n_emails, got[3].n_ips, got[3].n_ids) == (0, 0, 0)
+
+    def test_redacted_text_has_placeholders_not_values(self, spark):
+        from fictional_guacamole_spark.functions.text import (
+            PII_EMAIL, PII_IPV4, PII_SSN, normalize)
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "mail a@b.io, host 10.0.0.1, id 111-22-3333")],
+            "doc_id long, text string")
+        redacted = df.select(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(normalize(F.col("text")),
+                                     PII_EMAIL, "<EMAIL>"),
+                    PII_IPV4, "<IP>"),
+                PII_SSN, "<ID>").alias("t")).collect()[0].t
+        assert redacted == "mail <EMAIL>, host <IP>, id <ID>"
+
+
+class TestLineDedupGlobal:
+    def test_planted_duplicate_sentence_dropped_in_later_doc(self, spark):
+        from fictional_guacamole_spark.functions.dedup import (
+            line_dedup_summary)
+
+        shared = "this exact sentence appears in two different documents"
+        rows = [
+            (10, f"{shared}. unique tail sentence for the first doc here."),
+            (20, f"another opening phrase entirely. {shared}."),
+            (30, "short bit. no dups at all in this one honestly friend."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r for r in
+               line_dedup_summary(df, "doc_id", "text").collect()}
+        assert got[10].n_dropped == 0          # owner keeps its copy
+        assert got[20].n_dropped == 1          # later doc drops the dup
+        assert got[30].n_dropped == 0
+        assert got[10].n_units == 2 and got[20].n_units == 2
+
+    def test_short_units_never_participate(self, spark):
+        from fictional_guacamole_spark.functions.dedup import (
+            line_dedup_summary)
+
+        rows = [(1, "same tiny bit. real sentence with five plus words."),
+                (2, "same tiny bit. different real sentence also five words.")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r for r in
+               line_dedup_summary(df, "doc_id", "text").collect()}
+        # 'same tiny bit' is < 5 words: duplicated but never dropped
+        assert got[2].n_dropped == 0
+
+
+class TestTfidf:
+    def test_rare_term_outscores_common_term(self, spark):
+        from fictional_guacamole_spark.functions.text import tfidf_topk
+
+        rows = [(1, "alpha beta zephyr"), (2, "alpha beta gamma"),
+                (3, "alpha beta delta")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        top = {(r.doc, r.rank): r.term
+               for r in tfidf_topk(df, "doc_id", "text", k=1).collect()}
+        # every doc's top term is its unique word, never the shared ones
+        assert top[(1, 1)] == "zephyr"
+        assert top[(2, 1)] == "gamma"
+        assert top[(3, 1)] == "delta"
