@@ -244,3 +244,38 @@ class TestBucketedLayout:
         finally:
             spark.sql("DROP TABLE IF EXISTS b_nation_4")
             spark.sql("DROP TABLE IF EXISTS b_nation_2")
+
+
+class TestRound6OperatorPlans:
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        # formatted explain prints each operator once in the tree and once
+        # as a "(n) Exchange" detail header — count the detail headers
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    @pytest.mark.parametrize("name", ["text_pii_redact", "text_c4_quality"])
+    def test_scan_speed_gates_are_shuffle_free(self, spark, name):
+        """The compliance/cleaning gates must run at scan speed: a single
+        projection over the parquet scan; the only allowed Exchange is the
+        final presentation orderBy's range partitioning."""
+        plan = plan_of(spark, name)
+        assert self._n_exchanges(plan) <= 1, plan
+        assert "rangepartitioning" in plan  # i.e. the one is the sort
+
+    def test_tfidf_broadcasts_corpus_count(self, spark):
+        """N joins in as a 1-row broadcast, never a shuffled cross."""
+        plan = plan_of(spark, "text_tfidf_topk")
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_line_dedup_no_cartesian(self, spark):
+        plan = plan_of(spark, "dedup_lines_global")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_sqlite_roundtrip_builder_bounded(self, spark):
+        """The round-trip query's read-back side must stay a 4-task
+        mapInPandas scan (no collect of the table into the driver)."""
+        df = REGISTRY["sqlite_roundtrip_user_stats"].builder(spark, SF)
+        assert df.rdd.getNumPartitions() <= 4
