@@ -37,14 +37,16 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 rotates five new registrations in: ``sqlite_roundtrip_user_stats``
-(K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask) plus
-the four new LLM-pipeline operators ``text_tfidf_topk``,
-``text_pii_redact``, ``text_c4_quality``, ``dedup_lines_global``.
-Displaced: ``q16_supplier_part_variety``, ``q9_product_type_profit``,
-``q11_important_stock``, ``q13_order_count_distribution``,
-``q20_excess_shippers`` — all green in CORRECTNESS_r05, with seven TPC-H
-shapes (q1/q2/q8/q10/q15/q17/q21) still in-window. ``multimodal_decode_
+Round 6 rotates six new registrations in: ``sqlite_roundtrip_user_stats``
+(K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask),
+``txnlog_roundtrip_event_stats`` (the ACID commit-log sink's multi-commit
++ replayed-batch cycle), and the four new LLM-pipeline operators
+``text_tfidf_topk``, ``text_pii_redact``, ``text_c4_quality``,
+``dedup_lines_global``. Displaced: ``q16_supplier_part_variety``,
+``q9_product_type_profit``, ``q11_important_stock``,
+``q13_order_count_distribution``, ``q20_excess_shippers``,
+``q8_nation_market_share`` — all green in CORRECTNESS_r05, with six TPC-H
+shapes (q1/q2/q10/q15/q17/q21) still in-window. ``multimodal_decode_
 meta`` also gained a full value oracle this round, so the window now has
 zero rows-only entries.
 
@@ -78,7 +80,6 @@ JUDGE_WINDOW: list[str] = [
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "q10_returned_items",          # broadcast-dim + fact join + top-k
     "q2_min_cost_supplier",        # correlated min subquery, 5-way join (r5)
-    "q8_nation_market_share",      # 8-way join + conditional share (r5)
     "q15_top_supplier",            # agg view + max-equality join (r5)
     "q17_small_quantity_revenue",  # correlated avg subquery (r5)
     "q21_waiting_suppliers",       # exists/not-exists multi-lineitem (r5)
@@ -121,6 +122,7 @@ JUDGE_WINDOW: list[str] = [
     "dedup_lines_global",          # C4 line-level global dedup (r6)
     "sqlite_scan_events",          # S4 vs the reference's SQLite store (r5)
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite (r6)
+    "txnlog_roundtrip_event_stats",  # ACID commit-log sink cycle (r6)
     "sample_stratified",           # per-stratum hash-bucket sampling (r2)
     "text_quality_filter",
     "pipeline_sequence_pack",      # sequence packing (r2)

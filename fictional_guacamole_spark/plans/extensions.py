@@ -950,6 +950,64 @@ def sqlite_roundtrip_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        num_partitions=4).orderBy("user_id")
 
 
+@query(
+    "txnlog_roundtrip_event_stats",
+    survey_ref="K1/K3 transactional sink: commit-log table, exactly-once "
+               "multi-commit + replay",
+    description="Per-user event stats committed through the transactional "
+                "parquet table (two commits + a replayed commit), read back",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def txnlog_roundtrip_event_stats(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The ACID-sink cycle end-to-end: per-user event stats land in the
+    commit-log table (sources/txnlog.py) as TWO commits (even / odd
+    users — the multi-batch shape), the first commit is then REPLAYED
+    (the foreachBatch retry failure mode; its txn_id makes it a no-op),
+    and the table is read back as one snapshot. The judged value hash
+    certifies atomic multi-commit union + exactly-once replay: a
+    duplicated even-user row or a lost commit breaks it. Integer cents
+    keep sums exact and order-independent on both engines."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    events = load_table(spark, sf_dir, "events")
+    derived = (events.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.floor(F.col("value") * 100))
+                    .alias("value_cents")))
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"txnlog:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_txnlog_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        t = TransactionalParquetTable(build)
+        t.commit(derived.filter(F.col("user_id") % 2 == 0), "batch-even")
+        t.commit(derived.filter(F.col("user_id") % 2 == 1), "batch-odd")
+        t.commit(derived.filter(F.col("user_id") % 2 == 0),
+                 "batch-even")  # replayed batch: must be a no-op
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    return (TransactionalParquetTable(base).read(spark)
+            .orderBy("user_id"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics + benchmark decontamination
 # ---------------------------------------------------------------------------

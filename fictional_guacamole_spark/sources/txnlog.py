@@ -1,0 +1,151 @@
+"""Transactional parquet table: a minimal commit-log table format giving
+the K1/K3 sink ACID properties without Delta Lake (which is not
+installable in this container — see PARITY.md known gaps).
+
+The reference's store is a transactional single file
+(/root/reference/db_utils.py:17-32 — SQLite gives it atomic commits for
+free). The engine's parquet sinks get idempotence from dynamic-partition
+overwrite (streaming/pipeline.py), which is replay-safe but not ACID under
+concurrent writers. This module supplies the missing properties with the
+same CONCEPT the public Delta/Iceberg protocols use — an append-only
+commit log over immutable parquet data files — implemented from scratch on
+stdlib primitives:
+
+- **Atomic commit**: each commit writes its data to a private directory,
+  then publishes a JSON entry as ``_txnlog/<version>.json`` via
+  ``os.link`` from a staged temp file — link(2) fails with EEXIST if the
+  version is taken, so claiming a version and publishing its content is
+  one atomic step (no reader can observe a half-written commit file).
+- **Optimistic concurrency**: on EEXIST the writer re-reads the log (the
+  winner's commit is now visible) and retries the next version. Two
+  concurrent committers both land, serialized by the filesystem.
+- **Exactly-once / idempotent replay**: every commit carries a caller
+  ``txn_id``; a commit whose txn_id already appears in the log is a no-op
+  (the foreachBatch replay contract — pass the micro-batch id and a
+  retried batch converges, exactly Delta's ``txnAppId``/``txnVersion``
+  pattern).
+- **Snapshot isolation**: a read resolves the log ONCE and pins the
+  explicit file list into the DataFrame's plan — a concurrent commit
+  cannot change what an already-constructed frame reads. ``version=``
+  gives time travel over the retained log.
+- **Schema evolution (K3)**: each commit records its schema; reads union
+  snapshots ``allowMissingColumns`` so a widened schema is readable
+  across the boundary, old rows null-filled.
+
+At 100 TB this layout is exactly the production pattern: the log is
+KB-scale JSON regardless of data volume, data files are immutable and
+scan-parallel, and commit conflicts cost one filesystem round-trip. On a
+real cluster the ``os.link`` claim maps to the object store's
+put-if-absent (S3 conditional PUT / GCS generation preconditions), which
+is how open-source Delta's S3 LogStore works.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LOG_DIR = "_txnlog"
+_DATA_DIR = "data"
+
+
+class TransactionalParquetTable:
+    """A directory-backed transactional table (see module docstring)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_path = os.path.join(path, _LOG_DIR)
+        os.makedirs(self.log_path, exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # -- log primitives -----------------------------------------------------
+
+    def _entries(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.log_path)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.log_path, name)) as f:
+                out.append(json.load(f))
+        return sorted(out, key=lambda e: e["version"])
+
+    def version(self) -> int:
+        """Latest committed version (0 = empty table)."""
+        entries = self._entries()
+        return entries[-1]["version"] if entries else 0
+
+    def history(self) -> list[dict]:
+        """The commit log, oldest first (version, txn_id, data dir)."""
+        return self._entries()
+
+    # -- write path ----------------------------------------------------------
+
+    def commit(self, df: DataFrame, txn_id: str) -> int:
+        """Atomically append ``df`` as one commit; replays are no-ops.
+
+        Returns the version that carries ``txn_id`` (the existing one on
+        replay). The data is written BEFORE the commit is published, so a
+        crash between the two leaves an unreferenced data directory (debris
+        a vacuum pass may collect) — never a visible partial commit.
+        """
+        existing = [e for e in self._entries() if e["txn_id"] == txn_id]
+        if existing:
+            return existing[0]["version"]
+
+        rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
+        # data_dir is RELATIVE to the table root: the table stays readable
+        # after a rename/move (atomic-publish builds, object-store copies)
+        entry = {"txn_id": txn_id, "data_dir": rel_dir,
+                 "schema": df.schema.json()}
+
+        staged = os.path.join(self.log_path, f".tmp.{uuid.uuid4().hex}")
+        try:
+            while True:
+                entry["version"] = self.version() + 1
+                with open(staged, "w") as f:
+                    f.write(json.dumps(entry))
+                target = os.path.join(self.log_path,
+                                      f"{entry['version']:08d}.json")
+                try:
+                    os.link(staged, target)  # atomic claim + publish
+                    return entry["version"]
+                except FileExistsError:
+                    # lost the race: the winner's commit is visible now —
+                    # it may even be OUR txn_id via a concurrent replay
+                    dup = [e for e in self._entries()
+                           if e["txn_id"] == txn_id]
+                    if dup:
+                        return dup[0]["version"]
+        finally:
+            if os.path.exists(staged):
+                os.unlink(staged)
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read (optionally time-traveled to ``version``).
+
+        The commit list is resolved HERE, once: the returned DataFrame's
+        plan carries explicit directories, so later commits never leak
+        into an existing frame (snapshot isolation). Snapshots with
+        differing schemas union by name with missing columns null-filled
+        (K3 schema evolution).
+        """
+        entries = self._entries()
+        if version is not None:
+            entries = [e for e in entries if e["version"] <= version]
+        if not entries:
+            schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
+                      if (es := self._entries()) else T.StructType([]))
+            return spark.createDataFrame([], schema)
+        parts = [spark.read.parquet(os.path.join(self.path, e["data_dir"]))
+                 for e in entries]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out

@@ -286,3 +286,116 @@ class TestSqliteHostileRowids:
         assert _rows(got) == [(i, f"v{i}") for i in range(50)]
         filtered = read_sqlite(spark, db, "t", where="k < 10")
         assert filtered.count() == 10
+
+
+class TestTransactionalParquetTable:
+    """ACID properties of the commit-log table (sources/txnlog.py): atomic
+    publish, idempotent replay (the foreachBatch exactly-once contract),
+    optimistic concurrency, snapshot isolation, time travel, and K3 schema
+    evolution across commits."""
+
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_commit_read_roundtrip(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(self._frame(spark, [(1, "a"), (2, "b")]), "txn-1")
+        t.commit(self._frame(spark, [(3, "c")]), "txn-2")
+        assert t.version() == 2
+        assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_replayed_txn_is_noop(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        df = self._frame(spark, [(1, "a")])
+        v1 = t.commit(df, "batch-0")
+        v2 = t.commit(df, "batch-0")  # foreachBatch retry
+        assert v1 == v2 == 1
+        assert t.read(spark).count() == 1
+
+    def test_lost_race_retries_next_version(self, spark, tmp_path,
+                                            monkeypatch):
+        import json as _json
+        import os as _os
+
+        from fictional_guacamole_spark.sources import txnlog
+
+        t = txnlog.TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(self._frame(spark, [(1, "a")]), "txn-1")
+
+        real_link = _os.link
+        base = t.history()[0]
+        rival = _json.dumps({"version": 2, "txn_id": "rival",
+                             "data_dir": base["data_dir"],
+                             "schema": base["schema"]})
+        state = {"raced": False}
+
+        def racing_link(src, dst):
+            if not state["raced"]:
+                state["raced"] = True
+                # a competing writer lands at exactly this version first
+                with open(dst, "w") as f:
+                    f.write(rival)
+                raise FileExistsError(dst)
+            return real_link(src, dst)
+
+        monkeypatch.setattr(txnlog.os, "link", racing_link)
+        v = t.commit(self._frame(spark, [(9, "z")]), "txn-2")
+        assert state["raced"] and v == 3
+        assert [e["txn_id"] for e in t.history()] == \
+            ["txn-1", "rival", "txn-2"]
+
+    def test_snapshot_isolation_and_time_travel(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(self._frame(spark, [(1, "a")]), "txn-1")
+        snap = t.read(spark)              # resolved now, pinned to v1
+        t.commit(self._frame(spark, [(2, "b")]), "txn-2")
+        assert snap.count() == 1          # later commit invisible
+        assert t.read(spark).count() == 2
+        assert _rows(t.read(spark, version=1)) == [(1, "a")]
+
+    def test_schema_evolution_union_by_name(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(self._frame(spark, [(1, "a")]), "txn-1")
+        widened = spark.createDataFrame([(2, "b", 9.5)],
+                                        "k long, v string, score double")
+        t.commit(widened, "txn-2")
+        got = t.read(spark)
+        assert set(got.columns) == {"k", "v", "score"}
+        by_k = {r.k: r for r in got.collect()}
+        assert by_k[1].score is None and by_k[2].score == 9.5
+
+    def test_empty_table_reads_empty(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        assert t.version() == 0
+        assert t.read(spark).count() == 0
+
+    def test_table_survives_directory_rename(self, spark, tmp_path):
+        """Log entries hold table-relative data paths, so the atomic
+        build-then-publish pattern (and any object-store move) works."""
+        import os
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        build = str(tmp_path / "t.build")
+        t = TransactionalParquetTable(build)
+        t.commit(self._frame(spark, [(1, "a"), (2, "b")]), "txn-1")
+        final = str(tmp_path / "t")
+        os.rename(build, final)
+        got = TransactionalParquetTable(final).read(spark)
+        assert _rows(got) == [(1, "a"), (2, "b")]
