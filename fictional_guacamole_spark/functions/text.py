@@ -341,3 +341,58 @@ def sql_vocab_topk(table: str, text_col: str, k: int = 100) -> str:
     ORDER BY n_occurrences DESC, word
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_overlap(df: DataFrame, id_col: str, text_col: str,
+                  size: int = 160, stride: int = 100) -> DataFrame:
+    """Split each document into overlapping fixed-``size`` character
+    chunks every ``stride`` characters — the context-window preparation
+    step of a training/RAG pipeline (each chunk keeps ``size - stride``
+    characters of left context).
+
+    Map-only: ``sequence() -> explode -> substring`` runs inside
+    whole-stage codegen with zero shuffles, so at 100 TB it proceeds at
+    parquet-scan speed and the output partitioning inherits the input's.
+    Output rows carry (doc, chunk_id, chunk_start, chunk_text, chunk_len);
+    an empty document yields one empty chunk (start = 1), a NULL document
+    yields no rows — both engines agree on both edges.
+    """
+    n = F.length(F.col(text_col))
+    # greatest() skips NULLs in Spark (returns 1 for a NULL doc), so gate
+    # the sequence on the doc itself: NULL -> NULL -> explode drops the row
+    starts = F.when(
+        F.col(text_col).isNotNull(),
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)))
+    return (df.select(F.col(id_col).alias("doc"),
+                      F.col(text_col).alias("__t"),
+                      F.explode(starts).alias("chunk_start"))
+            .select("doc",
+                    ((F.col("chunk_start") - 1) / stride)
+                    .cast("long").alias("chunk_id"),
+                    "chunk_start",
+                    F.col("__t").substr(F.col("chunk_start"), F.lit(size))
+                     .alias("chunk_text"))
+            .withColumn("chunk_len", F.length("chunk_text")))
+
+
+def sql_chunk_overlap(table: str, id_col: str, text_col: str,
+                      size: int = 160, stride: int = 100) -> str:
+    """DuckDB rendering of :func:`chunk_overlap` (``generate_series`` +
+    ``substr`` have the same 1-based / clamping semantics)."""
+    return f"""
+    SELECT {id_col} AS doc,
+           CAST((chunk_start - 1) / {stride} AS BIGINT) AS chunk_id,
+           chunk_start,
+           substr({text_col}, chunk_start, {size}) AS chunk_text,
+           length(substr({text_col}, chunk_start, {size})) AS chunk_len
+    FROM (SELECT {id_col}, {text_col},
+                 unnest(CASE WHEN {text_col} IS NULL THEN NULL
+                        ELSE generate_series(
+                          1, greatest(length({text_col}), 1), {stride}) END)
+                   AS chunk_start
+          FROM {table})
+    """

@@ -1,0 +1,180 @@
+"""Time-series operators: hypertable-style bucket rollup with gap-fill /
+LOCF interpolation, and exponential smoothing (EWMA) in exact arithmetic.
+
+These are the operators a market-data store grows first once raw ticks are
+landing (the reference's domain — its SQLite store holds order-book rows
+keyed by obtained/sequence, real_guac.py:37-44): downsample to a regular
+grid, carry the last observation across empty buckets, smooth a noisy
+series. Spark has no built-in ``time_bucket_gapfill``; the composition here
+is pure DataFrame ops — no UDFs, no driver loops:
+
+    bucket agg  ->  per-key sequence() grid  ->  left join  ->  LOCF window
+
+Scale shape: the dense grid is O(keys x span/step) rows — independent of
+the raw event count, so at 100 TB of ticks the grid side is the SMALL side.
+The join keys on (key, bucket) and distributes; the LOCF window partitions
+by key and sorts only grid rows. For a single very long series, range-split
+the window by coarse time slices and carry the boundary value forward (the
+same two-pass trick as plans/windows_streaming.py's session windows).
+
+EWMA is order-dependent state — normally a streaming fold. With
+``alpha = 0.5`` over a bounded horizon it collapses to a closed form in
+exact integer arithmetic (see :func:`ewma_pow2`), which makes it expressible
+as one window aggregation AND bit-identical across engines — the same
+decimal trick as plans/compat.py, but with power-of-two weights so even the
+scaling multiplies are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Bucket rollup + gap-fill + LOCF
+# ---------------------------------------------------------------------------
+
+
+def gapfill_locf(df: DataFrame, key_col: str, ts_col: str, agg_cols:
+                 dict[str, Column], bucket: str = "15 minutes") -> DataFrame:
+    """Aggregate ``df`` into fixed ``bucket`` windows per ``key_col``, then
+    densify each key's bucket range and fill empty buckets by carrying the
+    last observed aggregate forward (LOCF).
+
+    ``agg_cols`` maps output names to aggregate Columns evaluated per
+    (key, bucket); every aggregate gets a ``<name>`` (filled) column plus
+    one shared ``is_gap`` flag. ``n_events`` is always emitted (0 on gaps).
+
+    The first bucket of every key is observed by construction (the grid
+    starts at that key's min bucket), so LOCF never sees a leading null.
+    """
+    b = F.window(F.col(ts_col), bucket)["start"].alias("bucket")
+    agg = (df.groupBy(F.col(key_col).alias("k"), b)
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                *[c.alias(n) for n, c in agg_cols.items()]))
+
+    step = f"interval {bucket}"
+    grid = (agg.groupBy("k")
+            .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+            .select("k", F.explode(F.expr(f"sequence(mn, mx, {step})"))
+                    .alias("bucket")))
+
+    dense = grid.join(agg, ["k", "bucket"], "left")
+    locf = (W.partitionBy("k").orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return dense.select(
+        F.col("k").alias(key_col), "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        *[F.last(F.col(n), ignorenulls=True).over(locf).alias(n)
+          for n in agg_cols],
+        F.col("n_events").isNull().alias("is_gap"))
+
+
+def sql_gapfill_locf(table: str, key_col: str, ts_col: str,
+                     sql_aggs: dict[str, str],
+                     bucket_sql: str = "INTERVAL 15 MINUTE") -> str:
+    """DuckDB rendering of :func:`gapfill_locf` (``time_bucket`` +
+    ``generate_series`` + ``last_value IGNORE NULLS``)."""
+    agg_sel = ",\n             ".join(
+        f"{expr} AS {name}" for name, expr in sql_aggs.items())
+    locf_sel = ",\n           ".join(
+        f"last_value({name} IGNORE NULLS) OVER w AS {name}"
+        for name in sql_aggs)
+    return f"""
+    WITH __agg AS (
+      SELECT {key_col} AS k, time_bucket({bucket_sql}, {ts_col}) AS bucket,
+             COUNT(*) AS n_events,
+             {agg_sel}
+      FROM {table} GROUP BY 1, 2),
+    __grid AS (
+      SELECT k, unnest(generate_series(mn, mx, {bucket_sql})) AS bucket
+      FROM (SELECT k, MIN(bucket) AS mn, MAX(bucket) AS mx
+            FROM __agg GROUP BY k)),
+    __dense AS (
+      SELECT g.k, g.bucket, a.n_events, {', '.join(sql_aggs)}
+      FROM __grid g LEFT JOIN __agg a ON g.k = a.k AND g.bucket = a.bucket)
+    SELECT k AS {key_col}, bucket,
+           COALESCE(n_events, 0) AS n_events,
+           {locf_sel},
+           n_events IS NULL AS is_gap
+    FROM __dense
+    WINDOW w AS (PARTITION BY k ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+
+# ---------------------------------------------------------------------------
+# EWMA (alpha = 1/2) in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+EWMA_HORIZON = 16  # bounded lookback: weight of the oldest kept row = 2^-15
+EWMA_VALUE_SCALE = 100  # fixture values carry 2 decimals; floor() makes the
+#                         scaled value an exact BIGINT either way
+
+
+def ewma_pow2(df: DataFrame, key_col: str, order_cols: list[str],
+              value_col: str) -> DataFrame:
+    """Final EWMA (``alpha = 1/2``) of ``value_col`` per key over the last
+    :data:`EWMA_HORIZON` rows in ``order_cols`` order.
+
+    The recurrence ``e_i = (x_i + e_{i-1}) / 2`` with ``e_1 = x_1`` has the
+    closed form (series x_1..x_M, oldest first)::
+
+        e_M = ( x_1 + sum_{i=2..M} 2^(i-2) * x_i ) / 2^(M-1)
+
+    Every quantity on the right is an exact integer once ``x`` is scaled by
+    :data:`EWMA_VALUE_SCALE`: weights are powers of two, the numerator is a
+    BIGINT sum (order-insensitive), and numerator/denominator both sit well
+    under 2^53 — so the final IEEE division is a single correctly-rounded
+    op with identical operands in any engine. That turns a stateful fold
+    into one shuffle-per-key window aggregation with a bit-exact oracle.
+
+    Output: ``key_col``, ``n_used`` (M), ``ewma`` (double).
+    """
+    desc = [F.col(c).desc() for c in order_cols]
+    w = W.partitionBy(key_col).orderBy(*desc)
+    v_int = F.floor(F.col(value_col) * EWMA_VALUE_SCALE).cast("long")
+    recent = (df.select(key_col, v_int.alias("v"),
+                        F.row_number().over(w).alias("r"))
+              .filter(F.col("r") <= EWMA_HORIZON))
+    # r = 1 is the NEWEST row; with M rows kept, ascending index
+    # i = M - r + 1, weight(i=1) = 1, weight(i>=2) = 2^(i-2) = 2^(M-r-1).
+    m = F.count(F.lit(1)).over(W.partitionBy(key_col))
+    # pow(2.0, k) is exact in IEEE doubles for k <= 52, so the long cast
+    # recovers the integer weight bit-exactly (shiftleft needs a literal
+    # shift count in the Python API; pow takes a column)
+    weight = (F.when(F.col("r") == m, F.lit(1).cast("long"))
+              .otherwise(F.pow(F.lit(2.0), m - F.col("r") - 1)
+                         .cast("long")))
+    weighted = recent.select(key_col, (F.col("v") * weight).alias("wv"),
+                             m.alias("m"))
+    return (weighted.groupBy(key_col, "m")
+            .agg(F.sum("wv").alias("numer"))
+            .select(key_col, F.col("m").alias("n_used"),
+                    (F.col("numer").cast("double")
+                     / (F.pow(F.lit(2.0), F.col("m") - 1).cast("long")
+                        * EWMA_VALUE_SCALE).cast("double"))
+                    .alias("ewma")))
+
+
+def sql_ewma_pow2(table: str, key_col: str, order_cols: list[str],
+                  value_col: str) -> str:
+    """DuckDB rendering of :func:`ewma_pow2` — same integer closed form."""
+    order_desc = ", ".join(f"{c} DESC" for c in order_cols)
+    return f"""
+    WITH __recent AS (
+      SELECT {key_col} AS k,
+             CAST(FLOOR({value_col} * {EWMA_VALUE_SCALE}) AS BIGINT) AS v,
+             ROW_NUMBER() OVER (PARTITION BY {key_col}
+                                ORDER BY {order_desc}) AS r
+      FROM {table}
+      QUALIFY r <= {EWMA_HORIZON}),
+    __sized AS (
+      SELECT k, v, r, COUNT(*) OVER (PARTITION BY k) AS m FROM __recent)
+    SELECT k AS {key_col}, m AS n_used,
+           CAST(SUM(v * CASE WHEN r = m THEN 1
+                             ELSE (1::BIGINT << (m - r - 1)) END) AS DOUBLE)
+             / CAST((1::BIGINT << (m - 1)) * {EWMA_VALUE_SCALE} AS DOUBLE)
+             AS ewma
+    FROM __sized GROUP BY k, m
+    """

@@ -37,18 +37,24 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 rotates six new registrations in: ``sqlite_roundtrip_user_stats``
+Round 6 rotates ten new registrations in: ``sqlite_roundtrip_user_stats``
 (K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask),
 ``txnlog_roundtrip_event_stats`` (the ACID commit-log sink's multi-commit
 + replayed-batch cycle), and the four new LLM-pipeline operators
 ``text_tfidf_topk``, ``text_pii_redact``, ``text_c4_quality``,
-``dedup_lines_global``. Displaced: ``q16_supplier_part_variety``,
+``dedup_lines_global``, plus the four second-wave round-6 operators:
+``ts_gapfill_locf`` + ``agg_ewma_user_value`` (the hypertable rollup /
+exponential-smoothing family, plans/timeseries.py),
+``pipeline_chunk_overlap`` (context-window chunking), and
+``orc_roundtrip_brand_stats`` (the second columnar format, written AND
+pushdown-read). Displaced: ``q16_supplier_part_variety``,
 ``q9_product_type_profit``, ``q11_important_stock``,
 ``q13_order_count_distribution``, ``q20_excess_shippers``,
-``q8_nation_market_share`` — all green in CORRECTNESS_r05, with six TPC-H
-shapes (q1/q2/q10/q15/q17/q21) still in-window. ``multimodal_decode_
-meta`` also gained a full value oracle this round, so the window now has
-zero rows-only entries.
+``q8_nation_market_share``, ``q2_min_cost_supplier``, ``q15_top_supplier``,
+``q17_small_quantity_revenue``, ``q21_waiting_suppliers`` — all green in
+CORRECTNESS_r05, with q1/q10 keeping the TPC-H family judged. ``multimodal_
+decode_meta`` also gained a full value oracle this round, so the window now
+has zero rows-only entries.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -63,6 +69,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     marketdata,
     extensions,
     windows_streaming,
+    timeseries,
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.
@@ -79,10 +86,10 @@ JUDGE_WINDOW: list[str] = [
     # -- flagship TPC-H shapes (joins+aggs+subqueries+pushdown) -----------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "q10_returned_items",          # broadcast-dim + fact join + top-k
-    "q2_min_cost_supplier",        # correlated min subquery, 5-way join (r5)
-    "q15_top_supplier",            # agg view + max-equality join (r5)
-    "q17_small_quantity_revenue",  # correlated avg subquery (r5)
-    "q21_waiting_suppliers",       # exists/not-exists multi-lineitem (r5)
+    "ts_gapfill_locf",             # hypertable rollup + gapfill/LOCF (r6)
+    "agg_ewma_user_value",         # exact-arithmetic EWMA smoothing (r6)
+    "pipeline_chunk_overlap",      # overlapping context-window chunking (r6)
+    "orc_roundtrip_brand_stats",   # ORC write→pushdown-read cycle (r6)
     # -- join / agg / window / set / pivot / scalar categories ------------
     "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
     "agg_grouping_sets",           # explicit GROUPING SETS (r5)

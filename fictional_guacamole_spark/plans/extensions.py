@@ -1143,3 +1143,87 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term → global TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     return X.vocab_topk(docs, "text", k=100)
+
+
+# ---------------------------------------------------------------------------
+# Chunking + columnar-format round-trip
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 160
+CHUNK_STRIDE = 100
+
+
+@query(
+    "pipeline_chunk_overlap",
+    survey_ref="extensions: overlapping chunking (context-window prep)",
+    description=f"Documents split into {CHUNK_SIZE}-char chunks every "
+                f"{CHUNK_STRIDE} chars ({CHUNK_SIZE - CHUNK_STRIDE}-char "
+                "overlap)",
+    oracle=X.sql_chunk_overlap("documents", "doc_id", "text",
+                               size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+    + " ORDER BY doc, chunk_id",
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window preparation for training/RAG ingestion: every
+    document becomes overlapping fixed-size character chunks, each keeping
+    left context across the cut. sequence() -> explode -> substring is
+    map-only whole-stage codegen — zero shuffles, scan-speed at any corpus
+    size (functions/text.py::chunk_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (X.chunk_overlap(docs, "doc_id", "text",
+                            size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+            .orderBy("doc", "chunk_id"))
+
+
+@query(
+    "orc_roundtrip_brand_stats",
+    survey_ref="S4/K4 source formats: ORC columnar round-trip with "
+               "predicate pushdown on read-back",
+    description="Per-(brand,size) part stats written as ORC, read back "
+                "with a pushed size predicate, rolled up per brand",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM part
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def orc_roundtrip_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second columnar format end-to-end: per-(brand, size) part
+    stats land as ORC (Spark-native writer, private build dir + atomic
+    rename so concurrent builders converge), then are read back THROUGH
+    the ORC reader with a `p_size <= 25` filter — which reaches the ORC
+    scan as a pushed predicate (gated by test_plan_quality) — and rolled
+    up per brand. The judged hash certifies the full write+read+pushdown
+    cycle: integer cents keep the sums exact on both engines."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    part = load_table(spark, sf_dir, "part")
+    derived = (part.groupBy("p_brand", "p_size")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.floor(F.col("p_retailprice") * 100))
+                     .alias("cents")))
+
+    src = os.path.join(sf_dir, "part.parquet")
+    tag = hashlib.md5(
+        f"orc_brand:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_orc_brand_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        derived.write.mode("overwrite").orc(build)
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.orc(base)
+    return (back.filter(F.col("p_size") <= 25)
+            .groupBy("p_brand")
+            .agg(F.sum("n").cast("long").alias("n_parts"),
+                 F.sum("cents").cast("long").alias("price_cents"))
+            .orderBy("p_brand"))

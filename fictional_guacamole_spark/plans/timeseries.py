@@ -1,0 +1,67 @@
+"""Time-series rollup queries (hypertable-style): bucket downsampling with
+gap-fill + LOCF interpolation, and exact-arithmetic exponential smoothing.
+
+The reference's store is a time-ordered tick table (order-book rows keyed
+by obtained/sequence — /root/reference/real_guac.py:37-44); these are the
+first queries such a store grows: downsample raw ticks to a regular grid
+(empty intervals carried forward) and smooth a noisy per-key series.
+Operator bodies live in functions/timeseries.py; each query here pairs the
+Spark plan with a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.functions import timeseries as T
+from fictional_guacamole_spark.plans.compat import davg, sql_davg
+from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.tables import load_table
+
+
+@query(
+    "ts_gapfill_locf",
+    survey_ref="extensions: hypertable rollup (time_bucket_gapfill + LOCF)",
+    description="15-min avg-value rollup per event type, gap-filled with "
+                "last-observation-carried-forward",
+    oracle=T.sql_gapfill_locf(
+        "events", "event_type", "ts",
+        {"avg_value": sql_davg("value")},
+        "INTERVAL 15 MINUTE") + " ORDER BY event_type, bucket",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB's ``time_bucket_gapfill(...) + locf(...)`` re-expressed
+    as pure DataFrame ops: bucket agg -> per-key sequence() grid -> left
+    join -> last(ignorenulls) window. About half the 15-minute grid is
+    empty at this fixture density, so the LOCF path is genuinely
+    exercised. The dense grid is O(keys x span/step) — independent of raw
+    event count, so the grid side stays small at any corpus scale; the
+    decimal-sum average keeps the carried values bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    out = T.gapfill_locf(ev, "event_type", "ts",
+                         {"avg_value": davg(F.col("value"))},
+                         bucket="15 minutes")
+    return out.orderBy("event_type", "bucket")
+
+
+@query(
+    "agg_ewma_user_value",
+    survey_ref="extensions: exponential smoothing (EWMA, exact closed form)",
+    description="Per-user EWMA (alpha=1/2, 16-row horizon) of event value "
+                "via the exact power-of-two closed form",
+    oracle=T.sql_ewma_pow2("events", "user_id", ["ts", "event_id"], "value")
+    + " ORDER BY user_id",
+)
+def agg_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA is a stateful fold — normally streaming-only territory. With
+    alpha = 1/2 over a bounded horizon it collapses to an exact integer
+    closed form (functions/timeseries.py::ewma_pow2): power-of-two weights
+    on cent-scaled values make the numerator an order-insensitive BIGINT
+    sum and the final division a single identical IEEE op on both engines.
+    One window (row_number per key) + one groupBy — no Python state, no
+    collect; per-key work is bounded by the horizon so the shuffle volume
+    is O(keys x horizon) regardless of raw event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (T.ewma_pow2(ev, "user_id", ["ts", "event_id"], "value")
+            .orderBy("user_id"))

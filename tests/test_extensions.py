@@ -430,3 +430,73 @@ class TestTfidf:
         assert top[(1, 1)] == "zephyr"
         assert top[(2, 1)] == "gamma"
         assert top[(3, 1)] == "delta"
+
+
+class TestChunkOverlap:
+    """Chunking invariants the fixture parity test can't pin: exact slice
+    equality against Python string slicing, stride/overlap geometry, and
+    the empty/NULL edges."""
+
+    def _chunks(self, spark, texts, size=7, stride=4):
+        from fictional_guacamole_spark.functions.text import chunk_overlap
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_overlap(df, "doc_id", "text", size=size, stride=stride)
+        by_doc: dict[int, list] = {}
+        for r in out.orderBy("doc", "chunk_id").collect():
+            by_doc.setdefault(r.doc, []).append(r)
+        return by_doc
+
+    def test_chunks_are_exact_slices(self, spark):
+        text = "abcdefghijklmnopqrstuvwx"  # 24 chars
+        (chunks,) = self._chunks(spark, [text]).values()
+        # starts 1, 5, 9, ... 21 → ceil-style count
+        assert len(chunks) == (len(text) - 1) // 4 + 1
+        for c in chunks:
+            start0 = c.chunk_start - 1
+            assert c.chunk_text == text[start0:start0 + 7]
+            assert c.chunk_len == len(c.chunk_text)
+            assert c.chunk_id == start0 // 4
+
+    def test_full_coverage_and_overlap(self, spark):
+        text = "0123456789abcdefghij"
+        (chunks,) = self._chunks(spark, [text]).values()
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.chunk_start - 1,
+                                 c.chunk_start - 1 + c.chunk_len))
+        assert covered == set(range(len(text)))  # no position lost
+        # size > stride ⇒ consecutive chunks share size-stride chars
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.chunk_start - a.chunk_start == 4
+            if a.chunk_len == 7:
+                assert a.chunk_text[4:] == b.chunk_text[:3]
+
+    def test_empty_doc_yields_one_empty_chunk(self, spark):
+        (chunks,) = self._chunks(spark, [""]).values()
+        assert len(chunks) == 1
+        assert chunks[0].chunk_text == "" and chunks[0].chunk_start == 1
+
+    def test_null_doc_yields_no_rows(self, spark):
+        from fictional_guacamole_spark.functions.text import chunk_overlap
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        assert chunk_overlap(df, "doc_id", "text").count() == 0
+
+    def test_property_slices(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.text(alphabet=st.characters(codec="ascii",
+                                              exclude_characters="\x00"),
+                       max_size=40))
+        def check(text):
+            (chunks,) = self._chunks(spark, [text], size=5, stride=3).values()
+            assert len(chunks) == (max(len(text), 1) - 1) // 3 + 1
+            for c in chunks:
+                start0 = c.chunk_start - 1
+                assert c.chunk_text == text[start0:start0 + 5]
+
+        check()

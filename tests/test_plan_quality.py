@@ -279,3 +279,42 @@ class TestRound6OperatorPlans:
         mapInPandas scan (no collect of the table into the driver)."""
         df = REGISTRY["sqlite_roundtrip_user_stats"].builder(spark, SF)
         assert df.rdd.getNumPartitions() <= 4
+
+
+class TestSecondWaveRound6Plans:
+    """Scale gates for the time-series / chunking / ORC operators."""
+
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    def test_chunking_is_map_only(self, spark):
+        """sequence→explode→substring must add ZERO data shuffles; the one
+        allowed Exchange is the presentation orderBy's range partitioning."""
+        plan = plan_of(spark, "pipeline_chunk_overlap")
+        assert self._n_exchanges(plan) <= 1, plan
+        assert "rangepartitioning" in plan
+
+    def test_orc_readback_pushes_the_predicate(self, spark):
+        """The judged cycle only certifies ORC *values*; this pins that the
+        read-back filter reaches the ORC scan instead of running post-scan
+        over all row groups."""
+        plan = plan_of(spark, "orc_roundtrip_brand_stats")
+        assert "Scan orc" in plan
+        assert "LessThanOrEqual(p_size,25)" in plan, plan
+
+    def test_gapfill_join_is_keyed(self, spark):
+        """Grid ⋈ aggregates must be an equi-join on (key, bucket) — a
+        nested-loop here would be O(grid × buckets) at scale."""
+        plan = plan_of(spark, "ts_gapfill_locf")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ewma_shuffles_only_on_key(self, spark):
+        """row_number window + groupBy share the user_id hash partitioning
+        (subset-satisfies-clustering), so the whole EWMA costs ONE data
+        shuffle plus the presentation sort."""
+        plan = plan_of(spark, "agg_ewma_user_value")
+        assert self._n_exchanges(plan) <= 2, plan
+        assert "CartesianProduct" not in plan

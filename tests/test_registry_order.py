@@ -62,6 +62,9 @@ def test_every_family_has_an_inwindow_representative():
                        "multimodal_decode_meta"},
         "sqlite_source_sink": {"sqlite_scan_events",
                                "sqlite_roundtrip_user_stats"},
+        "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value"},
+        "chunking": {"pipeline_chunk_overlap"},
+        "columnar_formats": {"orc_roundtrip_brand_stats"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"
