@@ -178,3 +178,86 @@ def sql_ewma_pow2(table: str, key_col: str, order_cols: list[str],
              AS ewma
     FROM __sized GROUP BY k, m
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (arbitrary alpha) — the stateful-fold form
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = "ewma double, n bigint"
+
+
+def make_ewma_kernel(key_col: str, ts_col: str, value_col: str,
+                     alpha: float, out_schema_fields: list[str]):
+    """Build the ``applyInPandasWithState`` function for streaming EWMA.
+
+    One key = one series; state is (current ewma, rows seen). Rows within
+    a micro-batch are replayed in ``ts_col`` order (stable sort, so equal
+    timestamps keep arrival order); the fold ``e = a·x + (1−a)·e``
+    continues across micro-batches through the state round-trip — the
+    general-alpha sibling of :func:`ewma_pow2`, for when the smoothing
+    constant isn't a half and the series arrives as a stream."""
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        if state.exists:
+            e, n = state.get
+        else:
+            e, n = None, 0
+        batches = list(pdfs)
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        out = []
+        for v in pdf[value_col].astype(float):
+            e = v if e is None else alpha * v + (1.0 - alpha) * e
+            n += 1
+            out.append((e, n))
+        state.update((e, n))
+        res = pdf[[key_col, ts_col, value_col]].copy()
+        res["ewma"] = [o[0] for o in out]
+        res["n"] = [o[1] for o in out]
+        yield res[out_schema_fields]
+
+    return kernel
+
+
+def ewma_stream(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                alpha: float = 0.3) -> DataFrame:
+    """Per-row EWMA (arbitrary ``alpha``) of ``value_col`` per key — the
+    smoothed series, one output row per input row.
+
+    Streaming input: ``applyInPandasWithState`` carries (ewma, n) across
+    micro-batches — state per key is TWO scalars, so total state is
+    O(distinct keys) however long the stream runs. Batch input: the same
+    fold via stateless ``applyInPandas`` (a batch holds the full history).
+    Rows must arrive per-key time-ordered across micro-batches for the
+    streaming fold to equal the batch fold (the same contract as the book
+    kernel's per-connection frame order)."""
+    dtypes = dict(df.dtypes)
+    fields = [key_col, ts_col, value_col, "ewma", "n"]
+    out_schema = (f"{key_col} {dtypes[key_col]}, {ts_col} {dtypes[ts_col]}, "
+                  f"{value_col} double, ewma double, n bigint")
+    grouped = df.groupBy(key_col)
+    if df.isStreaming:
+        return grouped.applyInPandasWithState(
+            make_ewma_kernel(key_col, ts_col, value_col, alpha, fields),
+            outputStructType=out_schema,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout")
+
+    def batch_fold(pdf):
+        import pandas as pd  # noqa: F401  (executor-side import)
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        e = None
+        ewmas, ns = [], []
+        for i, v in enumerate(pdf[value_col].astype(float)):
+            e = v if e is None else alpha * v + (1.0 - alpha) * e
+            ewmas.append(e)
+            ns.append(i + 1)
+        res = pdf[[key_col, ts_col, value_col]].copy()
+        res["ewma"] = ewmas
+        res["n"] = ns
+        return res[fields]
+
+    return grouped.applyInPandas(batch_fold, schema=out_schema)

@@ -102,7 +102,11 @@ class TransactionalParquetTable:
         # after a rename/move (atomic-publish builds, object-store copies)
         entry = {"txn_id": txn_id, "data_dir": rel_dir,
                  "schema": df.schema.json()}
+        return self._publish(entry, txn_id)
 
+    def _publish(self, entry: dict, txn_id: str) -> int:
+        """Atomically claim the next version for ``entry`` (shared by
+        commit and compact — the os.link claim + optimistic retry loop)."""
         staged = os.path.join(self.log_path, f".tmp.{uuid.uuid4().hex}")
         try:
             while True:
@@ -125,7 +129,87 @@ class TransactionalParquetTable:
             if os.path.exists(staged):
                 os.unlink(staged)
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, spark: SparkSession, txn_id: str) -> int:
+        """OPTIMIZE: rewrite the current snapshot as ONE data directory and
+        publish it as a *base* commit that supersedes everything up to the
+        snapshot it read (``base_through``).
+
+        Small-file compaction is what keeps a commit-log table readable at
+        scale — a long-running foreachBatch sink accretes one directory per
+        micro-batch, and scan cost grows with file count, not data size.
+        Concurrency-safe by construction: the base entry records the log
+        position it actually read, so an append that lands DURING the
+        compaction claims a later version and stays visible (readers take
+        the base plus every non-base entry past ``base_through``). Replays
+        of the compaction itself converge through the same txn_id check as
+        any commit."""
+        existing = [e for e in self._entries() if e["txn_id"] == txn_id]
+        if existing:
+            return existing[0]["version"]
+
+        through = self.version()
+        snapshot = self.read(spark, version=through)
+        rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        snapshot.write.mode("overwrite").parquet(
+            os.path.join(self.path, rel_dir))
+        entry = {"txn_id": txn_id, "data_dir": rel_dir,
+                 "schema": snapshot.schema.json(), "base_through": through}
+        return self._publish(entry, txn_id)
+
+    def vacuum(self) -> list[str]:
+        """Delete data directories no longer reachable from the LATEST
+        snapshot: commits superseded by a base (version ≤ its
+        ``base_through``) and crash debris (data dirs referenced by no log
+        entry). Returns the removed relative paths.
+
+        The trade is the same one Delta's VACUUM makes: time travel to a
+        version at or before the base's snapshot stops working once its
+        files are gone (the log entries remain, so ``history()`` still
+        shows lineage). A production deployment would add a retention
+        age-guard before each delete; the in-container single-writer tests
+        don't need one."""
+        import shutil
+
+        entries = self._entries()
+        base = self._latest_base(entries)
+        live = set()
+        for e in entries:
+            superseded = (base is not None and e is not base
+                          and e["version"] <= base["base_through"])
+            if not superseded:
+                live.add(e["data_dir"])
+        removed = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join(_DATA_DIR, name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, name),
+                              ignore_errors=True)
+                removed.append(rel)
+        return removed
+
     # -- read path -----------------------------------------------------------
+
+    @staticmethod
+    def _latest_base(entries: list[dict]) -> dict | None:
+        bases = [e for e in entries if "base_through" in e]
+        return bases[-1] if bases else None
+
+    @staticmethod
+    def _snapshot_entries(entries: list[dict]) -> list[dict]:
+        """The live commit set: the latest base (if any) plus every
+        non-base entry past the log position that base actually read —
+        which keeps appends that raced with the compaction, and lets an
+        older base's content be safely ignored (it is contained in the
+        newer base plus those appends)."""
+        base = TransactionalParquetTable._latest_base(entries)
+        if base is None:
+            return entries
+        return [base] + [e for e in entries
+                         if "base_through" not in e
+                         and e["version"] > base["base_through"]]
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read (optionally time-traveled to ``version``).
@@ -134,11 +218,14 @@ class TransactionalParquetTable:
         plan carries explicit directories, so later commits never leak
         into an existing frame (snapshot isolation). Snapshots with
         differing schemas union by name with missing columns null-filled
-        (K3 schema evolution).
+        (K3 schema evolution). After a compaction, reads resolve to the
+        base file plus post-snapshot appends; time travel before the base
+        keeps working until :meth:`vacuum` reclaims the superseded files.
         """
         entries = self._entries()
         if version is not None:
             entries = [e for e in entries if e["version"] <= version]
+        entries = self._snapshot_entries(entries)
         if not entries:
             schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
                       if (es := self._entries()) else T.StructType([]))

@@ -191,3 +191,72 @@ class TestWatermarkedWindows:
         finally:
             q.stop()
         assert spark.table("dedup_wm").count() == 200
+
+
+class TestStreamingEwma:
+    """The general-alpha EWMA fold (functions/timeseries.py::ewma_stream):
+    the streaming applyInPandasWithState form must equal the batch
+    applyInPandas form must equal a plain Python fold — micro-batch
+    chunking can't change the recurrence."""
+
+    ALPHA = 0.3
+
+    def _mk_rows(self):
+        import datetime as dt
+        t0 = dt.datetime(2024, 3, 1)
+        rows = []
+        for k in (1, 2):
+            for i in range(30):
+                rows.append((k, t0 + dt.timedelta(minutes=i),
+                             float((k * 37 + i * 13) % 100)))
+        return rows
+
+    def _python_fold(self, rows):
+        out = {}
+        for k, _, v in sorted(rows, key=lambda r: (r[0], r[1])):
+            e = out.get(k)
+            out[k] = v if e is None else self.ALPHA * v + (1 - self.ALPHA) * e
+        return out
+
+    def test_stream_equals_batch_equals_fold(self, spark, tmp_path):
+        import datetime as dt
+
+        from fictional_guacamole_spark.functions.timeseries import ewma_stream
+
+        rows = self._mk_rows()
+        df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+
+        # batch form
+        batch = ewma_stream(df, "k", "ts", "v", alpha=self.ALPHA)
+        batch_final = {r["k"]: r["ewma"]
+                       for r in batch.orderBy("k", "ts").collect()
+                       if r["n"] == 30}
+
+        # streaming form: three time-ordered files (the per-key in-order
+        # arrival contract), one per micro-batch
+        src = str(tmp_path / "ewma_src")
+        t0 = dt.datetime(2024, 3, 1)
+        for i, lo in enumerate((0, 10, 20)):
+            cut_lo = t0 + dt.timedelta(minutes=lo)
+            cut_hi = t0 + dt.timedelta(minutes=lo + 10)
+            (df.filter((F.col("ts") >= cut_lo) & (F.col("ts") < cut_hi))
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{src}/part{i}"))
+        stream = (spark.readStream.schema("k long, ts timestamp, v double")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{src}/part*"))
+        out = ewma_stream(stream, "k", "ts", "v", alpha=self.ALPHA)
+        q = (out.writeStream.format("memory").queryName("ewma_stream")
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        emitted = spark.table("ewma_stream").collect()
+        assert len(emitted) == len(rows)  # one smoothed row per input row
+        stream_final = {r["k"]: r["ewma"] for r in emitted if r["n"] == 30}
+
+        ref = self._python_fold(rows)
+        for k in (1, 2):
+            assert batch_final[k] == pytest.approx(ref[k], rel=1e-12)
+            assert stream_final[k] == pytest.approx(ref[k], rel=1e-12)

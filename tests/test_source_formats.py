@@ -399,3 +399,114 @@ class TestTransactionalParquetTable:
         os.rename(build, final)
         got = TransactionalParquetTable(final).read(spark)
         assert _rows(got) == [(1, "a"), (2, "b")]
+
+
+class TestTxnlogCompactVacuum:
+    """OPTIMIZE/VACUUM for the commit-log table: compaction rewrites the
+    snapshot as one base commit without changing content, appends racing
+    with a compaction stay visible, replayed compactions converge, and
+    vacuum reclaims exactly the superseded data directories."""
+
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def _table(self, spark, tmp_path, n_commits=4):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        for i in range(n_commits):
+            t.commit(self._frame(spark, [(i, f"v{i}")]), f"txn-{i}")
+        return t
+
+    def test_compact_preserves_content(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        before = sorted(_rows(t.read(spark)))
+        v = t.compact(spark, "compact-1")
+        assert v == 5
+        assert sorted(_rows(t.read(spark))) == before
+        # the live read set collapsed to ONE data directory
+        entry = t.history()[-1]
+        assert entry["base_through"] == 4
+
+    def test_append_after_compact_is_visible(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.compact(spark, "compact-1")
+        t.commit(self._frame(spark, [(99, "post")]), "txn-post")
+        rows = sorted(_rows(t.read(spark)))
+        assert (99, "post") in rows and len(rows) == 5
+
+    def test_append_racing_with_compact_stays_visible(self, spark, tmp_path,
+                                                      monkeypatch):
+        import os as _os
+
+        from fictional_guacamole_spark.sources import txnlog
+
+        t = self._table(spark, tmp_path, n_commits=2)
+        # an append lands BETWEEN the compaction's snapshot read and its
+        # version claim: force the compact's first link attempt to lose
+        real_link = _os.link
+        state = {"raced": False}
+
+        def racing_link(src, dst):
+            if not state["raced"] and dst.endswith("00000003.json"):
+                state["raced"] = True
+                t2 = txnlog.TransactionalParquetTable(t.path)
+                monkeypatch.undo()
+                t2.commit(self._frame(spark, [(42, "racer")]), "txn-racer")
+                monkeypatch.setattr(txnlog.os, "link", racing_link)
+                raise FileExistsError(dst)
+            return real_link(src, dst)
+
+        monkeypatch.setattr(txnlog.os, "link", racing_link)
+        v = t.compact(spark, "compact-1")
+        monkeypatch.undo()
+        assert state["raced"] and v == 4
+        base = [e for e in t.history() if "base_through" in e][0]
+        assert base["base_through"] == 2  # snapshot position, not v-1
+        rows = sorted(_rows(t.read(spark)))
+        assert (42, "racer") in rows and len(rows) == 3
+
+    def test_replayed_compact_is_noop(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        v1 = t.compact(spark, "compact-1")
+        v2 = t.compact(spark, "compact-1")
+        assert v1 == v2
+        assert len([e for e in t.history() if "base_through" in e]) == 1
+
+    def test_vacuum_reclaims_superseded_only(self, spark, tmp_path):
+        import os as _os
+
+        t = self._table(spark, tmp_path)
+        t.compact(spark, "compact-1")
+        t.commit(self._frame(spark, [(99, "post")]), "txn-post")
+        before = sorted(_rows(t.read(spark)))
+        removed = t.vacuum()
+        assert len(removed) == 4  # the four pre-compaction commit dirs
+        assert sorted(_rows(t.read(spark))) == before
+        data_root = _os.path.join(t.path, "data")
+        assert len(_os.listdir(data_root)) == 2  # base + post-append
+        # history (lineage) survives vacuum even though old files are gone
+        assert len(t.history()) == 6
+
+    def test_vacuum_collects_crash_debris(self, spark, tmp_path):
+        import os as _os
+
+        t = self._table(spark, tmp_path, n_commits=1)
+        # simulate a crash between data write and log publish
+        debris = _os.path.join(t.path, "data", "deadbeef")
+        _os.makedirs(debris)
+        removed = t.vacuum()
+        assert removed == [_os.path.join("data", "deadbeef")]
+        assert t.read(spark).count() == 1
+
+    def test_time_travel_before_base_works_until_vacuum(self, spark,
+                                                        tmp_path):
+        t = self._table(spark, tmp_path)
+        t.compact(spark, "compact-1")
+        assert sorted(_rows(t.read(spark, version=2))) == \
+            [(0, "v0"), (1, "v1")]
+        t.vacuum()
+        # post-vacuum, the latest snapshot is intact; pre-base versions
+        # are the documented casualty (same trade Delta's VACUUM makes)
+        assert t.read(spark).count() == 4
