@@ -37,7 +37,7 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 rotates ten new registrations in: ``sqlite_roundtrip_user_stats``
+Round 6 rotates twelve new registrations in: ``sqlite_roundtrip_user_stats``
 (K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask),
 ``txnlog_roundtrip_event_stats`` (the ACID commit-log sink's multi-commit
 + replayed-batch cycle), and the four new LLM-pipeline operators
@@ -47,12 +47,18 @@ Round 6 rotates ten new registrations in: ``sqlite_roundtrip_user_stats``
 exponential-smoothing family, plans/timeseries.py),
 ``pipeline_chunk_overlap`` (context-window chunking), and
 ``orc_roundtrip_brand_stats`` (the second columnar format, written AND
-pushdown-read). Displaced: ``q16_supplier_part_variety``,
+pushdown-read), and the two REAL-codec queries ``multimodal_wav_decode``
++ ``multimodal_bmp_decode`` (stdlib WAV/BMP decode with the oracle
+predicting a correct parser's output from source bytes — closing the
+"codecs are stubbed" weak mark for the formats that need no external
+libs). Displaced: ``q16_supplier_part_variety``,
 ``q9_product_type_profit``, ``q11_important_stock``,
 ``q13_order_count_distribution``, ``q20_excess_shippers``,
 ``q8_nation_market_share``, ``q2_min_cost_supplier``, ``q15_top_supplier``,
-``q17_small_quantity_revenue``, ``q21_waiting_suppliers`` — all green in
-CORRECTNESS_r05, with q1/q10 keeping the TPC-H family judged. ``multimodal_
+``q17_small_quantity_revenue``, ``q21_waiting_suppliers``,
+``agg_ohlcv_candles``, ``t5_gap_enumerate`` — all green in
+CORRECTNESS_r05, with q1/q10 keeping the TPC-H family judged and
+``t5_gap_audit`` keeping T5 judged. ``multimodal_
 decode_meta`` also gained a full value oracle this round, so the window now
 has zero rows-only entries.
 
@@ -94,7 +100,7 @@ JUDGE_WINDOW: list[str] = [
     "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
     "agg_grouping_sets",           # explicit GROUPING SETS (r5)
     "agg_stats_moments",           # stddev/skew/kurtosis moments (r5)
-    "agg_ohlcv_candles",           # time-bucket OHLCV candles (r5)
+    "multimodal_wav_decode",       # REAL WAV decode, stdlib wave (r6)
     "window_topk_orders_per_customer",  # rank + filter (per-group top-k)
     "topk_global_orders",          # global TakeOrderedAndProject
     "set_intersect_repeat_customers",   # INTERSECT
@@ -104,7 +110,7 @@ JUDGE_WINDOW: list[str] = [
     # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
     "t2_book_kernel_gaps",         # T1/T2/T5 stateful kernel, batch mode
     "t5_gap_audit",                # T5 sequence-gap detection
-    "t5_gap_enumerate",            # T5 per-missing-seq enumeration (r5)
+    "multimodal_bmp_decode",       # REAL BMP decode + resize (r6)
     "cogroup_event_order_align",   # cogrouped applyInPandas
     "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
     "join_salted_hot_key",         # skew-mitigation salting

@@ -1227,3 +1227,132 @@ def orc_roundtrip_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").cast("long").alias("n_parts"),
                  F.sum("cents").cast("long").alias("price_cents"))
             .orderBy("p_brand"))
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal codecs (functions/codecs.py): WAV + BMP, stdlib-only
+# ---------------------------------------------------------------------------
+
+BMP_W, BMP_H = 8, 8  # synthesized image dims: 8x8x3 = 192 pixel bytes
+
+
+@query(
+    "multimodal_wav_decode",
+    survey_ref="extensions: REAL audio decode (RIFF/WAV PCM, stdlib wave)",
+    description="Documents rendered as real 8-bit PCM WAV files, decoded "
+                "by the actual WAV parser; audio stats judged bit-exact",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS asset_id,
+             list_transform(range(1, length(text) + 1),
+                 i -> unicode(substr(text, CAST(i AS INT), 1)) - 128) AS s
+      FROM documents)
+    SELECT asset_id,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(len(s) AS BIGINT) AS n_frames,
+           CAST((len(s) * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(COALESCE(list_sum(list_transform(s, v -> v * v)), 0)
+             AS BIGINT) AS sum_sq,
+           CAST(COALESCE(list_max(list_transform(s, v -> abs(v))), 0)
+             AS INTEGER) AS peak
+    FROM b ORDER BY asset_id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honest upgrade to the codec story: each document's ASCII bytes
+    become the sample stream of a REAL RIFF/WAVE file (stdlib ``wave``
+    writer), and the judged columns come out of the REAL decoder
+    (functions/codecs.py::decode_wav — container parse + numpy PCM fold).
+    The oracle predicts, from the source bytes alone, what a CORRECT WAV
+    round-trip must report (frame count, integer energy, peak amplitude)
+    — so the driver hash certifies the decode path itself, not just the
+    plumbing around a fake. Both stages are map-only mapInPandas; at
+    corpus scale this runs at scan parallelism with zero shuffles."""
+    import pandas as pd
+
+    from fictional_guacamole_spark.functions import codecs as C
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode_batches(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "payload": [C.encode_wav_pcm8(t.encode())
+                            for t in pdf["text"]],
+            })
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        encode_batches, schema="asset_id long, payload binary")
+    return C.wav_meta(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_bmp_decode",
+    survey_ref="extensions: REAL image decode (24-bit BMP, struct+numpy) "
+               "incl. a REAL nearest-neighbor resize",
+    description="Documents rendered as real 24-bit BMPs, resized 8x8 -> "
+                "4x4 by the actual resampler, decoded by the actual "
+                "parser; channel sums judged bit-exact",
+    oracle=f"""
+    WITH cyc AS (
+      SELECT doc_id AS asset_id,
+             substr(repeat(text, CAST(({BMP_W * BMP_H * 3} / length(text))
+                                      AS INT) + 1),
+                    1, {BMP_W * BMP_H * 3}) AS px
+      FROM documents WHERE length(text) > 0),
+    -- the 4x4 nearest-neighbor sample of an 8x8 image keeps pixels at
+    -- (2x, 2y): byte index of channel c of pixel (x,y) = (y*8 + x)*3 + c
+    picked AS (
+      SELECT asset_id,
+             flatten(list_transform(range(0, 4), y ->
+                 list_transform(range(0, 4), x ->
+                     (y * 2 * {BMP_W} + x * 2) * 3))) AS starts,
+             px
+      FROM cyc)
+    SELECT asset_id,
+           CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+           CAST(list_sum(list_transform(starts,
+               p -> unicode(substr(px, CAST(p + 1 AS INT), 1))))
+             AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(starts,
+               p -> unicode(substr(px, CAST(p + 2 AS INT), 1))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(starts,
+               p -> unicode(substr(px, CAST(p + 3 AS INT), 1))))
+             AS BIGINT) AS sum_r
+    FROM picked ORDER BY asset_id
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image sibling of multimodal_wav_decode, with the resample in the
+    judged path: document bytes cycle into an 8x8 24-bit BMP (REAL
+    encoder: struct headers, bottom-up padded rows), the REAL
+    nearest-neighbor resampler shrinks it to 4x4, and the REAL parser
+    decodes the result into exact per-channel sums. The oracle predicts
+    the surviving pixels straight from the source bytes — a wrong header
+    parse, row order, stride, or sampling grid all break the hash. Three
+    chained map-only mapInPandas stages; no shuffle anywhere."""
+    import pandas as pd
+
+    from fictional_guacamole_spark.functions import codecs as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = BMP_W * BMP_H * 3
+
+    def encode_batches(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode()
+                px = (raw * (n // len(raw) + 1))[:n]
+                payloads.append(C.encode_bmp24(BMP_W, BMP_H, px))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    assets = (docs.select("doc_id", "text").filter(F.length("text") > 0)
+              .mapInPandas(encode_batches,
+                           schema="asset_id long, payload binary"))
+    return (C.bmp_meta(C.resize_bmp_assets(assets, 4, 4))
+            .orderBy("asset_id"))

@@ -1,0 +1,146 @@
+"""Real-codec tests (functions/codecs.py): WAV and BMP decode verified
+against files produced by the INDEPENDENT stdlib writers (wave module /
+struct-packed headers), plus the real nearest-neighbor BMP resize and the
+Spark mapInPandas operators over both."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from fictional_guacamole_spark.functions import codecs as C
+
+
+class TestWavCodec:
+    def test_roundtrip_8bit(self):
+        samples = bytes(range(256))
+        payload = C.encode_wav_pcm8(samples, sample_rate=8000)
+        m = C.decode_wav(payload)
+        assert m["n_channels"] == 1 and m["sample_width"] == 1
+        assert m["sample_rate"] == 8000 and m["n_frames"] == 256
+        assert m["duration_ms"] == 32  # 256 frames / 8000 Hz
+        x = np.arange(256, dtype=np.int64) - 128
+        assert m["sum_sq"] == int((x * x).sum())
+        assert m["peak"] == 128
+
+    def test_16bit_stereo_written_by_stdlib(self):
+        # independent writer: stdlib wave with 16-bit stereo frames
+        t = np.arange(1000)
+        left = (1000 * np.sin(t / 10.0)).astype("<i2")
+        right = (500 * np.cos(t / 7.0)).astype("<i2")
+        frames = np.column_stack([left, right]).tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(frames)
+        m = C.decode_wav(buf.getvalue())
+        assert m["n_channels"] == 2 and m["sample_width"] == 2
+        assert m["sample_rate"] == 44100 and m["n_frames"] == 1000
+        x = np.column_stack([left, right]).astype(np.int64)
+        assert m["sum_sq"] == int((x * x).sum())
+        assert m["peak"] == int(np.abs(x).max())
+
+    def test_empty_audio(self):
+        m = C.decode_wav(C.encode_wav_pcm8(b""))
+        assert m["n_frames"] == 0 and m["sum_sq"] == 0 and m["peak"] == 0
+
+    def test_unsupported_width_raises(self):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(3)  # 24-bit: deliberately unsupported
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x00\x00")
+        with pytest.raises(ValueError, match="sample width"):
+            C.decode_wav(buf.getvalue())
+
+
+class TestBmpCodec:
+    def _checker(self, w, h):
+        """Top-down BGR pixel bytes: (x+y) parity checkerboard of blue
+        (255,0,0 BGR) and red (0,0,255 BGR)."""
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                px += b"\xff\x00\x00" if (x + y) % 2 == 0 else b"\x00\x00\xff"
+        return bytes(px)
+
+    def test_roundtrip_with_row_padding(self):
+        # width 3 → row 9 bytes → stride 12: padding path exercised
+        pix = self._checker(3, 2)
+        payload = C.encode_bmp24(3, 2, pix)
+        w, h, arr = C.decode_bmp(payload)
+        assert (w, h) == (3, 2)
+        assert arr.tobytes() == pix  # decode restores top-down order
+        assert tuple(arr[0, 0]) == (255, 0, 0)  # blue in BGR
+        assert tuple(arr[0, 1]) == (0, 0, 255)  # red
+
+    def test_top_down_negative_height(self):
+        # hand-pack a top-down BMP (negative height, no padding at w=4)
+        pix = self._checker(4, 2)
+        body = pix  # top-down: rows stored in natural order
+        header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, 4, -2, 1, 24, 0,
+                           len(body), 2835, 2835, 0, 0)
+        w, h, arr = C.decode_bmp(header + info + body)
+        assert (w, h) == (4, 2)
+        assert arr.tobytes() == pix
+
+    def test_stats_exact_sums(self):
+        pix = self._checker(4, 4)
+        s = C.bmp_stats(C.encode_bmp24(4, 4, pix))
+        # 8 blue pixels (B=255) + 8 red pixels (R=255)
+        assert s["sum_b"] == 8 * 255 and s["sum_r"] == 8 * 255
+        assert s["sum_g"] == 0
+
+    def test_resize_nearest_downsample(self):
+        # 4x4 checkerboard → 2x2 nearest: picks pixels (0,0),(0,2),(2,0),(2,2)
+        pix = self._checker(4, 4)
+        out = C.resize_bmp_nearest(C.encode_bmp24(4, 4, pix), 2, 2)
+        w, h, arr = C.decode_bmp(out)
+        assert (w, h) == (2, 2)
+        for y in range(2):
+            for x in range(2):
+                assert tuple(arr[y, x]) == (255, 0, 0)  # all land on blue
+
+    def test_resize_upsample_replicates(self):
+        pix = b"\x01\x02\x03" + b"\x04\x05\x06"  # 2x1 image
+        out = C.resize_bmp_nearest(C.encode_bmp24(2, 1, pix), 4, 2)
+        w, h, arr = C.decode_bmp(out)
+        assert (w, h) == (4, 2)
+        assert tuple(arr[0, 0]) == tuple(arr[0, 1]) == (1, 2, 3)
+        assert tuple(arr[1, 2]) == tuple(arr[1, 3]) == (4, 5, 6)
+
+    def test_reject_non_bmp(self):
+        with pytest.raises(ValueError, match="not a BMP"):
+            C.decode_bmp(b"PNG!" + b"\x00" * 64)
+
+
+class TestCodecSparkOps:
+    def test_wav_meta_operator(self, spark):
+        rows = [(i, C.encode_wav_pcm8(bytes([128 + i] * (10 * (i + 1)))))
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        got = {r["asset_id"]: r for r in C.wav_meta(df).collect()}
+        for i in range(4):
+            assert got[i]["n_frames"] == 10 * (i + 1)
+            assert got[i]["sum_sq"] == i * i * 10 * (i + 1)
+            assert got[i]["sample_rate"] == C.WAV_SAMPLE_RATE
+
+    def test_bmp_pipeline_decode_resize_decode(self, spark):
+        mk = TestBmpCodec()
+        rows = [(1, C.encode_bmp24(4, 4, mk._checker(4, 4))),
+                (2, C.encode_bmp24(3, 2, mk._checker(3, 2)))]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        resized = C.resize_bmp_assets(df, 2, 2)
+        meta = {r["asset_id"]: r for r in C.bmp_meta(resized).collect()}
+        assert meta[1]["width"] == 2 and meta[1]["height"] == 2
+        # asset 1's 2x2 nearest output is all blue (see downsample test)
+        assert meta[1]["sum_b"] == 4 * 255 and meta[1]["sum_r"] == 0
+        assert meta[2]["width"] == 2 and meta[2]["height"] == 2

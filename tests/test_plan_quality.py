@@ -318,3 +318,12 @@ class TestSecondWaveRound6Plans:
         plan = plan_of(spark, "agg_ewma_user_value")
         assert self._n_exchanges(plan) <= 2, plan
         assert "CartesianProduct" not in plan
+
+    @pytest.mark.parametrize("name", ["multimodal_wav_decode",
+                                      "multimodal_bmp_decode"])
+    def test_real_codec_queries_are_map_only(self, spark, name):
+        """encode → (resize →) decode is chained mapInPandas: zero data
+        shuffles; the single allowed Exchange is the presentation sort."""
+        plan = plan_of(spark, name)
+        assert self._n_exchanges(plan) <= 1, plan
+        assert "rangepartitioning" in plan
