@@ -37,7 +37,7 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 rotates twelve new registrations in: ``sqlite_roundtrip_user_stats``
+Round 6 rotates fourteen new registrations in: ``sqlite_roundtrip_user_stats``
 (K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask),
 ``txnlog_roundtrip_event_stats`` (the ACID commit-log sink's multi-commit
 + replayed-batch cycle), and the four new LLM-pipeline operators
@@ -56,9 +56,13 @@ libs). Displaced: ``q16_supplier_part_variety``,
 ``q13_order_count_distribution``, ``q20_excess_shippers``,
 ``q8_nation_market_share``, ``q2_min_cost_supplier``, ``q15_top_supplier``,
 ``q17_small_quantity_revenue``, ``q21_waiting_suppliers``,
-``agg_ohlcv_candles``, ``t5_gap_enumerate`` — all green in
-CORRECTNESS_r05, with q1/q10 keeping the TPC-H family judged and
-``t5_gap_audit`` keeping T5 judged. ``multimodal_
+``agg_ohlcv_candles``, ``t5_gap_enumerate``, ``agg_grouping_sets``,
+``agg_stats_moments`` — all green in CORRECTNESS_r05, with q1/q10 keeping
+the TPC-H family judged, ``t5_gap_audit`` keeping T5 judged, and
+``agg_approx_percentile`` keeping aggregations judged. (The last two
+displacements make room for ``unpivot_lineitem_measures`` — pivot's
+inverse — and ``window_rolling_7d_spend`` — the interval ``rangeBetween``
+frame, a window form no in-window sibling covered.) ``multimodal_
 decode_meta`` also gained a full value oracle this round, so the window now
 has zero rows-only entries.
 
@@ -98,8 +102,8 @@ JUDGE_WINDOW: list[str] = [
     "orc_roundtrip_brand_stats",   # ORC write→pushdown-read cycle (r6)
     # -- join / agg / window / set / pivot / scalar categories ------------
     "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
-    "agg_grouping_sets",           # explicit GROUPING SETS (r5)
-    "agg_stats_moments",           # stddev/skew/kurtosis moments (r5)
+    "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape (r6)
+    "window_rolling_7d_spend",     # interval rangeBetween rolling agg (r6)
     "multimodal_wav_decode",       # REAL WAV decode, stdlib wave (r6)
     "window_topk_orders_per_customer",  # rank + filter (per-group top-k)
     "topk_global_orders",          # global TakeOrderedAndProject

@@ -35,9 +35,10 @@ def test_every_family_has_an_inwindow_representative():
         "aggregations": {"agg_rollup_nation_segment", "agg_percentiles",
                          "agg_approx_distinct", "agg_approx_percentile"},
         "windows": {"window_running_spend",
-                    "window_topk_orders_per_customer"},
+                    "window_topk_orders_per_customer",
+                    "window_rolling_7d_spend"},
         "set_ops": {"set_intersect_repeat_customers"},
-        "pivot": {"pivot_status_by_priority"},
+        "pivot": {"pivot_status_by_priority", "unpivot_lineitem_measures"},
         "scalar_funcs": {"scalar_string_funcs", "scalar_date_funcs",
                          "scalar_json_extract", "scalar_array_funcs",
                          "scalar_map_funcs", "scalar_variant_funcs"},
