@@ -37,7 +37,7 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 rotates fourteen new registrations in: ``sqlite_roundtrip_user_stats``
+Round 6 rotates fifteen new registrations in: ``sqlite_roundtrip_user_stats``
 (K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask),
 ``txnlog_roundtrip_event_stats`` (the ACID commit-log sink's multi-commit
 + replayed-batch cycle), and the four new LLM-pipeline operators
@@ -48,10 +48,11 @@ exponential-smoothing family, plans/timeseries.py),
 ``pipeline_chunk_overlap`` (context-window chunking), and
 ``orc_roundtrip_brand_stats`` (the second columnar format, written AND
 pushdown-read), and the two REAL-codec queries ``multimodal_wav_decode``
-+ ``multimodal_bmp_decode`` (stdlib WAV/BMP decode with the oracle
-predicting a correct parser's output from source bytes — closing the
-"codecs are stubbed" weak mark for the formats that need no external
-libs). Displaced: ``q16_supplier_part_variety``,
++ ``multimodal_bmp_decode`` + ``multimodal_avi_frame_sample`` (stdlib
+WAV/BMP/AVI decode with the oracle predicting a correct parser's output
+from source bytes — closing the "codecs are stubbed" weak mark for the
+formats that need no external libs, video frame-sampling included).
+Displaced: ``q16_supplier_part_variety``,
 ``q9_product_type_profit``, ``q11_important_stock``,
 ``q13_order_count_distribution``, ``q20_excess_shippers``,
 ``q8_nation_market_share``, ``q2_min_cost_supplier``, ``q15_top_supplier``,
@@ -62,7 +63,8 @@ the TPC-H family judged, ``t5_gap_audit`` keeping T5 judged, and
 ``agg_approx_percentile`` keeping aggregations judged. (The last two
 displacements make room for ``unpivot_lineitem_measures`` — pivot's
 inverse — and ``window_rolling_7d_spend`` — the interval ``rangeBetween``
-frame, a window form no in-window sibling covered.) ``multimodal_
+frame, a window form no in-window sibling covered.) ``pipeline_
+decontaminate`` (r5 green) makes room for the AVI frame-sample row. ``multimodal_
 decode_meta`` also gained a full value oracle this round, so the window now
 has zero rows-only entries.
 
@@ -110,7 +112,7 @@ JUDGE_WINDOW: list[str] = [
     "set_intersect_repeat_customers",   # INTERSECT
     "pivot_status_by_priority",    # pivot
     "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
-    "pipeline_decontaminate",      # benchmark-leak check, broadcast semi (r5)
+    "multimodal_avi_frame_sample",  # REAL AVI video frame sampling (r6)
     # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
     "t2_book_kernel_gaps",         # T1/T2/T5 stateful kernel, batch mode
     "t5_gap_audit",                # T5 sequence-gap detection

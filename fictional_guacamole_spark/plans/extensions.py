@@ -1356,3 +1356,86 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            schema="asset_id long, payload binary"))
     return (C.bmp_meta(C.resize_bmp_assets(assets, 4, 4))
             .orderBy("asset_id"))
+
+
+AVI_W, AVI_H = 5, 3  # 45 pixel bytes/frame; width 5 exercises row padding
+AVI_MAX_FRAMES = 5
+AVI_FRAME_BYTES = AVI_W * AVI_H * 3
+
+
+@query(
+    "multimodal_avi_frame_sample",
+    survey_ref="extensions: REAL video frame sampling (uncompressed AVI, "
+               "RIFF/DIB container)",
+    description="Documents rendered as real multi-frame AVI videos; every "
+                "2nd frame seek-sampled and decoded by the actual parser",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id AS asset_id,
+             1 + length(text) % {AVI_MAX_FRAMES} AS nf,
+             substr(repeat(text,
+                    CAST(({AVI_MAX_FRAMES * AVI_FRAME_BYTES * 1.0}
+                          / length(text)) AS INT) + 2),
+                    1, {AVI_MAX_FRAMES * AVI_FRAME_BYTES}) AS px
+      FROM documents WHERE length(text) > 0),
+    f AS (
+      SELECT asset_id, px,
+             unnest(range(0, nf, 2)) AS frame_index
+      FROM c)
+    SELECT asset_id, CAST(frame_index AS INTEGER) AS frame_index,
+           CAST({AVI_W} AS INTEGER) AS width,
+           CAST({AVI_H} AS INTEGER) AS height,
+           CAST(list_sum(list_transform(range(0, {AVI_W * AVI_H}),
+               i -> unicode(substr(px, CAST(frame_index * {AVI_FRAME_BYTES}
+                                            + i * 3 + 1 AS INT), 1))))
+             AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, {AVI_W * AVI_H}),
+               i -> unicode(substr(px, CAST(frame_index * {AVI_FRAME_BYTES}
+                                            + i * 3 + 2 AS INT), 1))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, {AVI_W * AVI_H}),
+               i -> unicode(substr(px, CAST(frame_index * {AVI_FRAME_BYTES}
+                                            + i * 3 + 3 AS INT), 1))))
+             AS BIGINT) AS sum_r
+    FROM f ORDER BY asset_id, frame_index
+    """,
+)
+def multimodal_avi_frame_sample(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Video completes the real-codec trio: each document's bytes become
+    the frames of a REAL uncompressed AVI (RIFF hdrl/movi chunk grammar,
+    DIB frame bodies with padded bottom-up rows — functions/codecs.py::
+    encode_avi_dib), frame count varying with content (1-5). The judged
+    path then SEEK-SAMPLES every 2nd frame — unsampled frames are skipped
+    by chunk size, never decoded, the access pattern a production sampler
+    needs — and decodes the sampled ones to exact per-channel sums. The
+    oracle predicts those sums from the source bytes alone: a wrong chunk
+    walk, frame order, stride, or row orientation breaks the hash. One
+    map-only mapInPandas chain; the per-asset frame fan-out stays inside
+    the task."""
+    import pandas as pd
+
+    from fictional_guacamole_spark.functions import codecs as C
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def encode_batches(it):
+        for pdf in it:
+            out_ids, out_payloads = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = t.encode()
+                nf = 1 + len(raw) % AVI_MAX_FRAMES
+                need = AVI_MAX_FRAMES * AVI_FRAME_BYTES
+                px = (raw * (need // len(raw) + 2))[:need]
+                frames = [px[f * AVI_FRAME_BYTES:(f + 1) * AVI_FRAME_BYTES]
+                          for f in range(nf)]
+                out_ids.append(did)
+                out_payloads.append(C.encode_avi_dib(AVI_W, AVI_H, frames))
+            yield pd.DataFrame({"asset_id": out_ids,
+                                "payload": out_payloads})
+
+    assets = (docs.select("doc_id", "text").filter(F.length("text") > 0)
+              .mapInPandas(encode_batches,
+                           schema="asset_id long, payload binary"))
+    return (C.avi_frame_sample(assets, every_n=2)
+            .orderBy("asset_id", "frame_index"))

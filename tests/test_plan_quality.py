@@ -320,7 +320,8 @@ class TestSecondWaveRound6Plans:
         assert "CartesianProduct" not in plan
 
     @pytest.mark.parametrize("name", ["multimodal_wav_decode",
-                                      "multimodal_bmp_decode"])
+                                      "multimodal_bmp_decode",
+                                      "multimodal_avi_frame_sample"])
     def test_real_codec_queries_are_map_only(self, spark, name):
         """encode → (resize →) decode is chained mapInPandas: zero data
         shuffles; the single allowed Exchange is the presentation sort."""

@@ -64,7 +64,8 @@ def test_every_family_has_an_inwindow_representative():
         "sqlite_source_sink": {"sqlite_scan_events",
                                "sqlite_roundtrip_user_stats"},
         "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value"},
-        "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode"},
+        "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode",
+                        "multimodal_avi_frame_sample"},
         "chunking": {"pipeline_chunk_overlap"},
         "columnar_formats": {"orc_roundtrip_brand_stats"},
     }

@@ -510,3 +510,46 @@ class TestTxnlogCompactVacuum:
         # post-vacuum, the latest snapshot is intact; pre-base versions
         # are the documented casualty (same trade Delta's VACUUM makes)
         assert t.read(spark).count() == 4
+
+
+class TestTxnlogForeachBatchSink:
+    """The production wiring of the commit-log table: a Structured
+    Streaming query lands micro-batches through foreachBatch with the
+    batch id as txn_id — Spark's replay of a failed batch converges
+    through the log's idempotence instead of duplicating rows (Delta's
+    txnAppId/txnVersion pattern, end-to-end)."""
+
+    def test_stream_lands_exactly_once_with_replay(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        src_dir = str(tmp_path / "src")
+        rows = [(i, f"v{i}") for i in range(12)]
+        df = spark.createDataFrame(rows, "k long, v string")
+        for part in range(3):  # three files → three micro-batches
+            (df.filter((F.col("k") % 3) == part).coalesce(1)
+             .write.mode("overwrite").parquet(f"{src_dir}/f{part}"))
+
+        table = TransactionalParquetTable(str(tmp_path / "t"))
+        seen = []
+
+        def land(batch_df, batch_id):
+            seen.append(batch_id)
+            table.commit(batch_df, f"stream-batch-{batch_id}")
+            # simulate Spark retrying a batch after a sink failure: the
+            # SAME micro-batch lands again with the same id
+            table.commit(batch_df, f"stream-batch-{batch_id}")
+
+        stream = (spark.readStream.schema("k long, v string")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src_dir}/f*"))
+        q = (stream.writeStream.foreachBatch(land)
+             .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert len(seen) >= 3
+        got = sorted((r.k, r.v) for r in table.read(spark).collect())
+        assert got == sorted(rows)  # every row exactly once, despite replays
+        assert len(table.history()) == len(seen)  # one commit per batch id
