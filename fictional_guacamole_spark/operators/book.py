@@ -475,6 +475,19 @@ def apply_book_kernel(frames_df, output_mode: str = "append",
     make_book_kernel). Batch (full-replay analytics / golden tests): the
     same pure kernel via stateless ``applyInPandas`` — a batch holds the
     whole history, so state starts empty per product.
+
+    Two alternative batch shapes were MEASURED and rejected in round 6
+    (sf0.1 bench, best-of-3, vs 2.56 s for this path): (a) mapInPandas
+    over product-co-located partitions with a pandas groupby inside —
+    4.2 s, because concatenating the whole partition before any kernel
+    work defeats the per-group pipelining FlatMapGroupsInPandas gets for
+    free; (b) flattening the nested frame columns to JSON strings at the
+    Python boundary (JVM to_json / worker json.loads) — 3.2 s even
+    though a bare passthrough of jsonified frames beats the nested one
+    (0.9 s vs 2.5 s): the decode cost lands on the task critical path
+    while the nested Arrow transfer it replaced overlapped with kernel
+    compute. The grouped nested-Arrow path stays because it is the
+    fastest shape actually observed, not by assumption.
     """
     grouped = frames_df.groupBy("product_id")
     if frames_df.isStreaming:
