@@ -125,6 +125,12 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
                          f"compression={compression}")
     top_down = height < 0
     height = abs(height)
+    # dimension sanity BEFORE any loop keyed on them: a hostile header
+    # with a multi-billion height must reject, not iterate
+    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+        raise ValueError(f"implausible BMP dimensions: {width}x{height}")
+    if offset + height * ((width * 3 + 3) // 4 * 4) > len(payload):
+        raise ValueError("BMP payload shorter than its declared pixel body")
     row = width * 3
     stride = (row + 3) // 4 * 4
     rows = [payload[offset + r * stride: offset + r * stride + row]
@@ -326,6 +332,11 @@ def probe_avi(payload: bytes) -> dict:
                         "<5I", payload, b2)
                     width, height = struct.unpack_from("<2I", payload,
                                                        b2 + 32)
+                    # same hostile-header guard as decode_bmp: loops
+                    # downstream are keyed on these
+                    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+                        raise ValueError(
+                            f"implausible AVI dimensions: {width}x{height}")
                     return {"width": width, "height": height,
                             "n_frames": n_frames,
                             "us_per_frame": us_per_frame}

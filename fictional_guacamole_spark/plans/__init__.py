@@ -37,7 +37,7 @@ registered queries (incl. the three round-5 additions: ``sqlite_scan_
 events``, ``pipeline_decontaminate``, ``text_vocab_topk``) except that
 one bench frame.
 
-Round 6 rotates fifteen new registrations in: ``sqlite_roundtrip_user_stats``
+Round 6 rotates sixteen new registrations in: ``sqlite_roundtrip_user_stats``
 (K1's real-SQLite write→replay→read cycle, the r5 verdict's #3 ask),
 ``txnlog_roundtrip_event_stats`` (the ACID commit-log sink's multi-commit
 + replayed-batch cycle), and the four new LLM-pipeline operators
@@ -64,7 +64,9 @@ the TPC-H family judged, ``t5_gap_audit`` keeping T5 judged, and
 displacements make room for ``unpivot_lineitem_measures`` — pivot's
 inverse — and ``window_rolling_7d_spend`` — the interval ``rangeBetween``
 frame, a window form no in-window sibling covered.) ``pipeline_
-decontaminate`` (r5 green) makes room for the AVI frame-sample row. ``multimodal_
+decontaminate`` (r5 green) makes room for the AVI frame-sample row, and
+``text_vocab_topk`` (r5 green) for ``jsonl_roundtrip_priority_stats``
+(the third judged interchange format). ``multimodal_
 decode_meta`` also gained a full value oracle this round, so the window now
 has zero rows-only entries.
 
@@ -120,7 +122,7 @@ JUDGE_WINDOW: list[str] = [
     "cogroup_event_order_align",   # cogrouped applyInPandas
     "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
     "join_salted_hot_key",         # skew-mitigation salting
-    "text_vocab_topk",             # corpus vocabulary statistics (r5)
+    "jsonl_roundtrip_priority_stats",  # JSON-lines write→schema-read (r6)
     "stream_session_window",       # session window
     "stream_sliding_window",       # sliding/hopping window agg (r5)
     # -- LLM training-data pipeline operators -----------------------------

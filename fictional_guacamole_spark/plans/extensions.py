@@ -1439,3 +1439,60 @@ def multimodal_avi_frame_sample(spark: SparkSession,
                            schema="asset_id long, payload binary"))
     return (C.avi_frame_sample(assets, every_n=2)
             .orderBy("asset_id", "frame_index"))
+
+
+@query(
+    "jsonl_roundtrip_priority_stats",
+    survey_ref="S4/K4 source formats: JSON-lines round-trip (schema-on-read "
+               "with explicit schema, pushdown-filtered read-back)",
+    description="Per-priority order stats written as JSON lines, read back "
+                "with an explicit schema and a status filter, re-aggregated",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def jsonl_roundtrip_priority_stats(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The third judged interchange format (after parquet and ORC): a
+    derived frame lands as JSON lines and is read back with an EXPLICIT
+    schema — schema inference is the scale trap with JSON (it costs a
+    full extra pass over the data), so the engine's convention is
+    schema-on-read with a declared schema. Integer cents keep the
+    re-aggregation exact; the read-back filter on o_orderstatus runs
+    before the rollup. Atomic-publish build dir as the sibling
+    round-trips."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    derived = orders.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).alias("price_cents"))
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"jsonl_prio:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_jsonl_prio_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        derived.write.mode("overwrite").json(build)
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_orderpriority string, "
+        "price_cents long").json(base)
+    return (back.filter(F.col("o_orderstatus") == "O")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price_cents").cast("long").alias("price_cents"))
+            .orderBy("o_orderpriority"))

@@ -200,3 +200,50 @@ class TestAviCodec:
         f0 = np.frombuffer(self._frames(1)[0], np.uint8).reshape(-1, 3)
         assert got[(1, 0)]["sum_b"] == int(f0[:, 0].sum())
         assert got[(1, 0)]["width"] == 5 and got[(1, 0)]["height"] == 3
+
+
+class TestCodecRobustness:
+    """Hostile-input property tests: arbitrary byte strings must either
+    decode or raise a clean error (ValueError / wave.Error / struct.error
+    / EOFError) — never hang, never crash the worker, never return
+    garbage silently accepted as media."""
+
+    @pytest.mark.parametrize("decoder", ["wav", "bmp", "avi"])
+    def test_fuzz_decoders_fail_cleanly(self, decoder):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import struct as _struct
+
+        fns = {"wav": C.decode_wav,
+               "bmp": C.decode_bmp,
+               "avi": lambda p: C.extract_avi_frames(p, 1)}
+        fn = fns[decoder]
+        allowed = (ValueError, wave.Error, _struct.error, EOFError,
+                   IndexError)
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.binary(max_size=200))
+        def check(payload):
+            try:
+                fn(payload)
+            except allowed:
+                pass  # clean rejection is the contract
+
+        check()
+
+    def test_truncated_real_files_fail_cleanly(self):
+        import struct as _struct
+
+        wav = C.encode_wav_pcm8(bytes(100))
+        bmp = C.encode_bmp24(4, 4, bytes(48))
+        avi = C.encode_avi_dib(4, 2, [bytes(24)])
+        allowed = (ValueError, wave.Error, _struct.error, EOFError,
+                   IndexError)
+        for payload, fn in ((wav, C.decode_wav), (bmp, C.decode_bmp),
+                            (avi, lambda p: C.extract_avi_frames(p, 1))):
+            for cut in (3, 11, len(payload) // 2):
+                try:
+                    fn(payload[:cut])
+                except allowed:
+                    pass

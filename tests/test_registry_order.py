@@ -67,7 +67,8 @@ def test_every_family_has_an_inwindow_representative():
         "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode",
                         "multimodal_avi_frame_sample"},
         "chunking": {"pipeline_chunk_overlap"},
-        "columnar_formats": {"orc_roundtrip_brand_stats"},
+        "columnar_formats": {"orc_roundtrip_brand_stats",
+                             "jsonl_roundtrip_priority_stats"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"
