@@ -967,14 +967,18 @@ def sqlite_roundtrip_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def txnlog_roundtrip_event_stats(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    """The ACID-sink cycle end-to-end: per-user event stats land in the
-    commit-log table (sources/txnlog.py) as TWO commits (even / odd
-    users — the multi-batch shape), the first commit is then REPLAYED
-    (the foreachBatch retry failure mode; its txn_id makes it a no-op),
-    and the table is read back as one snapshot. The judged value hash
-    certifies atomic multi-commit union + exactly-once replay: a
-    duplicated even-user row or a lost commit breaks it. Integer cents
-    keep sums exact and order-independent on both engines."""
+    """The ACID-sink cycle end-to-end, maintenance included: per-user
+    event stats land in the commit-log table (sources/txnlog.py) as TWO
+    commits (even / odd users — the multi-batch shape), the first commit
+    is REPLAYED (the foreachBatch retry failure mode; its txn_id makes
+    it a no-op), the table is then COMPACTED (OPTIMIZE: snapshot
+    rewritten as one base commit) and VACUUMED (superseded data dirs
+    reclaimed), and read back as one snapshot. The judged value hash
+    certifies atomic multi-commit union + exactly-once replay + the
+    content-preservation contract of compact/vacuum: a duplicated row, a
+    lost commit, or a compaction that drops/duplicates anything breaks
+    it. Integer cents keep sums exact and order-independent on both
+    engines."""
     import hashlib
     import os
     import shutil
@@ -991,7 +995,7 @@ def txnlog_roundtrip_event_stats(spark: SparkSession,
 
     src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(
-        f"txnlog:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+        f"txnlog2:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_txnlog_{tag}")
     if not os.path.exists(base):
         build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
@@ -1000,6 +1004,8 @@ def txnlog_roundtrip_event_stats(spark: SparkSession,
         t.commit(derived.filter(F.col("user_id") % 2 == 1), "batch-odd")
         t.commit(derived.filter(F.col("user_id") % 2 == 0),
                  "batch-even")  # replayed batch: must be a no-op
+        t.compact(spark, "optimize-1")  # OPTIMIZE: content must not change
+        t.vacuum()  # reclaim the three superseded commit dirs
         try:
             os.rename(build, base)
         except OSError:  # concurrent builder published first; ours is moot
