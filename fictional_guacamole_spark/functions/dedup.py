@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -630,6 +631,98 @@ def sql_decontaminate(train_sql: str, probes_sql: str, id_col: str,
            (hits.doc IS NOT NULL) AS contaminated
     FROM train LEFT JOIN hits ON train.{id_col} = hits.doc
     """
+
+
+# --- Bloom-filter decontamination (memory-bounded membership) --------------
+
+BLOOM_BITS_PER_KEY = 12   # m/n = 12 bits/key → FP ≈ 0.3% with k = 6 probes
+BLOOM_NUM_HASHES = 6      # ≈ (m/n)·ln 2, the FP-minimizing probe count
+
+
+def _bloom_positions(h, m_bits, i):
+    """Double-hashing probe i for uint64 hash array `h` (Kirsch–Mitzenmacher:
+    g_i = h1 + i·h2 gives k independent-enough probes from one 64-bit hash).
+    """
+    import numpy as np
+
+    m = np.uint64(m_bits)
+    h1 = h % m
+    h2 = ((h >> np.uint64(33)) << np.uint64(1)) | np.uint64(1)  # odd stride
+    return (h1 + np.uint64(i) * h2) % m
+
+
+def bloom_build(hashes: list[int], m_bits: int) -> bytes:
+    """Pack a Bloom filter over int64 key hashes into a little bit array."""
+    import numpy as np
+
+    arr = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    for i in range(BLOOM_NUM_HASHES):
+        pos = _bloom_positions(h, m_bits, i)
+        np.bitwise_or.at(
+            arr, (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+    return arr.tobytes()
+
+
+def bloom_might_contain(filter_bytes: bytes, m_bits: int, hashes) -> "object":
+    """Vectorized membership test; never false-negative by construction."""
+    import numpy as np
+
+    arr = np.frombuffer(filter_bytes, dtype=np.uint8)
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    ok = np.ones(len(h), dtype=bool)
+    for i in range(BLOOM_NUM_HASHES):
+        pos = _bloom_positions(h, m_bits, i)
+        bit = (arr[(pos >> np.uint64(3)).astype(np.int64)]
+               >> (pos & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        ok &= bit.astype(bool)
+    return ok
+
+
+def decontaminate_bloom(train: DataFrame, probes: DataFrame, id_col: str,
+                        text_col: str, n: int = 4) -> DataFrame:
+    """Benchmark decontamination with a Bloom-filter pre-filter: result is
+    bit-identical to :func:`decontaminate` (shares its oracle), but the
+    broadcast payload is a bit array instead of the probe shingle SET.
+
+    Why it matters at 100 TB: broadcasting distinct probe shingles costs
+    their full string bytes (~50+ B/shingle); the Bloom filter costs
+    BLOOM_BITS_PER_KEY bits per shingle (~30× smaller), so the probe side
+    can grow to hundreds of millions of shingles — a full eval-suite
+    union — while the contamination check stays a map-side scan-speed
+    filter with no corpus shuffle. Bloom false positives (~0.3 %) are
+    repaired by an exact broadcast semi-join over ONLY the surviving
+    (doc, shingle) rows, so correctness never depends on the filter.
+
+    The probe-hash ``collect()`` is bounded by the same contract as the
+    broadcast in :func:`decontaminate`: probes are benchmark suites,
+    megabytes by design, never the corpus.
+    """
+    spark = train.sparkSession
+    t = shingle_rows(train, id_col, text_col, n)
+    p_shingles = (shingle_rows(probes, id_col, text_col, n)
+                  .select("s").distinct())
+    keys = [r[0] for r in
+            p_shingles.select(F.xxhash64("s").alias("h")).collect()]
+    m_bits = max(64, len(keys) * BLOOM_BITS_PER_KEY)
+    bc = spark.sparkContext.broadcast(bloom_build(keys, m_bits))
+
+    @F.pandas_udf("boolean")
+    def _might_contain(h: pd.Series) -> pd.Series:
+        return pd.Series(
+            bloom_might_contain(bc.value, m_bits, h.to_numpy(dtype="int64")))
+
+    survivors = (t.withColumn("h", F.xxhash64("s"))
+                 .filter(_might_contain("h")))
+    hits = (survivors.join(F.broadcast(p_shingles), "s")  # exact FP repair
+            .select("doc").distinct()
+            .withColumn("contaminated", F.lit(True)))
+    return (train.select(F.col(id_col).alias("doc"))
+            .join(hits, "doc", "left")
+            .select("doc",
+                    F.coalesce(F.col("contaminated"), F.lit(False))
+                    .alias("contaminated")))
 
 
 # --- C4-style line-level global dedup --------------------------------------

@@ -16,6 +16,7 @@ from fictional_guacamole_spark.functions import text as X
 from fictional_guacamole_spark.functions import multimodal as M
 from fictional_guacamole_spark.functions.multimodal import (
     as_binary_asset, extract_media_meta)
+from fictional_guacamole_spark.operators.layout import sql_zorder_value
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.tables import load_table
 
@@ -1502,3 +1503,71 @@ def jsonl_roundtrip_priority_stats(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum("price_cents").cast("long").alias("price_cents"))
             .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third wave: Bloom-filter decontamination + Z-order layout
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_decontaminate_bloom",
+    survey_ref="extensions: Bloom-filter decontamination (memory-bounded "
+               "membership)",
+    description="Decontamination via Bloom pre-filter + exact FP repair",
+    oracle=D.sql_decontaminate(
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 30",
+        "SELECT doc_id, text FROM documents WHERE doc_id < 30",
+        "doc_id", "text", n=3) + " ORDER BY doc",
+)
+def pipeline_decontaminate_bloom(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Same contamination semantics as `pipeline_decontaminate`, different
+    physical strategy: the probe membership broadcasts as a Bloom bit
+    array (12 bits/shingle, ~30x smaller than the string set), letting the
+    probe side scale to a full eval-suite union while the corpus-side
+    check stays a map-side scan-speed filter. Bloom false positives are
+    repaired by an exact semi-join over only the surviving rows, so the
+    result is bit-identical to the set-broadcast variant and shares its
+    oracle (functions/dedup.py::decontaminate_bloom)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.decontaminate_bloom(
+        docs.filter(F.col("doc_id") >= 30),
+        docs.filter(F.col("doc_id") < 30),
+        "doc_id", "text", n=3).orderBy("doc")
+
+
+@query(
+    "layout_zorder_events",
+    survey_ref="extensions: Z-order multi-dimensional layout clustering",
+    description="Morton codes over (user_id, quantized value) + coarse bucket",
+    oracle=f"""
+    SELECT event_id,
+           {sql_zorder_value('(user_id & 65535)',
+                             '(CAST(FLOOR(value * 100) AS BIGINT) & 65535)')}
+           AS zvalue,
+           {sql_zorder_value('(user_id & 65535)',
+                             '(CAST(FLOOR(value * 100) AS BIGINT) & 65535)')}
+           >> 26 AS zbucket
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-layout operator behind 2-D data skipping: interleave
+    (user_id, centi-quantized value) into a 32-bit Morton code so a range
+    partition + sort by the code gives BOTH columns file-level min/max
+    locality (operators/layout.py — the Delta OPTIMIZE ZORDER strategy,
+    expressed as pure codegen'd bit arithmetic). zbucket (top 6 bits) is
+    the coarse cluster id a writer would use as the target file. The
+    float quantization is exact IEEE double math, identical cross-engine.
+    """
+    from fictional_guacamole_spark.operators.layout import zorder_value
+
+    events = load_table(spark, sf_dir, "events")
+    ux = F.col("user_id").bitwiseAND(F.lit(65535))
+    vy = F.floor(F.col("value") * 100).cast("long").bitwiseAND(F.lit(65535))
+    z = zorder_value(ux, vy)
+    return (events.select(
+        "event_id", z.alias("zvalue"),
+        F.shiftright(z, 26).alias("zbucket"))
+        .orderBy("event_id"))

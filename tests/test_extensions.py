@@ -500,3 +500,148 @@ class TestChunkOverlap:
                 assert c.chunk_text == text[start0:start0 + 5]
 
         check()
+
+
+class TestBloomDecontamination:
+    """functions/dedup.py::decontaminate_bloom — the memory-bounded
+    membership variant must be bit-identical to the set-broadcast one."""
+
+    def test_bloom_never_false_negative(self):
+        import random as rnd
+
+        from fictional_guacamole_spark.functions.dedup import (
+            BLOOM_BITS_PER_KEY, bloom_build, bloom_might_contain)
+
+        r = rnd.Random(7)
+        keys = [r.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(5000)]
+        m_bits = len(keys) * BLOOM_BITS_PER_KEY
+        filt = bloom_build(keys, m_bits)
+        assert bool(bloom_might_contain(filt, m_bits, keys).all())
+
+    def test_bloom_fp_rate_bounded(self):
+        import random as rnd
+
+        from fictional_guacamole_spark.functions.dedup import (
+            BLOOM_BITS_PER_KEY, bloom_build, bloom_might_contain)
+
+        r = rnd.Random(11)
+        keys = [r.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(5000)]
+        m_bits = len(keys) * BLOOM_BITS_PER_KEY
+        filt = bloom_build(keys, m_bits)
+        probe = [r.randint(-(2 ** 63), 2 ** 63 - 1) for _ in range(20000)]
+        fresh = [p for p in probe if p not in set(keys)]
+        fp = bloom_might_contain(filt, m_bits, fresh).mean()
+        # 12 bits/key, k=6 → theoretical FP ≈ 0.3 %; assert an order of
+        # magnitude of slack so the test pins the mechanism, not the RNG
+        assert fp < 0.02
+
+    def test_bloom_matches_set_variant(self, spark):
+        from fictional_guacamole_spark.functions.dedup import (
+            decontaminate, decontaminate_bloom)
+
+        docs = load_table(spark, SF, "documents")
+        train, probes = docs.filter("doc_id >= 30"), docs.filter("doc_id < 30")
+        want = sorted(map(tuple, decontaminate(
+            train, probes, "doc_id", "text", n=3).collect()))
+        got = sorted(map(tuple, decontaminate_bloom(
+            train, probes, "doc_id", "text", n=3).collect()))
+        assert got == want
+        assert any(c for _, c in want)  # the comparison is not vacuous
+
+
+class TestZorderLayout:
+    """operators/layout.py — Morton codes + range clustering."""
+
+    def _interleave(self, x: int, y: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    def test_zvalue_matches_python_interleave(self, spark):
+        from fictional_guacamole_spark.operators.layout import zorder_value
+
+        rows = [(3, 5), (0, 0), (65535, 65535), (1234, 4321), (65535, 0)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {(r.x, r.y): r.z for r in df.select(
+            "x", "y", zorder_value(F.col("x"), F.col("y")).alias("z"))
+            .collect()}
+        for x, y in rows:
+            assert got[(x, y)] == self._interleave(x, y)
+
+    def test_cluster_ranges_disjoint_and_complete(self, spark):
+        from fictional_guacamole_spark.operators.layout import (
+            cluster_by_zorder)
+
+        events = load_table(spark, SF, "events")
+        ux = F.col("user_id").bitwiseAND(F.lit(65535))
+        vy = (F.floor(F.col("value") * 100).cast("long")
+              .bitwiseAND(F.lit(65535)))
+        clustered = cluster_by_zorder(events, ux, vy, 8)
+        assert clustered.count() == events.count()
+        parts = (clustered
+                 .groupBy(F.spark_partition_id().alias("pid"))
+                 .agg(F.min("zvalue").alias("lo"), F.max("zvalue").alias("hi"))
+                 .orderBy("lo").collect())
+        # RangePartitioning: consecutive partitions own disjoint z-ranges
+        for a, b in zip(parts, parts[1:]):
+            assert a.hi <= b.lo
+
+    def test_box_query_touches_few_files(self, spark, tmp_path):
+        """The layout claim, tested where it matters: after WRITING the
+        clustered frame partition-per-file, a 2-D box predicate's rows
+        live in a small minority of the files (file-stat pruning would
+        skip the rest). Filtering the in-memory frame instead would prove
+        nothing — Catalyst pushes the filter below the repartition."""
+        from fictional_guacamole_spark.operators.layout import (
+            cluster_by_zorder)
+
+        events = load_table(spark, SF, "events")
+        ux = F.col("user_id").bitwiseAND(F.lit(65535))
+        vy = (F.floor(F.col("value") * 100).cast("long")
+              .bitwiseAND(F.lit(65535)))
+        out = str(tmp_path / "zorder")
+        cluster_by_zorder(events, ux, vy, 8).write.parquet(out)
+        back = spark.read.parquet(out)
+        box = back.filter(
+            (F.col("user_id").between(4, 7)) & (F.col("value") < 40))
+        n_files = (box.select(F.input_file_name().alias("f"))
+                   .distinct().count())
+        total_files = (back.select(F.input_file_name().alias("f"))
+                       .distinct().count())
+        assert box.count() > 0
+        assert total_files >= 8
+        # the box pins high bits of BOTH normalized dims → short z-interval
+        assert n_files <= total_files // 2
+
+    def test_cluster_plan_is_range_partitioned(self, spark):
+        from fictional_guacamole_spark.operators.layout import (
+            cluster_by_zorder)
+
+        events = load_table(spark, SF, "events")
+        clustered = cluster_by_zorder(
+            events, F.col("user_id"), F.col("user_id"), 8)
+        plan = clustered._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+
+
+class TestHllMergeableSketches:
+    """Two-level sketch aggregation — the 100 TB distinct-count pattern:
+    per-shard/day HLL sketches persisted once, unioned later without
+    touching raw data. Spark's Datasketches HLL union is lossless at equal
+    lgK, so the merged estimate must EQUAL the direct one."""
+
+    def test_union_of_group_sketches_equals_direct(self, spark):
+        orders = load_table(spark, SF, "orders")
+        direct = orders.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+            .alias("est")).first().est
+        merged = (orders
+                  .groupBy("o_orderpriority")
+                  .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+                  .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                       .alias("est")).first().est)
+        exact = orders.select("o_custkey").distinct().count()
+        assert merged == direct
+        assert abs(merged - exact) / exact < 0.05

@@ -369,3 +369,33 @@ class TestIvfPartitionedLayout:
         assert got == expect and got > 0
         # and the pruned read really skipped the other cells
         assert got < assigned.count()
+
+
+class TestThirdWaveRound6Plans:
+    """Scale gates for the Bloom decontamination + Z-order layout ops."""
+
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    def test_bloom_decontaminate_repair_join_broadcasts(self, spark):
+        """The exact FP-repair join and the final flag join must both be
+        broadcast — the corpus side never sort-merge-shuffles on a string
+        key; the Bloom pre-filter itself is an Arrow-batched projection."""
+        plan = plan_of(spark, "pipeline_decontaminate_bloom")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" in plan  # vectorized, never row-at-a-time
+        assert "BatchEvalPython" not in plan
+
+    def test_zorder_codes_are_pure_codegen(self, spark):
+        """The Morton-code projection must stay JVM-side whole-stage
+        codegen with zero data shuffles; the only Exchange is the
+        presentation orderBy's range partitioning."""
+        plan = plan_of(spark, "layout_zorder_events")
+        assert self._n_exchanges(plan) <= 1, plan
+        assert "rangepartitioning" in plan
+        # a single Project over the scan, nothing in Python, no join/agg
+        assert "EvalPython" not in plan
+        assert "Join" not in plan and "Aggregate" not in plan
