@@ -70,6 +70,17 @@ decontaminate`` (r5 green) makes room for the AVI frame-sample row, and
 decode_meta`` also gained a full value oracle this round, so the window now
 has zero rows-only entries.
 
+The round-6 third wave adds ``pipeline_decontaminate_bloom`` (the Bloom
+bit-array decontamination variant — bit-identical results to the judged-
+green set-broadcast sibling, so the row certifies the FP-repair path) and
+``layout_zorder_events`` (Morton-code layout clustering, the interleave
+arithmetic hash-checked verbatim). They displace ``dedup_winnow_pairs``
+and ``stream_sliding_window`` (both green in CORRECTNESS_r05;
+``text_winnow_fingerprints`` keeps winnowing judged and
+``stream_session_window`` keeps streaming windows judged) so the union of
+driver-green rows can cover every registered query except the bench frame
+within this round.
+
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
 """
@@ -124,12 +135,12 @@ JUDGE_WINDOW: list[str] = [
     "join_salted_hot_key",         # skew-mitigation salting
     "jsonl_roundtrip_priority_stats",  # JSON-lines write→schema-read (r6)
     "stream_session_window",       # session window
-    "stream_sliding_window",       # sliding/hopping window agg (r5)
+    "layout_zorder_events",        # Z-order layout clustering codes (r6)
     # -- LLM training-data pipeline operators -----------------------------
     "dedup_exact_documents",
     "dedup_minhash_lsh",
     "dedup_components",
-    "dedup_winnow_pairs",          # winnowing fingerprint pairs (r5)
+    "pipeline_decontaminate_bloom",  # Bloom membership + exact FP repair (r6)
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
