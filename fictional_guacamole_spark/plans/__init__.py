@@ -78,8 +78,11 @@ arithmetic hash-checked verbatim). They displace ``dedup_winnow_pairs``
 and ``stream_sliding_window`` (both green in CORRECTNESS_r05;
 ``text_winnow_fingerprints`` keeps winnowing judged and
 ``stream_session_window`` keeps streaming windows judged) so the union of
-driver-green rows can cover every registered query except the bench frame
-within this round.
+driver-green rows can cover every query registered at rotation time except
+the bench frame within this round. The CSV and XML round-trips
+(``csv_roundtrip_clerk_stats``, ``xml_roundtrip_segment_stats``) registered
+after this rotation and sit in the locally-verified tail until the r7
+window.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.

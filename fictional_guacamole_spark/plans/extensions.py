@@ -1571,3 +1571,109 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", z.alias("zvalue"),
         F.shiftright(z, 26).alias("zbucket"))
         .orderBy("event_id"))
+
+
+@query(
+    "csv_roundtrip_clerk_stats",
+    survey_ref="K4 CSV export (the reference's only read path, "
+               "export_to_csv.py:8-18) — judged write→read cycle",
+    description="Per-clerk finished-order stats written as headered CSV, "
+                "read back with an explicit schema, re-aggregated",
+    oracle="""
+    SELECT o_custkey % 100 AS clerk_bucket, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def csv_roundtrip_clerk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 upgraded from local-test to judged evidence: the reference's
+    whole read surface is a CSV export (export_to_csv.py:8-18 writes
+    header + rows); here the cycle is header=true CSV out, EXPLICIT-schema
+    read back (inference on CSV is a full extra pass at scale — banned by
+    the same convention as JSON), filter, re-aggregate. The fixture has no
+    clerk column, so a 100-way custkey bucket stands in for the clerk
+    dimension. Integer cents keep the rollup exact through the text
+    round-trip."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    derived = orders.select(
+        "o_orderkey", "o_orderstatus",
+        (F.col("o_custkey") % 100).alias("clerk_bucket"),
+        F.floor(F.col("o_totalprice") * 100).alias("price_cents"))
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"csv_clerk:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_csv_clerk_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        derived.write.mode("overwrite").option("header", True).csv(build)
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.option("header", True).schema(
+        "o_orderkey long, o_orderstatus string, clerk_bucket long, "
+        "price_cents long").csv(base)
+    return (back.filter(F.col("o_orderstatus") == "F")
+            .groupBy("clerk_bucket")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price_cents").cast("long").alias("price_cents"))
+            .orderBy("clerk_bucket"))
+
+
+@query(
+    "xml_roundtrip_segment_stats",
+    survey_ref="S4/K4 source formats: Spark 4 native XML round-trip",
+    description="Per-segment customer stats through a write→explicit-schema-"
+                "read XML cycle",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def xml_roundtrip_segment_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The fifth judged interchange format: Spark 4's built-in XML source
+    (rowTag element per record). Same conventions as the CSV/JSON cycles —
+    explicit schema on read (XML inference is an extra full pass), integer
+    cents for an exact text round-trip, atomic-publish build dir."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    derived = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).alias("acctbal_cents"))
+
+    src = os.path.join(sf_dir, "customer.parquet")
+    tag = hashlib.md5(
+        f"xml_seg:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_xml_seg_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        derived.write.mode("overwrite").option("rowTag", "customer").xml(build)
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    back = spark.read.option("rowTag", "customer").schema(
+        "c_custkey long, c_mktsegment string, acctbal_cents long").xml(base)
+    return (back.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("acctbal_cents").cast("long").alias("acctbal_cents"))
+            .orderBy("c_mktsegment"))
