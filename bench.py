@@ -31,6 +31,14 @@ the constant was set) gives ``noise_factor``; ``queries_normalized`` =
 raw / noise_factor, and ``vs_history`` carries both the raw and the
 noise-normalized delta, so a loaded host reads as "factor 1.5, normalized
 deltas flat" while a real regression survives normalization.
+
+Round 6 adds ``par_eff``: the serial probe is blind to MULTI-CORE
+contention (observed: noise_factor 0.87 — "host is fast" — while every
+32-thread query ran ~1.5× slow on bit-identical code). A second probe runs
+the same per-row work fanned across all cores; its efficiency vs this
+run's own serial probe (ideal = serial × rows_ratio / ncpu) is ~1.0 on a
+quiet host and drops in proportion to core contention — so "par_eff 0.6,
+raw times up uniformly" reads as weather, not regression.
 """
 
 from __future__ import annotations
@@ -59,6 +67,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # `--calibrate` on a quiet host and record the raw list here.
 CALIBRATION_REF_S = 0.52
 CALIBRATION_ROWS = 200_000_000
+# The serial probe is blind to MULTI-CORE contention: a co-tenant eating 20
+# of 32 cores leaves a 1-thread probe untouched while every 32-thread query
+# stage runs ~2× slow (observed in round 6: noise_factor 0.87 "fast host"
+# alongside a 1.5× wall-time regression on bit-identical code). The parallel
+# probe runs the SAME per-row work sharded across all cores; its efficiency
+# vs the serial probe's same-run timing (no external pin needed) reads ~1.0
+# on a quiet host and drops in proportion to core contention.
+PAR_PROBE_FACTOR = 16  # parallel probe rows = CALIBRATION_ROWS × this
+
+
+def _ncpu() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def _probe(spark) -> float:
@@ -69,6 +89,19 @@ def _probe(spark) -> float:
 
     t0 = time.perf_counter()
     (spark.range(CALIBRATION_ROWS, numPartitions=1)
+     .select(F.max(F.xxhash64("id"))).collect())
+    return time.perf_counter() - t0
+
+
+def _probe_parallel(spark) -> float:
+    """The same per-row workload fanned across every core (one partition
+    per CPU, PAR_PROBE_FACTOR× the rows): wall time on a quiet host ≈
+    serial_probe × factor / ncpu; the shortfall from that ideal measures
+    multi-core contention, which the serial probe cannot see."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (spark.range(CALIBRATION_ROWS * PAR_PROBE_FACTOR, numPartitions=_ncpu())
      .select(F.max(F.xxhash64("id"))).collect())
     return time.perf_counter() - t0
 
@@ -100,6 +133,7 @@ def main() -> None:
     _probe(spark)  # probe warm-up (codegen for the probe plan itself)
 
     probes = [_probe(spark)]
+    par_probes = [_probe_parallel(spark)]
     timings: dict[str, float] = {}
     ordered = sorted(bench_queries.items())
     for i, (name, q) in enumerate(ordered):
@@ -115,6 +149,7 @@ def main() -> None:
         if i == len(ordered) // 2 - 1:
             probes.append(_probe(spark))  # mid-set load sample
     probes.append(_probe(spark))
+    par_probes.append(_probe_parallel(spark))
 
     # per-query delta vs the committed history's rolling median, so a real
     # regression (one query moves, plan changed) is distinguishable from a
@@ -144,6 +179,14 @@ def main() -> None:
     noise_factor = round(calibration_s / CALIBRATION_REF_S, 3)
     normalized = {qn: round(t / noise_factor, 4) for qn, t in timings.items()}
 
+    # parallel efficiency: quiet-host ideal wall for the fanned probe is
+    # serial_wall × factor / ncpu (same per-row work); the ratio of ideal
+    # to observed reads ~1.0 quiet and drops under core contention —
+    # measured against the SAME RUN's serial probe, so no external pin
+    par_s = round(min(par_probes), 4)
+    par_ideal = calibration_s * PAR_PROBE_FACTOR / _ncpu()
+    par_eff = round(par_ideal / par_s, 3) if par_s > 0 else None
+
     vs_history = {
         qn: {"median": round(median(h), 4),
              "delta_pct": round(100.0 * (timings[qn] - median(h)) / median(h), 1),
@@ -168,10 +211,12 @@ def main() -> None:
         "queries": timings,
         "calibration_s": calibration_s,
         "noise_factor": noise_factor,
+        "par_eff": par_eff,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     diagnostics = {
         "calibration_ref_s": CALIBRATION_REF_S,
+        "parallel_probe_s": par_probes,
         "queries_normalized": normalized,
         "value_normalized": round(sum(normalized.values()), 4),
         "vs_history": vs_history,
