@@ -1677,3 +1677,61 @@ def xml_roundtrip_segment_stats(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("acctbal_cents").cast("long").alias("acctbal_cents"))
             .orderBy("c_mktsegment"))
+
+
+@query(
+    "pipeline_domain_mix",
+    survey_ref="extensions: domain-proportional corpus mixing "
+               "(target-distribution resampling)",
+    description="Per-source sampling to hit a target domain mixture within "
+                "a half-corpus budget",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_s,
+             CAST(substr(source, 4) AS BIGINT) + 1 AS w_s
+      FROM documents GROUP BY source),
+    tot AS (SELECT SUM(w_s) AS w_sum, SUM(n_s) AS n_total FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(LEAST(10000, (10000 * (n_total // 2) * w_s)
+                               // (w_sum * n_s)) AS INT) AS rate_bp
+      FROM counts, tot)
+    SELECT d.doc_id, d.source, r.rate_bp
+    FROM documents d JOIN rates r USING (source)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 10000 < r.rate_bp
+    ORDER BY d.doc_id
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing step of corpus assembly: given target domain shares
+    (here proportional to the source index — any exact-fraction weights
+    work) and a total budget (half the corpus), derive each source's
+    sampling rate and take a deterministic hash sample at that rate. All
+    arithmetic is integer basis points, so both engines derive identical
+    rates; the md5-bucket sample is the same reproducible-split machinery
+    as sample_stratified.
+
+    Scale shape: one map-side-combined count over the corpus produces the
+    per-source table (KBs — domains number in the thousands at most),
+    rates join back as a broadcast, and the sample itself is a scan-speed
+    filter. The corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_s"))
+              .withColumn("w_s",
+                          F.expr("CAST(substring(source, 4) AS BIGINT) + 1")))
+    tot = counts.agg(F.sum("w_s").alias("w_sum"),
+                     F.sum("n_s").alias("n_total"))
+    rates = (counts.join(F.broadcast(tot))
+             .select("source",
+                     F.least(
+                         F.lit(10000),
+                         F.expr("(10000 * (n_total div 2) * w_s) "
+                                "div (w_sum * n_s)"))
+                     .cast("int").alias("rate_bp")))
+    bucket = D.md5_long(F.col("doc_id").cast("string")) % 10000
+    return (docs.join(F.broadcast(rates), "source")
+            .filter(bucket < F.col("rate_bp"))
+            .select("doc_id", "source", "rate_bp")
+            .orderBy("doc_id"))

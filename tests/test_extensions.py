@@ -645,3 +645,23 @@ class TestHllMergeableSketches:
         exact = orders.select("o_custkey").distinct().count()
         assert merged == direct
         assert abs(merged - exact) / exact < 0.05
+
+
+class TestDomainMix:
+    """pipeline_domain_mix — target-distribution resampling semantics."""
+
+    def test_rates_monotone_in_weight_and_within_budget(self, spark):
+        from fictional_guacamole_spark.plans import REGISTRY
+
+        rows = REGISTRY["pipeline_domain_mix"].builder(
+            spark, SF).collect()
+        assert rows  # sample is non-empty
+        rate_by_src = {}
+        for r in rows:
+            rate_by_src.setdefault(r.source, r.rate_bp)
+        # fixture sources are uniform-sized, weights ∝ index+1 → higher
+        # index must never get a lower sampling rate
+        by_idx = sorted((int(s[3:]), bp) for s, bp in rate_by_src.items())
+        for (_, a), (_, b) in zip(by_idx, by_idx[1:]):
+            assert a <= b
+        assert all(0 <= bp <= 10000 for _, bp in by_idx)

@@ -399,3 +399,12 @@ class TestThirdWaveRound6Plans:
         # a single Project over the scan, nothing in Python, no join/agg
         assert "EvalPython" not in plan
         assert "Join" not in plan and "Aggregate" not in plan
+
+    def test_domain_mix_rates_broadcast(self, spark):
+        """The per-source rate table is KB-scale and must broadcast; the
+        corpus side is filtered at scan speed, never sort-merge-shuffled
+        on the source key."""
+        plan = plan_of(spark, "pipeline_domain_mix")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
