@@ -396,3 +396,102 @@ def sql_chunk_overlap(table: str, id_col: str, text_col: str,
                    AS chunk_start
           FROM {table})
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (approximate prefilter + exact verify)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4      # independent hash rows; P(all rows collide) ≈ (ε·e)^d
+CMS_WIDTH = 8192   # counters per row; overestimate ≤ e·N/width w.h.p.
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str,
+                      threshold: int | None = None,
+                      threshold_div: int | None = None) -> DataFrame:
+    """Terms occurring ≥ `threshold` times corpus-wide, found without ever
+    shuffling the full vocabulary — the heavy-hitters pattern (Cormode &
+    Muthukrishnan 2005, the count-min sketch).
+
+    Why it matters at 100 TB: the naive plan (groupBy(term) HAVING count ≥
+    T) shuffles every distinct term — billions of keys for a web corpus.
+    Here each of the CMS_DEPTH hash rows is a groupBy on a hash bucket in
+    [0, CMS_WIDTH): partial aggregation collapses each partition's terms
+    to ≤ CMS_WIDTH counters map-side, so the shuffle moves at most
+    partitions × width rows regardless of vocabulary size. A term's
+    sketch estimate — min over rows of its bucket's count — NEVER
+    undercounts (every occurrence lands in the bucket), so filtering on
+    estimate ≥ T has no false negatives; the survivors (true heavy
+    hitters + hash-collision false positives) are exactly counted in a
+    second pass whose shuffle is bounded by candidate volume. The final
+    output is therefore EXACT and the oracle is the plain HAVING query.
+
+    Everything stays JVM-side: bucket ids are xxhash64 expressions, the
+    sketch rows join back as broadcasts (≤ depth × width small rows), and
+    `least()` takes the row-wise minimum.
+
+    The threshold is either absolute (`threshold`) or relative
+    (`threshold_div`: T = total_occurrences div threshold_div, computed by
+    a 1-row agg broadcast back — integer arithmetic, so any SQL oracle
+    derives the identical cut).
+    """
+    from fictional_guacamole_spark.tables import fan_out
+
+    if (threshold is None) == (threshold_div is None):
+        raise ValueError("pass exactly one of threshold / threshold_div")
+
+    staged = fan_out(df.select(F.col(text_col).alias("__t"))) \
+        .select(F.split(normalize(F.col("__t")), " ").alias("__w"))
+    terms = (staged.select(F.explode("__w").alias("term"))
+             .filter(F.col("term") != ""))
+
+    def bucket(r: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("term"), F.lit(r)), F.lit(CMS_WIDTH))
+
+    hashed = terms.select(
+        "term", *[bucket(r).alias(f"b{r}") for r in range(CMS_DEPTH)])
+    sketches = [
+        hashed.groupBy(f"b{r}").agg(F.count(F.lit(1)).alias(f"c{r}"))
+        for r in range(CMS_DEPTH)
+    ]
+    if threshold is not None:
+        thr = F.lit(threshold)
+    else:
+        tot = terms.agg(F.count(F.lit(1)).alias("__tot"))
+        thr = F.expr(f"__tot div {threshold_div}")
+
+    # broadcast the sketch rows back onto the occurrence stream: the
+    # estimate filter runs MAP-SIDE, so no shuffle ever keys on the raw
+    # term until only candidate occurrences remain
+    survivors = hashed
+    if threshold is None:
+        survivors = survivors.join(F.broadcast(tot))
+    for r in range(CMS_DEPTH):
+        survivors = survivors.join(F.broadcast(sketches[r]), f"b{r}")
+    survivors = survivors.filter(
+        F.least(*[F.col(f"c{r}") for r in range(CMS_DEPTH)])
+        >= thr)                                  # no false negatives
+    return (survivors
+            .groupBy("term", *(["__tot"] if threshold is None else []))
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= thr)  # exact FP repair
+            .select("term", "n_occurrences")
+            .orderBy("term"))
+
+
+def sql_heavy_hitters(table: str, text_col: str,
+                      threshold: int | None = None,
+                      threshold_div: int | None = None) -> str:
+    """Exact-semantics oracle for :func:`cms_heavy_hitters` (the sketch is
+    a physical strategy; the result is the plain HAVING query)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    cut = (str(threshold) if threshold is not None
+           else f"(SELECT COUNT(*) // {threshold_div} FROM w)")
+    return f"""
+    WITH w AS (SELECT unnest(string_split({norm}, ' ')) AS term
+               FROM {table} WHERE {norm} <> '')
+    SELECT term, COUNT(*) AS n_occurrences
+    FROM w WHERE term <> ''
+    GROUP BY term HAVING COUNT(*) >= {cut}
+    ORDER BY term
+    """

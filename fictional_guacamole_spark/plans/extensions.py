@@ -1735,3 +1735,25 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(bucket < F.col("rate_bp"))
             .select("doc_id", "source", "rate_bp")
             .orderBy("doc_id"))
+
+
+@query(
+    "text_heavy_hitters",
+    survey_ref="extensions: count-min-sketch heavy hitters "
+               "(approximate prefilter + exact verify)",
+    description="Terms above 1/30 of corpus occurrences, found via CMS "
+                "prefilter with exact repair",
+    oracle=X.sql_heavy_hitters("documents", "text", threshold_div=30),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-term mining without shuffling the vocabulary: count-min
+    sketch rows (depth 4 × width 8192 hash-bucket counts, collapsed
+    map-side) broadcast back onto the occurrence stream; only occurrences
+    whose sketch estimate clears the cut — true heavy hitters plus
+    bounded hash collisions, never a false negative — reach the exact
+    groupBy. The judged result is exact; the sketch is purely the
+    physical strategy (functions/text.py::cms_heavy_hitters). The cut is
+    total_occurrences div 30, derived in integer arithmetic by both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.cms_heavy_hitters(docs, "text", threshold_div=30)

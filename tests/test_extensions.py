@@ -665,3 +665,38 @@ class TestDomainMix:
         for (_, a), (_, b) in zip(by_idx, by_idx[1:]):
             assert a <= b
         assert all(0 <= bp <= 10000 for _, bp in by_idx)
+
+
+class TestCmsHeavyHitters:
+    """functions/text.py::cms_heavy_hitters — the sketch must be invisible
+    in the result (exact output), even when the vocabulary overflows the
+    sketch width and collisions are guaranteed."""
+
+    def test_exact_under_forced_collisions(self, spark):
+        from fictional_guacamole_spark.functions.text import (
+            CMS_WIDTH, cms_heavy_hitters)
+
+        # vocabulary > sketch width: every bucket holds >1 term, so the
+        # estimate path must rely on the exact-repair stage
+        n_rare = CMS_WIDTH + 800
+        rows = [(f"rare{i}",) for i in range(n_rare)]
+        rows += [("hot alpha",)] * 200 + [("hot beta",)] * 120
+        df = spark.createDataFrame(rows, "text string")
+        got = {(r.term, r.n_occurrences)
+               for r in cms_heavy_hitters(df, "text",
+                                          threshold=100).collect()}
+        assert got == {("hot", 320), ("alpha", 200), ("beta", 120)}
+
+    def test_relative_threshold_matches_absolute(self, spark):
+        from fictional_guacamole_spark.functions.text import (
+            cms_heavy_hitters)
+
+        docs = load_table(spark, SF, "documents")
+        total = (docs.select(F.explode(F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+            .alias("t")).filter(F.col("t") != "").count())
+        rel = sorted(map(tuple, cms_heavy_hitters(
+            docs, "text", threshold_div=30).collect()))
+        absu = sorted(map(tuple, cms_heavy_hitters(
+            docs, "text", threshold=total // 30).collect()))
+        assert rel == absu and rel

@@ -408,3 +408,12 @@ class TestThirdWaveRound6Plans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_heavy_hitters_sketch_broadcasts(self, spark):
+        """The CMS rows and the 1-row total must broadcast back onto the
+        occurrence stream; nothing sort-merge-joins, and no shuffle keys
+        on the raw term before the candidate filter."""
+        plan = plan_of(spark, "text_heavy_hitters")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
