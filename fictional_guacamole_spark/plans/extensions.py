@@ -1914,3 +1914,85 @@ def mv_incremental_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(build, ignore_errors=True)
     stored = TransactionalParquetTable(base).read(spark)
     return merge_aggs(stored, ["o_custkey"], spec).orderBy("o_custkey")
+
+
+@query(
+    "merge_upsert_order_stats",
+    survey_ref="extensions: CDC MERGE (upsert/delete) over the commit-log "
+               "table — merge-on-read, latest-wins, merge-aware compaction",
+    description="Orders after a MERGE cycle: update+insert batch, key "
+                "deletes, a replayed batch, resolved compaction, read back",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'X' AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1 AS cents
+      FROM orders WHERE o_orderkey % 7 = 0),
+    ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 'N' AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 31 = 0),
+    base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus AS st,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    merged AS (
+      SELECT * FROM base UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins)
+    SELECT o_orderkey, o_custkey, st AS o_orderstatus, cents
+    FROM merged WHERE o_orderkey % 13 <> 0
+    ORDER BY o_orderkey
+    """,
+)
+def merge_upsert_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE on a parquet lake (sources/cdc.py): the orders
+    snapshot is loaded, then a batch UPDATES every %7 key and INSERTS a
+    shifted-key copy of every %31 key (one delta-proportional upsert
+    commit — no rewrite), every %13 key is DELETED via key-only
+    tombstones, the upsert batch is REPLAYED (txn_id no-op), and the log
+    is folded by merge-aware compaction + vacuum before the judged read.
+    The hash certifies latest-wins resolution, tombstone semantics,
+    exactly-once replay, and compaction content-preservation in one row-
+    level value check."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.cdc import UpsertTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100)
+    base = orders.select("o_orderkey", "o_custkey",
+                         F.col("o_orderstatus"), cents.alias("cents"))
+    upd = (orders.filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", "o_custkey",
+                   F.lit("X").alias("o_orderstatus"),
+                   (cents + 1).alias("cents")))
+    ins = (orders.filter(F.col("o_orderkey") % 31 == 0)
+           .select((F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                   "o_custkey", F.lit("N").alias("o_orderstatus"),
+                   cents.alias("cents")))
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"merge_orders:{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"fg_merge_{tag}")
+    if not os.path.exists(path):
+        build = f"{path}.build.{os.getpid()}"  # private build, atomic publish
+        t = UpsertTable(build, keys=["o_orderkey"])
+        t.upsert(base, "ins-initial")
+        t.upsert(upd.unionByName(ins), "merge-batch-1")
+        # tombstones over the POST-merge key space (original + inserted)
+        all_keys = base.select("o_orderkey").unionByName(
+            ins.select("o_orderkey"))
+        t.delete_keys(all_keys.filter(F.col("o_orderkey") % 13 == 0),
+                      "delete-batch-1")
+        t.upsert(upd.unionByName(ins), "merge-batch-1")  # replay: no-op
+        t.compact_resolved(spark, "optimize-1")  # fold the four deltas
+        t.vacuum()  # reclaim superseded delta dirs
+        try:
+            os.rename(build, path)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    return (UpsertTable(path, keys=["o_orderkey"]).read(spark)
+            .orderBy("o_orderkey"))

@@ -84,13 +84,21 @@ class TransactionalParquetTable:
 
     # -- write path ----------------------------------------------------------
 
-    def commit(self, df: DataFrame, txn_id: str) -> int:
+    def commit(self, df: DataFrame, txn_id: str, *,
+               supersede_through: int | None = None) -> int:
         """Atomically append ``df`` as one commit; replays are no-ops.
 
         Returns the version that carries ``txn_id`` (the existing one on
         replay). The data is written BEFORE the commit is published, so a
         crash between the two leaves an unreferenced data directory (debris
         a vacuum pass may collect) — never a visible partial commit.
+
+        ``supersede_through`` publishes the commit as a BASE entry that
+        replaces every commit up to that log position (the compact
+        mechanism, exposed so layered tables — e.g. the merge-on-read
+        :class:`~fictional_guacamole_spark.sources.cdc.UpsertTable` — can
+        publish a RESOLVED snapshot rather than the raw union
+        :meth:`compact` writes).
         """
         existing = [e for e in self._entries() if e["txn_id"] == txn_id]
         if existing:
@@ -102,6 +110,8 @@ class TransactionalParquetTable:
         # after a rename/move (atomic-publish builds, object-store copies)
         entry = {"txn_id": txn_id, "data_dir": rel_dir,
                  "schema": df.schema.json()}
+        if supersede_through is not None:
+            entry["base_through"] = supersede_through
         return self._publish(entry, txn_id)
 
     def _publish(self, entry: dict, txn_id: str) -> int:
@@ -222,17 +232,27 @@ class TransactionalParquetTable:
         base file plus post-snapshot appends; time travel before the base
         keeps working until :meth:`vacuum` reclaims the superseded files.
         """
+        parts = self.snapshot_parts(spark, version)
+        if not parts:
+            schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
+                      if (es := self._entries()) else T.StructType([]))
+            return spark.createDataFrame([], schema)
+        out = parts[0][1]
+        for _, p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def snapshot_parts(self, spark: SparkSession,
+                       version: int | None = None
+                       ) -> list[tuple[int, DataFrame]]:
+        """The live commit set as (version, DataFrame) pairs, oldest first
+        — the resolution primitive layered tables build on: a merge-on-
+        read reader needs each part's log position to order row versions
+        (latest wins), which the flat union of :meth:`read` erases."""
         entries = self._entries()
         if version is not None:
             entries = [e for e in entries if e["version"] <= version]
         entries = self._snapshot_entries(entries)
-        if not entries:
-            schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
-                      if (es := self._entries()) else T.StructType([]))
-            return spark.createDataFrame([], schema)
-        parts = [spark.read.parquet(os.path.join(self.path, e["data_dir"]))
-                 for e in entries]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return [(e["version"],
+                 spark.read.parquet(os.path.join(self.path, e["data_dir"])))
+                for e in entries]

@@ -553,3 +553,71 @@ class TestTxnlogForeachBatchSink:
         got = sorted((r.k, r.v) for r in table.read(spark).collect())
         assert got == sorted(rows)  # every row exactly once, despite replays
         assert len(table.history()) == len(seen)  # one commit per batch id
+
+
+class TestUpsertTable:
+    """MERGE semantics (sources/cdc.py): latest-wins resolution, tombstone
+    deletes, replay idempotence, time travel, and merge-aware compaction."""
+
+    def _table(self, spark, tmp_path, name="t"):
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        return UpsertTable(str(tmp_path / name), keys=["k"])
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, v string")
+
+    def test_upsert_overwrites_by_key(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.upsert(self._df(spark, [(1, "a"), (2, "b")]), "c1")
+        t.upsert(self._df(spark, [(2, "B"), (3, "c")]), "c2")
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+    def test_delete_tombstones_and_missing_keys(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.upsert(self._df(spark, [(1, "a"), (2, "b"), (3, "c")]), "c1")
+        # delete an existing key and a never-present one; both resolve
+        t.delete_keys(spark.createDataFrame([(2,), (99,)], "k long"), "d1")
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (3, "c")]
+        # re-inserting a deleted key resurrects it (newer version wins)
+        t.upsert(self._df(spark, [(2, "B2")]), "c2")
+        got = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (2, "B2"), (3, "c")]
+
+    def test_replay_and_time_travel(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.upsert(self._df(spark, [(1, "a")]), "c1")
+        v1 = t.log.version()
+        t.upsert(self._df(spark, [(1, "A")]), "c2")
+        t.upsert(self._df(spark, [(1, "A")]), "c2")  # replay: no-op
+        assert len(t.history()) == 2
+        assert [(r.k, r.v) for r in t.read(spark).collect()] == [(1, "A")]
+        assert [(r.k, r.v)
+                for r in t.read(spark, version=v1).collect()] == [(1, "a")]
+
+    def test_compact_resolved_preserves_content(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        t.upsert(self._df(spark, [(i, f"v{i}") for i in range(20)]), "c1")
+        t.upsert(self._df(spark, [(i, f"V{i}") for i in range(0, 20, 2)]),
+                 "c2")
+        t.delete_keys(spark.createDataFrame([(3,), (5,)], "k long"), "d1")
+        before = sorted((r.k, r.v) for r in t.read(spark).collect())
+        t.compact_resolved(spark, "opt1")
+        removed = t.vacuum()
+        assert removed, "compaction superseded nothing"
+        after = sorted((r.k, r.v) for r in t.read(spark).collect())
+        assert after == before
+        # post-compaction writes still merge on top of the base
+        t.upsert(self._df(spark, [(0, "post")]), "c3")
+        assert dict(
+            (r.k, r.v) for r in t.read(spark).collect())[0] == "post"
+
+    def test_reserved_column_and_empty_keys_rejected(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        with pytest.raises(ValueError, match="at least one"):
+            UpsertTable(str(tmp_path / "x"), keys=[])
+        t = self._table(spark, tmp_path)
+        bad = self._df(spark, [(1, "a")]).withColumn("_op", F.lit("u"))
+        with pytest.raises(ValueError, match="reserved"):
+            t.upsert(bad, "c1")
