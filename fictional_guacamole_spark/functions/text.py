@@ -495,3 +495,80 @@ def sql_heavy_hitters(table: str, text_col: str,
     GROUP BY term HAVING COUNT(*) >= {cut}
     ORDER BY term
     """
+
+
+def lm_familiarity(df: DataFrame, id_col: str, text_col: str,
+                   scale: int = 1_000_000) -> DataFrame:
+    """Bigram-LM familiarity scoring — the CCNet-style language-model
+    quality signal (Wenzek et al. 2020 filter CommonCrawl by LM
+    perplexity; this is the same shape with the corpus itself as the LM,
+    kept in integer arithmetic so the score is bit-portable):
+
+    score of a document = the mean conditional frequency of its word
+    bigrams, P(w2|w1) = count(w1 w2) / count(w1 ·), expressed in parts-
+    per-million with INTEGER division — every per-bigram ppm is exact, so
+    per-doc sums are order-independent and hash-comparable cross-engine
+    (a float log-perplexity would be fold-order-sensitive). Boilerplate
+    and natural prose score high; gibberish and rare constructions score
+    low. Documents with fewer than two words have no bigrams and are
+    absent from the output.
+
+    Scale shape: LM estimation is two vocabulary-bounded aggregations
+    (bigram counts, then prefix totals derived FROM the bigram counts —
+    the corpus is read once); scoring re-joins doc-bigram occurrences to
+    the stats on the bigram key, an equi-join that hash-distributes by
+    gram. At 100 TB the LM table is pruned to its top-M grams (standard
+    LM pruning) and broadcast, making scoring map-side at scan speed.
+    """
+    staged = df.select(F.col(id_col).alias("doc"),
+                       words(F.col(text_col)).alias("w"))
+    grams = staged.select("doc", F.explode(bigrams(F.col("w"))).alias("bg"))
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    pf_counts = (bg_counts
+                 .groupBy(F.split(F.col("bg"), " ")[0].alias("w1"))
+                 .agg(F.sum("c_bg").alias("c_pf")))
+    stats = (bg_counts
+             .withColumn("w1", F.split(F.col("bg"), " ")[0])
+             .join(pf_counts, "w1")
+             .select("bg", "c_bg", "c_pf"))
+    scored = grams.join(stats, "bg").select(
+        "doc",
+        F.expr(f"CAST(({scale} * c_bg) DIV c_pf AS BIGINT)").alias("ppm"))
+    return (scored.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("ppm").alias("fam_sum_ppm"))
+            .select("doc", "n_bigrams", "fam_sum_ppm",
+                    F.expr("CAST(fam_sum_ppm DIV n_bigrams AS BIGINT)")
+                    .alias("mean_ppm")))
+
+
+def sql_lm_familiarity(table: str, id_col: str, text_col: str,
+                       scale: int = 1_000_000) -> str:
+    """DuckDB rendering of :func:`lm_familiarity` — identical tokenizing,
+    bigram expansion, and integer-ppm arithmetic (``//`` ≡ Spark ``DIV``
+    on non-negative counts), so the value hash is exact."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH __w AS (SELECT {id_col} AS doc,
+                        string_split({norm}, ' ') AS w FROM {table}),
+    __g AS (
+      SELECT doc,
+             unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                 generate_series(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i + 1])
+               ELSE [] END) AS bg
+      FROM __w),
+    __bg AS (SELECT bg, COUNT(*) AS c_bg FROM __g GROUP BY bg),
+    __pf AS (SELECT string_split(bg, ' ')[1] AS w1, SUM(c_bg) AS c_pf
+             FROM __bg GROUP BY 1),
+    __stats AS (
+      SELECT bg, c_bg, CAST(c_pf AS BIGINT) AS c_pf
+      FROM __bg JOIN __pf ON string_split(__bg.bg, ' ')[1] = __pf.w1),
+    __scored AS (
+      SELECT doc, ({scale} * c_bg) // c_pf AS ppm
+      FROM __g JOIN __stats USING (bg))
+    SELECT doc, COUNT(*) AS n_bigrams,
+           CAST(SUM(ppm) AS BIGINT) AS fam_sum_ppm,
+           CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_ppm
+    FROM __scored GROUP BY doc
+    """

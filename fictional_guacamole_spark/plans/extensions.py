@@ -1996,3 +1996,23 @@ def merge_upsert_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(build, ignore_errors=True)
     return (UpsertTable(path, keys=["o_orderkey"]).read(spark)
             .orderBy("o_orderkey"))
+
+
+@query(
+    "text_lm_familiarity",
+    survey_ref="extensions: bigram-LM familiarity scoring "
+               "(CCNet-style LM quality signal)",
+    description="Per-doc mean bigram conditional frequency in exact "
+                "integer ppm",
+    oracle=X.sql_lm_familiarity("documents", "doc_id", "text")
+    + " ORDER BY doc",
+)
+def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-based quality axis the heuristic filters (Gopher shapes,
+    C4 rules) don't cover: documents scored by how familiar their word
+    transitions are to a corpus-trained bigram model, in integer parts-
+    per-million so the judged hash is exact (functions/text.py::
+    lm_familiarity has the scale shape — vocabulary-bounded LM, pruned-
+    and-broadcast scoring join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.lm_familiarity(docs, "doc_id", "text").orderBy("doc")

@@ -859,3 +859,34 @@ class TestIncrementalMv:
         with pytest.raises(ValueError, match="non-decomposable"):
             partial_agg(orders, ["o_custkey"],
                         {"m": ("median", "o_totalprice")})
+
+
+class TestLmFamiliarity:
+    """Behavioral contract of the bigram-LM score (the judged query pins
+    exact values; this pins the SIGNAL): documents built from the
+    corpus's common transitions outscore unique-gibberish documents."""
+
+    def test_common_phrases_outscore_gibberish(self, spark):
+        from fictional_guacamole_spark.functions.text import lm_familiarity
+        common = "the cat sat on the mat"
+        rows = [(i, common) for i in range(8)]
+        rows.append((100, "zq xv qqj kpw zzv nnb"))  # transitions seen once
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r.mean_ppm
+               for r in lm_familiarity(df, "doc_id", "text").collect()}
+        # repeated doc: 'the' splits 2-way (cat|mat → 500000 each), the
+        # other three transitions are deterministic (1000000) → mean
+        # (2·500000 + 3·1000000) / 5 = 800000 exactly
+        assert got[0] == 800_000
+        rows.append((101, "zq nnb zq kpw zq zzv"))  # prefix zq now 3-way
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc: r.mean_ppm
+               for r in lm_familiarity(df, "doc_id", "text").collect()}
+        assert got[0] > got[101], "ambiguous transitions must score lower"
+
+    def test_short_docs_absent(self, spark):
+        from fictional_guacamole_spark.functions.text import lm_familiarity
+        df = spark.createDataFrame(
+            [(1, "single"), (2, "two words")], "doc_id long, text string")
+        got = {r.doc for r in lm_familiarity(df, "doc_id", "text").collect()}
+        assert got == {2}
