@@ -79,10 +79,23 @@ and ``stream_sliding_window`` (both green in CORRECTNESS_r05;
 ``text_winnow_fingerprints`` keeps winnowing judged and
 ``stream_session_window`` keeps streaming windows judged) so the union of
 driver-green rows can cover every query registered at rotation time except
-the bench frame within this round. The CSV and XML round-trips
-(``csv_roundtrip_clerk_stats``, ``xml_roundtrip_segment_stats``) registered
-after this rotation and sit in the locally-verified tail until the r7
-window.
+the bench frame within this round.
+
+The round-6 fourth wave rotates in the remaining never-judged
+registrations: the two interchange round-trips (``csv_roundtrip_clerk_
+stats``, ``xml_roundtrip_segment_stats``), the third-wave ``pipeline_
+domain_mix`` + ``text_heavy_hitters``, and the five fourth-wave operators
+``sim_pq_topk`` (PQ-ADC ANN), ``embed_random_projection`` (JL reduction,
+full value oracle), ``mv_incremental_order_stats`` (delta-IVM),
+``merge_upsert_order_stats`` (CDC MERGE), and ``text_lm_familiarity``
+(bigram-LM quality). Displaced — each green in CORRECTNESS_r05 with its
+family still represented: ``t5_gap_audit`` (T5 stays via t2/asof),
+``pivot_status_by_priority`` (unpivot), ``join_salted_hot_key``
+(asof_trades_book), ``dedup_components`` + ``dedup_embedding_cosine``
+(exact/minhash + three ANN forms), ``text_winnow_fingerprints``
+(token-count/gopher/tfidf), ``sample_stratified`` (text_quality_filter),
+and ``multimodal_binary_meta`` + ``multimodal_feature_extract``
+(decode_meta + the three real codecs).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -126,31 +139,31 @@ JUDGE_WINDOW: list[str] = [
     "window_topk_orders_per_customer",  # rank + filter (per-group top-k)
     "topk_global_orders",          # global TakeOrderedAndProject
     "set_intersect_repeat_customers",   # INTERSECT
-    "pivot_status_by_priority",    # pivot
     "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
     "multimodal_avi_frame_sample",  # REAL AVI video frame sampling (r6)
     # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
     "t2_book_kernel_gaps",         # T1/T2/T5 stateful kernel, batch mode
-    "t5_gap_audit",                # T5 sequence-gap detection
     "multimodal_bmp_decode",       # REAL BMP decode + resize (r6)
     "cogroup_event_order_align",   # cogrouped applyInPandas
     "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
-    "join_salted_hot_key",         # skew-mitigation salting
     "jsonl_roundtrip_priority_stats",  # JSON-lines write→schema-read (r6)
+    "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (r6 wave 3)
+    "xml_roundtrip_segment_stats",  # XML interchange round-trip (r6 wave 3)
     "stream_session_window",       # session window
     "layout_zorder_events",        # Z-order layout clustering codes (r6)
     # -- LLM training-data pipeline operators -----------------------------
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "dedup_components",
     "pipeline_decontaminate_bloom",  # Bloom membership + exact FP repair (r6)
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
-    "dedup_embedding_cosine",
+    "sim_pq_topk",                 # PQ-ADC ANN + exact rerank (r6 wave 4)
+    "embed_random_projection",     # JL sign projection, exact hash (r6 w4)
     "text_token_count",
     "text_gopher_quality",         # Gopher quality rules (r2)
-    "text_winnow_fingerprints",    # SIGMOD'03 winnowing fingerprints (r5)
+    "text_lm_familiarity",         # bigram-LM quality signal (r6 wave 4)
+    "text_heavy_hitters",          # count-min-sketch + exact verify (r6 w3)
     "text_tfidf_topk",             # tf-idf term importance (r6)
     "text_pii_redact",             # PII scrubbing compliance gate (r6)
     "text_c4_quality",             # C4 cleaning heuristics (r6)
@@ -158,12 +171,12 @@ JUDGE_WINDOW: list[str] = [
     "sqlite_scan_events",          # S4 vs the reference's SQLite store (r5)
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite (r6)
     "txnlog_roundtrip_event_stats",  # ACID commit-log sink cycle (r6)
-    "sample_stratified",           # per-stratum hash-bucket sampling (r2)
+    "mv_incremental_order_stats",  # delta-IVM over the commit log (r6 w4)
+    "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle (r6 w4)
+    "pipeline_domain_mix",         # domain-proportional mixing (r6 wave 3)
     "text_quality_filter",
     "pipeline_sequence_pack",      # sequence packing (r2)
     "pipeline_training_corpus",
-    "multimodal_binary_meta",
-    "multimodal_feature_extract",
     # round 6: decode_meta gained a full value oracle (its fake codec is an
     # md5-derived deterministic function, replayed in SQL by
     # functions/multimodal.py::sql_decode_meta) — previously oracle=None,
