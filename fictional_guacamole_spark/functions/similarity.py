@@ -482,11 +482,14 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  .filter(F.col("r") <= rerank)
                  .select("query_id", "neighbor_id"))
     # exact rerank: bounded |Q|×rerank candidate set joins the raw vectors
+    # — the survivor list is ≤ |Q|·rerank rows but sits behind a window,
+    # so Catalyst can't size it; broadcast explicitly (a post-shuffle SMJ
+    # of the whole corpus against 640 rows is the wrong plan)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("n_vec"),
                       norm(F.col(vec_col)).alias("c_norm"))
     qv = q.select("query_id", "q_vec", "q_norm")
-    exact = (survivors.join(c, "neighbor_id")
+    exact = (F.broadcast(survivors).join(c, "neighbor_id")
              .join(F.broadcast(qv), "query_id")
              .select("query_id", "neighbor_id",
                      (dot(F.col("q_vec"), F.col("n_vec"))

@@ -232,7 +232,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
     exact = S.cosine_topk(emb, queries, k=10)
-    hits = (approx.join(exact.select("query_id", "neighbor_id"),
+    hits = (approx.join(  # both sides ≤ |Q|·k rows behind windows —
+            # Catalyst can't size them; broadcast the exact side
+            F.broadcast(exact.select("query_id", "neighbor_id")),
                         ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
     sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
@@ -242,7 +244,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
     return (queries.select(F.col("vec_id").alias("query_id"))
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")  # ≤|Q| rows
             .crossJoin(F.broadcast(sig))  # 1-row corpus signature
             .select("query_id",
                     F.least(n_hit, floor_col).cast("int")
@@ -1808,7 +1810,9 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.pq_topk(emb, queries, k=10, m=8, n_codes=16, rerank=128)
     exact = S.cosine_topk(emb, queries, k=10)
-    hits = (approx.join(exact.select("query_id", "neighbor_id"),
+    hits = (approx.join(  # both sides ≤ |Q|·k rows behind windows —
+            # Catalyst can't size them; broadcast the exact side
+            F.broadcast(exact.select("query_id", "neighbor_id")),
                         ["query_id", "neighbor_id"])
             .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
     sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
@@ -1818,7 +1822,7 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
     n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
     return (queries.select(F.col("vec_id").alias("query_id"))
-            .join(hits, "query_id", "left")
+            .join(F.broadcast(hits), "query_id", "left")  # ≤|Q| rows
             .crossJoin(F.broadcast(sig))  # 1-row corpus signature
             .select("query_id",
                     F.least(n_hit, floor_col).cast("int")

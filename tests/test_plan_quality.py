@@ -417,3 +417,54 @@ class TestThirdWaveRound6Plans:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestFourthWaveRound6Plans:
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    def test_random_projection_is_pure_codegen(self, spark):
+        """The JL projection must be a single JVM-side projection over the
+        scan: no shuffle but the presentation sort, no Python, no joins —
+        the whole point is scan-speed reduction."""
+        plan = plan_of(spark, "embed_random_projection")
+        assert self._n_exchanges(plan) <= 1, plan
+        assert "rangepartitioning" in plan
+        assert "EvalPython" not in plan
+        assert "Join" not in plan
+
+    def test_pq_query_side_broadcasts(self, spark):
+        """PQ-ADC scoring joins the corpus codes to the (tiny) query side:
+        the query side must broadcast and the corpus must never
+        sort-merge-shuffle for the candidate pass."""
+        plan = plan_of(spark, "sim_pq_topk")
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_mv_merge_shuffles_only_on_group_key(self, spark):
+        """Merge-on-read folds state ∪ partials with hash aggregation on
+        the group key — partial aggregation must be present and nothing
+        may fall back to Python or a cartesian join."""
+        plan = plan_of(spark, "mv_incremental_order_stats")
+        assert "partial" in plan.lower()
+        assert "EvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cdc_read_resolves_with_one_window(self, spark):
+        """Latest-wins resolution is ONE window over base + deltas keyed
+        on the merge key (no self-joins, no cartesian)."""
+        plan = plan_of(spark, "merge_upsert_order_stats")
+        assert "Window" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_lm_familiarity_joins_on_gram_key(self, spark):
+        """LM estimation + scoring must stay equi-join/agg shaped: no
+        cartesian, no Python, partial aggregation for the count stages."""
+        plan = plan_of(spark, "text_lm_familiarity")
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
