@@ -2020,3 +2020,81 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and-broadcast scoring join)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.lm_familiarity(docs, "doc_id", "text").orderBy("doc")
+
+
+@query(
+    "federated_tri_source_user_summary",
+    survey_ref="extensions: federated query — SQLite + commit-log + parquet "
+               "joined in ONE Catalyst plan",
+    description="Per-user summary joining SQLite purchases, commit-log "
+                "event totals, and the parquet customer dim",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    t AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT p.user_id, c.c_name, p.n_purchases, p.purchase_cents, t.n_events
+    FROM p JOIN t USING (user_id)
+    JOIN customer c ON c.c_custkey = p.user_id
+    ORDER BY p.user_id
+    """,
+)
+def federated_tri_source_user_summary(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Source federation in one declarative plan: purchase facts scanned
+    out of REAL SQLite pages (range-partitioned parallel read with store-
+    side pushdown), per-user event totals read from the transactional
+    commit-log table (two commits + a replayed commit), and the customer
+    dimension from parquet — three storage engines, one Catalyst plan,
+    with the dim broadcast and the fact sides shuffling once on the join
+    key. This is the lakehouse federation story: sources differ, the
+    optimizer doesn't care."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.sqlite import read_sqlite
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    # side 1: SQLite purchases (pushdown: event_type filter + column list)
+    purchases = read_sqlite(
+        spark, _events_sqlite_db(sf_dir), "events",
+        columns=["user_id", "value"],
+        where="event_type = 'purchase'", num_partitions=8)
+    p = (purchases.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_purchases"),
+              F.sum(F.floor(F.col("value") * 100)).alias("purchase_cents")))
+
+    # side 2: commit-log event totals (two commits + replay, cached build)
+    events = load_table(spark, sf_dir, "events")
+    totals = (events.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"fed_txnlog:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_fed_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        t = TransactionalParquetTable(build)
+        t.commit(totals.filter(F.col("user_id") % 2 == 0), "even")
+        t.commit(totals.filter(F.col("user_id") % 2 == 1), "odd")
+        t.commit(totals.filter(F.col("user_id") % 2 == 0), "even")  # replay
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    t_stats = TransactionalParquetTable(base).read(spark)
+
+    # side 3: parquet customer dim (small → broadcast)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name")
+
+    return (p.join(t_stats, "user_id")
+            .join(F.broadcast(cust), "user_id")
+            .select("user_id", "c_name", "n_purchases", "purchase_cents",
+                    "n_events")
+            .orderBy("user_id"))

@@ -86,6 +86,37 @@ class UpsertTable:
                 .filter((F.col("_rn") == 1) & (F.col(_OP) != "d"))
                 .drop("_rn", _OP, _VER))
 
+    def changes(self, spark: SparkSession,
+                since_version: int = 0) -> DataFrame:
+        """Change data feed: the row-level deltas committed AFTER
+        ``since_version`` — upserts with their values, deletes as key-only
+        tombstones — each tagged with ``_op`` ('u'/'d') and
+        ``_commit_version``. Downstream consumers (a derived MV, a search
+        index, a replica) incrementally apply exactly what changed instead
+        of diffing snapshots; cost ∝ the changes read, never table size.
+        Compaction bases are NOT changes and never appear in the feed, so
+        a compaction between polls is invisible to consumers — but commits
+        a vacuum has reclaimed are gone: poll before vacuuming past your
+        consumers (the public CDF retention contract).
+        """
+        entries = [e for e in self.log.history()
+                   if "base_through" not in e
+                   and e["version"] > since_version]
+        if not entries:
+            empty = self.log.read(spark).limit(0)
+            return empty.withColumn(_VER, F.lit(0).cast("int")) \
+                if _OP in empty.columns else empty
+        import os
+
+        out = None
+        for e in entries:
+            df = (spark.read.parquet(
+                os.path.join(self.log.path, e["data_dir"]))
+                .withColumn(_VER, F.lit(e["version"])))
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True)
+        return out
+
     # -- maintenance ---------------------------------------------------------
 
     def compact_resolved(self, spark: SparkSession, txn_id: str) -> int:

@@ -468,3 +468,15 @@ class TestFourthWaveRound6Plans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "EvalPython" not in plan
+
+
+class TestFederatedPlan:
+    def test_three_sources_one_plan_dim_broadcast(self, spark):
+        """SQLite scan + commit-log parquet + customer dim compose into
+        ONE Catalyst plan: the dim broadcasts, nothing goes cartesian,
+        and the SQLite side arrives through the Python DataSource (its
+        rows enter as an Arrow/Python scan, never a collect)."""
+        plan = plan_of(spark, "federated_tri_source_user_summary")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

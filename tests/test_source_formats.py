@@ -621,3 +621,40 @@ class TestUpsertTable:
         bad = self._df(spark, [(1, "a")]).withColumn("_op", F.lit("u"))
         with pytest.raises(ValueError, match="reserved"):
             t.upsert(bad, "c1")
+
+
+class TestChangeDataFeed:
+    """changes(since): incremental consumers see exactly the deltas —
+    applying the feed reproduces the resolved table, compaction bases
+    never leak into the feed, and `since` cuts precisely."""
+
+    def test_feed_replays_to_resolved_state(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        t = UpsertTable(str(tmp_path / "t"), keys=["k"])
+        t.upsert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, v string"), "c1")
+        t.upsert(spark.createDataFrame([(2, "B")], "k long, v string"), "c2")
+        t.delete_keys(spark.createDataFrame([(1,)], "k long"), "d1")
+        feed = t.changes(spark).collect()
+        assert {(r.k, r["_op"], r["_commit_version"]) for r in feed} == {
+            (1, "u", 1), (2, "u", 1), (2, "u", 2), (1, "d", 3)}
+        # latest-wins apply of the feed == resolved read
+        applied = {}
+        for r in sorted(feed, key=lambda r: r["_commit_version"]):
+            if r["_op"] == "d":
+                applied.pop(r.k, None)
+            else:
+                applied[r.k] = r.v
+        resolved = {r.k: r.v for r in t.read(spark).collect()}
+        assert applied == resolved == {2: "B"}
+
+    def test_since_cut_and_compaction_invisible(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        t = UpsertTable(str(tmp_path / "t"), keys=["k"])
+        t.upsert(spark.createDataFrame([(1, "a")], "k long, v string"), "c1")
+        v1 = t.log.version()
+        t.compact_resolved(spark, "opt1")  # a base: NOT a change
+        t.upsert(spark.createDataFrame([(1, "A")], "k long, v string"), "c2")
+        feed = t.changes(spark, since_version=v1).collect()
+        assert [(r.k, r.v, r["_op"]) for r in feed] == [(1, "A", "u")]
+        assert t.changes(spark, since_version=t.log.version()).count() == 0
