@@ -2098,3 +2098,89 @@ def federated_tri_source_user_summary(spark: SparkSession,
             .select("user_id", "c_name", "n_purchases", "purchase_cents",
                     "n_events")
             .orderBy("user_id"))
+
+
+@query(
+    "scd2_order_status_history",
+    survey_ref="extensions: SCD Type-2 dimension history derived from the "
+               "change data feed",
+    description="Versioned order-status history with validity intervals "
+                "from a four-commit upsert/delete schedule",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS st0,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents0
+      FROM orders WHERE o_orderkey < 6000),
+    hist AS (
+      -- v1 initial row: closed by the key's first later change
+      SELECT okey, st0 AS st, cents0 AS cents, 1 AS valid_from,
+             CASE WHEN okey % 5 = 0 THEN 2
+                  WHEN okey % 3 = 0 THEN 3
+                  WHEN okey % 11 = 0 THEN 4 END AS valid_to
+      FROM k
+      UNION ALL
+      -- v2 update (%5): closed by v3 (%3) or the v4 delete (%11)
+      SELECT okey, 'U2', cents0 + 2, 2,
+             CASE WHEN okey % 3 = 0 THEN 3
+                  WHEN okey % 11 = 0 THEN 4 END
+      FROM k WHERE okey % 5 = 0
+      UNION ALL
+      -- v3 update (%3): closed only by the v4 delete (%11)
+      SELECT okey, 'U3', cents0 + 3, 3,
+             CASE WHEN okey % 11 = 0 THEN 4 END
+      FROM k WHERE okey % 3 = 0)
+    SELECT okey AS o_orderkey, st AS o_orderstatus, cents,
+           CAST(valid_from AS INTEGER) AS valid_from,
+           CAST(valid_to AS INTEGER) AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM hist
+    ORDER BY o_orderkey, valid_from
+    """,
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD2 over the CDC layer end-to-end: a four-commit schedule
+    (initial load, two update waves, a delete wave) lands in an
+    UpsertTable; sources/cdc.py::scd2_history derives one row per
+    attribute version with [valid_from, valid_to) commit-version
+    intervals — deletes close history without opening a row, open
+    intervals are current. The oracle reproduces the interval algebra
+    from the schedule's arithmetic, so the hash certifies the feed
+    ordering, interval closure, and tombstone semantics together."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.cdc import (
+        UpsertTable, scd2_history)
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 6000)
+    cents = F.floor(F.col("o_totalprice") * 100)
+    base = orders.select("o_orderkey", "o_orderstatus",
+                         cents.alias("cents"))
+    k = F.col("o_orderkey")
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"scd2:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"fg_scd2_{tag}")
+    if not os.path.exists(path):
+        build = f"{path}.build.{os.getpid()}"  # private build, atomic publish
+        t = UpsertTable(build, keys=["o_orderkey"])
+        t.upsert(base, "v1-initial")
+        t.upsert(base.filter(k % 5 == 0)
+                 .select("o_orderkey", F.lit("U2").alias("o_orderstatus"),
+                         (F.col("cents") + 2).alias("cents")), "v2-upd")
+        t.upsert(base.filter(k % 3 == 0)
+                 .select("o_orderkey", F.lit("U3").alias("o_orderstatus"),
+                         (F.col("cents") + 3).alias("cents")), "v3-upd")
+        t.delete_keys(base.filter(k % 11 == 0), "v4-del")
+        try:
+            os.rename(build, path)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    hist = scd2_history(UpsertTable(path, keys=["o_orderkey"]), spark)
+    return (hist.select("o_orderkey", "o_orderstatus", "cents",
+                        F.col("valid_from").cast("int"),
+                        F.col("valid_to").cast("int"), "is_current")
+            .orderBy("o_orderkey", "valid_from"))

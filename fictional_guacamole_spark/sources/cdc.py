@@ -134,3 +134,27 @@ class UpsertTable:
 
     def history(self) -> list[dict]:
         return self.log.history()
+
+
+def scd2_history(table: UpsertTable, spark: SparkSession,
+                 since_version: int = 0) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history derived from the change
+    feed (Kimball's SCD2: every key keeps one row per attribute version,
+    with a validity interval): each upsert in :meth:`UpsertTable.changes`
+    opens an interval at its commit version; the key's NEXT change — a
+    newer upsert or a delete tombstone — closes it. Open intervals
+    (``valid_to`` null, ``is_current`` true) are the live rows; a deleted
+    key's history survives with every interval closed.
+
+    One window per key ordered by commit version over the feed — cost ∝
+    changes read, never table size, and the derivation is incremental for
+    free: re-run from ``since_version`` to extend an existing history
+    (the standard warehouse nightly-merge shape).
+    """
+    feed = table.changes(spark, since_version)
+    w = W.partitionBy(*table.keys).orderBy(F.asc(_VER))
+    closed = feed.withColumn("valid_to", F.lead(_VER).over(w))
+    return (closed.filter(F.col(_OP) == "u")
+            .withColumn("valid_from", F.col(_VER))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop(_OP, _VER))

@@ -658,3 +658,25 @@ class TestChangeDataFeed:
         feed = t.changes(spark, since_version=v1).collect()
         assert [(r.k, r.v, r["_op"]) for r in feed] == [(1, "A", "u")]
         assert t.changes(spark, since_version=t.log.version()).count() == 0
+
+
+class TestScd2History:
+    def test_intervals_and_resurrection(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.cdc import (
+            UpsertTable, scd2_history)
+        t = UpsertTable(str(tmp_path / "t"), keys=["k"])
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "x")],
+                                       "k long, v string"), "c1")   # v1
+        t.upsert(spark.createDataFrame([(1, "b")],
+                                       "k long, v string"), "c2")   # v2
+        t.delete_keys(spark.createDataFrame([(1,)], "k long"), "d1")  # v3
+        t.upsert(spark.createDataFrame([(1, "c")],
+                                       "k long, v string"), "c3")   # v4
+        rows = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+                for r in scd2_history(t, spark).collect()}
+        assert rows == {
+            (1, "a", 1, 2, False),    # closed by the v2 update
+            (1, "b", 2, 3, False),    # closed by the delete
+            (1, "c", 4, None, True),  # resurrection opens a new interval
+            (2, "x", 1, None, True),  # untouched key stays current
+        }
