@@ -26,6 +26,10 @@ Four paths:
   asymmetric-distance table, and a bounded exact rerank restores
   precision at the top. Composable with IVF cells at 100 TB (scan codes
   within probed cells only).
+
+:func:`ivf_pq_topk` composes the last two into faiss's production
+``IVFx,PQy`` shape: cells bound WHICH rows a query touches, codes bound
+the COST per touched row, the exact rerank restores top precision.
 """
 
 from __future__ import annotations
@@ -545,3 +549,68 @@ def sql_sign_projection(table: str, id_col: str, vec_col: str, dim: int,
            {sql_dot(f'e.{vec_col}', 'sg.s')} / {scale} AS value
     FROM {table} e CROSS JOIN signs sg
     """
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                n_centroids: int = 16, n_probe: int = 4,
+                m: int = 8, n_codes: int = 16, rerank: int = 64,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                seed: int = 4, pq_seed: int = 7) -> DataFrame:
+    """The composed production ANN shape (faiss's ``IVFx,PQy``): IVF
+    cells bound WHICH rows a query touches (n_probe/n_centroids of
+    storage, partition-pruned when the codes are written by cell), PQ
+    codes bound HOW MUCH each touched row costs (m table lookups over
+    m small ints instead of a full-dim float fold), and the bounded
+    exact rerank restores exact top scores. Both trainers run on the
+    shared deterministic sample, so the whole index is bit-reproducible
+    on any cluster layout.
+    """
+    centroids = train_ivf_centroids(corpus, n_centroids, vec_col, seed)
+    books = train_pq_codebooks(corpus, m, n_codes, vec_col, pq_seed)
+    cw_norm2 = [[sum(v * v for v in cw) for cw in book] for book in books]
+    codes = corpus.select(
+        F.col(id_col),
+        nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"),
+        pq_encode(F.col(vec_col), books).alias("code"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        _adc_table(F.col(vec_col), books).alias("adc"),
+        F.explode(nearest_cells(F.col(vec_col), centroids, n_probe))
+        .alias("cid"))
+    norm_lit = F.array(*[F.array(*[F.lit(v) for v in row])
+                         for row in cw_norm2])
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    a_dot = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, s: acc + F.col("adc")[s][F.col("code")[s]])
+    a_norm2 = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, s: acc + norm_lit[s][F.col("code")[s]])
+    scored = (
+        codes.join(F.broadcast(q), "cid")  # probed cells only
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("neighbor_id"),
+                (a_dot / (F.col("q_norm") * F.sqrt(a_norm2)))
+                .alias("approx_sim")))
+    w = W.partitionBy("query_id").orderBy(F.desc("approx_sim"),
+                                          F.asc("neighbor_id"))
+    survivors = (scored.withColumn("r", F.row_number().over(w))
+                 .filter(F.col("r") <= rerank)
+                 .select("query_id", "neighbor_id"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("n_vec"),
+                      norm(F.col(vec_col)).alias("c_norm"))
+    qv = q.select("query_id", "q_vec", "q_norm").dropDuplicates(["query_id"])
+    exact = (F.broadcast(survivors).join(c, "neighbor_id")
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "neighbor_id",
+                     (dot(F.col("q_vec"), F.col("n_vec"))
+                      / (F.col("q_norm") * F.col("c_norm")))
+                     .alias("cos_sim")))
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                           F.asc("neighbor_id"))
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))

@@ -890,3 +890,32 @@ class TestLmFamiliarity:
             [(1, "single"), (2, "two words")], "doc_id long, text string")
         got = {r.doc for r in lm_familiarity(df, "doc_id", "text").collect()}
         assert got == {2}
+
+
+class TestIvfPqComposition:
+    """faiss-style IVFx,PQy: cells bound WHICH rows, codes bound COST per
+    row, exact rerank restores precision — and the returned scores must
+    be exact cosines of the surviving candidates."""
+
+    def test_recall_and_exact_scores(self, spark):
+        from fictional_guacamole_spark.functions.similarity import (
+            ivf_pq_topk)
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = cosine_topk(emb, queries, k=10)
+        approx = ivf_pq_topk(emb, queries, k=10, n_centroids=8, n_probe=5,
+                             rerank=96)
+        exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+                        for r in cosine_topk(emb, queries, k=300).collect()}
+        exact_pairs = {(r["query_id"], r["neighbor_id"])
+                       for r in exact.collect()}
+        got = approx.collect()
+        approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in got}
+        recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+        # doubly-approximate candidate generation on a weakly-clustered
+        # fixture: half the cells probed × PQ ordering noise; 0.3 floor
+        # is well above random-candidate expectation
+        assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
+        for r in got:
+            key = (r["query_id"], r["neighbor_id"])
+            assert exact_scores[key] == r["cos_sim"], f"perturbed {key}"

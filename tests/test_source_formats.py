@@ -680,3 +680,34 @@ class TestScd2History:
             (1, "c", 4, None, True),  # resurrection opens a new interval
             (2, "x", 1, None, True),  # untouched key stays current
         }
+
+
+class TestUpsertTableVolume:
+    """Hostile-shape posture for the CDC layer: many small commits, a
+    schema-widening upsert mid-stream, and resolution correctness under
+    both — matching the rigor of the SQLite adversarial-rowid suite."""
+
+    def test_thirty_commits_resolve_and_compact(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        t = UpsertTable(str(tmp_path / "t"), keys=["k"])
+        # 30 single-row commits repeatedly rewriting 10 keys
+        for i in range(30):
+            t.upsert(spark.createDataFrame([(i % 10, f"v{i}")],
+                                           "k long, v string"), f"c{i}")
+        want = {k: f"v{20 + k}" for k in range(10)}  # last writer per key
+        assert {r.k: r.v for r in t.read(spark).collect()} == want
+        t.compact_resolved(spark, "opt")
+        assert len(t.vacuum()) == 30  # every delta superseded
+        assert {r.k: r.v for r in t.read(spark).collect()} == want
+
+    def test_schema_widening_upsert(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        t = UpsertTable(str(tmp_path / "t"), keys=["k"])
+        t.upsert(spark.createDataFrame([(1, "a"), (2, "b")],
+                                       "k long, v string"), "c1")
+        # widened schema: new column arrives mid-stream (K3 evolution)
+        t.upsert(spark.createDataFrame([(2, "B", 7)],
+                                       "k long, v string, extra long"),
+                 "c2")
+        got = {r.k: (r.v, r.extra) for r in t.read(spark).collect()}
+        assert got == {1: ("a", None), 2: ("B", 7)}
