@@ -2184,3 +2184,162 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("valid_from").cast("int"),
                         F.col("valid_to").cast("int"), "is_current")
             .orderBy("o_orderkey", "valid_from"))
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics surface: funnel, cohort retention, data-quality audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_view_click_purchase",
+    survey_ref="extensions: ordered-sequence funnel analysis",
+    description="Users completing view → click → purchase IN ORDER, "
+                "counted per stage",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t
+      GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      UNION ALL SELECT '2_click_after_view', COUNT(*) FROM c
+      UNION ALL SELECT '3_purchase_after_click', COUNT(*) FROM p)
+    ORDER BY stage
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE/funnel-analysis
+    shape): a stage counts only if it happens strictly AFTER the user's
+    previous stage completion — min-timestamp per stage, gated by the
+    prior stage's time. Three narrow aggregations keyed on user_id (one
+    shuffle key throughout, so the stages co-partition); stage frames are
+    user-cardinality-sized and broadcast into the gates."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(F.broadcast(v), "user_id")
+         .filter(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(F.broadcast(c), "user_id")
+         .filter(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    count1 = F.count(F.lit(1)).alias("n_users")
+    return (v.agg(count1).select(F.lit("1_view").alias("stage"), "n_users")
+            .unionByName(c.agg(count1).select(
+                F.lit("2_click_after_view").alias("stage"), "n_users"))
+            .unionByName(p.agg(count1).select(
+                F.lit("3_purchase_after_click").alias("stage"), "n_users"))
+            .orderBy("stage"))
+
+
+@query(
+    "cohort_weekly_retention",
+    survey_ref="extensions: cohort retention analysis",
+    description="Active-user counts by signup-week cohort × week offset",
+    oracle="""
+    WITH wk AS (
+      -- NOTE: DuckDB's // on a DOUBLE epoch() is plain division (no
+      -- floor) — cast to BIGINT FIRST so // is integer division
+      SELECT user_id,
+             CAST(epoch(ts) AS BIGINT) // 604800 AS week
+      FROM events),
+    first_wk AS (SELECT user_id, MIN(week) AS cohort_week FROM wk
+                 GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_wk f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort/retention triangle: users bucketed by their first
+    active epoch-week, activity counted per (cohort, week offset). Epoch-
+    week integers (epoch seconds DIV 604800) keep the bucketing identical
+    across engines and timezones. Every shuffle keys on user_id or the
+    KB-scale (cohort, offset) pair — scan-shaped at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select("user_id",
+                   F.expr("CAST(unix_timestamp(ts) DIV 604800 AS BIGINT)")
+                   .alias("week"))
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.dropDuplicates(["user_id", "week"])
+    return (active.join(F.broadcast(first_wk), "user_id")
+            .groupBy("cohort_week",
+                     (F.col("week") - F.col("cohort_week"))
+                     .alias("week_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .orderBy("cohort_week", "week_offset"))
+
+
+@query(
+    "dq_constraint_audit",
+    survey_ref="extensions: data-quality constraint audit",
+    description="Violation counts for key, null, range, and referential "
+                "constraints over orders/lineitem",
+    oracle="""
+    SELECT chk, n_violations FROM (
+      SELECT 'duplicate_orderkeys' AS chk,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'null_custkey', COUNT(*) FROM orders WHERE o_custkey IS NULL
+      UNION ALL
+      SELECT 'orphan_lineitems', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'quantity_out_of_range', COUNT(*) FROM lineitem
+      WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1
+      UNION ALL
+      SELECT 'ship_before_order', COUNT(*) FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate < o.o_orderdate)
+    ORDER BY chk
+    """,
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectations/constraint-check pass a pipeline runs before
+    publishing a table: uniqueness, non-null, range, referential
+    integrity (anti-join — at scale the dim side broadcasts or the join
+    co-partitions on the key), and a cross-column date-order anomaly. One
+    violation-count row per check; zero counts are certified too — a
+    wrong zero is exactly the failure a DQ gate exists to catch."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    count1 = F.count(F.lit(1))
+    dup = orders.agg((count1 - F.countDistinct("o_orderkey"))
+                     .cast("long").alias("n_violations")) \
+        .select(F.lit("duplicate_orderkeys").alias("chk"), "n_violations")
+    nullck = orders.filter(F.col("o_custkey").isNull()).agg(
+        count1.alias("n_violations")) \
+        .select(F.lit("null_custkey").alias("chk"), "n_violations")
+    orphan = li.join(orders.select("o_orderkey"),
+                     li.l_orderkey == orders.o_orderkey, "left_anti") \
+        .agg(count1.alias("n_violations")) \
+        .select(F.lit("orphan_lineitems").alias("chk"), "n_violations")
+    rng = li.filter((F.col("l_quantity") <= 0) | (F.col("l_discount") < 0)
+                    | (F.col("l_discount") > 1)) \
+        .agg(count1.alias("n_violations")) \
+        .select(F.lit("quantity_out_of_range").alias("chk"), "n_violations")
+    dates = (li.join(orders.select("o_orderkey", "o_orderdate"),
+                     li.l_orderkey == orders.o_orderkey)
+             .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+             .agg(count1.alias("n_violations"))
+             .select(F.lit("ship_before_order").alias("chk"),
+                     "n_violations"))
+    return (dup.unionByName(nullck).unionByName(orphan)
+            .unionByName(rng).unionByName(dates).orderBy("chk"))
