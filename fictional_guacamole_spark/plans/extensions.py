@@ -7,7 +7,7 @@ with DuckDB oracles wherever the computation is expressible in ANSI SQL
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions import dedup as D
@@ -2343,3 +2343,37 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_violations"))
     return (dup.unionByName(nullck).unionByName(orphan)
             .unionByName(rng).unionByName(dates).orderBy("chk"))
+
+
+@query(
+    "path_event_transitions",
+    survey_ref="extensions: path analysis (event-transition matrix)",
+    description="Per-user ordered event-type transition counts "
+                "(first-order Markov matrix)",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def path_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order path analysis (the what-happens-next matrix behind
+    journey mining and Markov attribution): one lag window per user over
+    (ts, event_id)-ordered events — the tiebreaker makes the ordering
+    total, so the judged hash is deterministic — then a count per
+    (prev, next) pair. Shuffles: one on user_id for the window, one on
+    the 25-cell pair space; both scan-shaped at any volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select("user_id", "event_type",
+                        F.lag("event_type").over(w).alias("prev_type"))
+    return (ordered.filter(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", F.col("event_type").alias("next_type"))
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+            .orderBy("prev_type", "next_type"))
