@@ -711,3 +711,45 @@ class TestUpsertTableVolume:
                  "c2")
         got = {r.k: (r.v, r.extra) for r in t.read(spark).collect()}
         assert got == {1: ("a", None), 2: ("B", 7)}
+
+
+class TestStreamingCdcIngest:
+    def test_foreachbatch_upserts_with_replay(self, spark, tmp_path):
+        """The streaming CDC ingest shape: each micro-batch upserts with
+        its batch id as txn_id, so Spark's foreachBatch retry contract
+        (same batch may be delivered twice) cannot double-apply — and
+        keys rewritten across batches resolve latest-wins."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        # batch files replayed in order: f0 seeds, f1/f2 rewrite key 1
+        batches = [[(1, "a"), (2, "b")], [(1, "B1")], [(1, "B2"), (3, "c")]]
+        for i, rows in enumerate(batches):
+            pq.write_table(pa.table(
+                {"k": [r[0] for r in rows], "v": [r[1] for r in rows]}),
+                src_dir / f"f{i}.parquet")
+
+        table = UpsertTable(str(tmp_path / "cdc"), keys=["k"])
+
+        def land(batch_df, batch_id):
+            table.upsert(batch_df, f"b{batch_id}")
+            table.upsert(batch_df, f"b{batch_id}")  # simulated retry
+
+        stream = (spark.readStream.schema("k long, v string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{src_dir}/f*"))
+        q = (stream.writeStream.foreachBatch(land)
+             .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert len(table.history()) == 3  # one commit per batch, no dupes
+        got = {r.k: r.v for r in table.read(spark).collect()}
+        # file order is lexical; the last writer of key 1 is batch f2
+        assert got == {1: "B2", 2: "b", 3: "c"}
