@@ -572,3 +572,30 @@ def sql_lm_familiarity(table: str, id_col: str, text_col: str,
            CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_ppm
     FROM __scored GROUP BY doc
     """
+
+
+def embed_md5(col: Column, dim: int = 16) -> Column:
+    """Deterministic text embedding: component i is the first 8 md5 hex
+    chars of ``text || str(i)`` scaled to [-1, 1) — the same stand-in
+    model convention as multimodal.extract_features, but PURE JVM column
+    expressions (md5/conv/divide inside whole-stage codegen, no Python),
+    so chunk/query embedding at 100 TB runs at scan speed. A real
+    deployment swaps this for an ONNX/torch batch call behind the same
+    array<double> contract; exact integer / 2^32 arithmetic keeps the
+    doubles bit-identical across engines."""
+    comps = []
+    for i in range(dim):
+        h8 = F.substring(F.md5(F.concat(col, F.lit(str(i)))), 1, 8)
+        comps.append(
+            (F.conv(h8, 16, 10).cast("long") / F.lit(4294967296.0))
+            * 2.0 - 1.0)
+    return F.array(*comps)
+
+
+def sql_embed_md5(text_expr: str, dim: int = 16) -> str:
+    """DuckDB rendering of :func:`embed_md5` as a list literal."""
+    comps = ", ".join(
+        f"(CAST('0x' || substr(md5({text_expr} || '{i}'), 1, 8) AS BIGINT)"
+        f" / 4294967296.0) * 2.0 - 1.0"
+        for i in range(dim))
+    return f"[{comps}]"

@@ -2377,3 +2377,63 @@ def path_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("prev_type", F.col("event_type").alias("next_type"))
             .agg(F.count(F.lit(1)).alias("n_transitions"))
             .orderBy("prev_type", "next_type"))
+
+
+@query(
+    "pipeline_rag_retrieval",
+    survey_ref="extensions: RAG retrieval capstone — chunk → embed → "
+               "exact top-k, one declarative plan",
+    description="Top-3 chunks per probe query by cosine over md5-projection "
+                "embeddings of overlapping chunks",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc, chunk_id, chunk_text
+      FROM ({X.sql_chunk_overlap('documents', 'doc_id', 'text')})
+      WHERE doc >= 20),
+    c AS (
+      SELECT doc * 1000 + chunk_id AS chunk_key,
+             {X.sql_embed_md5('chunk_text')} AS e
+      FROM chunks),
+    q AS (
+      SELECT doc_id AS query_id, {X.sql_embed_md5('text')} AS e
+      FROM documents WHERE doc_id < 5),
+    scored AS (
+      SELECT q.query_id, c.chunk_key,
+             {S.sql_cosine('q.e', 'c.e')} AS cos_sim
+      FROM q, c),
+    ranked AS (
+      SELECT query_id, chunk_key, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, chunk_key) AS rank
+      FROM scored)
+    SELECT query_id, chunk_key, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval capstone: documents chunk with overlap (map-only, scan
+    speed), chunks and probe queries embed through the JVM-side md5
+    projection (functions/text.py::embed_md5 — the stand-in for a real
+    encoder behind the same array<double> contract), and each probe takes
+    its exact top-3 chunks by cosine — queries broadcast, the chunk corpus
+    never shuffles. One declarative plan from raw text to ranked context
+    windows; at 100 TB the exact scorer swaps for the judged IVF/PQ paths
+    over the same embedding column. FULL value oracle: every stage is
+    bit-reproducible in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (X.chunk_overlap(docs.filter(F.col("doc_id") >= 20),
+                              "doc_id", "text")
+              .select((F.col("doc") * 1000 + F.col("chunk_id"))
+                      .alias("chunk_key"),
+                      X.embed_md5(F.col("chunk_text")).alias("embedding")))
+    queries = (docs.filter(F.col("doc_id") < 5)
+               .select(F.col("doc_id").alias("chunk_key"),
+                       X.embed_md5(F.col("text")).alias("embedding")))
+    top = S.cosine_topk(chunks, queries, k=3, id_col="chunk_key",
+                        vec_col="embedding")
+    return (top.select("query_id",
+                       F.col("neighbor_id").alias("chunk_key"),
+                       "cos_sim",
+                       F.col("rank").cast("int").alias("rank"))
+            .orderBy("query_id", "rank"))
