@@ -97,6 +97,18 @@ family still represented: ``t5_gap_audit`` (T5 stays via t2/asof),
 and ``multimodal_binary_meta`` + ``multimodal_feature_extract``
 (decode_meta + the three real codecs).
 
+A fifth mini-rotation (still round 6) admits the five late registrations
+``scd2_order_status_history``, ``federated_tri_source_user_summary``,
+``funnel_view_click_purchase``, ``dq_constraint_audit``, and
+``pipeline_rag_retrieval``, displacing ``q10_returned_items``,
+``window_topk_orders_per_customer``, ``text_token_count``,
+``sqlite_scan_events``, and ``pipeline_sequence_pack`` (all green in the
+r1–r5 union; q1 keeps TPC-H, window_rolling_7d_spend keeps windows,
+text_gopher_quality keeps text analysis, sqlite_roundtrip_user_stats
+keeps the SQLite family, pipeline_training_corpus keeps the capstone).
+After it the never-judged tail is just ``cohort_weekly_retention`` and
+``path_event_transitions`` (r7 fodder) plus the oracle-less bench frame.
+
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
 """
@@ -126,7 +138,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
 JUDGE_WINDOW: list[str] = [
     # -- flagship TPC-H shapes (joins+aggs+subqueries+pushdown) -----------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
-    "q10_returned_items",          # broadcast-dim + fact join + top-k
+    "scd2_order_status_history",   # SCD2 from the change feed (r6 w4)
     "ts_gapfill_locf",             # hypertable rollup + gapfill/LOCF (r6)
     "agg_ewma_user_value",         # exact-arithmetic EWMA smoothing (r6)
     "pipeline_chunk_overlap",      # overlapping context-window chunking (r6)
@@ -136,7 +148,7 @@ JUDGE_WINDOW: list[str] = [
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape (r6)
     "window_rolling_7d_spend",     # interval rangeBetween rolling agg (r6)
     "multimodal_wav_decode",       # REAL WAV decode, stdlib wave (r6)
-    "window_topk_orders_per_customer",  # rank + filter (per-group top-k)
+    "federated_tri_source_user_summary",  # 3 storage engines, 1 plan (r6 w4)
     "topk_global_orders",          # global TakeOrderedAndProject
     "set_intersect_repeat_customers",   # INTERSECT
     "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
@@ -160,7 +172,7 @@ JUDGE_WINDOW: list[str] = [
     "sim_ivf_topk",
     "sim_pq_topk",                 # PQ-ADC ANN + exact rerank (r6 wave 4)
     "embed_random_projection",     # JL sign projection, exact hash (r6 w4)
-    "text_token_count",
+    "funnel_view_click_purchase",  # ordered-sequence funnel (r6 w4)
     "text_gopher_quality",         # Gopher quality rules (r2)
     "text_lm_familiarity",         # bigram-LM quality signal (r6 wave 4)
     "text_heavy_hitters",          # count-min-sketch + exact verify (r6 w3)
@@ -168,14 +180,14 @@ JUDGE_WINDOW: list[str] = [
     "text_pii_redact",             # PII scrubbing compliance gate (r6)
     "text_c4_quality",             # C4 cleaning heuristics (r6)
     "dedup_lines_global",          # C4 line-level global dedup (r6)
-    "sqlite_scan_events",          # S4 vs the reference's SQLite store (r5)
+    "dq_constraint_audit",         # data-quality constraint audit (r6 w4)
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite (r6)
     "txnlog_roundtrip_event_stats",  # ACID commit-log sink cycle (r6)
     "mv_incremental_order_stats",  # delta-IVM over the commit log (r6 w4)
     "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle (r6 w4)
     "pipeline_domain_mix",         # domain-proportional mixing (r6 wave 3)
     "text_quality_filter",
-    "pipeline_sequence_pack",      # sequence packing (r2)
+    "pipeline_rag_retrieval",      # chunk→embed→rank capstone (r6 w4)
     "pipeline_training_corpus",
     # round 6: decode_meta gained a full value oracle (its fake codec is an
     # md5-derived deterministic function, replayed in SQL by

@@ -78,6 +78,13 @@ def test_every_family_has_an_inwindow_representative():
         "lm_quality": {"text_lm_familiarity"},
         "sketches": {"agg_approx_percentile", "text_heavy_hitters"},
         "corpus_mixing": {"pipeline_domain_mix"},
+        "scd2": {"scd2_order_status_history"},
+        "federation": {"federated_tri_source_user_summary"},
+        "product_analytics": {"funnel_view_click_purchase",
+                              "cohort_weekly_retention",
+                              "path_event_transitions"},
+        "data_quality": {"dq_constraint_audit"},
+        "rag_capstone": {"pipeline_rag_retrieval"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"
