@@ -2437,3 +2437,39 @@ def pipeline_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "cos_sim",
                        F.col("rank").cast("int").alias("rank"))
             .orderBy("query_id", "rank"))
+
+
+@query(
+    "udaf_cents_returnflag",
+    survey_ref="§2.5 UDF surface: Arrow grouped-agg pandas UDAF",
+    description="Per-returnflag revenue cents via a custom pandas UDAF",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_cents_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one python-UDF surface the registry didn't yet demonstrate: a
+    GROUPED_AGG pandas UDAF (Arrow-batched, one numpy reduction per
+    group — the custom-aggregate escape hatch when no builtin fits).
+    Exactness discipline still applies inside the UDAF: per-element
+    floor-to-cents is IEEE-identical everywhere and the int64 sum is
+    order-independent, so the custom aggregate hash-matches the SQL
+    oracle. At scale this runs as partial Arrow batches per partition —
+    but unlike builtin aggs there is NO map-side partial merge, which is
+    exactly why the engine's hot paths use builtins and this surface is
+    reserved for semantics Spark lacks."""
+    from fictional_guacamole_spark.functions.udafs import cents_sum, n_rows
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # builtin aggs cannot share an agg() with a GROUPED_AGG pandas UDF
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a second UDAF
+    return (li.groupBy("l_returnflag")
+            .agg(cents_sum(F.col("l_extendedprice")).alias("revenue_cents"),
+                 n_rows(F.col("l_extendedprice")).alias("n_items"))
+            .orderBy("l_returnflag"))

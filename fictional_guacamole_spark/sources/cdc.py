@@ -123,8 +123,15 @@ class UpsertTable:
         """Merge-aware OPTIMIZE: resolve the current snapshot and publish
         it as ONE base commit superseding the deltas it read — after
         which a read is a single scan with an (empty-delta) merge window.
-        Replays converge through the commit's txn_id like any commit."""
+        Replays converge through the commit's txn_id like any commit.
+
+        A compaction of an EMPTY log is a no-op (found by the hypothesis
+        model test: committing the empty-schema read() frame as a base
+        would publish a keyless commit that poisons every later merge
+        window with an unresolvable key column)."""
         through = self.log.version()
+        if through == 0:
+            return 0
         resolved = self.read(spark, version=through)
         return self.log.commit(resolved.withColumn(_OP, F.lit("u")), txn_id,
                                supersede_through=through)

@@ -160,6 +160,8 @@ class TransactionalParquetTable:
             return existing[0]["version"]
 
         through = self.version()
+        if through == 0:
+            return 0  # empty log: nothing to fold (see cdc.compact_resolved)
         snapshot = self.read(spark, version=through)
         rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         snapshot.write.mode("overwrite").parquet(

@@ -753,3 +753,54 @@ class TestStreamingCdcIngest:
         got = {r.k: r.v for r in table.read(spark).collect()}
         # file order is lexical; the last writer of key 1 is batch f2
         assert got == {1: "B2", 2: "b", 3: "c"}
+
+
+class TestUpsertTableModelBased:
+    """Hypothesis model check: ANY sequence of upsert/delete/compact ops
+    must resolve exactly like a python dict (the CDC layer's semantic
+    model). Few examples — each op is a real parquet commit — but the
+    sequences hypothesis picks (overwrite chains, delete-then-resurrect,
+    compact mid-stream) are the cases hand-written tests miss."""
+
+    def test_matches_dict_model(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings, strategies as st
+
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+
+        op = st.one_of(
+            st.tuples(st.just("upsert"),
+                      st.lists(st.tuples(st.integers(0, 5),
+                                         st.text("ab", min_size=1,
+                                                 max_size=3)),
+                               min_size=1, max_size=3)),
+            st.tuples(st.just("delete"),
+                      st.lists(st.integers(0, 5), min_size=1, max_size=3)),
+            st.tuples(st.just("compact"), st.just(None)),
+        )
+
+        counter = [0]
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(ops=st.lists(op, min_size=1, max_size=6))
+        def run(ops):
+            counter[0] += 1
+            t = UpsertTable(str(tmp_path / f"m{counter[0]}"), keys=["k"])
+            model: dict[int, str] = {}
+            for i, (kind, arg) in enumerate(ops):
+                if kind == "upsert":
+                    dedup = dict(arg)  # in-commit duplicate keys: last wins
+                    t.upsert(spark.createDataFrame(
+                        sorted(dedup.items()), "k long, v string"), f"t{i}")
+                    model.update(dedup)
+                elif kind == "delete":
+                    t.delete_keys(spark.createDataFrame(
+                        [(k,) for k in sorted(set(arg))], "k long"), f"t{i}")
+                    for k in arg:
+                        model.pop(k, None)
+                else:
+                    t.compact_resolved(spark, f"t{i}")
+            got = {r.k: r.v for r in t.read(spark).collect()}
+            assert got == model, f"ops={ops}"
+
+        run()
