@@ -261,3 +261,46 @@ def ewma_stream(df: DataFrame, key_col: str, ts_col: str, value_col: str,
         return res[fields]
 
     return grouped.applyInPandas(batch_fold, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Subsequence similarity search (sliding-window distance to a pattern)
+# ---------------------------------------------------------------------------
+
+def subsequence_topk(df: DataFrame, key_col: str, ts_col: str,
+                     value_col: str, pattern_df: DataFrame,
+                     length: int = 8, k: int = 5,
+                     id_cols: list[str] | None = None) -> DataFrame:
+    """Top-k sliding-window subsequences closest (squared euclidean,
+    cent-scaled integer arithmetic) to a query pattern — the distributed
+    subsequence-matching shape (cf. "Time Series Similarity Search for
+    Streaming Data in Distributed Systems", EDBT 2019): every length-L
+    window of every key's value stream is a candidate; windows
+    materialize as ordered ``collect_list`` frames per key (one shuffle
+    on the key, window order pinned by (ts, id) so the list is total-
+    ordered), the pattern broadcasts, and the distance is a fixed-order
+    fold over L elements.
+
+    Exactness: values scale to integer cents BEFORE differencing, so the
+    squared-distance sum is pure BIGINT arithmetic — order-independent
+    and bit-identical cross-engine (a z-normalized float distance would
+    be fold-order-sensitive; normalization belongs in a pre-pass if
+    needed). At 100 TB the key streams partition by key and the windows
+    never leave their partition; candidate volume is rows × 1, pruned by
+    the top-k TakeOrdered.
+    """
+    id_cols = id_cols or []
+    w = (W.partitionBy(key_col).orderBy(ts_col, *id_cols)
+         .rowsBetween(-(length - 1), 0))
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    windows = (df.withColumn("__w", F.collect_list(cents).over(w))
+               .filter(F.size("__w") == length))
+    pat = pattern_df.select(F.col("pattern"))  # one row, array<long>
+    diff = F.zip_with(F.col("__w"), F.col("pattern"),
+                      lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diff, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (windows.crossJoin(F.broadcast(pat))
+            .select(F.col(key_col), F.col(ts_col).alias("window_end"),
+                    d2.alias("dist2"))
+            .orderBy(F.asc("dist2"), F.asc(key_col), F.asc("window_end"))
+            .limit(k))

@@ -65,3 +65,55 @@ def agg_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (T.ewma_pow2(ev, "user_id", ["ts", "event_id"], "value")
             .orderBy("user_id"))
+
+
+@query(
+    "ts_subsequence_match",
+    survey_ref="extensions: time-series subsequence similarity search",
+    description="Top-5 sliding windows closest to user 0's opening "
+                "8-value pattern (exact integer distance)",
+    oracle="""
+    WITH cents AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events),
+    pat AS (
+      SELECT (list(c ORDER BY ts, event_id))[1:8] AS pattern
+      FROM cents WHERE user_id = 0),
+    win AS (
+      SELECT user_id, ts AS window_end,
+             list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+      FROM cents WHERE user_id <> 0),
+    scored AS (
+      SELECT user_id, window_end,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (w[i] - pattern[i]) * (w[i] - pattern[i]))) AS dist2
+      FROM win, pat WHERE len(w) = 8)
+    SELECT user_id, window_end, CAST(dist2 AS BIGINT) AS dist2
+    FROM scored ORDER BY dist2, user_id, window_end LIMIT 5
+    """,
+)
+def ts_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed subsequence matching (cf. EDBT 2019's streaming
+    similarity search): user 0's opening 8 values form the query
+    pattern; every 8-value sliding window of every other user's stream
+    is a candidate, scored by integer-cent squared distance
+    (functions/timeseries.py::subsequence_topk — windows never leave
+    their key's partition, the pattern broadcasts, ties break
+    deterministically). At scale the same shape serves motif search and
+    anomaly matching over tick streams."""
+    from fictional_guacamole_spark.functions.timeseries import (
+        subsequence_topk)
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    pattern = (ev.filter(F.col("user_id") == 0)
+               .select(F.struct("ts", "event_id", cents.alias("c"))
+                       .alias("s"))
+               .agg(F.array_sort(F.collect_list("s")).alias("all"))
+               .select(F.transform(F.slice("all", 1, 8),
+                                   lambda s: s["c"]).alias("pattern")))
+    return subsequence_topk(
+        ev.filter(F.col("user_id") != 0), "user_id", "ts", "value",
+        pattern, length=8, k=5, id_cols=["event_id"])
