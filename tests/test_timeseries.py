@@ -124,3 +124,28 @@ class TestEwmaPow2:
         eff = [self._eff_cents(c / 100.0) for c in cents]
         assert got[11]["ewma"] == self._ref(eff)
         assert got[11]["n_used"] == min(len(cents), T.EWMA_HORIZON)
+
+
+class TestSubsequenceMatch:
+    def test_planted_exact_match_wins(self, spark):
+        from fictional_guacamole_spark.functions.timeseries import (
+            subsequence_topk)
+        from pyspark.sql import functions as F
+
+        # key 1 carries the pattern verbatim at positions 10..13; key 2
+        # carries noise. The planted window must rank first with dist2=0.
+        pat_vals = [1.00, 2.00, 3.00, 4.00]
+        rows = []
+        for i in range(10):
+            rows.append((1, i, float(50 + i)))
+            rows.append((2, i, float(90 - i)))
+        for j, v in enumerate(pat_vals):
+            rows.append((1, 10 + j, v))
+            rows.append((2, 10 + j, v + 7.0))
+        df = spark.createDataFrame(rows, "k long, ts long, value double")
+        pattern = spark.createDataFrame(
+            [([int(v * 100) for v in pat_vals],)], "pattern array<long>")
+        top = subsequence_topk(df, "k", "ts", "value", pattern,
+                               length=4, k=1).collect()
+        assert len(top) == 1
+        assert (top[0].k, top[0].window_end, top[0].dist2) == (1, 13, 0)
