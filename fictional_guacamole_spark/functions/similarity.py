@@ -440,7 +440,7 @@ def _adc_table(q_vec: Column, codebooks: list[list[list[float]]]) -> Column:
 
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-            m: int = 8, n_codes: int = 16, rerank: int = 48,
+            m: int = 8, n_codes: int = 16, rerank: int | None = None,
             id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 7) -> DataFrame:
     """Approximate top-k via PQ asymmetric-distance scoring with an exact
@@ -454,8 +454,19 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     and the final top-k. Recall is tuned by rerank width and codebook
     granularity; it is certified vs the exact baseline by the judged
     recall floor (sim_pq_topk) and asserted in tests.
+
+    ``rerank=None`` (the default) adapts the width to the corpus:
+    ``max(128, ⌈N/5⌉)`` — a fixed width dilutes against corpus growth
+    (measured: min recall@10 fell 9→4 from 500 to 2 000 vectors at a
+    fixed 128), while N/5 holds the candidate set proportional so recall
+    stays flat. The count is a 1-value bounded action, same class as the
+    IVF training sample.
     """
     books = train_pq_codebooks(corpus, m, n_codes, vec_col, seed)
+    if rerank is None:
+        import math
+
+        rerank = max(128, math.ceil(corpus.count() / 5))
     cw_norm2 = [[sum(v * v for v in cw) for cw in book] for book in books]
     codes = corpus.select(
         F.col(id_col), pq_encode(F.col(vec_col), books).alias("code"))

@@ -1767,12 +1767,13 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SF-aware PQ recall floors, keyed on the same integer-exact corpus
 # fingerprint as _IVF_FLOORS. Measured per-query recall@10 minima for the
-# pinned deterministic training (seed 7, m=8 subspaces × 16 codes,
-# rerank=128): min 8 at sf0.001 (fp -1712), min 9 at sf0.01 (fp 826, the
-# judged SF), min 4 at sf0.1 (fp 557 — ADC candidate ordering thins as the
-# fixture's near-random corpus outgrows the fixed rerank width; a real
-# deployment scales rerank with N or composes PQ with IVF cells).
-_PQ_FLOORS = {-1712: 8, 826: 9, 557: 4}
+# pinned deterministic training (seed 7, m=8 subspaces × 16 codes) with
+# the ADAPTIVE rerank width max(128, ceil(N/5)) — proportional width
+# holds recall flat as the corpus grows (a fixed 128 measured 9→4 from
+# 500 to 2000 vectors): min 8 at sf0.001 (fp -1712, N=500 → rerank 128),
+# min 9 at sf0.01 (fp 826, the judged SF, N=500 → rerank 128), min 8 at
+# sf0.1 (fp 557, N=2000 → rerank 400).
+_PQ_FLOORS = {-1712: 8, 826: 9, 557: 8}
 _PQ_DEFAULT_FLOOR = 3
 
 
@@ -1802,13 +1803,13 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: the corpus scans as m=8 codeword ids per
     vector (~32× less data than raw vectors), candidates score via table
     lookups against the query's broadcast asymmetric-distance table, and
-    the top-128 survivors rerank exactly (functions/similarity.py::
+    the top-max(128, N/5) survivors rerank exactly (functions/similarity.py::
     pq_topk has the layout math). Judged output: recall@10 against the
     exact cosine baseline, hit counts floored at the corpus-fingerprint-
     derived floor (≥ 9/10 at the judged SF — see _PQ_FLOORS)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = S.pq_topk(emb, queries, k=10, m=8, n_codes=16, rerank=128)
+    approx = S.pq_topk(emb, queries, k=10, m=8, n_codes=16)  # adaptive rerank
     exact = S.cosine_topk(emb, queries, k=10)
     hits = (approx.join(  # both sides ≤ |Q|·k rows behind windows —
             # Catalyst can't size them; broadcast the exact side
