@@ -2474,3 +2474,118 @@ def udaf_cents_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(cents_sum(F.col("l_extendedprice")).alias("revenue_cents"),
                  n_rows(F.col("l_extendedprice")).alias("n_items"))
             .orderBy("l_returnflag"))
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    survey_ref="§2.5 joins: LATERAL correlated subquery (per-row top-n)",
+    description="Each customer's two largest orders via a LATERAL subquery",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.cents
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY cents DESC, o_orderkey
+      LIMIT 2
+    ) o
+    ORDER BY c.c_custkey, o.cents DESC, o.o_orderkey
+    """,
+)
+def lateral_top2_orders_per_customer(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The LATERAL correlated-derived-table surface (SQL:1999; Spark 4
+    and DuckDB both speak it): a per-customer top-2 expressed as the
+    user would write it. Catalyst decorrelates the LATERAL LIMIT into
+    the same window/rank physical shape as the explicit row_number form
+    — the point of the row is that the DECLARATIVE form plans well, no
+    manual rewrite required. Integer cents keep the hash exact and the
+    (cents, o_orderkey) tiebreak makes top-2 deterministic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.cents
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY cents DESC, o_orderkey
+          LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.cents DESC, o.o_orderkey
+    """)
+
+
+@query(
+    "dq_profile_orders",
+    survey_ref="extensions: data profiling (per-column statistics)",
+    description="Column profile of orders: nulls, distincts, min/max "
+                "rendered as strings",
+    oracle="""
+    SELECT col, n_nulls, n_distinct, min_val, max_val FROM (
+      SELECT 'o_custkey' AS col,
+             COUNT(*) - COUNT(o_custkey) AS n_nulls,
+             COUNT(DISTINCT o_custkey) AS n_distinct,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_val FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus),
+             MIN(o_orderstatus), MAX(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+             COUNT(DISTINCT o_orderdate),
+             CAST(MIN(o_orderdate) AS VARCHAR),
+             CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_cents', COUNT(*) - COUNT(o_totalprice),
+             COUNT(DISTINCT CAST(FLOOR(o_totalprice * 100) AS BIGINT)),
+             CAST(CAST(FLOOR(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+             CAST(CAST(FLOOR(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR)
+      FROM orders)
+    ORDER BY col
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling pass behind ANALYZE/data-catalog stats: one row per
+    column with null count, distinct count, and min/max (rendered as
+    strings so heterogeneous column types share a schema). Each column's
+    stats are one partial-aggregated scan; a production profiler fuses
+    them into a single pass with approx_count_distinct — exact distincts
+    here keep the judged hash deterministic. Floats profile as cents
+    (exact cross-engine rendering; '123.45' vs '123.450000' would
+    hash-differ)."""
+    orders = load_table(spark, sf_dir, "orders")
+    count1 = F.count(F.lit(1))
+
+    def prof(col_name, expr, distinct_expr, render):
+        return orders.agg(
+            (count1 - F.count(expr)).alias("n_nulls"),
+            F.countDistinct(distinct_expr).alias("n_distinct"),
+            render(F.min(expr)).alias("min_val"),
+            render(F.max(expr)).alias("max_val"),
+        ).select(F.lit(col_name).alias("col"), "n_nulls", "n_distinct",
+                 "min_val", "max_val")
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    out = (prof("o_custkey", F.col("o_custkey"), F.col("o_custkey"), as_str)
+           .unionByName(prof("o_orderstatus", F.col("o_orderstatus"),
+                             F.col("o_orderstatus"), as_str))
+           .unionByName(prof("o_orderdate", F.col("o_orderdate"),
+                             F.col("o_orderdate"), as_str))
+           .unionByName(
+               orders.agg(
+                   (count1 - F.count("o_totalprice")).alias("n_nulls"),
+                   F.countDistinct(cents).alias("n_distinct"),
+                   F.floor(F.min("o_totalprice") * 100).cast("long")
+                   .cast("string").alias("min_val"),
+                   F.floor(F.max("o_totalprice") * 100).cast("long")
+                   .cast("string").alias("max_val"))
+               .select(F.lit("o_totalprice_cents").alias("col"), "n_nulls",
+                       "n_distinct", "min_val", "max_val")))
+    return out.orderBy("col")
