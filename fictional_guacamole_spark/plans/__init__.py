@@ -106,9 +106,12 @@ A fifth mini-rotation (still round 6) admits the five late registrations
 r1–r5 union; q1 keeps TPC-H, window_rolling_7d_spend keeps windows,
 text_gopher_quality keeps text analysis, sqlite_roundtrip_user_stats
 keeps the SQLite family, pipeline_training_corpus keeps the capstone).
-After it the never-judged tail is just ``cohort_weekly_retention``,
-``path_event_transitions``, and the late-registered
-``udaf_cents_returnflag`` (r7 fodder) plus the oracle-less bench frame.
+After it the never-judged tail is the late registrations
+``cohort_weekly_retention``, ``path_event_transitions``,
+``udaf_cents_returnflag``, ``ts_subsequence_match``,
+``lateral_top2_orders_per_customer``, and ``dq_profile_orders`` (r7
+fodder; every one is oracle-parity-tested locally each run) plus the
+oracle-less bench frame.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
