@@ -27,14 +27,21 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = True,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    ``right_time < left_time`` (``<=`` when ``strict=False``), per key.
+    ``right_time < left_time`` (``<=`` when ``strict=False``), per key —
+    or, with ``direction="forward"``, the NEXT right row with
+    ``right_time > left_time`` (``>=`` when ``strict=False``): the
+    other half of the standard as-of pair (pandas ``merge_asof``
+    directions; "nearest" composes from both halves).
 
     ``tiebreak``: extra right-side column used to pick a deterministic winner
     among right rows sharing the same (key, time) — the row with the maximum
     tiebreak value wins.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [c for c in right.columns
                                 if c not in keys and c != right_time]
@@ -45,10 +52,17 @@ def asof_join(
         right = (right.withColumn("__rdup", F.row_number().over(wdedup))
                  .filter(F.col("__rdup") == 1).drop("__rdup"))
 
+    # Side ordering encodes strictness (see the comment below); the
+    # forward direction mirrors it: the right row at EQUAL time must sort
+    # outside the left row's window exactly when the bound is strict.
+    if direction == "backward":
+        l_side, r_side = (0, 1) if strict else (1, 0)
+    else:
+        l_side, r_side = (1, 0) if strict else (0, 1)
     l_tag = left.select(
         *[F.col(k) for k in keys],
         F.col(left_time).alias("__t"),
-        F.lit(0 if strict else 1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.struct(*left.columns).alias("__l"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in value_cols],
@@ -56,20 +70,24 @@ def asof_join(
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
-        F.lit(1 if strict else 0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     # Ordering trick: with strict=True left rows sort BEFORE right rows at
     # equal time, so the backward-looking window sees only strictly-earlier
     # right rows; with strict=False the right row at t == left time is seen.
-    w = (W.partitionBy(*keys).orderBy("__t", "__side")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    filled = r_tag.unionByName(l_tag).select(
-        "__l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-          for c in value_cols],
-    )
+    if direction == "backward":
+        w = (W.partitionBy(*keys).orderBy("__t", "__side")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        fill = [F.last(f"__r_{c}", ignorenulls=True).over(w)
+                .alias(f"__f_{c}") for c in value_cols]
+    else:
+        w = (W.partitionBy(*keys).orderBy("__t", "__side")
+             .rowsBetween(W.currentRow, W.unboundedFollowing))
+        fill = [F.first(f"__r_{c}", ignorenulls=True).over(w)
+                .alias(f"__f_{c}") for c in value_cols]
+    filled = r_tag.unionByName(l_tag).select("__l", *fill)
     out = filled.filter(F.col("__l").isNotNull())
     proj: list[Column] = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     proj += [F.col(f"__f_{c}").alias(c) for c in value_cols]

@@ -49,3 +49,39 @@ def test_asof_join_matches_naive(spark, left, right, strict):
                        value_cols=["val"], strict=strict, tiebreak="val")
     got = {r["row_id"]: r["val"] for r in joined.collect()}
     assert got == naive_asof(left, right, strict)
+
+
+class TestAsofForward:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 30), (2, 5)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 10, "a"), (1, 25, "b"), (2, 99, "z")],
+            "k long, rt long, v string")
+        return left, right
+
+    def test_forward_strict_picks_next_later(self, spark):
+        from fictional_guacamole_spark.operators.asof import asof_join
+        left, right = self._frames(spark)
+        got = {(r.k, r.t): r.v for r in asof_join(
+            left, right, "k", "t", "rt", ["v"],
+            direction="forward").collect()}
+        # strict: rt > t, so the rt=10 row does NOT serve t=10
+        assert got == {(1, 10): "b", (1, 20): "b", (1, 30): None,
+                       (2, 5): "z"}
+
+    def test_forward_nonstrict_includes_equal_time(self, spark):
+        from fictional_guacamole_spark.operators.asof import asof_join
+        left, right = self._frames(spark)
+        got = {(r.k, r.t): r.v for r in asof_join(
+            left, right, "k", "t", "rt", ["v"], strict=False,
+            direction="forward").collect()}
+        assert got[(1, 10)] == "a"  # equal time now visible
+
+    def test_bad_direction_rejected(self, spark):
+        from fictional_guacamole_spark.operators.asof import asof_join
+        left, right = self._frames(spark)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="backward|forward"):
+            asof_join(left, right, "k", "t", "rt", ["v"],
+                      direction="nearest")
