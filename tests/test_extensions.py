@@ -919,3 +919,41 @@ class TestIvfPqComposition:
         for r in got:
             key = (r["query_id"], r["neighbor_id"])
             assert exact_scores[key] == r["cos_sim"], f"perturbed {key}"
+
+
+class TestFunnelSemantics:
+    def test_stage_requires_strict_order(self, spark, tmp_path):
+        """A click BEFORE the user's first view must not count as
+        click-after-view — the gate is strict event ordering, not mere
+        co-occurrence (the distinction funnel analysis exists for)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import datetime as dt
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: proper view(0) → click(1) → purchase(2)
+            (1, t0, 1, "view"), (2, t0.replace(minute=1), 1, "click"),
+            (3, t0.replace(minute=2), 1, "purchase"),
+            # user 2: click BEFORE view — counts as view only
+            (4, t0, 2, "click"), (5, t0.replace(minute=1), 2, "view"),
+            # user 3: purchase before click-after-view — view+click only
+            (6, t0, 3, "view"), (7, t0.replace(minute=1), 3, "purchase"),
+            (8, t0.replace(minute=2), 3, "click"),
+        ]
+        pq.write_table(pa.table({
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }), d / "events.parquet")
+        from fictional_guacamole_spark.plans import REGISTRY
+        got = {r.stage: r.n_users for r in
+               REGISTRY["funnel_view_click_purchase"]
+               .builder(spark, str(d)).collect()}
+        assert got == {"1_view": 3, "2_click_after_view": 2,
+                       "3_purchase_after_click": 1}
