@@ -40,8 +40,12 @@ def asof_join(
     among right rows sharing the same (key, time) — the row with the maximum
     tiebreak value wins.
     """
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_time, right_time,
+                             value_cols, strict, tiebreak)
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     value_cols = value_cols or [c for c in right.columns
                                 if c not in keys and c != right_time]
@@ -92,3 +96,38 @@ def asof_join(
     proj: list[Column] = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     proj += [F.col(f"__f_{c}").alias(c) for c in value_cols]
     return out.select(*proj)
+
+
+def _asof_nearest(left, right, on, left_time, right_time,
+                  value_cols, strict, tiebreak):
+    """direction="nearest": the closer of the backward and forward
+    matches by absolute time distance (backward wins ties — pandas
+    merge_asof's convention). Composes the two directional passes; the
+    time columns must be mutually comparable (both numeric or both
+    timestamps). Cost: two keyed windows instead of one — still no range
+    explosion, still one shuffle key."""
+    keys = [on] if isinstance(on, str) else list(on)
+    vcols = value_cols or [c for c in right.columns
+                           if c not in keys and c != right_time]
+    carry = list(dict.fromkeys([*vcols, right_time]))
+    b = asof_join(left, right, on, left_time, right_time, carry,
+                  strict, tiebreak, direction="backward")
+    f = asof_join(left, right, on, left_time, right_time, carry,
+                  strict, tiebreak, direction="forward")
+    b_r = b.select(*left.columns,
+                   *[F.col(c).alias(f"__b_{c}") for c in carry])
+    f_r = f.select(*left.columns,
+                   *[F.col(c).alias(f"__f_{c}") for c in carry])
+    j = b_r.join(f_r, on=left.columns)
+    lt = F.col(left_time)
+    b_t, f_t = F.col(f"__b_{right_time}"), F.col(f"__f_{right_time}")
+    # distances as seconds for timestamps, plain difference otherwise;
+    # null match -> +inf so the other side wins
+    def dist(t):
+        d = F.abs(lt.cast("double") - t.cast("double"))
+        return F.coalesce(d, F.lit(float("inf")))
+    take_b = dist(b_t) <= dist(f_t)  # backward wins ties
+    out = [F.col(c) for c in left.columns]
+    out += [F.when(take_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            .alias(c) for c in vcols]
+    return j.select(*out)

@@ -84,4 +84,32 @@ class TestAsofForward:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="backward|forward"):
             asof_join(left, right, "k", "t", "rt", ["v"],
-                      direction="nearest")
+                      direction="sideways")
+
+
+class TestAsofNearest:
+    def test_nearest_picks_closer_side_backward_ties(self, spark):
+        from fictional_guacamole_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [(1, 10), (1, 14), (1, 100), (2, 7)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 8, "early"), (1, 18, "late"), (2, 3, "only")],
+            "k long, rt long, v string")
+        got = {(r.k, r.t): r.v for r in asof_join(
+            left, right, "k", "t", "rt", ["v"],
+            direction="nearest").collect()}
+        assert got == {
+            (1, 10): "early",   # |10-8|=2 < |10-18|=8
+            (1, 14): "late",    # |14-8|=6 > |14-18|=4
+            (1, 100): "late",   # only backward candidates beyond 18
+            (2, 7): "only",     # forward side empty -> backward wins
+        }
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        from fictional_guacamole_spark.operators.asof import asof_join
+        left = spark.createDataFrame([(1, 10)], "k long, t long")
+        right = spark.createDataFrame(
+            [(1, 8, "b"), (1, 12, "f")], "k long, rt long, v string")
+        got = asof_join(left, right, "k", "t", "rt", ["v"],
+                        direction="nearest").collect()
+        assert got[0].v == "b"  # equidistant: backward convention
