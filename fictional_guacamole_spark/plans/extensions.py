@@ -2589,3 +2589,36 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit("o_totalprice_cents").alias("col"), "n_nulls",
                        "n_distinct", "min_val", "max_val")))
     return out.orderBy("col")
+
+
+@query(
+    "join_fuzzy_typo_pairs",
+    survey_ref="extensions: fuzzy string join (deletion-neighborhood "
+               "candidates + exact edit-distance verify)",
+    description="Edit-distance-1 vocabulary pairs via SymSpell-style "
+                "deletion variants",
+    oracle=X.sql_typo_pairs_planted("documents", "text"),
+)
+def join_fuzzy_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-join shape every spelling-variant / entity-resolution
+    pass needs at scale: candidates come from an equi-join on deletion
+    variants (work ∝ bucket co-occupancy, never vocabulary²) and exact
+    levenshtein verification keeps only true distance-1 pairs — both
+    engines implement the same standard Levenshtein, so the judged hash
+    is a full value check (functions/text.py::typo_pairs). The fixture's
+    fixed word list has no natural distance-1 neighbors, so the judged
+    vocabulary unions DETERMINISTIC planted typos (last char dropped
+    from the top-50 words of length ≥ 6, replicated in the oracle) —
+    the detector must recover exactly the planted pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(X.words(F.col("text")).alias("__w"))
+    counted = (staged.select(F.explode("__w").alias("word"))
+               .filter((F.length("word") >= 5) & (F.length("word") <= 12))
+               .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.desc("n"), F.asc("word")))
+    vocab = counted.limit(300).select("word")
+    planted = (counted.limit(50)
+               .filter(F.length("word") >= 6)
+               .select(F.expr("substr(word, 1, length(word) - 1)")
+                       .alias("word")))
+    return X.typo_pairs_from_vocab(vocab.unionByName(planted))

@@ -957,3 +957,19 @@ class TestFunnelSemantics:
                .builder(spark, str(d)).collect()}
         assert got == {"1_view": 3, "2_click_after_view": 2,
                        "3_purchase_after_click": 1}
+
+
+class TestFuzzyTypoJoin:
+    def test_deletion_neighborhood_finds_all_edit1_kinds(self, spark):
+        from fictional_guacamole_spark.functions.text import (
+            typo_pairs_from_vocab)
+        vocab = spark.createDataFrame(
+            [("grape",), ("grapes",),   # insertion
+             ("melon",), ("melom",),    # substitution
+             ("banana",), ("banan",),   # deletion
+             ("orange",), ("ornage",),  # transposition: distance 2 — OUT
+             ("kiwi",)], "word string")
+        got = {(r.word_a, r.word_b)
+               for r in typo_pairs_from_vocab(vocab).collect()}
+        assert got == {("grape", "grapes"), ("melom", "melon"),
+                       ("banan", "banana")}
