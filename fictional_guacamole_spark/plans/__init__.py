@@ -109,9 +109,12 @@ keeps the SQLite family, pipeline_training_corpus keeps the capstone).
 After it the never-judged tail is the late registrations
 ``cohort_weekly_retention``, ``path_event_transitions``,
 ``udaf_cents_returnflag``, ``ts_subsequence_match``,
-``lateral_top2_orders_per_customer``, and ``dq_profile_orders`` (r7
-fodder; every one is oracle-parity-tested locally each run) plus the
-oracle-less bench frame.
+``lateral_top2_orders_per_customer``, and ``dq_profile_orders``, plus
+the sixth-wave quartet ``ts_resample_interpolate``,
+``ts_anomaly_zscore``, ``graph_pagerank_suppliers``, and
+``rcte_event_type_reachability`` (r7 fodder; every one is
+oracle-parity-tested locally each run) plus the oracle-less bench
+frame.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -127,6 +130,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     extensions,
     windows_streaming,
     timeseries,
+    graph,
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.

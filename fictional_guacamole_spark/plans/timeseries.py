@@ -68,6 +68,51 @@ def agg_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_resample_interpolate",
+    survey_ref="extensions: resample + linear interpolation (hypertable)",
+    description="Per-type event values resampled onto a 30-min grid by "
+                "exact integer linear interpolation",
+    oracle=T.sql_resample_linear("events", "event_type", "ts", "value",
+                                 step_minutes=30)
+    + " ORDER BY event_type, grid_ts",
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB's ``interpolate()`` sibling of the judged LOCF rollup:
+    the irregular per-type tick series resampled onto a regular 30-minute
+    lattice, each grid value linearly interpolated between its bracketing
+    observations in exact integer-cent × integer-microsecond arithmetic
+    (functions/timeseries.py::resample_linear — grid rows are
+    O(keys × span/step) regardless of tick volume; two window passes per
+    key, no joins, no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (T.resample_linear(ev, "event_type", "ts", "value",
+                              step_minutes=30)
+            .orderBy("event_type", "grid_ts"))
+
+
+@query(
+    "ts_anomaly_zscore",
+    survey_ref="extensions: rolling z-score anomaly detection (exact)",
+    description="Events deviating >3 trailing-window sigma from their "
+                "user's baseline, in exact integer algebra",
+    oracle=T.sql_anomaly_zscore("events", "user_id", ["ts", "event_id"],
+                                "value", z=3)
+    + " ORDER BY user_id, ts, event_id",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: each event scores against the mean and
+    variance of its user's trailing 16 observations; |z| > 3 flags it.
+    The squared-and-cleared integer form (functions/timeseries.py::
+    anomaly_zscore) removes the sqrt and every division, so the judged
+    hash certifies the flag set exactly — one window shuffle per key, the
+    same plan at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return (T.anomaly_zscore(ev, "user_id", ["ts", "event_id"], "value",
+                             z=3)
+            .orderBy("user_id", "ts", "event_id"))
+
+
+@query(
     "ts_subsequence_match",
     survey_ref="extensions: time-series subsequence similarity search",
     description="Top-5 sliding windows closest to user 0's opening "

@@ -8,6 +8,7 @@ single-row key, horizon truncation, arbitrary 2-decimal values)."""
 from __future__ import annotations
 
 import datetime as dt
+import math
 from fractions import Fraction
 
 from hypothesis import given, settings
@@ -149,3 +150,111 @@ class TestSubsequenceMatch:
                                length=4, k=1).collect()
         assert len(top) == 1
         assert (top[0].k, top[0].window_end, top[0].dist2) == (1, 13, 0)
+
+
+class TestResampleLinear:
+    def _run(self, spark, rows, step=30):
+        df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+        out = T.resample_linear(df, "k", "ts", "v", step_minutes=step)
+        return {(r["k"], r["grid_ts"]): r["value_c"] for r in out.collect()}
+
+    def test_midpoint_and_endpoints_exact(self, spark):
+        # obs at minute 0 (10.00) and minute 60 (20.00), 30-min grid:
+        # grid point 30 is the exact midpoint -> 15.00
+        got = self._run(spark, _ev({"a": []}) + [
+            ("a", T0, 10.0), ("a", T0 + dt.timedelta(minutes=60), 20.0)])
+        m = lambda i: T0 + dt.timedelta(minutes=i)
+        assert got == {("a", m(0)): 1000, ("a", m(30)): 1500,
+                       ("a", m(60)): 2000}
+
+    def test_truncating_division(self, spark):
+        # obs 0.00@0min and 1.00@45min; grid point 30 -> 100*30/45 =
+        # 66.67 cents, floored to 66 (the documented DIV semantics)
+        got = self._run(spark, [
+            ("a", T0, 0.0), ("a", T0 + dt.timedelta(minutes=45), 1.0)])
+        assert got[("a", T0 + dt.timedelta(minutes=30))] == 66
+
+    def test_observation_on_grid_point_is_exact(self, spark):
+        # an obs exactly on the lattice wins regardless of neighbors
+        got = self._run(spark, [
+            ("a", T0, 10.0),
+            ("a", T0 + dt.timedelta(minutes=30), 77.77),
+            ("a", T0 + dt.timedelta(minutes=60), 20.0)])
+        assert got[("a", T0 + dt.timedelta(minutes=30))] == 7777
+
+    def test_key_with_no_interior_grid_point_is_absent(self, spark):
+        # span (7..22 min) brackets no 30-min lattice point -> no output
+        # rows for that key, and no crash from an empty sequence()
+        got = self._run(spark, [
+            ("a", T0 + dt.timedelta(minutes=7), 1.0),
+            ("a", T0 + dt.timedelta(minutes=22), 2.0),
+            ("b", T0, 5.0), ("b", T0 + dt.timedelta(minutes=30), 6.0)])
+        assert {k for k, _ in got} == {"b"}
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.dictionaries(
+        st.integers(min_value=0, max_value=240),
+        st.integers(min_value=0, max_value=9999), min_size=2, max_size=12))
+    def test_matches_rational_oracle(self, spark, obs):
+        # floor(exact rational lerp) computed with Fractions must equal the
+        # engine's integer DIV result at every grid point
+        rows = [("a", T0 + dt.timedelta(minutes=m), v / 100.0)
+                for m, v in obs.items()]
+        got = self._run(spark, rows)
+        # replicate the engines' cent extraction: FLOOR(double * 100) on
+        # the round-tripped double (72.21 * 100 == 7220.999... -> 7220)
+        pts = sorted((m * 60_000_000, math.floor((v / 100.0) * 100))
+                     for m, v in obs.items())
+        lo, hi = pts[0][0], pts[-1][0]
+        step = 30 * 60_000_000
+        t = ((lo + step - 1) // step) * step
+        expect = {}
+        while t <= hi:
+            prev = max(p for p in pts if p[0] <= t)
+            nxt = min(p for p in pts if p[0] >= t and (p[0] > t or p == prev))
+            nxt = min((p for p in pts if p[0] > t), default=prev) \
+                if prev[0] == t else nxt
+            if prev[0] == t:
+                expect[t] = prev[1]
+            else:
+                f = Fraction(prev[1] * (nxt[0] - t) + nxt[1] * (t - prev[0]),
+                             nxt[0] - prev[0])
+                expect[t] = f.numerator // f.denominator
+            t += step
+        base_us = int(T0.replace(tzinfo=dt.timezone.utc).timestamp()
+                      ) * 1_000_000
+        got_by_us = {
+            int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            - base_us: v
+            for (_, ts), v in got.items()}
+        assert got_by_us == expect
+
+
+class TestAnomalyZscore:
+    def _run(self, spark, vals, z=3):
+        rows = [("u", i, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k string, i long, v double")
+        out = T.anomaly_zscore(df, "k", ["i"], "v", z=z)
+        return sorted(r["i"] for r in out.collect())
+
+    def test_spike_after_constant_baseline_flagged(self, spark):
+        # 16 identical observations -> zero variance; the 17th row deviates
+        # -> flagged; nothing earlier has a full window so nothing else is
+        assert self._run(spark, [5.0] * 16 + [50.0]) == [16]
+
+    def test_any_deviation_from_zero_variance_flagged(self, spark):
+        # exactness semantics: with var == 0 even a one-cent deviation has
+        # dev2 > 0 = z^2 * var -- the documented degenerate-window behavior
+        assert self._run(spark, [5.0] * 16 + [5.01]) == [16]
+
+    def test_threshold_algebra_on_noisy_baseline(self, spark):
+        # alternating 4/6 baseline: n=16, s=8000, var_nn=2_560_000;
+        # flag iff (16x-8000)^2 > 9*var_nn <=> x > 800 or x < 200 cents
+        base = [4.0, 6.0] * 8
+        assert self._run(spark, base + [9.0]) == [16]   # above the bound
+        assert self._run(spark, base + [7.0]) == []     # inside the bound
+        assert self._run(spark, base + [1.0]) == [16]   # below the bound
+
+    def test_partial_window_rows_never_flagged(self, spark):
+        # fewer than 16 trailing rows -> row not scored at all
+        assert self._run(spark, [5.0] * 10 + [500.0]) == []
