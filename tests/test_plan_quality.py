@@ -480,3 +480,39 @@ class TestFederatedPlan:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSixthWaveRound6Plans:
+    """Scale gates for the resample / anomaly / graph operators."""
+
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    def test_resample_has_no_join_at_all(self, spark):
+        """Observations and grid points union into ONE frame bracketed by
+        two window passes — the interpolation must compile without any
+        join operator (the gapfill sibling needs one; this shape is the
+        reason the resample variant exists)."""
+        plan = plan_of(spark, "ts_resample_interpolate")
+        assert "Join" not in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_anomaly_is_one_keyed_window(self, spark):
+        """Trailing-frame stats + the flag filter ride a single window
+        shuffle on the entity key; only the presentation sort may add a
+        second Exchange."""
+        plan = plan_of(spark, "ts_anomaly_zscore")
+        assert self._n_exchanges(plan) <= 2, plan
+        assert "Join" not in plan, plan
+
+    def test_pagerank_shuffles_on_node_keys_only(self, spark):
+        """Every rank round is an equi-join + groupBy keyed on nodes: no
+        CartesianProduct anywhere; the only nested-loop is the deliberate
+        broadcast of the 1-row node-count frame onto the node list."""
+        plan = plan_of(spark, "graph_pagerank_suppliers")
+        assert "CartesianProduct" not in plan, plan
+        # the contribution joins are real equi-joins, not cross products
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+            or ("BroadcastHashJoin" in plan), plan
