@@ -106,15 +106,24 @@ A fifth mini-rotation (still round 6) admits the five late registrations
 r1–r5 union; q1 keeps TPC-H, window_rolling_7d_spend keeps windows,
 text_gopher_quality keeps text analysis, sqlite_roundtrip_user_stats
 keeps the SQLite family, pipeline_training_corpus keeps the capstone).
-After it the never-judged tail is the late registrations
+A sixth mini-rotation admits four of the remaining never-judged
+registrations — ``graph_pagerank_suppliers`` (the graph family's first
+driver row), ``rcte_event_type_reachability`` (Spark 4 WITH RECURSIVE),
+``join_fuzzy_typo_pairs`` (the deletion-neighborhood fuzzy join), and
+``udaf_cents_returnflag`` (the Arrow grouped-agg UDAF surface) —
+displacing ``t2_book_kernel_gaps`` (book-kernel evidence stays via
+``asof_trades_book``, which consumes the real kernel output),
+``dedup_exact_documents`` (``dedup_minhash_lsh`` keeps dedup judged),
+``sim_lsh_topk`` (``sim_cosine_topk`` + ``sim_ivf_topk`` keep ANN
+judged — ivf deliberately stays so its r6-tightened SF-aware recall
+floor earns a certifying row), and ``cogroup_event_order_align``
+(python surfaces stay via the new UDAF row). All four displaced are
+green in CORRECTNESS_r05. After it the never-judged tail is
 ``cohort_weekly_retention``, ``path_event_transitions``,
-``udaf_cents_returnflag``, ``ts_subsequence_match``,
-``lateral_top2_orders_per_customer``, and ``dq_profile_orders``, plus
-the sixth-wave quartet ``ts_resample_interpolate``,
-``ts_anomaly_zscore``, ``graph_pagerank_suppliers``, and
-``rcte_event_type_reachability`` (r7 fodder; every one is
-oracle-parity-tested locally each run) plus the oracle-less bench
-frame.
+``ts_subsequence_match``, ``lateral_top2_orders_per_customer``,
+``dq_profile_orders``, ``ts_resample_interpolate``, and
+``ts_anomaly_zscore`` (r7 fodder; every one is oracle-parity-tested
+locally each run) plus the oracle-less bench frame.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -162,9 +171,9 @@ JUDGE_WINDOW: list[str] = [
     "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
     "multimodal_avi_frame_sample",  # REAL AVI video frame sampling (r6)
     # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
-    "t2_book_kernel_gaps",         # T1/T2/T5 stateful kernel, batch mode
+    "udaf_cents_returnflag",       # Arrow grouped-agg pandas UDAF (r6 w4)
     "multimodal_bmp_decode",       # REAL BMP decode + resize (r6)
-    "cogroup_event_order_align",   # cogrouped applyInPandas
+    "graph_pagerank_suppliers",    # PageRank in exact integer ppb (r6 w5)
     "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
     "jsonl_roundtrip_priority_stats",  # JSON-lines write→schema-read (r6)
     "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (r6 wave 3)
@@ -172,11 +181,11 @@ JUDGE_WINDOW: list[str] = [
     "stream_session_window",       # session window
     "layout_zorder_events",        # Z-order layout clustering codes (r6)
     # -- LLM training-data pipeline operators -----------------------------
-    "dedup_exact_documents",
+    "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join (r6 w5)
     "dedup_minhash_lsh",
     "pipeline_decontaminate_bloom",  # Bloom membership + exact FP repair (r6)
     "sim_cosine_topk",
-    "sim_lsh_topk",
+    "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal (r6 w5)
     "sim_ivf_topk",
     "sim_pq_topk",                 # PQ-ADC ANN + exact rerank (r6 wave 4)
     "embed_random_projection",     # JL sign projection, exact hash (r6 w4)

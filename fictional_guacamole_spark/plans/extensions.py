@@ -1017,6 +1017,79 @@ def txnlog_roundtrip_event_stats(spark: SparkSession,
             .orderBy("user_id"))
 
 
+@query(
+    "txnlog_skipping_event_stats",
+    survey_ref="K1/S4 scale machinery: zone-map data skipping "
+               "(per-file min/max in the commit log, Delta AddFile.stats)",
+    description="One-week event slice answered from a zone-map-pruned "
+                "file subset of the commit-log table",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txnlog_skipping_event_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Zone-map file skipping end-to-end (sources/txnlog.py::read_pruned):
+    the raw events land in the commit-log table as two ts-range-clustered
+    commits (repartitionByRange gives each data file a tight ts span)
+    with per-file min/max recorded in the log; a one-week query then
+    resolves the log, DROPS every file whose [min, max] misses the week
+    — before any Spark job — and applies the exact predicate to the
+    survivors. The judged hash certifies the safety contract (pruning
+    never changes the filtered result); tests/test_source_formats.py::
+    TestZoneMapSkipping gates that files are actually skipped. At 100 TB
+    this is the scan-avoidance lever: a day query over a year of data
+    touches ~1/365 of the files, and the 'index' is the KB-scale log."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    events = load_table(spark, sf_dir, "events")
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"txnskip1:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_txnskip_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        t = TransactionalParquetTable(build)
+        # two micro-batches (early / late month), each range-clustered on
+        # ts so per-file zone maps are tight
+        early = events.filter(F.col("ts") < "2024-01-16")
+        late = events.filter(F.col("ts") >= "2024-01-16")
+        t.commit(early.repartitionByRange(8, "ts"), "batch-early",
+                 stats_cols=["ts"])
+        t.commit(late.repartitionByRange(8, "ts"), "batch-late",
+                 stats_cols=["ts"])
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+
+    import datetime
+    lo = datetime.datetime(2024, 1, 8)
+    hi = datetime.datetime(2024, 1, 15)
+    pruned = TransactionalParquetTable(base).read_pruned(
+        spark, {"ts": (lo, hi)})
+    return (pruned
+            .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100)).alias("value_cents"))
+            .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics + benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -32,6 +32,21 @@ stdlib primitives:
   snapshots ``allowMissingColumns`` so a widened schema is readable
   across the boundary, old rows null-filled.
 
+- **Zone-map data skipping**: a commit made with ``stats_cols`` records
+  per-data-file min/max for those columns in the log entry (read once
+  from the parquet footers pyarrow already wrote — no extra Spark job),
+  exactly Delta's per-AddFile ``stats`` / the classic zone map.
+  :meth:`read_pruned` then drops whole files whose [min, max] cannot
+  intersect a requested range BEFORE any Spark job runs: the surviving
+  file list is pinned into the plan, so a selective read of a
+  range-clustered table scans a fraction of the files. At 100 TB this is
+  the difference between "scan 100 TB to answer a one-day query" and
+  "scan the three files whose ts range covers that day" — the log is the
+  index, and it is KB-scale. Skipping is an optimization, not a filter:
+  surviving files may contain out-of-range rows, and the caller applies
+  the exact predicate (which Spark then ALSO pushes into the surviving
+  files' row groups — footer pruning composes below file pruning).
+
 At 100 TB this layout is exactly the production pattern: the log is
 KB-scale JSON regardless of data volume, data files are immutable and
 scan-parallel, and commit conflicts cost one filesystem round-trip. On a
@@ -51,6 +66,52 @@ from pyspark.sql import types as T
 
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
+
+
+def _stat_key(v):
+    """JSON-storable, order-preserving encoding of one stats value.
+
+    int/float/str store as-is; date/datetime store as ``isoformat()``
+    strings, whose fixed field order makes lexicographic == chronological
+    (a missing fractional part reads as .000000, which the string order
+    also gets right). Everything else is unsupported — the caller picked
+    the stats columns, so fail loudly rather than mis-prune."""
+    import datetime
+
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):  # pyarrow may surface BYTE_ARRAY stats raw
+        return v.decode("utf-8", errors="replace")
+    raise TypeError(f"unsupported zone-map stats type: {type(v).__name__}")
+
+
+def _file_stats(file_path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` from the parquet footer (row-group
+    stats aggregated; no data pages read). A column with no usable stats
+    maps to None — the file then survives every prune on that column."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(file_path).metadata
+    names = [md.schema.column(i).path for i in range(md.num_columns)]
+    stats: dict[str, list | None] = {c: None for c in cols}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for i, name in enumerate(names):
+            if name not in stats:
+                continue
+            st = row_group.column(i).statistics
+            if st is None or not st.has_min_max:
+                stats[name] = None  # one opaque row group poisons the file
+                continue
+            lo, hi = _stat_key(st.min), _stat_key(st.max)
+            cur = stats[name]
+            if cur is None and rg > 0:
+                continue  # already poisoned by an earlier opaque group
+            stats[name] = ([lo, hi] if cur is None
+                           else [min(cur[0], lo), max(cur[1], hi)])
+    return {"rows": md.num_rows, "stats": stats}
 
 
 class TransactionalParquetTable:
@@ -85,7 +146,8 @@ class TransactionalParquetTable:
     # -- write path ----------------------------------------------------------
 
     def commit(self, df: DataFrame, txn_id: str, *,
-               supersede_through: int | None = None) -> int:
+               supersede_through: int | None = None,
+               stats_cols: list[str] | None = None) -> int:
         """Atomically append ``df`` as one commit; replays are no-ops.
 
         Returns the version that carries ``txn_id`` (the existing one on
@@ -99,20 +161,66 @@ class TransactionalParquetTable:
         :class:`~fictional_guacamole_spark.sources.cdc.UpsertTable` — can
         publish a RESOLVED snapshot rather than the raw union
         :meth:`compact` writes).
+
+        ``stats_cols`` records per-file zone maps (min/max per listed
+        column, read from the just-written parquet footers) in the log
+        entry, enabling :meth:`read_pruned` file skipping over this
+        commit.
         """
         existing = [e for e in self._entries() if e["txn_id"] == txn_id]
         if existing:
             return existing[0]["version"]
 
         rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(os.path.join(self.path, rel_dir))
+        self._write(df, rel_dir, stats_wanted=bool(stats_cols))
         # data_dir is RELATIVE to the table root: the table stays readable
         # after a rename/move (atomic-publish builds, object-store copies)
         entry = {"txn_id": txn_id, "data_dir": rel_dir,
                  "schema": df.schema.json()}
+        if stats_cols:
+            entry["files"] = self._collect_stats(rel_dir, stats_cols)
         if supersede_through is not None:
             entry["base_through"] = supersede_through
         return self._publish(entry, txn_id)
+
+    def _write(self, df: DataFrame, rel_dir: str, *,
+               stats_wanted: bool) -> None:
+        """Write one commit's data dir. When zone maps are requested,
+        timestamps must be written as TIMESTAMP_MICROS: Spark's default
+        INT96 physical type is deprecated and carries NO footer min/max
+        (the same reason Delta requires int64 timestamps for its stats).
+        The conf flip is scoped to this write and restored after — the
+        single-writer commit path, not a concurrent mutation surface."""
+        target = os.path.join(self.path, rel_dir)
+        if not stats_wanted:
+            df.write.mode("overwrite").parquet(target)
+            return
+        key = "spark.sql.parquet.outputTimestampType"
+        sess = df.sparkSession
+        prev = sess.conf.get(key, None)
+        sess.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(target)
+        finally:
+            if prev is None:
+                sess.conf.unset(key)
+            else:
+                sess.conf.set(key, prev)
+
+    def _collect_stats(self, rel_dir: str,
+                       stats_cols: list[str]) -> list[dict]:
+        """Zone maps for every data file in ``rel_dir`` — a footer-only
+        pass (KB per file), the same cost profile as Delta writing
+        AddFile.stats."""
+        abs_dir = os.path.join(self.path, rel_dir)
+        out = []
+        for name in sorted(os.listdir(abs_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            rec = _file_stats(os.path.join(abs_dir, name), stats_cols)
+            rec["path"] = os.path.join(rel_dir, name)
+            out.append(rec)
+        return out
 
     def _publish(self, entry: dict, txn_id: str) -> int:
         """Atomically claim the next version for ``entry`` (shared by
@@ -141,7 +249,8 @@ class TransactionalParquetTable:
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self, spark: SparkSession, txn_id: str) -> int:
+    def compact(self, spark: SparkSession, txn_id: str, *,
+                stats_cols: list[str] | None = None) -> int:
         """OPTIMIZE: rewrite the current snapshot as ONE data directory and
         publish it as a *base* commit that supersedes everything up to the
         snapshot it read (``base_through``).
@@ -164,10 +273,11 @@ class TransactionalParquetTable:
             return 0  # empty log: nothing to fold (see cdc.compact_resolved)
         snapshot = self.read(spark, version=through)
         rel_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        snapshot.write.mode("overwrite").parquet(
-            os.path.join(self.path, rel_dir))
+        self._write(snapshot, rel_dir, stats_wanted=bool(stats_cols))
         entry = {"txn_id": txn_id, "data_dir": rel_dir,
                  "schema": snapshot.schema.json(), "base_through": through}
+        if stats_cols:
+            entry["files"] = self._collect_stats(rel_dir, stats_cols)
         return self._publish(entry, txn_id)
 
     def vacuum(self) -> list[str]:
@@ -241,6 +351,63 @@ class TransactionalParquetTable:
             return spark.createDataFrame([], schema)
         out = parts[0][1]
         for _, p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def read_pruned(self, spark: SparkSession,
+                    ranges: dict[str, tuple],
+                    version: int | None = None) -> DataFrame:
+        """Snapshot read with zone-map file skipping.
+
+        ``ranges`` maps column → ``(lo, hi)`` inclusive bounds (either
+        side ``None`` for open). A data file is skipped when its recorded
+        [min, max] on ANY bounded column cannot intersect the requested
+        range; files (or whole commits) without recorded stats always
+        survive — skipping can only drop provably-irrelevant files, never
+        rows the predicate wants. The surviving file list is resolved
+        HERE, once, and pinned into the plan (same snapshot-isolation
+        contract as :meth:`read`).
+
+        This is an OPTIMIZATION, not the predicate: the result may
+        contain out-of-range rows from surviving files, and the caller
+        applies the exact ``filter(...)`` — which Catalyst then pushes
+        into the surviving files' row groups, so footer-level pruning
+        stacks under file-level pruning.
+        """
+        bounds = {c: (_stat_key(lo) if lo is not None else None,
+                      _stat_key(hi) if hi is not None else None)
+                  for c, (lo, hi) in ranges.items()}
+
+        def survives(stats: dict) -> bool:
+            for col, (lo, hi) in bounds.items():
+                mm = stats.get(col)
+                if mm is None:
+                    continue  # no stats for this column: cannot prune
+                if (hi is not None and mm[0] > hi) or \
+                   (lo is not None and mm[1] < lo):
+                    return False
+            return True
+
+        entries = self._entries()
+        if version is not None:
+            entries = [e for e in entries if e["version"] <= version]
+        parts: list[DataFrame] = []
+        for e in self._snapshot_entries(entries):
+            schema = T.StructType.fromJson(json.loads(e["schema"]))
+            if "files" not in e:  # stats-less commit: read it whole
+                parts.append(spark.read.schema(schema).parquet(
+                    os.path.join(self.path, e["data_dir"])))
+                continue
+            keep = [os.path.join(self.path, f["path"])
+                    for f in e["files"] if survives(f["stats"])]
+            if keep:
+                parts.append(spark.read.schema(schema).parquet(*keep))
+        if not parts:
+            schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
+                      if (es := self._entries()) else T.StructType([]))
+            return spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 

@@ -46,7 +46,8 @@ def test_every_family_has_an_inwindow_representative():
         "book_kernel_T1_T5": {"t2_book_kernel_gaps", "t3_topk_book_format",
                               "t4_consecutive_change_dedup", "t5_gap_audit",
                               "asof_trades_book"},
-        "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand"},
+        "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand",
+                            "udaf_cents_returnflag"},
         "streaming": {"stream_tumbling_window", "stream_session_window"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
@@ -85,6 +86,9 @@ def test_every_family_has_an_inwindow_representative():
                               "path_event_transitions"},
         "data_quality": {"dq_constraint_audit"},
         "rag_capstone": {"pipeline_rag_retrieval"},
+        "graph": {"graph_pagerank_suppliers", "dedup_components"},
+        "recursion": {"rcte_event_type_reachability"},
+        "fuzzy_join": {"join_fuzzy_typo_pairs"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"

@@ -512,6 +512,119 @@ class TestTxnlogCompactVacuum:
         assert t.read(spark).count() == 4
 
 
+class TestZoneMapSkipping:
+    """Zone-map file skipping on the commit-log table: commits made with
+    ``stats_cols`` record per-file min/max in the log; ``read_pruned``
+    drops provably-irrelevant files before any Spark job. Safety contract
+    under test: pruning NEVER changes the filtered result — it only
+    shrinks the file list the scan touches."""
+
+    def _clustered_table(self, spark, tmp_path, stats_cols=("k",)):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        for lo, hi, txn in [(0, 40, "c1"), (40, 80, "c2"), (80, 120, "c3")]:
+            df = (spark.range(lo, hi)
+                  .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+                  .repartitionByRange(4, "k"))
+            t.commit(df, txn, stats_cols=list(stats_cols))
+        return t
+
+    def test_pruned_read_skips_files_and_matches_full(self, spark,
+                                                      tmp_path):
+        t = self._clustered_table(spark, tmp_path)
+        full = t.read(spark)
+        pruned = t.read_pruned(spark, {"k": (10, 20)})
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        want = sorted(r.k for r in
+                      full.filter("k BETWEEN 10 AND 20").collect())
+        got = sorted(r.k for r in
+                     pruned.filter("k BETWEEN 10 AND 20").collect())
+        assert got == want == list(range(10, 21))
+
+    def test_boundary_values_survive_pruning(self, spark, tmp_path):
+        # bounds exactly equal to a file's recorded min/max must keep it
+        t = self._clustered_table(spark, tmp_path)
+        pruned = t.read_pruned(spark, {"k": (39, 40)})
+        got = sorted(r.k for r in
+                     pruned.filter("k BETWEEN 39 AND 40").collect())
+        assert got == [39, 40]
+
+    def test_open_bounds(self, spark, tmp_path):
+        t = self._clustered_table(spark, tmp_path)
+        full_files = len(t.read(spark).inputFiles())
+        hi_only = t.read_pruned(spark, {"k": (None, 5)})
+        assert len(hi_only.inputFiles()) < full_files
+        assert hi_only.filter("k <= 5").count() == 6
+        lo_only = t.read_pruned(spark, {"k": (110, None)})
+        assert len(lo_only.inputFiles()) < full_files
+        assert lo_only.filter("k >= 110").count() == 10
+
+    def test_unstatted_column_never_prunes(self, spark, tmp_path):
+        # stats were recorded for k only: a range on v cannot drop files
+        t = self._clustered_table(spark, tmp_path, stats_cols=("k",))
+        full = t.read(spark)
+        pruned = t.read_pruned(spark, {"v": ("0", "1")})
+        assert sorted(pruned.inputFiles()) == sorted(full.inputFiles())
+
+    def test_statless_commit_always_survives(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(spark.range(0, 10).selectExpr("id AS k"), "with-stats",
+                 stats_cols=["k"])
+        t.commit(spark.range(1000, 1010).selectExpr("id AS k"), "no-stats")
+        # prune to a range that excludes the stats-less commit's data:
+        # its files must still be read (no stats → cannot prove skip),
+        # while the stats-ful commit MAY legitimately lose files
+        pruned = t.read_pruned(spark, {"k": (0, 5)})
+        assert pruned.filter("k >= 1000").count() == 10  # all unprovable rows
+        assert pruned.filter("k BETWEEN 0 AND 5").count() == 6
+
+    def test_string_and_timestamp_stats_prune(self, spark, tmp_path):
+        import datetime
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        df = (spark.range(0, 96)
+              .selectExpr(
+                  "timestampadd(HOUR, CAST(id AS INT), "
+                  "TIMESTAMP '2024-01-01 00:00:00') AS ts",
+                  "concat('u', lpad(CAST(id AS STRING), 3, '0')) AS name")
+              .repartitionByRange(8, "ts"))
+        t.commit(df, "c1", stats_cols=["ts", "name"])
+        full_files = len(t.read(spark).inputFiles())
+
+        day2 = (datetime.datetime(2024, 1, 2), datetime.datetime(2024, 1, 2, 23))
+        by_ts = t.read_pruned(spark, {"ts": day2})
+        assert len(by_ts.inputFiles()) < full_files
+        assert by_ts.filter(
+            "ts BETWEEN '2024-01-02 00:00:00' AND '2024-01-02 23:00:00'"
+        ).count() == 24
+
+        by_name = t.read_pruned(spark, {"name": ("u010", "u015")})
+        assert len(by_name.inputFiles()) < full_files
+        assert by_name.filter("name BETWEEN 'u010' AND 'u015'").count() == 6
+
+    def test_empty_prune_result_keeps_schema(self, spark, tmp_path):
+        t = self._clustered_table(spark, tmp_path)
+        none = t.read_pruned(spark, {"k": (5000, 6000)})
+        assert none.columns == ["k", "v"]
+        assert none.count() == 0
+
+    def test_compact_records_stats_and_prunes(self, spark, tmp_path):
+        t = self._clustered_table(spark, tmp_path)
+        t.compact(spark, "optimize-1", stats_cols=["k"])
+        t.vacuum()
+        pruned = t.read_pruned(spark, {"k": (0, 10)})
+        # the base commit's own files must carry zone maps
+        assert pruned.filter("k <= 10").count() == 11
+
+
 class TestTxnlogForeachBatchSink:
     """The production wiring of the commit-log table: a Structured
     Streaming query lands micro-batches through foreachBatch with the
