@@ -14,6 +14,7 @@ from fictional_guacamole_spark.functions import dedup as D
 from fictional_guacamole_spark.functions import similarity as S
 from fictional_guacamole_spark.functions import text as X
 from fictional_guacamole_spark.functions import multimodal as M
+from fictional_guacamole_spark.functions import retrieval as R
 from fictional_guacamole_spark.functions.multimodal import (
     as_binary_asset, extract_media_meta)
 from fictional_guacamole_spark.operators.layout import sql_zorder_value
@@ -1128,6 +1129,48 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value hash holds cross-engine; orderings match the log form."""
     docs = load_table(spark, sf_dir, "documents")
     return X.tfidf_topk(docs, "doc_id", "text", k=5).orderBy("doc", "rank")
+
+
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+@query(
+    "index_inverted_postings",
+    survey_ref="extensions: inverted-index build (lexical retrieval, "
+               "term -> postings)",
+    description="Full inverted index: per-term doc_freq, total_tf, and "
+                "doc-ordered postings digest",
+    oracle=R.sql_inverted_index("documents", "doc_id", "text")
+    + " ORDER BY term",
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-index build pass of a corpus platform: term → postings
+    (functions/retrieval.py::inverted_index). The judged md5 digest pins
+    the postings CONTENT — membership, doc order, and per-doc tf — not
+    just the counts; a single dropped or re-ordered posting anywhere in
+    the corpus flips the hash. Two keyed folds, scan-shaped at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.inverted_index(docs, "doc_id", "text").orderBy("term")
+
+
+@query(
+    "text_bm25_search",
+    survey_ref="extensions: BM25 lexical search over the inverted index",
+    description="Top-10 documents for a 3-term keyword query under BM25 "
+                "(k1=1.2, b=0.75, rational idf)",
+    oracle=R.sql_bm25_search("documents", "doc_id", "text",
+                             _BM25_TERMS, k=10),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search, the lexical sibling of pipeline_rag_retrieval's
+    embedding ranking (functions/retrieval.py::bm25_search). The term
+    filter is the index lookup — at scale a partition-pruned read of the
+    query terms' postings; the corpus never shuffles per query. Scores
+    stay bit-identical cross-engine: rational idf (no ln), fixed-order
+    pivot sum (no float SUM agg) — see the module's determinism
+    contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_search(docs, "doc_id", "text", _BM25_TERMS, k=10)
 
 
 @query(

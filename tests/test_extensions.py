@@ -973,3 +973,55 @@ class TestFuzzyTypoJoin:
                for r in typo_pairs_from_vocab(vocab).collect()}
         assert got == {("grape", "grapes"), ("melom", "melon"),
                        ("banan", "banana")}
+
+
+class TestRetrieval:
+    """Lexical retrieval (functions/retrieval.py): planted-relevance
+    ranking for BM25 and content sensitivity for the postings digest."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_bm25_planted_relevance_ranks_first(self, spark):
+        from fictional_guacamole_spark.functions.retrieval import bm25_search
+        docs = self._docs(spark, [
+            (1, "spark merge window spark merge window"),  # all terms, dense
+            (2, "spark table table table table table"),    # one term, diluted
+            (3, "merge window table row column value"),    # two terms
+            (4, "table row column value key scan"),        # zero terms
+        ])
+        got = bm25_search(docs, "doc_id", "text",
+                          ["spark", "merge", "window"], k=10).collect()
+        ranks = {r.doc: r.rank for r in got}
+        assert ranks[1] == 1          # covers all terms with high tf
+        assert 4 not in ranks         # no query term -> no row at all
+        by_doc = {r.doc: r for r in got}
+        assert by_doc[2].s1 == 0.0 and by_doc[2].s2 == 0.0  # only 'spark'
+        assert all(r.score > 0 for r in got)
+
+    def test_bm25_rare_term_outweighs_common(self, spark):
+        # idf monotone: a term in 1/4 docs must contribute more than the
+        # same-tf term present in 4/4 docs
+        from fictional_guacamole_spark.functions.retrieval import bm25_search
+        docs = self._docs(spark, [
+            (1, "rare common pad pad pad pad"),
+            (2, "common pad pad pad pad pad"),
+            (3, "common pad pad pad pad pad"),
+            (4, "common pad pad pad pad pad"),
+        ])
+        row = {r.doc: r for r in bm25_search(
+            docs, "doc_id", "text", ["rare", "common"], k=10).collect()}
+        assert row[1].s0 > row[1].s1  # rare > common at identical tf/dl
+
+    def test_postings_digest_is_content_sensitive(self, spark):
+        from fictional_guacamole_spark.functions.retrieval import (
+            inverted_index)
+        base = self._docs(spark, [(1, "alpha beta"), (2, "alpha")])
+        bumped = self._docs(spark, [(1, "alpha beta alpha"), (2, "alpha")])
+        d1 = {r.term: r for r in
+              inverted_index(base, "doc_id", "text").collect()}
+        d2 = {r.term: r for r in
+              inverted_index(bumped, "doc_id", "text").collect()}
+        assert d1["alpha"].doc_freq == d2["alpha"].doc_freq == 2
+        assert d1["alpha"].postings_md5 != d2["alpha"].postings_md5
+        assert d1["beta"].postings_md5 == d2["beta"].postings_md5
