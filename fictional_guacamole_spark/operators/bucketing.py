@@ -30,15 +30,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int,
-                   mode: str = "overwrite") -> None:
+                   mode: str = "overwrite", path: str | None = None) -> None:
     """Persist ``df`` hash-bucketed and sorted by ``key`` as a catalog
     table, the one-time shuffle that makes later joins on ``key``
-    exchange-free."""
-    (df.write.mode(mode)
-       .bucketBy(n_buckets, key)
-       .sortBy(key)
-       .format("parquet")
-       .saveAsTable(table))
+    exchange-free. ``path`` makes it an EXTERNAL table (data at an
+    explicit location instead of the session warehouse directory —
+    bucket spec metadata still lives in the catalog, which is what
+    Catalyst reads to elide the Exchange)."""
+    w = (df.write.mode(mode)
+         .bucketBy(n_buckets, key)
+         .sortBy(key)
+         .format("parquet"))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str,

@@ -1692,6 +1692,67 @@ def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "layout_bucketed_join_revenue",
+    survey_ref="layout: bucketed co-located fact ⋈ fact join "
+               "(write-once shuffle; operators/bucketing.py)",
+    description="orders ⋈ lineitem through same-spec bucketed tables, "
+                "revenue by priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def layout_bucketed_join_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The 100 TB fact⋈fact layout lever, judged end-to-end: both join
+    sides are persisted ONCE as same-bucket-count, key-sorted catalog
+    tables (operators/bucketing.py::write_bucketed — external location,
+    so only bucket-spec metadata touches the session catalog), and the
+    join then runs as a zipped sort-merge of co-located buckets with no
+    Exchange on either side (plan shape gated by tests/
+    test_plan_quality.py::TestBucketedLayout). The judged hash certifies
+    the layout never changes results — same rows/values as the plain
+    shuffled join the oracle runs. Integer cents keep the rollup exact
+    and order-free."""
+    import hashlib
+    import os
+    import tempfile
+
+    from fictional_guacamole_spark.operators.bucketing import (
+        bucketed_join, write_bucketed)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"),
+                  "l_extendedprice", "l_discount"))
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"bkt1:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:10]
+    names = {}
+    for stem, frame in [("orders", orders), ("lineitem", li)]:
+        name = f"fg_bkt_{stem}_{tag}"
+        if not spark.catalog.tableExists(name):
+            write_bucketed(frame, name, "o_orderkey", 8,
+                           path=os.path.join(tempfile.gettempdir(), name))
+        names[stem] = name
+
+    joined = bucketed_join(spark, names["orders"], names["lineitem"],
+                           "o_orderkey")
+    cents = F.floor(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount")) * 100)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(cents).alias("revenue_cents"))
+            .orderBy("o_orderpriority"))
+
+
+@query(
     "csv_roundtrip_clerk_stats",
     survey_ref="K4 CSV export (the reference's only read path, "
                "export_to_csv.py:8-18) — judged write→read cycle",
