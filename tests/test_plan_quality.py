@@ -516,3 +516,76 @@ class TestSixthWaveRound6Plans:
         # the contribution joins are real equi-joins, not cross products
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
             or ("BroadcastHashJoin" in plan), plan
+
+
+class TestWave6Plans:
+    """Scale gates for the retrieval / skipping / bucketed-layout wave."""
+
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    def test_inverted_index_has_no_join(self, spark):
+        """The index build is two keyed folds — it must compile to
+        hash aggregations with no join operator anywhere."""
+        plan = plan_of(spark, "index_inverted_postings")
+        assert "Join" not in plan, plan
+        assert "HashAggregate" in plan
+
+    def test_bm25_term_filter_and_broadcast_stats(self, spark):
+        """The query-term filter is the index lookup — it must be applied
+        before the df-stats join; the 1-row corpus stats frame must come
+        in as a broadcast, and nothing may compile to a shuffled
+        cartesian."""
+        plan = plan_of(spark, "text_bm25_search")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastExchange" in plan or \
+            "BroadcastNestedLoopJoin" in plan
+        # term IN (...) reaches the tf build side as a real filter
+        assert "spark" in plan and "merge" in plan
+
+    def test_skipping_query_prunes_files_and_pushes_predicate(self, spark):
+        """The judged zone-map query must (a) scan FEWER files than the
+        full snapshot holds — the log-level skip — and (b) push the exact
+        ts predicate into the surviving files' row groups."""
+        import datetime
+        import glob as _glob
+        import hashlib
+        import os
+        import tempfile
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        # building the judged query materializes the table; reuse its tag
+        plan = plan_of(spark, "txnlog_skipping_event_stats")
+        assert "PushedFilters" in plan, plan
+        assert "GreaterThanOrEqual(ts" in plan, plan
+        src = os.path.join(SF, "events.parquet")
+        tag = hashlib.md5(
+            f"txnskip1:{src}:{os.path.getmtime(src)}".encode()
+        ).hexdigest()[:12]
+        base = os.path.join(tempfile.gettempdir(), f"fg_txnskip_{tag}")
+        t = TransactionalParquetTable(base)
+        n_total = len(t.read(spark).inputFiles())
+        lo, hi = datetime.datetime(2024, 1, 8), datetime.datetime(2024, 1, 15)
+        n_kept = len(t.read_pruned(spark, {"ts": (lo, hi)}).inputFiles())
+        assert n_kept < n_total, (n_kept, n_total)
+
+    def test_bucketed_join_query_no_exchange_between_scans_and_join(
+            self, spark):
+        """The judged bucketed query's join must consume the bucketed
+        scans' output partitioning: with broadcast off, a sort-merge join
+        with no Exchange below it (the write-time shuffle did the work)."""
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = plan_of(spark, "layout_bucketed_join_revenue")
+            assert "SortMergeJoin" in plan, plan
+            # allowed Exchanges: partial->final agg + presentation sort;
+            # the join inputs themselves must be exchange-free, which
+            # bounds the total at 2
+            assert self._n_exchanges(plan) <= 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
