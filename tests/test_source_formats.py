@@ -917,3 +917,54 @@ class TestUpsertTableModelBased:
             assert got == model, f"ops={ops}"
 
         run()
+
+
+class TestClusteredCompaction:
+    """OPTIMIZE with cluster_by: unclustered micro-batch ingest erodes
+    zone-map skipping (every file spans the whole key range); a clustered
+    compaction restores tight per-file min/max — and must never change
+    content."""
+
+    def test_compact_restores_skipping(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        # three commits, each ROUND-ROBIN partitioned: every file spans
+        # the full key range, so zone maps can prove nothing
+        for i, txn in enumerate(["c1", "c2", "c3"]):
+            df = (spark.range(i * 100, (i + 1) * 100)
+                  .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS v")
+                  .repartition(4))
+            t.commit(df, txn, stats_cols=["k"])
+        pre = len(t.read_pruned(spark, {"k": (10, 20)}).inputFiles())
+        # c2/c3 prune as whole commits (disjoint ranges), but INSIDE c1
+        # every round-robin file spans 0..99, so all 4 must survive
+        assert pre == 4
+
+        before = sorted((r.k, r.v) for r in t.read(spark).collect())
+        t.compact(spark, "optimize-1", stats_cols=["k"],
+                  cluster_by=["k"], n_output_files=6)
+        t.vacuum()
+        post_frame = t.read_pruned(spark, {"k": (10, 20)})
+        assert len(post_frame.inputFiles()) < len(t.read(spark).inputFiles())
+        # content invariants: nothing lost, filtered result exact
+        assert sorted((r.k, r.v) for r in t.read(spark).collect()) == before
+        assert sorted(r.k for r in
+                      post_frame.filter("k BETWEEN 10 AND 20").collect()) \
+            == list(range(10, 21))
+
+    def test_appends_after_clustered_compact_still_safe(self, spark,
+                                                        tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(spark.range(0, 50).selectExpr("id AS k").repartition(3),
+                 "c1", stats_cols=["k"])
+        t.compact(spark, "opt", stats_cols=["k"], cluster_by=["k"])
+        # a post-compaction append WITHOUT stats must always be read
+        t.commit(spark.range(7, 9).selectExpr("id AS k"), "late")
+        got = t.read_pruned(spark, {"k": (7, 8)}).filter(
+            "k BETWEEN 7 AND 8")
+        assert got.count() == 4  # 2 from base + 2 from the late append
