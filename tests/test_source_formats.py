@@ -667,6 +667,39 @@ class TestTxnlogForeachBatchSink:
         assert got == sorted(rows)  # every row exactly once, despite replays
         assert len(table.history()) == len(seen)  # one commit per batch id
 
+    def test_streaming_ingest_records_zone_maps(self, spark, tmp_path):
+        """Skippable streaming ingest end-to-end: foreachBatch passes
+        stats_cols on every commit, so the landed table is immediately
+        prunable by read_pruned — the micro-batch form of the judged
+        txnlog_skipping_event_stats layout."""
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        src_dir = str(tmp_path / "src")
+        df = spark.range(0, 90).selectExpr("id AS k")
+        for part in range(3):  # key-clustered micro-batches
+            (df.filter((F.col("k") / 30).cast("int") == part).coalesce(1)
+             .write.mode("overwrite").parquet(f"{src_dir}/f{part}"))
+
+        table = TransactionalParquetTable(str(tmp_path / "t"))
+
+        def land(batch_df, batch_id):
+            table.commit(batch_df, f"b-{batch_id}", stats_cols=["k"])
+
+        stream = (spark.readStream.schema("k long")
+                  .option("maxFilesPerTrigger", "1").parquet(f"{src_dir}/f*"))
+        q = (stream.writeStream.foreachBatch(land)
+             .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert all("files" in e for e in table.history())
+        pruned = table.read_pruned(spark, {"k": (10, 20)})
+        assert len(pruned.inputFiles()) < len(table.read(spark).inputFiles())
+        assert pruned.filter("k BETWEEN 10 AND 20").count() == 11
+
 
 class TestUpsertTable:
     """MERGE semantics (sources/cdc.py): latest-wins resolution, tombstone
