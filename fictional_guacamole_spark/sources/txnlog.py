@@ -87,6 +87,24 @@ def _stat_key(v):
     raise TypeError(f"unsupported zone-map stats type: {type(v).__name__}")
 
 
+def zone_map_survives(stats: dict, bounds: dict) -> bool:
+    """The pruning decision: may this file intersect every bounded range?
+
+    ``stats``: column → [min, max] (encoded via :func:`_stat_key`) or
+    None. ``bounds``: column → (lo, hi) encoded, either side None for
+    open. Missing/None stats can never prune — the safety direction.
+    Module-level so the property tests can drive it against a row model
+    without a SparkSession in the loop."""
+    for col, (lo, hi) in bounds.items():
+        mm = stats.get(col)
+        if mm is None:
+            continue  # no stats for this column: cannot prune
+        if (hi is not None and mm[0] > hi) or \
+           (lo is not None and mm[1] < lo):
+            return False
+    return True
+
+
 def _file_stats(file_path: str, cols: list[str]) -> dict:
     """Per-file min/max for ``cols`` from the parquet footer (row-group
     stats aggregated; no data pages read). A column with no usable stats
@@ -393,16 +411,6 @@ class TransactionalParquetTable:
                       _stat_key(hi) if hi is not None else None)
                   for c, (lo, hi) in ranges.items()}
 
-        def survives(stats: dict) -> bool:
-            for col, (lo, hi) in bounds.items():
-                mm = stats.get(col)
-                if mm is None:
-                    continue  # no stats for this column: cannot prune
-                if (hi is not None and mm[0] > hi) or \
-                   (lo is not None and mm[1] < lo):
-                    return False
-            return True
-
         entries = self._entries()
         if version is not None:
             entries = [e for e in entries if e["version"] <= version]
@@ -414,7 +422,8 @@ class TransactionalParquetTable:
                     os.path.join(self.path, e["data_dir"])))
                 continue
             keep = [os.path.join(self.path, f["path"])
-                    for f in e["files"] if survives(f["stats"])]
+                    for f in e["files"]
+                    if zone_map_survives(f["stats"], bounds)]
             if keep:
                 parts.append(spark.read.schema(schema).parquet(*keep))
         if not parts:

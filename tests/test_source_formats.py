@@ -1001,3 +1001,62 @@ class TestClusteredCompaction:
         got = t.read_pruned(spark, {"k": (7, 8)}).filter(
             "k BETWEEN 7 AND 8")
         assert got.count() == 4  # 2 from base + 2 from the late append
+
+
+class TestZoneMapProperty:
+    """Property evidence for the pruning decision (pure, no Spark in the
+    loop): a file whose rows intersect the requested range must ALWAYS
+    survive — pruning may only over-keep, never over-drop."""
+
+    def test_never_drops_an_intersecting_file(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            zone_map_survives)
+
+        rows_s = st.lists(st.integers(-1000, 1000), min_size=1, max_size=30)
+        bound_s = st.one_of(st.none(), st.integers(-1100, 1100))
+
+        @settings(max_examples=500, deadline=None)
+        @given(rows=rows_s, lo=bound_s, hi=bound_s,
+               with_stats=st.booleans())
+        def check(rows, lo, hi, with_stats):
+            stats = {"k": [min(rows), max(rows)] if with_stats else None}
+            bounds = {"k": (lo, hi)}
+            wanted = [r for r in rows
+                      if (lo is None or r >= lo) and (hi is None or r <= hi)]
+            if wanted:  # rows in range -> the file MUST survive
+                assert zone_map_survives(stats, bounds)
+            if not with_stats:  # stat-less file is never prunable
+                assert zone_map_survives(stats, bounds)
+
+        check()
+
+    def test_prunes_only_provably_disjoint(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            zone_map_survives)
+
+        @settings(max_examples=500, deadline=None)
+        @given(mn=st.integers(-1000, 1000), width=st.integers(0, 100),
+               lo=st.integers(-1100, 1100), span=st.integers(0, 100))
+        def check(mn, width, lo, span):
+            mx, hi = mn + width, lo + span
+            survives = zone_map_survives({"k": [mn, mx]}, {"k": (lo, hi)})
+            disjoint = mx < lo or mn > hi
+            assert survives == (not disjoint)  # exact: prunes iff disjoint
+
+        check()
+
+    def test_multi_column_conjunction(self):
+        from fictional_guacamole_spark.sources.txnlog import (
+            zone_map_survives)
+
+        stats = {"a": [0, 10], "b": [100, 200]}
+        assert zone_map_survives(stats, {"a": (5, 7), "b": (150, 160)})
+        # ANY provably-disjoint bounded column kills the file
+        assert not zone_map_survives(stats, {"a": (5, 7), "b": (300, 400)})
+        assert not zone_map_survives(stats, {"a": (20, 30), "b": (150, 160)})
