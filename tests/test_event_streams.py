@@ -260,3 +260,72 @@ class TestStreamingEwma:
         for k in (1, 2):
             assert batch_final[k] == pytest.approx(ref[k], rel=1e-12)
             assert stream_final[k] == pytest.approx(ref[k], rel=1e-12)
+
+
+class TestStreamStaticJoin:
+    """Stream⋈static enrichment (SURVEY §2.5 streaming row): an unbounded
+    event stream joined to a bounded dimension — the per-micro-batch
+    broadcast lookup every streaming pipeline uses for reference data.
+    Unlike stream⋈stream it needs no watermark on the static side, and
+    the result must equal the batch join over the same inputs."""
+
+    def test_enrichment_matches_batch_join(self, spark, events_stream_dir,
+                                           tmp_path):
+        dim = spark.createDataFrame(
+            [(i, f"segment_{i % 3}") for i in range(200)],
+            "user_id long, segment string")
+        stream = _stream(spark, events_stream_dir)
+        enriched = (stream
+                    .join(F.broadcast(dim), "user_id", "left")
+                    .select("event_id", "user_id", "segment"))
+        q = (enriched.writeStream.format("memory").queryName("ssj_static")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(tuple(r) for r in spark.table("ssj_static").collect())
+        batch = (load_table(spark, "/root/testdata/sf0.001", "events")
+                 .join(dim, "user_id", "left")
+                 .select("event_id", "user_id", "segment"))
+        want = sorted(tuple(r) for r in batch.collect())
+        assert got == want
+
+
+class TestStreamingSqliteSink:
+    """The reference's architecture end-to-end in engine form: a stream
+    landing in SQLite through foreachBatch with a declared primary key —
+    a replayed micro-batch converges via INSERT OR REPLACE instead of
+    duplicating (K1's exactly-once story, streaming-wired)."""
+
+    def test_stream_lands_exactly_once(self, spark, events_stream_dir,
+                                       tmp_path):
+        from fictional_guacamole_spark.sources.sqlite import (
+            read_sqlite, write_sqlite)
+
+        db = str(tmp_path / "sink.db")
+        stream = (_stream(spark, events_stream_dir)
+                  .select("event_id", "user_id", "value"))
+
+        def land(batch_df, batch_id):
+            write_sqlite(batch_df, db, "events_sink", mode="append",
+                         primary_key=["event_id"])
+            # simulate Spark retrying the batch after a sink failure
+            write_sqlite(batch_df, db, "events_sink", mode="append",
+                         primary_key=["event_id"])
+
+        q = (stream.writeStream.foreachBatch(land)
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = read_sqlite(spark, db, "events_sink", num_partitions=3)
+        src = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert got.count() == src.count()  # exactly once, despite replays
+        assert got.agg(F.sum("event_id")).first()[0] == \
+            src.agg(F.sum("event_id")).first()[0]
