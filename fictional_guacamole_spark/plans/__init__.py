@@ -122,8 +122,13 @@ green in CORRECTNESS_r05. After it the never-judged tail is
 ``cohort_weekly_retention``, ``path_event_transitions``,
 ``ts_subsequence_match``, ``lateral_top2_orders_per_customer``,
 ``dq_profile_orders``, ``ts_resample_interpolate``, and
-``ts_anomaly_zscore`` (r7 fodder; every one is oracle-parity-tested
-locally each run) plus the oracle-less bench frame.
+``ts_anomaly_zscore``, plus the round-6 sixth-wave registrations
+``txnlog_skipping_event_stats``, ``index_inverted_postings``,
+``text_bm25_search``, ``layout_bucketed_join_revenue``,
+``dedup_keep_best``, and ``dedup_incremental_ingest`` (r7 fodder; every
+one is oracle-parity-tested locally each run AND green in this round's
+committed full-registry driver-mirror sweep) plus the oracle-less bench
+frame.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
