@@ -1025,3 +1025,19 @@ class TestRetrieval:
         assert d1["alpha"].doc_freq == d2["alpha"].doc_freq == 2
         assert d1["alpha"].postings_md5 != d2["alpha"].postings_md5
         assert d1["beta"].postings_md5 == d2["beta"].postings_md5
+
+    def test_bm25_scores_partitioning_invariant(self, spark):
+        """The determinism contract in functions/retrieval.py: scores are
+        pivot-summed in written order, never float-SUM-aggregated, so a
+        different partitioning must produce BIT-identical doubles."""
+        from fictional_guacamole_spark.functions.retrieval import bm25_search
+        docs = self._docs(spark, [
+            (i, " ".join(["spark", "merge", "pad"][j % 3]
+                         for j in range(i % 7 + 1)))
+            for i in range(40)])
+        a = bm25_search(docs, "doc_id", "text", ["spark", "merge"],
+                        k=40).collect()
+        b = bm25_search(docs.repartition(13), "doc_id", "text",
+                        ["spark", "merge"], k=40).collect()
+        assert sorted((r.doc, repr(r.score), r.rank) for r in a) == \
+            sorted((r.doc, repr(r.score), r.rank) for r in b)
