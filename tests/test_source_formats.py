@@ -1060,3 +1060,47 @@ class TestZoneMapProperty:
         # ANY provably-disjoint bounded column kills the file
         assert not zone_map_survives(stats, {"a": (5, 7), "b": (300, 400)})
         assert not zone_map_survives(stats, {"a": (20, 30), "b": (150, 160)})
+
+
+class TestZOrderSkipping:
+    """The end of the layout story: Morton-code clustering (operators/
+    layout.py) + zone maps (sources/txnlog.py) = TWO-dimensional file
+    skipping. A table compacted on the interleaved code gets tight
+    per-file [min, max] on BOTH source columns at once, so a conjunctive
+    range query prunes on either — the Delta OPTIMIZE ZORDER promise,
+    demonstrated executable."""
+
+    def test_2d_ranges_prune_after_zorder_compaction(self, spark, tmp_path):
+        from fictional_guacamole_spark.operators.layout import zorder_value
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        # a 32x32 grid of (x, y) points, committed in arrival order
+        # (x-major), so y locality does NOT exist on disk initially
+        pts = (spark.range(0, 1024)
+               .selectExpr("CAST(id / 32 AS LONG) AS x", "id % 32 AS y"))
+        pts = pts.withColumn(
+            "z", zorder_value(F.col("x"), F.col("y"), bits=5))
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(pts.repartition(8), "ingest", stats_cols=["x", "y"])
+
+        t.compact(spark, "optimize-z", stats_cols=["x", "y"],
+                  cluster_by=["z"], n_output_files=16)
+        t.vacuum()
+        total = len(t.read(spark).inputFiles())
+        assert total == 16
+
+        # a small square in BOTH dimensions: each range alone is 1/4 of
+        # the domain; z-clustering must prune on their conjunction far
+        # below the 16-file full scan
+        boxed = t.read_pruned(spark, {"x": (0, 7), "y": (0, 7)})
+        assert len(boxed.inputFiles()) <= total // 4
+        assert boxed.filter("x BETWEEN 0 AND 7 AND y BETWEEN 0 AND 7") \
+                    .count() == 64
+        # and each single-dimension range prunes too (z preserves both)
+        x_only = t.read_pruned(spark, {"x": (0, 7)})
+        y_only = t.read_pruned(spark, {"y": (0, 7)})
+        assert len(x_only.inputFiles()) < total
+        assert len(y_only.inputFiles()) < total
+        assert x_only.filter("x BETWEEN 0 AND 7").count() == 8 * 32
+        assert y_only.filter("y BETWEEN 0 AND 7").count() == 8 * 32
