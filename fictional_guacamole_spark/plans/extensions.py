@@ -2883,6 +2883,92 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_table_checksum",
+    survey_ref="extensions: order-free table checksum "
+               "(cross-store integrity verification)",
+    description="Per-status additive row-digest checksum of orders "
+                "(replication / migration verification)",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM({D.sql_md5_long(
+               "CAST(o_orderkey AS VARCHAR) || '|' || "
+               "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' "
+               "|| CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) "
+               "AS VARCHAR) || '|' || o_orderpriority", 8)})
+                AS BIGINT) AS checksum
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-entropy primitive behind every cross-store verification
+    (did the SQLite export / commit-log copy / replica receive exactly
+    these rows?): each row folds to a 48-bit md5-derived integer and the
+    table's checksum is their SUM — addition is commutative, so the
+    digest is ORDER-FREE and computes as one partial-aggregated scan on
+    any partitioning, and two stores can be compared by exchanging one
+    row per group. A single changed/dropped/duplicated row shifts the
+    sum (32-bit digests keep the int64 sum overflow-free past 10^9 rows; widen digest + split groups for more). Floats enter
+    as exact cents; grouping by status keeps a mismatch localizable."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.col("o_orderpriority"))
+    return (orders
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(D.md5_long(row_str, 8)).alias("checksum"))
+            .orderBy("o_orderstatus"))
+
+
+@query(
+    "dq_histogram_equidepth",
+    survey_ref="extensions: equi-depth histogram profiling "
+               "(optimizer/ANALYZE statistics)",
+    description="10-bucket equi-depth histogram of order totals "
+                "(integer cents, deterministic bucket edges)",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM (
+      SELECT CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INTEGER) AS bucket,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def dq_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram — the statistic ANALYZE
+    feeds the optimizer for selectivity estimation, and the profiling
+    complement of dq_profile_orders' min/max: ten buckets of equal row
+    count with their value spans. NTILE over a TOTAL order (price then
+    key, so ties are deterministic cross-engine) assigns buckets; at
+    100 TB the same histogram comes from approx_percentile cut points
+    instead of a global sort — the exact global-sort form here is what
+    makes the result value-hash-judgeable."""
+    from pyspark.sql import Window
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (orders
+            .select(F.ntile(10).over(w).cast("int").alias("bucket"),
+                    cents.alias("cents"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("cents").alias("lo_cents"),
+                 F.max("cents").alias("hi_cents"))
+            .orderBy("bucket"))
+
+
+@query(
     "join_fuzzy_typo_pairs",
     survey_ref="extensions: fuzzy string join (deletion-neighborhood "
                "candidates + exact edit-distance verify)",
