@@ -1104,3 +1104,45 @@ class TestZOrderSkipping:
         assert len(y_only.inputFiles()) < total
         assert x_only.filter("x BETWEEN 0 AND 7").count() == 8 * 32
         assert y_only.filter("y BETWEEN 0 AND 7").count() == 8 * 32
+
+
+class TestChecksumVerifiesCrossStore:
+    """The checksum's actual job: prove a copy in ANOTHER store carries
+    exactly the source rows. SQLite round-trip verified by digest
+    equality — and a corrupted copy must be caught."""
+
+    def test_sqlite_copy_checksum_matches_and_catches_corruption(
+            self, spark, tmp_path):
+        import sqlite3
+
+        from fictional_guacamole_spark.functions.dedup import md5_long
+        from fictional_guacamole_spark.sources.sqlite import (
+            read_sqlite, write_sqlite)
+
+        src = load_table(spark, SF, "orders").select(
+            "o_orderkey", "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+
+        def checksum(df):
+            row = F.concat_ws("|", F.col("o_orderkey").cast("string"),
+                              F.col("o_orderstatus"),
+                              F.col("cents").cast("string"))
+            r = df.agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(md5_long(row, 8)).alias("ck")).first()
+            return (r.n, r.ck)
+
+        db = str(tmp_path / "copy.db")
+        write_sqlite(src, db, "orders_copy", mode="replace",
+                     primary_key=["o_orderkey"])
+        copy = read_sqlite(spark, db, "orders_copy", num_partitions=4)
+        assert checksum(copy) == checksum(src)
+
+        # corrupt ONE row in the copy: the digest must move
+        con = sqlite3.connect(db)
+        con.execute("UPDATE orders_copy SET cents = cents + 1 "
+                    "WHERE o_orderkey = (SELECT MIN(o_orderkey) "
+                    "FROM orders_copy)")
+        con.commit(); con.close()
+        corrupted = read_sqlite(spark, db, "orders_copy", num_partitions=4)
+        n, ck = checksum(corrupted)
+        assert n == checksum(src)[0] and ck != checksum(src)[1]
