@@ -1146,3 +1146,32 @@ class TestChecksumVerifiesCrossStore:
         corrupted = read_sqlite(spark, db, "orders_copy", num_partitions=4)
         n, ck = checksum(corrupted)
         assert n == checksum(src)[0] and ck != checksum(src)[1]
+
+
+class TestZoneMapEdges:
+    def test_read_pruned_honors_time_travel(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(spark.range(0, 10).selectExpr("id AS k")
+                 .repartitionByRange(2, "k"), "c1", stats_cols=["k"])
+        v1 = t.version()
+        t.commit(spark.range(10, 20).selectExpr("id AS k")
+                 .repartitionByRange(2, "k"), "c2", stats_cols=["k"])
+        pinned = t.read_pruned(spark, {"k": (0, 100)}, version=v1)
+        assert pinned.count() == 10  # the second commit is invisible
+        assert t.read_pruned(spark, {"k": (0, 100)}).count() == 20
+
+    def test_empty_statful_commit_is_harmless(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t"))
+        t.commit(spark.range(0, 5).selectExpr("id AS k"), "c1",
+                 stats_cols=["k"])
+        t.commit(spark.range(0, 0).selectExpr("id AS k"), "empty",
+                 stats_cols=["k"])  # zero rows: no usable stats anywhere
+        assert t.read_pruned(spark, {"k": (1, 3)}).filter(
+            "k BETWEEN 1 AND 3").count() == 3
+        assert t.read(spark).count() == 5
