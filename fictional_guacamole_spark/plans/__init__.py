@@ -128,7 +128,17 @@ green in CORRECTNESS_r05. After it the never-judged tail is
 ``dedup_keep_best``, and ``dedup_incremental_ingest`` (r7 fodder; every
 one is oracle-parity-tested locally each run AND green in this round's
 committed full-registry driver-mirror sweep) plus the oracle-less bench
-frame.
+frame. Wave 6 later added ``dedup_keep_best``,
+``dedup_incremental_ingest``, ``dq_table_checksum``, and
+``dq_histogram_equidepth`` to the tail (same sweep evidence, MIRROR_r06).
+
+Planned r7 rotation (for the next round's first task): the 15
+never-judged tail entries fit in one window by displacing 15 of the 35
+r6-green entries whose families keep another representative — natural
+displacement candidates once CORRECTNESS_r06 lands green: the q-series
+rows beyond q1, one of the three real-codec rows, one interchange row,
+and the judged-twice LLM-pipeline siblings. Keep ``sim_ivf_topk``'s
+replacement guarded: its row certifies the SF-aware recall floor.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
