@@ -98,6 +98,22 @@ def sql_inverted_index(table: str, id_col: str, text_col: str) -> str:
     """
 
 
+def _check_terms(query_terms: list[str]) -> None:
+    """Shared validation for both renderings: 1–8 DISTINCT normalized
+    tokens. A duplicate term would pivot into two identical columns and
+    count double; a non-``[a-z0-9]`` term can never match the normalized
+    token stream and would also break the SQL string literal."""
+    import re
+
+    if not (1 <= len(query_terms) <= 8):
+        raise ValueError("query_terms must have 1..8 terms")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+    bad = [t for t in query_terms if not re.fullmatch(r"[a-z0-9]+", t)]
+    if bad:
+        raise ValueError(f"query_terms must be normalized [a-z0-9]+: {bad}")
+
+
 def _bm25_term_score(tf: Column, dl: Column, doc_freq: Column,
                      n_docs: Column, avgdl: Column) -> Column:
     """One term's BM25 contribution; every operand is an integer-valued
@@ -122,8 +138,7 @@ def bm25_search(df: DataFrame, id_col: str, text_col: str,
     corpus stats, pivot per-term scores to fixed columns via conditional
     MAX, sum in written order, global top-k. Ties break on doc id.
     """
-    if not (1 <= len(query_terms) <= 8):
-        raise ValueError("query_terms must have 1..8 terms")
+    _check_terms(query_terms)
     tf = _tf(df, id_col, text_col)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     stats = (df.select(F.col(id_col).alias("doc"),
@@ -162,6 +177,7 @@ def sql_bm25_search(table: str, id_col: str, text_col: str,
                     query_terms: list[str], k: int = 10) -> str:
     """DuckDB replay of :func:`bm25_search` — identical expression tree
     (idf and tfpart parenthesization mirrored term-for-term)."""
+    _check_terms(query_terms)
     norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
     in_list = ", ".join(f"'{t}'" for t in query_terms)
     score = """(2.0 * n_docs - 2.0 * doc_freq + 1.0)
