@@ -124,6 +124,89 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_histogram",
+    survey_ref="extensions: corpus duplication report "
+               "(cluster-size distribution)",
+    description="Near-dup cluster-size histogram: how much of the corpus "
+                "is duplicated, at what multiplicity",
+    oracle=f"""
+    WITH comp AS ({{components}})
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id)
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """.format(components=D.sql_dedup_components(
+        _COMPONENT_PAIRS_SQL, "documents", "doc_id")),
+)
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health metric a dedup pass reports before anyone
+    decides thresholds: the distribution of near-dup cluster sizes
+    (size 1 = unique docs; the n_docs column shows what fraction of the
+    corpus each multiplicity accounts for). Two keyed folds over the
+    judged components labeling — cardinality collapses at each step, so
+    the report costs nothing beyond the labeling itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+             .filter(F.col("est_jaccard") >= 0.5)
+             .select("doc_a", "doc_b"))
+    comp = D.dedup_components(pairs, docs.select("doc_id"))
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .alias("n_docs"))
+            .orderBy("cluster_size"))
+
+
+@query(
+    "text_vocab_by_lang",
+    survey_ref="extensions: per-language vocabulary top-k "
+               "(grouped corpus statistics)",
+    description="Top-5 terms per language by frequency, deterministic "
+                "tie-break",
+    oracle=f"""
+    SELECT lang, term, n, rk AS rank
+    FROM (
+      SELECT lang, term, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, term) AS INTEGER)
+               AS rk
+      FROM (
+        SELECT lang, term, COUNT(*) AS n
+        FROM (SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+              FROM documents)
+        WHERE term <> ''
+        GROUP BY lang, term))
+    WHERE rk <= 5
+    ORDER BY lang, rank
+    """,
+)
+def text_vocab_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped corpus statistics: the per-language variant of
+    text_vocab_topk (tokenizer fitting / stopword discovery is done PER
+    LANGUAGE in any multilingual pipeline). explode → (lang, term) count
+    with map-side combine → per-lang top-k window; partitions by the
+    bounded lang key, so the window never concentrates the corpus."""
+    from pyspark.sql import Window
+    from fictional_guacamole_spark.functions.text import words
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (docs.select("lang", F.explode(words(F.col("text")))
+                         .alias("term"))
+             .filter(F.col("term") != ""))
+    counts = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= 5)
+            .select("lang", "term", "n", "rank")
+            .orderBy("lang", "rank"))
+
+
+@query(
     "dedup_keep_best",
     survey_ref="extensions: duplicate-group canonical selection by quality "
                "(keep-best policy)",
