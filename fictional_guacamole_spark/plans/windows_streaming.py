@@ -179,3 +179,80 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
                  o_orderpriority NULLS FIRST
     """)
+
+
+@query(
+    "stream_engine_hourly_counts",
+    survey_ref="§2.5 streaming: EXECUTED through the micro-batch engine "
+               "(readStream → windowed agg → memory sink)",
+    description="Hourly event counts computed by an actual Structured "
+                "Streaming query (multi-micro-batch, complete mode)",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_engine_hourly_counts(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The one judged row whose computation RUNS through the streaming
+    engine: the sibling window queries share semantics with their
+    streaming form by construction (batch mode, same operator); this one
+    actually drives readStream → micro-batches (maxFilesPerTrigger=1
+    over a 4-file copy, so the state updates incrementally across ≥4
+    triggers) → windowed aggregation in COMPLETE output mode → memory
+    sink, then returns the sink table. Complete mode makes the final
+    state deterministic regardless of trigger boundaries — every window
+    reflects all input once the stream drains — which is what lets a
+    batch SQL oracle judge a genuinely streaming execution. (The
+    append-mode + watermark variants, where trailing windows are
+    withheld by design, are integration-tested in
+    tests/test_event_streams.py.)"""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"strmsrc1:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_strmsrc_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        load_table(spark, sf_dir, "events").coalesce(4) \
+            .write.mode("overwrite").parquet(build)
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+
+    name = f"fg_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_stream_ckpt_")
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base))
+    agg = (stream
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100)).alias("value_cents")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "value_cents")
+            .orderBy("window_start", "event_type"))
