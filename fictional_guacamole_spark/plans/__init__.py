@@ -132,9 +132,11 @@ frame. Wave 6 later added ``dedup_keep_best``,
 ``dedup_incremental_ingest``, ``dq_table_checksum``, and
 ``dq_histogram_equidepth`` to the tail (same sweep evidence, MIRROR_r06).
 
-Planned r7 rotation (for the next round's first task): the 15
-never-judged tail entries fit in one window by displacing 15 of the 35
-r6-green entries whose families keep another representative — natural
+Planned r7 rotation (for the next round's first task): the never-judged
+tail entries (15 at the fifth-wave count, 20 with the late wave-6
+registrations) fit in one window by displacing as many of the 50
+(presumed-green after r6) window entries whose families keep another
+representative — natural
 displacement candidates once CORRECTNESS_r06 lands green: the q-series
 rows beyond q1, one of the three real-codec rows, one interchange row,
 and the judged-twice LLM-pipeline siblings. Keep ``sim_ivf_topk``'s
