@@ -1935,8 +1935,13 @@ def layout_bucketed_join_revenue(spark: SparkSession,
     for stem, frame in [("orders", orders), ("lineitem", li)]:
         name = f"fg_bkt_{stem}_{tag}"
         if not spark.catalog.tableExists(name):
+            # per-process location: two concurrent builders would race a
+            # shared dir mid-write; catalog binding is session-local
+            # anyway, so each process owns its files
             write_bucketed(frame, name, "o_orderkey", 8,
-                           path=os.path.join(tempfile.gettempdir(), name))
+                           path=os.path.join(
+                               tempfile.gettempdir(),
+                               f"{name}.{os.getpid()}"))
         names[stem] = name
 
     joined = bucketed_join(spark, names["orders"], names["lineitem"],
