@@ -98,6 +98,69 @@ def agg_corr_price_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_regr_price_on_qty",
+    survey_ref="§2.5 aggregations (per-group OLS regression)",
+    description="OLS slope/intercept/R2 of price on quantity, exact co-moments",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS yd
+      FROM lineitem),
+    s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(xd) AS dsx, SUM(yd) AS dsy, SUM(xd * yd) AS dsxy,
+             SUM(xd * xd) AS dsxx, SUM(yd * yd) AS dsyy
+      FROM d GROUP BY l_returnflag),
+    m AS (
+      SELECT l_returnflag, n,
+             {sql_dec_to_double_exact('dsx')} AS sx,
+             {sql_dec_to_double_exact('dsy')} AS sy,
+             {sql_dec_to_double_exact('dsxy')} AS sxy,
+             {sql_dec_to_double_exact('dsxx')} AS sxx,
+             {sql_dec_to_double_exact('dsyy')} AS syy
+      FROM s)
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def agg_regr_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (regr_slope/regr_intercept/
+    regr_r2 equivalents) from the same exact decimal co-moments as
+    agg_corr_price_discount — the built-in regr_* aggregates stream
+    doubles and are order-dependent, so they cannot hash-match across
+    engines. Every double op downstream of the exact sums is written in
+    the identical order on both sides, so the IEEE results are
+    bit-identical. Map-side partial aggregation applies (one shuffle of
+    5-tuples per group); at 100 TB this is scan-bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(12,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    n = F.count(F.lit(1))
+    sx = dec_to_double_exact(F.sum(xd))
+    sy = dec_to_double_exact(F.sum(yd))
+    sxy = dec_to_double_exact(F.sum(xd * yd))
+    sxx = dec_to_double_exact(F.sum(xd * xd))
+    syy = dec_to_double_exact(F.sum(yd * yd))
+    cov_n = n * sxy - sx * sy           # n^2 * cov — shared numerator
+    var_x = n * sxx - sx * sx           # n^2 * var(x)
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return (li.groupBy("l_returnflag")
+            .agg(n.alias("n"),
+                 slope.alias("slope"),
+                 ((sy - slope * sx) / n).alias("intercept"),
+                 ((cov_n * cov_n) / (var_x * var_y)).alias("r2"))
+            .orderBy("l_returnflag"))
+
+
+@query(
     "q7_nation_volume",
     survey_ref="§2.5 joins (two dimension paths, OR pair filter)",
     description="Shipping volume between two nation pairs by year (TPC-H Q7 shape)",
