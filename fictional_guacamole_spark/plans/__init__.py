@@ -133,7 +133,10 @@ frame. Wave 6 later added ``dedup_keep_best``,
 ``dq_histogram_equidepth`` to the tail (same sweep evidence, MIRROR_r06),
 then ``agg_regr_price_on_qty`` (per-group OLS slope/intercept/R² from the
 same exact decimal co-moments as ``agg_corr_price_discount`` — mirror-
-verified hash-green at sf0.01 and parity-tested at sf0.1 on registration).
+verified hash-green at sf0.01 and parity-tested at sf0.1 on registration)
+and ``basket_brand_pairs`` (market-basket pair-support mining: the oracle
+is the textbook fact self-join, the engine the bounded per-basket array
+expansion — same evidence protocol on registration).
 
 Planned r7 rotation (for the next round's first task): the never-judged
 tail entries (15 at the fifth-wave count, 20 with the late wave-6

@@ -2760,6 +2760,55 @@ def path_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "basket_brand_pairs",
+    survey_ref="extensions: market-basket co-occurrence (pair support)",
+    description="Top-20 co-purchased brand pairs by order support",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand)
+    SELECT brand_a, brand_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY brand_a, brand_b
+    ORDER BY n_orders DESC, brand_a, brand_b
+    LIMIT 20
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining (the A-Priori pair-counting pass): which
+    brands co-occur in the same order. The oracle states it as the
+    textbook fact-to-fact self-join; the engine instead aggregates each
+    order to its sorted distinct-brand array (one shuffle on orderkey,
+    map-side combine) and expands the C(n,2) pairs JVM-side with
+    higher-order array functions — per-basket pair expansion is bounded
+    by basket width (≤7 lines per TPC-H order), so at 100 TB this stays
+    one scan + one narrow shuffle + one pair-key shuffle with map-side
+    combine, where the self-join would shuffle the fact table twice and
+    explode skewed orders quadratically at join time. The top-20 is a
+    TakeOrderedAndProject with a total tie-break order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (li.join(F.broadcast(part),
+                       li.l_partkey == part.p_partkey)
+               .groupBy("l_orderkey")
+               .agg(F.array_sort(F.collect_set("p_brand")).alias("b")))
+    pairs = baskets.select(F.explode(F.expr(
+        "flatten(transform(b, (x, i) -> "
+        "  transform(slice(b, i + 2, size(b)), "
+        "            y -> struct(x AS brand_a, y AS brand_b))))"
+    )).alias("p"))
+    return (pairs.select("p.brand_a", "p.brand_b")
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+            .limit(20))
+
+
+@query(
     "pipeline_rag_retrieval",
     survey_ref="extensions: RAG retrieval capstone — chunk → embed → "
                "exact top-k, one declarative plan",

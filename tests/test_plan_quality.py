@@ -589,3 +589,33 @@ class TestWave6Plans:
             assert self._n_exchanges(plan) <= 2, plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+class TestAnalyticsWaveSevenPlans:
+    """Scale gates for the late round-6 additions (OLS regression,
+    market-basket pair counting)."""
+
+    @staticmethod
+    def _n_exchanges(plan: str) -> int:
+        import re
+        return len(re.findall(r"\(\d+\) Exchange", plan))
+
+    def test_regression_is_one_partial_final_agg(self, spark):
+        """The OLS query must stay a straight scan → partial agg →
+        one shuffle on the 3-value group key → final agg (plus the
+        presentation sort) — co-moments are decomposable sums, so any
+        extra exchange means the plan regressed."""
+        plan = plan_of(spark, "agg_regr_price_on_qty")
+        assert "HashAggregate" in plan
+        assert self._n_exchanges(plan) <= 2, plan
+
+    def test_basket_pairs_avoids_fact_self_join(self, spark):
+        """Pair expansion must be the JVM array form, never a shuffled
+        fact-to-fact self-join: the part dim broadcasts, there is no
+        sort-merge join anywhere, and the top-20 is a
+        TakeOrderedAndProject (no global sort of the pair space)."""
+        plan = plan_of(spark, "basket_brand_pairs")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan, plan
