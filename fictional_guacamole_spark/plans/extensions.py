@@ -2759,6 +2759,17 @@ def path_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("prev_type", "next_type"))
 
 
+def explode_sorted_pairs(df, arr_col: str):
+    """Expand a sorted array column into its C(n,2) ordered pairs
+    (``brand_a < brand_b``) JVM-side — the map-side half of pair-support
+    counting. One output row per pair; arrays of size < 2 emit nothing."""
+    return df.select(F.explode(F.expr(
+        f"flatten(transform({arr_col}, (x, i) -> "
+        f"  transform(slice({arr_col}, i + 2, size({arr_col})), "
+        "            y -> struct(x AS brand_a, y AS brand_b))))"
+    )).alias("p")).select("p.brand_a", "p.brand_b")
+
+
 @query(
     "basket_brand_pairs",
     survey_ref="extensions: market-basket co-occurrence (pair support)",
@@ -2796,12 +2807,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        li.l_partkey == part.p_partkey)
                .groupBy("l_orderkey")
                .agg(F.array_sort(F.collect_set("p_brand")).alias("b")))
-    pairs = baskets.select(F.explode(F.expr(
-        "flatten(transform(b, (x, i) -> "
-        "  transform(slice(b, i + 2, size(b)), "
-        "            y -> struct(x AS brand_a, y AS brand_b))))"
-    )).alias("p"))
-    return (pairs.select("p.brand_a", "p.brand_b")
+    return (explode_sorted_pairs(baskets, "b")
             .groupBy("brand_a", "brand_b")
             .agg(F.count(F.lit(1)).alias("n_orders"))
             .orderBy(F.desc("n_orders"), "brand_a", "brand_b")

@@ -1041,3 +1041,41 @@ class TestRetrieval:
                         ["spark", "merge"], k=40).collect()
         assert sorted((r.doc, repr(r.score), r.rank) for r in a) == \
             sorted((r.doc, repr(r.score), r.rank) for r in b)
+
+
+class TestBasketPairs:
+    """The basket query's pair expansion must equal the textbook self-join
+    on adversarial baskets: singletons (no pairs), in-order duplicates
+    (distinctness), one giant skewed basket, and interleaved key order."""
+
+    def test_pair_expansion_equals_self_join(self, spark):
+        import random
+        rng = random.Random(7)
+        rows = []
+        for order in range(60):
+            width = rng.choice([1, 1, 2, 3, 5, 8])
+            for _ in range(width):
+                rows.append((order, f"B{rng.randrange(12):02d}"))
+        rows += [(999, f"B{i:02d}") for i in range(12)] * 2  # giant + dups
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "order_id long, brand string")
+
+        from fictional_guacamole_spark.plans.extensions import (
+            explode_sorted_pairs)
+        baskets = (df.groupBy("order_id")
+                   .agg(F.array_sort(F.collect_set("brand")).alias("b")))
+        got = sorted((r.brand_a, r.brand_b) for r in
+                     explode_sorted_pairs(baskets, "b").collect())
+
+        ob = df.dropDuplicates(["order_id", "brand"]).alias("a")
+        want = sorted(
+            (r.brand_a, r.brand_b) for r in
+            ob.join(df.dropDuplicates(["order_id", "brand"]).alias("x"),
+                    (F.col("a.order_id") == F.col("x.order_id"))
+                    & (F.col("a.brand") < F.col("x.brand")))
+            .select(F.col("a.brand").alias("brand_a"),
+                    F.col("x.brand").alias("brand_b")).collect())
+        assert got == want and len(got) > 0
+        # singleton baskets contribute nothing
+        solo = spark.createDataFrame([(1, ["only"])], "order_id long, b array<string>")
+        assert explode_sorted_pairs(solo, "b").count() == 0
