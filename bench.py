@@ -72,9 +72,20 @@ CALIBRATION_ROWS = 200_000_000
 # stage runs ~2× slow (observed in round 6: noise_factor 0.87 "fast host"
 # alongside a 1.5× wall-time regression on bit-identical code). The parallel
 # probe runs the SAME per-row work sharded across all cores; its efficiency
-# vs the serial probe's same-run timing (no external pin needed) reads ~1.0
-# on a quiet host and drops in proportion to core contention.
+# vs the serial probe's same-run timing (no external pin needed) drops in
+# proportion to core contention.
+#
+# IMPORTANT: a quiet host does NOT read par_eff ≈ 1.0. The serial probe
+# runs at single-core turbo; 32 concurrent tasks run at all-core sustained
+# frequency, so sub-linearity is physics, not load. Measured on this host
+# idle (steal ~0.2%, loadavg ~0): single task 361.7 Mrows/s vs 32 tasks
+# 177.6–210.9 Mrows/s/task → quiet-host par_eff ≈ 0.49–0.58. That measured
+# quiet reference is pinned below; the derived par_load (= quiet_ref /
+# par_eff) is the contention signal — 1.0 quiet, 2.0 means every
+# all-core stage ran ~2× slow. Re-derive after a host change by sweeping
+# numPartitions ∈ {1, 32} on the probe workload and pasting the rates here.
 PAR_PROBE_FACTOR = 16  # parallel probe rows = CALIBRATION_ROWS × this
+PAR_EFF_QUIET_REF = 0.50  # measured idle-host par_eff (see note above)
 
 
 def _ncpu() -> int:
@@ -186,6 +197,9 @@ def main() -> None:
     par_s = round(min(par_probes), 4)
     par_ideal = calibration_s * PAR_PROBE_FACTOR / _ncpu()
     par_eff = round(par_ideal / par_s, 3) if par_s > 0 else None
+    # >1 = all-core stages ran that much slower than the measured quiet
+    # host; ~1.0 = quiet (par_eff alone misleads: quiet reads ~0.5)
+    par_load = round(PAR_EFF_QUIET_REF / par_eff, 3) if par_eff else None
 
     vs_history = {
         qn: {"median": round(median(h), 4),
@@ -212,6 +226,7 @@ def main() -> None:
         "calibration_s": calibration_s,
         "noise_factor": noise_factor,
         "par_eff": par_eff,
+        "par_load": par_load,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     diagnostics = {

@@ -8,7 +8,8 @@ import json
 from fictional_guacamole_spark.plans import REGISTRY
 
 CONTRACT_KEYS = {"metric", "value", "unit", "queries",
-                 "calibration_s", "noise_factor", "par_eff", "sf"}
+                 "calibration_s", "noise_factor", "par_eff", "par_load",
+                 "sf"}
 BUDGET = 1500  # chars; driver tail capture is ~2000 — leave headroom
 
 
@@ -23,6 +24,7 @@ def _worst_case_line() -> str:
         "calibration_s": 99.9999,
         "noise_factor": 99.999,
         "par_eff": 99.999,
+        "par_load": 99.999,
         "sf": 0.001,
     }
     return json.dumps(out)
