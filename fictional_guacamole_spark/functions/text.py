@@ -725,3 +725,88 @@ def sql_typo_pairs_planted(table: str, text_col: str, max_vocab: int = 300,
     WHERE levenshtein(word_a, word_b) = 1
     ORDER BY word_a, word_b
     """
+
+
+def quality_classifier(df: DataFrame, id_col: str, text_col: str,
+                       n_buckets: int = 256) -> DataFrame:
+    """FastText-style hashed-linear classifier INFERENCE at scan speed —
+    the quality-classifier filtering stage of LLM data pipelines (CCNet /
+    LLaMA filter CommonCrawl with a fastText linear model; this is that
+    inference shape): each token hashes into one of ``n_buckets`` feature
+    buckets (the hashing trick — no vocabulary, no OOV), the model is one
+    integer weight per bucket, and a document's score is the sum of its
+    tokens' bucket weights.
+
+    The weight table here is the repo's deterministic md5 stand-in model
+    (same convention as :func:`embed_md5` and multimodal's feature
+    extractor): weight(b) = md5-derived integer in [-1000, 1000]. A real
+    deployment swaps the derived frame for trained weights behind the
+    same (bucket, weight) contract — nothing else changes.
+
+    Exactness: scores are INTEGER sums (order-independent, engine-bit-
+    exact); the mean is one IEEE division of identical integers. ``DIV``
+    is avoided because Spark truncates toward zero while quotient
+    conventions differ across engines for NEGATIVE sums (lm_familiarity
+    can use it only because counts are non-negative).
+
+    Scale shape: tokenize + bucket-hash are JVM column expressions at
+    scan speed; the model is ``n_buckets`` rows and BROADCASTS (a real
+    2^21-bucket fastText model is a few MB — still broadcast); the only
+    shuffle is the per-doc score groupBy. The corpus never shuffles for
+    the model join.
+    """
+    spark = df.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+            1, 8), 16, 10).cast("long") % 2001 - 1000).alias("weight"))
+    toks = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(words(F.col(text_col))).alias("t"))
+            .filter(F.col("t") != ""))
+    tb = toks.select(
+        "doc",
+        (F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+         .cast("long") % n_buckets).alias("bucket"))
+    scored = tb.join(F.broadcast(weights), "bucket")
+    return (scored.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("weight").alias("score_sum"))
+            .select("doc", "n_tokens", "score_sum",
+                    (F.col("score_sum").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("mean_weight"),
+                    (F.col("score_sum") >= 0).alias("keep")))
+
+
+def sql_quality_classifier(table: str, id_col: str, text_col: str,
+                           n_buckets: int = 256) -> str:
+    """DuckDB rendering of :func:`quality_classifier` — identical
+    tokenizing, md5 bucket hashing, stand-in weight derivation, and
+    integer-sum / single-division arithmetic, so the value hash is
+    exact."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH __wt AS (
+      SELECT b AS bucket,
+             CAST('0x' || substr(md5('w:' || CAST(b AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2001 - 1000 AS weight
+      FROM generate_series(0, {n_buckets - 1}) AS g(b)),
+    __t AS (
+      SELECT {id_col} AS doc, unnest(string_split({norm}, ' ')) AS t
+      FROM {table}),
+    __tb AS (
+      SELECT doc,
+             CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+               % {n_buckets} AS bucket
+      FROM __t WHERE t <> ''),
+    __s AS (
+      SELECT doc, COUNT(*) AS n_tokens,
+             CAST(SUM(weight) AS BIGINT) AS score_sum
+      FROM __tb JOIN __wt USING (bucket) GROUP BY doc)
+    SELECT doc, n_tokens, score_sum,
+           CAST(score_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS mean_weight,
+           score_sum >= 0 AS keep
+    FROM __s
+    """

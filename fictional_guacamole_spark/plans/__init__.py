@@ -136,7 +136,9 @@ same exact decimal co-moments as ``agg_corr_price_discount`` — mirror-
 verified hash-green at sf0.01 and parity-tested at sf0.1 on registration)
 and ``basket_brand_pairs`` (market-basket pair-support mining: the oracle
 is the textbook fact self-join, the engine the bounded per-basket array
-expansion — same evidence protocol on registration).
+expansion — same evidence protocol on registration), and
+``text_classifier_scores`` (fastText-shape hashed-linear classifier
+inference with broadcast model weights — same evidence protocol).
 
 Planned r7 rotation (for the next round's first task): the never-judged
 tail entries (15 at the fifth-wave count, 20 with the late wave-6

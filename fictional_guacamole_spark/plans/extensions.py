@@ -2403,6 +2403,27 @@ def text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_classifier_scores",
+    survey_ref="extensions: hashed-linear quality-classifier inference "
+               "(fastText filtering shape)",
+    description="Per-doc hashed bag-of-words linear-model score, integer "
+                "weight sums",
+    oracle=X.sql_quality_classifier("documents", "doc_id", "text")
+    + " ORDER BY doc",
+)
+def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality FILTERING as pipelines actually run it (CCNet /
+    LLaMA gate CommonCrawl with a fastText linear classifier): tokens
+    hash into feature buckets at scan speed, the model is a broadcast
+    (bucket, weight) table, a doc's score is an integer weight sum. The
+    weights are the repo's deterministic md5 stand-in model — a real
+    deployment loads trained weights behind the same two-column contract
+    (functions/text.py::quality_classifier has the scale notes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.quality_classifier(docs, "doc_id", "text").orderBy("doc")
+
+
+@query(
     "federated_tri_source_user_summary",
     survey_ref="extensions: federated query — SQLite + commit-log + parquet "
                "joined in ONE Catalyst plan",

@@ -1079,3 +1079,32 @@ class TestBasketPairs:
         # singleton baskets contribute nothing
         solo = spark.createDataFrame([(1, ["only"])], "order_id long, b array<string>")
         assert explode_sorted_pairs(solo, "b").count() == 0
+
+
+class TestQualityClassifier:
+    def test_scores_partitioning_invariant_and_deterministic(self, spark):
+        """Integer weight sums are order-independent: any partitioning
+        must produce identical rows, and duplicate texts identical
+        scores; keep <=> score_sum >= 0."""
+        from fictional_guacamole_spark.functions.text import (
+            quality_classifier)
+        rows = [(1, "the quick brown fox"), (2, "the quick brown fox"),
+                (3, "zzz qqq xxyyzz"), (4, ""), (5, "  "),
+                (6, "MiXeD   Case\ttokens here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r.doc: r for r in
+             quality_classifier(df, "doc_id", "text").collect()}
+        b = {r.doc: r for r in
+             quality_classifier(df.repartition(7), "doc_id",
+                                "text").collect()}
+        assert {d: (r.n_tokens, r.score_sum, r.mean_weight, r.keep)
+                for d, r in a.items()} == \
+               {d: (r.n_tokens, r.score_sum, r.mean_weight, r.keep)
+                for d, r in b.items()}
+        assert (a[1].score_sum, a[1].n_tokens) == \
+               (a[2].score_sum, a[2].n_tokens)
+        # zero-token docs are absent (same convention as lm_familiarity)
+        assert 4 not in a and 5 not in a
+        for r in a.values():
+            assert r.keep == (r.score_sum >= 0)
+            assert r.mean_weight == r.score_sum / r.n_tokens

@@ -619,3 +619,11 @@ class TestAnalyticsWaveSevenPlans:
         assert "SortMergeJoin" not in plan, plan
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan, plan
+
+    def test_classifier_model_join_broadcasts(self, spark):
+        """The hashed-linear classifier's model join must broadcast the
+        weight table — the corpus side shuffles only for the per-doc
+        score groupBy, never for model lookup."""
+        plan = plan_of(spark, "text_classifier_scores")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
