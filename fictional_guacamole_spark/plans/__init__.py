@@ -142,7 +142,8 @@ inference with broadcast model weights — same evidence protocol).
 
 Planned r7 rotation (for the next round's first task): the never-judged
 tail entries (15 at the fifth-wave count, 20 with the late wave-6
-registrations) fit in one window by displacing as many of the 50
+registrations, 23 with the session-final trio ``agg_regr_price_on_qty`` /
+``basket_brand_pairs`` / ``text_classifier_scores``) fit in one window by displacing as many of the 50
 (presumed-green after r6) window entries whose families keep another
 representative — natural
 displacement candidates once CORRECTNESS_r06 lands green: the q-series
