@@ -3069,7 +3069,7 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The anti-entropy primitive behind every cross-store verification
     (did the SQLite export / commit-log copy / replica receive exactly
-    these rows?): each row folds to a 48-bit md5-derived integer and the
+    these rows?): each row folds to a 32-bit md5-derived integer and the
     table's checksum is their SUM — addition is commutative, so the
     digest is ORDER-FREE and computes as one partial-aggregated scan on
     any partitioning, and two stores can be compared by exchanging one

@@ -74,16 +74,31 @@ def _stat_key(v):
     int/float/str store as-is; date/datetime store as ``isoformat()``
     strings, whose fixed field order makes lexicographic == chronological
     (a missing fractional part reads as .000000, which the string order
-    also gets right). Everything else is unsupported — the caller picked
-    the stats columns, so fail loudly rather than mis-prune."""
+    also gets right). tz-aware datetimes — pyarrow surfaces Spark's
+    UTC-adjusted TIMESTAMP_MICROS stats that way — are converted to UTC
+    and stripped of tzinfo FIRST, so file stats and naive caller bounds
+    render in one convention: without this, a '+00:00' suffix makes an
+    exactly-boundary-aligned file compare strictly greater than the
+    equal inclusive bound and get wrongly pruned. Bytes that are not
+    strict UTF-8 encode as None (unprunable — the safe side, a lossy
+    replacement string could mis-order against str bounds). Everything
+    else is unsupported — the caller picked the stats columns, so fail
+    loudly rather than mis-prune."""
     import datetime
 
     if v is None or isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, bytes):  # pyarrow may surface BYTE_ARRAY stats raw
-        return v.decode("utf-8", errors="replace")
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # undecodable stat: unprunable, never mis-ordered
     raise TypeError(f"unsupported zone-map stats type: {type(v).__name__}")
 
 
@@ -97,8 +112,8 @@ def zone_map_survives(stats: dict, bounds: dict) -> bool:
     without a SparkSession in the loop."""
     for col, (lo, hi) in bounds.items():
         mm = stats.get(col)
-        if mm is None:
-            continue  # no stats for this column: cannot prune
+        if mm is None or mm[0] is None or mm[1] is None:
+            continue  # no/opaque stats for this column: cannot prune
         if (hi is not None and mm[0] > hi) or \
            (lo is not None and mm[1] < lo):
             return False
@@ -124,6 +139,9 @@ def _file_stats(file_path: str, cols: list[str]) -> dict:
                 stats[name] = None  # one opaque row group poisons the file
                 continue
             lo, hi = _stat_key(st.min), _stat_key(st.max)
+            if lo is None or hi is None:  # undecodable bytes stat
+                stats[name] = None
+                continue
             cur = stats[name]
             if cur is None and rg > 0:
                 continue  # already poisoned by an earlier opaque group
@@ -379,8 +397,14 @@ class TransactionalParquetTable:
         """
         parts = self.snapshot_parts(spark, version)
         if not parts:
+            # Empty-snapshot schema comes from the version-pinned entry
+            # list, not the log head: after schema evolution a time
+            # travel must present the pinned snapshot's schema.
+            es = self._entries()
+            if version is not None:
+                es = [e for e in es if e["version"] <= version]
             schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
-                      if (es := self._entries()) else T.StructType([]))
+                      if es else T.StructType([]))
             return spark.createDataFrame([], schema)
         out = parts[0][1]
         for _, p in parts[1:]:
@@ -427,8 +451,10 @@ class TransactionalParquetTable:
             if keep:
                 parts.append(spark.read.schema(schema).parquet(*keep))
         if not parts:
-            schema = (T.StructType.fromJson(json.loads(es[-1]["schema"]))
-                      if (es := self._entries()) else T.StructType([]))
+            # `entries` is already version-filtered above — the pinned
+            # snapshot's schema, not the log head's (schema evolution).
+            schema = (T.StructType.fromJson(json.loads(entries[-1]["schema"]))
+                      if entries else T.StructType([]))
             return spark.createDataFrame([], schema)
         out = parts[0]
         for p in parts[1:]:

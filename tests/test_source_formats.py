@@ -616,6 +616,68 @@ class TestZoneMapSkipping:
         assert none.columns == ["k", "v"]
         assert none.count() == 0
 
+    def test_tz_aware_boundary_equality_not_pruned(self, spark, tmp_path):
+        """ADVICE r6 (medium): pyarrow surfaces Spark TIMESTAMP stats as
+        tz-aware datetimes; a naive caller bound equal to a file's min
+        instant must still keep the file — '+00:00' suffixes made the
+        lexicographic compare wrongly prune exactly-aligned boundaries."""
+        import datetime
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable, _stat_key)
+
+        # unit: tz-aware and naive renderings of one instant must be equal
+        aware = datetime.datetime(2024, 1, 15, tzinfo=datetime.timezone.utc)
+        naive = datetime.datetime(2024, 1, 15)
+        assert _stat_key(aware) == _stat_key(naive)
+        # non-UTC zones normalize to the UTC instant
+        est = datetime.timezone(datetime.timedelta(hours=-5))
+        assert _stat_key(naive.replace(tzinfo=est)) == \
+            _stat_key(datetime.datetime(2024, 1, 15, 5))
+
+        # e2e: range-clustered files with boundaries exactly at midnights;
+        # an inclusive hi bound equal to a later file's min must keep that
+        # file (it holds the one in-range boundary row).
+        t = TransactionalParquetTable(str(tmp_path / "tz"))
+        df = (spark.range(0, 96)
+              .selectExpr(
+                  "timestampadd(HOUR, CAST(id AS INT), "
+                  "TIMESTAMP '2024-01-01 00:00:00') AS ts")
+              .repartitionByRange(4, "ts"))
+        t.commit(df, "c1", stats_cols=["ts"])
+        hi = datetime.datetime(2024, 1, 2)  # 24h in: a file-boundary hour
+        got = (t.read_pruned(spark, {"ts": (None, hi)})
+               .filter("ts <= TIMESTAMP '2024-01-02 00:00:00'").count())
+        assert got == 25  # hours 0..24 inclusive — boundary row kept
+
+    def test_undecodable_bytes_stats_are_unprunable(self):
+        from fictional_guacamole_spark.sources.txnlog import (
+            _stat_key, zone_map_survives)
+
+        assert _stat_key(b"plain") == "plain"
+        assert _stat_key(b"\xff\xfe\x00") is None  # not UTF-8: safe None
+        # opaque [None, None] stats can never prune
+        assert zone_map_survives({"c": [None, None]}, {"c": ("a", "b")})
+
+    def test_time_travel_empty_prune_keeps_pinned_schema(self, spark, tmp_path):
+        """ADVICE r6 (low): an everything-pruned time-travel read must
+        present the pinned snapshot's schema, not the evolved head's."""
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "tt"))
+        t.commit(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"),
+                 "c1", stats_cols=["k"])
+        v1 = t.version()
+        t.commit(spark.range(10, 20).selectExpr(
+            "id AS k", "id * 2 AS v", "'x' AS w"), "c2", stats_cols=["k"])
+
+        pinned = t.read_pruned(spark, {"k": (5000, 6000)}, version=v1)
+        assert pinned.columns == ["k", "v"]  # not the evolved [k, v, w]
+        assert pinned.count() == 0
+        head = t.read_pruned(spark, {"k": (5000, 6000)})
+        assert "w" in head.columns
+
     def test_compact_records_stats_and_prunes(self, spark, tmp_path):
         t = self._clustered_table(spark, tmp_path)
         t.compact(spark, "optimize-1", stats_cols=["k"])
