@@ -395,3 +395,201 @@ def avi_frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
                                              AVI_FRAME_SCHEMA.fields])
 
     return assets.mapInPandas(batches, schema=AVI_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: a REAL compressed image codec (stdlib zlib + struct)
+# ---------------------------------------------------------------------------
+#
+# PNG needs nothing beyond the standard library: the container is a CRC'd
+# chunk walk (IHDR/IDAT/IEND), the pixel stream is zlib (RFC 1950), and the
+# per-row filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are integer
+# arithmetic. Supported: 8-bit greyscale (color type 0), truecolor (2) and
+# truecolor+alpha (6), non-interlaced — the overwhelming majority of real
+# PNGs. Interlaced (Adam7), palette, and 16-bit stay rejected loudly; the
+# genuinely external-library formats (JPEG, MP3, compressed video) remain
+# the documented stubs in functions/multimodal.py.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               color_type: int = 2) -> bytes:
+    """Encode 8-bit rows (top-down, ``width * channels`` bytes each) as a
+    real non-interlaced PNG. Filter choice cycles row % 5 through all five
+    filter types, so every decoder path — including Average and Paeth —
+    is exercised by any image of ≥5 rows; each filtered row is the exact
+    inverse of the decoder's reconstruction, verified by roundtrip."""
+    import zlib
+
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type: {color_type}")
+    row = width * ch
+    if len(pixels) != row * height:
+        raise ValueError("pixel buffer does not match width*height*channels")
+    raw = np.frombuffer(pixels, np.uint8).reshape(height, row).astype(np.int64)
+    zero = np.zeros(row, np.int64)
+    out = bytearray()
+    for y in range(height):
+        cur, up = raw[y], (raw[y - 1] if y else zero)
+        ftype = y % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:   # Sub: left neighbor, offset one pixel
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            filt = cur - left
+        elif ftype == 2:   # Up
+            filt = cur - up
+        elif ftype == 3:   # Average
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            filt = cur - (left + up) // 2
+        else:              # Paeth
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int64), up[:-ch]])
+            pred = np.array([_paeth(int(a), int(b), int(c))
+                            for a, b, c in zip(left, up, upleft)], np.int64)
+            filt = cur - pred
+        out.append(ftype)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a non-interlaced 8-bit PNG to (width, height, channels,
+    H x W x C uint8 array). Every chunk CRC is verified, all five row
+    filters are reconstructed (RFC 2083 §6.6), and IDAT may be split
+    across chunks (the spec allows any split of one zlib stream)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("PNG chunk truncated")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data):
+            raise ValueError(f"PNG chunk CRC mismatch: {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color_type, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG variant: depth={depth}")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    ch = _PNG_CHANNELS.get(color_type)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type: {color_type}")
+    # hostile-header sanity BEFORE allocating anything keyed on dims
+    if not (0 < width <= 1 << 16 and 0 < height <= 1 << 16):
+        raise ValueError(f"implausible PNG dimensions: {width}x{height}")
+    row = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (row + 1) * height:
+        raise ValueError("PNG pixel stream does not match declared size")
+    recon = np.zeros((height, row), np.int64)
+    zero = np.zeros(row, np.int64)
+    for y in range(height):
+        ftype = raw[y * (row + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, row, y * (row + 1) + 1).astype(np.int64)
+        up = recon[y - 1] if y else zero
+        if ftype == 0:
+            recon[y] = cur
+        elif ftype == 2:   # Up — vectorizes whole-row
+            recon[y] = (cur + up) % 256
+        elif ftype in (1, 3, 4):  # left-dependent: sequential per pixel
+            r = recon[y]
+            for x in range(row):
+                a = r[x - ch] if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + int(up[x])) // 2
+                else:
+                    c = int(recon[y - 1][x - ch]) if (x >= ch and y) else 0
+                    pred = _paeth(a, int(up[x]), c)
+                r[x] = (int(cur[x]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type: {ftype}")
+    return width, height, ch, recon.astype(np.uint8).reshape(height, width, ch)
+
+
+def png_stats(payload: bytes) -> dict:
+    """Exact integer image statistics from a real PNG decode: dimensions,
+    channel count, per-channel pixel sums (RGB order as stored; sum_a is
+    0 for alpha-less images, sum_g/sum_b mirror sum_r for greyscale so
+    the schema stays fixed across color types)."""
+    width, height, ch, arr = decode_png(payload)
+    sums = arr.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+    if ch == 1:
+        r = g = b = int(sums[0]); a = 0
+    elif ch == 3:
+        r, g, b = (int(s) for s in sums); a = 0
+    else:
+        r, g, b, a = (int(s) for s in sums)
+    return {"width": width, "height": height, "n_channels": ch,
+            "sum_r": r, "sum_g": g, "sum_b": b, "sum_a": a}
+
+
+PNG_META_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_channels", T.IntegerType()),
+    T.StructField("sum_r", T.LongType()),
+    T.StructField("sum_g", T.LongType()),
+    T.StructField("sum_b", T.LongType()),
+    T.StructField("sum_a", T.LongType()),
+])
+
+
+def png_meta(assets: DataFrame) -> DataFrame:
+    """Real PNG decode over binary assets: map-only, Arrow-batched, the
+    same scale shape as wav_meta/bmp_meta."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [png_stats(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_channels": [m["n_channels"] for m in metas],
+                "sum_r": [m["sum_r"] for m in metas],
+                "sum_g": [m["sum_g"] for m in metas],
+                "sum_b": [m["sum_b"] for m in metas],
+                "sum_a": [m["sum_a"] for m in metas],
+            })
+
+    return assets.mapInPandas(batches, schema=PNG_META_SCHEMA)

@@ -247,3 +247,151 @@ class TestCodecRobustness:
                     fn(payload[:cut])
                 except allowed:
                     pass
+
+
+class TestPngCodec:
+    """PNG decode verified three ways: roundtrip through the engine's own
+    encoder (all color types / sizes / the full filter cycle), against a
+    HAND-BUILT PNG whose IDAT is constructed in the test with known filter
+    bytes and hand-computed reconstruction (independent of encode_png),
+    and hostile-input rejection (CRC, truncation, implausible headers)."""
+
+    def test_roundtrip_all_color_types_and_filters(self):
+        import random
+
+        rnd = random.Random(11)
+        for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+            for w, h in [(1, 1), (3, 7), (8, 8), (16, 5), (5, 16)]:
+                px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+                wo, ho, co, arr = C.decode_png(C.encode_png(w, h, px, ct))
+                assert (wo, ho, co) == (w, h, ch)
+                assert arr.tobytes() == px
+
+    def test_hand_built_png_known_reconstruction(self):
+        """A 2x3 greyscale PNG built byte-by-byte IN THE TEST (zlib +
+        struct only, no encode_png): rows use filters Sub, Up, Paeth with
+        hand-computed filtered bytes, so a decoder that mis-implements
+        any of the three reconstructions returns the wrong pixels."""
+        import zlib
+
+        # target pixels (greyscale, 2 wide x 3 tall, top-down):
+        #   row0: 10 30   row1: 50 40   row2: 60 80
+        # filter math (bpp=1):
+        #   row0 Sub(1):   10, 30-10=20
+        #   row1 Up(2):    50-10=40, 40-30=10
+        #   row2 Paeth(4): a=0,b=50,c=0 -> p=50 -> pred=b=50 -> 60-50=10
+        #                  a=60,b=40,c=50 -> p=50; pa=10,pb=10,pc=0 -> c=50
+        #                  -> 80-50=30
+        raw = bytes([1, 10, 20,  2, 40, 10,  4, 10, 30])
+        ihdr = struct.pack(">IIBBBBB", 2, 3, 8, 0, 0, 0, 0)
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+        w, h, ch, arr = C.decode_png(payload)
+        assert (w, h, ch) == (2, 3, 1)
+        assert arr.reshape(3, 2).tolist() == [[10, 30], [50, 40], [60, 80]]
+
+    def test_idat_split_across_chunks(self):
+        """The spec allows one zlib stream split over many IDAT chunks."""
+        import zlib
+
+        px = bytes(range(36))
+        good = C.encode_png(3, 4, px, 2)
+        # re-split: parse out the single IDAT, cut its data in two chunks
+        pos, parts = 8, []
+        while pos + 8 <= len(good):
+            (ln,) = struct.unpack_from(">I", good, pos)
+            ctype = good[pos + 4:pos + 8]
+            data = good[pos + 8:pos + 8 + ln]
+            parts.append((ctype, data))
+            pos += 12 + ln
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+        rebuilt = b"\x89PNG\r\n\x1a\n"
+        for ctype, data in parts:
+            if ctype == b"IDAT":
+                cut = len(data) // 2
+                rebuilt += chunk(b"IDAT", data[:cut])
+                rebuilt += chunk(b"IDAT", data[cut:])
+            else:
+                rebuilt += chunk(ctype, data)
+        w, h, ch, arr = C.decode_png(rebuilt)
+        assert (w, h, ch) == (3, 4, 3) and arr.tobytes() == px
+
+    def test_crc_corruption_rejected(self):
+        good = bytearray(C.encode_png(4, 4, bytes(48), 2))
+        good[40] ^= 0xFF  # flip a byte inside IHDR/IDAT territory
+        with pytest.raises(ValueError):
+            C.decode_png(bytes(good))
+
+    def test_interlaced_and_16bit_rejected_loudly(self):
+        import zlib
+
+        def build(depth, interlace):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+            def chunk(ctype, data):
+                return (struct.pack(">I", len(data)) + ctype + data
+                        + struct.pack(">I", zlib.crc32(ctype + data)))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(12)))
+                    + chunk(b"IEND", b""))
+
+        with pytest.raises(ValueError, match="interlaced"):
+            C.decode_png(build(8, 1))
+        with pytest.raises(ValueError, match="unsupported"):
+            C.decode_png(build(16, 0))
+
+    def test_fuzz_and_truncation_fail_cleanly(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        import struct as _struct
+        import zlib
+
+        allowed = (ValueError, _struct.error, EOFError, IndexError,
+                   zlib.error)
+
+        @settings(max_examples=80, deadline=None)
+        @given(st.binary(max_size=200))
+        def check(payload):
+            try:
+                C.decode_png(payload)
+            except allowed:
+                pass
+
+        check()
+        good = C.encode_png(4, 5, bytes(60), 2)
+        for cut in (3, 9, 20, len(good) // 2):
+            with pytest.raises(allowed):
+                C.decode_png(good[:cut])
+
+    def test_png_stats_fixed_schema(self):
+        st = C.png_stats(C.encode_png(2, 2, bytes(range(12)), 2))
+        assert st == {"width": 2, "height": 2, "n_channels": 3,
+                      "sum_r": 0 + 3 + 6 + 9, "sum_g": 1 + 4 + 7 + 10,
+                      "sum_b": 2 + 5 + 8 + 11, "sum_a": 0}
+        grey = C.png_stats(C.encode_png(2, 1, bytes([7, 9]), 0))
+        assert grey["sum_r"] == grey["sum_g"] == grey["sum_b"] == 16
+        rgba = C.png_stats(C.encode_png(1, 1, bytes([1, 2, 3, 4]), 6))
+        assert rgba["sum_a"] == 4
+
+    def test_spark_png_meta_operator(self, spark):
+        import pandas as pd
+
+        rows = [(i, C.encode_png(3, 5, bytes((i + j) % 256
+                                             for j in range(45)), 2))
+                for i in range(6)]
+        assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+        got = C.png_meta(assets).orderBy("asset_id").collect()
+        assert len(got) == 6
+        for i, r in enumerate(got):
+            exp = C.png_stats(rows[i][1])
+            assert (r.width, r.height, r.n_channels) == (3, 5, 3)
+            assert (r.sum_r, r.sum_g, r.sum_b) == (
+                exp["sum_r"], exp["sum_g"], exp["sum_b"])
