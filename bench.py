@@ -86,6 +86,18 @@ CALIBRATION_ROWS = 200_000_000
 # numPartitions ∈ {1, 32} on the probe workload and pasting the rates here.
 PAR_PROBE_FACTOR = 16  # parallel probe rows = CALIBRATION_ROWS × this
 PAR_EFF_QUIET_REF = 0.50  # measured idle-host par_eff (see note above)
+# Round 7 (r6 verdict task #2): the official r6 run carried par_load 1.572
+# — the host was ~57% contended during the measured set and the six
+# smallest (fixed-cost-dominated) queries inflated 8–40% while every heavy
+# query improved. Nothing gated that; now the run SELF-DEFENDS: when the
+# measured attempt's par_load exceeds the threshold, the whole measured
+# set re-runs (up to PAR_LOAD_MAX_ATTEMPTS total) and the attempt with the
+# LOWEST par_load becomes the official line; every attempt's par_load is
+# recorded in the output (`par_load_attempts`) and a `contended` flag
+# marks a line whose best attempt still exceeded the threshold, so a
+# reader can adjudicate inflated small-query deltas instead of guessing.
+PAR_LOAD_RETRY_THRESHOLD = 1.2
+PAR_LOAD_MAX_ATTEMPTS = 3
 
 
 def _ncpu() -> int:
@@ -130,23 +142,19 @@ def calibrate() -> None:
     spark.stop()
 
 
-def main() -> None:
-    spark = get_spark("fg-bench")
-    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+def _measure_set(spark, ordered) -> dict:
+    """One full measured attempt: the bench set bracketed by load probes.
+    Returns raw timings plus this attempt's own calibration/contention
+    readings, so attempts are comparable and the least-contended one can
+    be selected as the official line."""
 
     def materialize(df) -> None:
         # noop sink: full plan execution (nothing pruned), no collect cost
         df.write.format("noop").mode("overwrite").save()
 
-    # Warm-up: run the cheapest query once so session/codegen startup cost
-    # is not attributed to the first measured query.
-    materialize(REGISTRY["q6_forecast_revenue"].builder(spark, SF_DIR))
-    _probe(spark)  # probe warm-up (codegen for the probe plan itself)
-
     probes = [_probe(spark)]
     par_probes = [_probe_parallel(spark)]
     timings: dict[str, float] = {}
-    ordered = sorted(bench_queries.items())
     for i, (name, q) in enumerate(ordered):
         # min of three runs: the host shows multi-second scheduling noise,
         # and min is the standard robust estimator for wall-time benches
@@ -161,6 +169,52 @@ def main() -> None:
             probes.append(_probe(spark))  # mid-set load sample
     probes.append(_probe(spark))
     par_probes.append(_probe_parallel(spark))
+
+    def median(xs):
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    calibration_s = round(median(probes), 4)
+    par_s = round(min(par_probes), 4)
+    par_ideal = calibration_s * PAR_PROBE_FACTOR / _ncpu()
+    par_eff = round(par_ideal / par_s, 3) if par_s > 0 else None
+    par_load = round(PAR_EFF_QUIET_REF / par_eff, 3) if par_eff else None
+    return {"timings": timings, "probes": probes, "par_probes": par_probes,
+            "calibration_s": calibration_s, "par_eff": par_eff,
+            "par_load": par_load}
+
+
+def main() -> None:
+    spark = get_spark("fg-bench")
+    bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
+
+    def materialize(df) -> None:
+        # noop sink: full plan execution (nothing pruned), no collect cost
+        df.write.format("noop").mode("overwrite").save()
+
+    # Warm-up: run the cheapest query once so session/codegen startup cost
+    # is not attributed to the first measured query.
+    materialize(REGISTRY["q6_forecast_revenue"].builder(spark, SF_DIR))
+    _probe(spark)  # probe warm-up (codegen for the probe plan itself)
+
+    ordered = sorted(bench_queries.items())
+    # Contention gate (see PAR_LOAD_RETRY_THRESHOLD note): measure, and if
+    # this attempt ran against a contended host, measure again — the
+    # least-contended attempt becomes the official line.
+    attempts = [_measure_set(spark, ordered)]
+    while (attempts[-1]["par_load"] is not None
+           and attempts[-1]["par_load"] > PAR_LOAD_RETRY_THRESHOLD
+           and len(attempts) < PAR_LOAD_MAX_ATTEMPTS):
+        print(json.dumps({"bench_retry": len(attempts),
+                          "par_load": attempts[-1]["par_load"],
+                          "threshold": PAR_LOAD_RETRY_THRESHOLD}),
+              file=sys.stderr)
+        attempts.append(_measure_set(spark, ordered))
+    best_attempt = min(
+        attempts, key=lambda a: (a["par_load"] is None, a["par_load"] or 0))
+    timings = best_attempt["timings"]
+    par_probes = best_attempt["par_probes"]
 
     # per-query delta vs the committed history's rolling median, so a real
     # regression (one query moves, plan changed) is distinguishable from a
@@ -186,20 +240,15 @@ def main() -> None:
         mid = len(xs) // 2
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
-    calibration_s = round(median(probes), 4)
+    # calibration/contention readings come from the SELECTED attempt
+    # (computed inside _measure_set, bracketing exactly those timings)
+    calibration_s = best_attempt["calibration_s"]
     noise_factor = round(calibration_s / CALIBRATION_REF_S, 3)
     normalized = {qn: round(t / noise_factor, 4) for qn, t in timings.items()}
-
-    # parallel efficiency: quiet-host ideal wall for the fanned probe is
-    # serial_wall × factor / ncpu (same per-row work); the ratio of ideal
-    # to observed reads ~1.0 quiet and drops under core contention —
-    # measured against the SAME RUN's serial probe, so no external pin
-    par_s = round(min(par_probes), 4)
-    par_ideal = calibration_s * PAR_PROBE_FACTOR / _ncpu()
-    par_eff = round(par_ideal / par_s, 3) if par_s > 0 else None
+    par_eff = best_attempt["par_eff"]
     # >1 = all-core stages ran that much slower than the measured quiet
     # host; ~1.0 = quiet (par_eff alone misleads: quiet reads ~0.5)
-    par_load = round(PAR_EFF_QUIET_REF / par_eff, 3) if par_eff else None
+    par_load = best_attempt["par_load"]
 
     vs_history = {
         qn: {"median": round(median(h), 4),
@@ -227,6 +276,9 @@ def main() -> None:
         "noise_factor": noise_factor,
         "par_eff": par_eff,
         "par_load": par_load,
+        "par_load_attempts": [a["par_load"] for a in attempts],
+        "contended": bool(par_load is not None
+                          and par_load > PAR_LOAD_RETRY_THRESHOLD),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     diagnostics = {

@@ -140,16 +140,28 @@ expansion — same evidence protocol on registration), and
 ``text_classifier_scores`` (fastText-shape hashed-linear classifier
 inference with broadcast model weights — same evidence protocol).
 
-Planned r7 rotation (for the next round's first task): the never-judged
-tail entries (15 at the fifth-wave count, 20 with the late wave-6
-registrations, 23 with the session-final trio ``agg_regr_price_on_qty`` /
-``basket_brand_pairs`` / ``text_classifier_scores``) fit in one window by displacing as many of the 50
-(presumed-green after r6) window entries whose families keep another
-representative — natural
-displacement candidates once CORRECTNESS_r06 lands green: the q-series
-rows beyond q1, one of the three real-codec rows, one interchange row,
-and the judged-twice LLM-pipeline siblings. Keep ``sim_ivf_topk``'s
-replacement guarded: its row certifies the SF-aware recall floor.
+Round 7 EXECUTES that plan: all 22 never-driver-judged oracled queries
+rotate in (every one mirror-green in MIRROR_r06.txt with the driver's
+exact comparator), joined by the two new r7 registrations
+``multimodal_png_decode`` (REAL zlib PNG decode, closing the r6
+verdict's "PNG isn't actually stub-bound" finding) and
+``stream_engine_append_watermark`` (append-mode watermarked aggregation
+through the real micro-batch engine). The 26 remaining slots are family
+anchors, every one driver-green in an earlier round; displaced siblings
+all keep (a) a green row in the r1–r6 union and (b) an in-window family
+representative — see the JUDGE_WINDOW comments and the family map in
+tests/test_registry_order.py, which was extended so rotated-in queries
+count as representatives of the families they genuinely belong to
+(aggregations gains agg_mode/agg_regr, windows+topk gain the LATERAL
+top-n, dedup gains keep_best/incremental/cluster_histogram, timeseries
+gains anomaly/resample/subsequence, data_quality gains
+profile/checksum/histogram, text_analysis gains vocab_by_lang/
+classifier_scores, streaming gains the two engine-executed rows, and
+new lexical_retrieval / basket_mining / table_format_acid / layout
+families pin the r6 wave-6 operators). ``sim_ivf_topk`` stays judged:
+its row certifies the SF-aware recall floor. A green CORRECTNESS_r07
+makes the cumulative driver-certified union 167/167 oracled queries
+(everything but the oracle-less bench frame).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -169,74 +181,73 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.
-# Round-5 rotation: (in) the 18 never-driver-judged queries + the new
-# sqlite_scan_events, pipeline_decontaminate, and text_vocab_topk;
-# (out) 21 siblings green in both r3 and r4 (also scalar_json_extract,
-# asof_join_last_purchase) — q3, q12, q18, q22, q19,
-# join_nonequi_funnel, join_interval_bucketed, agg_rollup_nation_segment,
-# agg_approx_distinct, window_running_spend, scalar_string_funcs,
-# scalar_date_funcs, t3_topk_book_format, t4_consecutive_change_dedup,
-# stream_tumbling_window, dedup_lsh_verified, text_stats, text_lang_id,
-# sample_deterministic.
 JUDGE_WINDOW: list[str] = [
-    # -- flagship TPC-H shapes (joins+aggs+subqueries+pushdown) -----------
+    # Round-7 rotation (VERDICT r6 task #1): (in) the 22 oracled queries
+    # registered late in r6 that have NEVER been in a driver judge window
+    # (all mirror-green locally with the driver's exact comparator,
+    # MIRROR_r06.txt) plus the two NEW r7 rows (real PNG decode;
+    # append-mode watermark streaming); (out) 24 siblings green in
+    # CORRECTNESS_r06 whose families keep an in-window representative
+    # (scd2/ts_gapfill/ewma stay via family extensions; wav/bmp/avi stay
+    # represented by the judged png real-codec row; session/zorder/
+    # funnel/gopher/c4/heavy_hitters/tfidf/pii/lines_global/decontam_
+    # bloom/minhash/cosine/jsonl/xml/dq_constraint/topk_global/variant…
+    # all have r6-green rows in the cumulative union and a family
+    # sibling in this window). Judging these 50 green makes the
+    # cumulative driver-certified union 167/167 oracled queries.
+    # -- flagship + family anchors (driver-green in earlier rounds) -------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
-    "scd2_order_status_history",   # SCD2 from the change feed (r6 w4)
-    "ts_gapfill_locf",             # hypertable rollup + gapfill/LOCF (r6)
-    "agg_ewma_user_value",         # exact-arithmetic EWMA smoothing (r6)
-    "pipeline_chunk_overlap",      # overlapping context-window chunking (r6)
-    "orc_roundtrip_brand_stats",   # ORC write→pushdown-read cycle (r6)
-    # -- join / agg / window / set / pivot / scalar categories ------------
-    "agg_approx_percentile",       # KLL-style sketch, error-bounded (r2)
-    "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape (r6)
-    "window_rolling_7d_spend",     # interval rangeBetween rolling agg (r6)
-    "multimodal_wav_decode",       # REAL WAV decode, stdlib wave (r6)
-    "federated_tri_source_user_summary",  # 3 storage engines, 1 plan (r6 w4)
-    "topk_global_orders",          # global TakeOrderedAndProject
+    "asof_trades_book",            # trades ⋈ book over REAL kernel output
+    "agg_approx_percentile",       # KLL-style sketch, error-bounded
     "set_intersect_repeat_customers",   # INTERSECT
-    "scalar_variant_funcs",        # semi-structured Variant funcs (r2)
-    "multimodal_avi_frame_sample",  # REAL AVI video frame sampling (r6)
-    # -- book-kernel batch evidence (T1–T5) + python surfaces -------------
-    "udaf_cents_returnflag",       # Arrow grouped-agg pandas UDAF (r6 w4)
-    "multimodal_bmp_decode",       # REAL BMP decode + resize (r6)
-    "graph_pagerank_suppliers",    # PageRank in exact integer ppb (r6 w5)
-    "asof_trades_book",            # trades ⋈ book over REAL kernel output (r3)
-    "jsonl_roundtrip_priority_stats",  # JSON-lines write→schema-read (r6)
-    "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (r6 wave 3)
-    "xml_roundtrip_segment_stats",  # XML interchange round-trip (r6 wave 3)
-    "stream_session_window",       # session window
-    "layout_zorder_events",        # Z-order layout clustering codes (r6)
-    # -- LLM training-data pipeline operators -----------------------------
-    "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join (r6 w5)
-    "dedup_minhash_lsh",
-    "pipeline_decontaminate_bloom",  # Bloom membership + exact FP repair (r6)
-    "sim_cosine_topk",
-    "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal (r6 w5)
-    "sim_ivf_topk",
-    "sim_pq_topk",                 # PQ-ADC ANN + exact rerank (r6 wave 4)
-    "embed_random_projection",     # JL sign projection, exact hash (r6 w4)
-    "funnel_view_click_purchase",  # ordered-sequence funnel (r6 w4)
-    "text_gopher_quality",         # Gopher quality rules (r2)
-    "text_lm_familiarity",         # bigram-LM quality signal (r6 wave 4)
-    "text_heavy_hitters",          # count-min-sketch + exact verify (r6 w3)
-    "text_tfidf_topk",             # tf-idf term importance (r6)
-    "text_pii_redact",             # PII scrubbing compliance gate (r6)
-    "text_c4_quality",             # C4 cleaning heuristics (r6)
-    "dedup_lines_global",          # C4 line-level global dedup (r6)
-    "dq_constraint_audit",         # data-quality constraint audit (r6 w4)
-    "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite (r6)
-    "txnlog_roundtrip_event_stats",  # ACID commit-log sink cycle (r6)
-    "mv_incremental_order_stats",  # delta-IVM over the commit log (r6 w4)
-    "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle (r6 w4)
-    "pipeline_domain_mix",         # domain-proportional mixing (r6 wave 3)
-    "text_quality_filter",
-    "pipeline_rag_retrieval",      # chunk→embed→rank capstone (r6 w4)
-    "pipeline_training_corpus",
-    # round 6: decode_meta gained a full value oracle (its fake codec is an
-    # md5-derived deterministic function, replayed in SQL by
-    # functions/multimodal.py::sql_decode_meta) — previously oracle=None,
-    # which the r5 driver recorded as err:no_oracle, not schema+rows
-    "multimodal_decode_meta",
+    "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
+    "scalar_variant_funcs",        # semi-structured Variant funcs
+    "udaf_cents_returnflag",       # Arrow grouped-agg pandas UDAF
+    "sim_ivf_topk",                # kept: certifies the SF-aware recall floor
+    "sim_pq_topk",                 # PQ-ADC ANN + exact rerank
+    "embed_random_projection",     # JL sign projection, exact hash
+    "text_quality_filter",         # quality-score gate (sampling family)
+    "text_lm_familiarity",         # bigram-LM quality signal
+    "pipeline_training_corpus",    # the end-to-end LLM-corpus capstone
+    "pipeline_chunk_overlap",      # overlapping context-window chunking
+    "pipeline_domain_mix",         # domain-proportional mixing
+    "pipeline_rag_retrieval",      # chunk→embed→rank capstone
+    "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
+    "orc_roundtrip_brand_stats",   # ORC write→pushdown-read cycle
+    "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (K4)
+    "mv_incremental_order_stats",  # delta-IVM over the commit log
+    "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle
+    "scd2_order_status_history",   # SCD2 from the change feed
+    "federated_tri_source_user_summary",  # 3 storage engines, 1 plan
+    "graph_pagerank_suppliers",    # PageRank in exact integer ppb
+    "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal
+    "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
+    # -- r7 rotation: the 22 never-driver-judged queries ------------------
+    "agg_mode_clerk_bucket",       # exact mode via two-level groupBy
+    "agg_regr_price_on_qty",       # per-group OLS slope/intercept/R²
+    "basket_brand_pairs",          # market-basket pair-support mining
+    "cohort_weekly_retention",     # weekly signup-cohort retention grid
+    "dedup_cluster_histogram",     # duplicate-cluster size distribution
+    "dedup_incremental_ingest",    # fingerprint-store incremental dedup
+    "dedup_keep_best",             # canonical-doc selection per cluster
+    "dq_histogram_equidepth",      # equi-depth histogram profiling
+    "dq_profile_orders",           # per-column null/distinct/minmax profile
+    "dq_table_checksum",           # order-free additive table digest
+    "index_inverted_postings",     # inverted index (postings lists)
+    "lateral_top2_orders_per_customer",  # LATERAL correlated top-n
+    "layout_bucketed_join_revenue",  # bucketed co-located join layout
+    "path_event_transitions",      # Markov path/transition analytics
+    "stream_engine_hourly_counts",  # real engine, complete mode
+    "text_bm25_search",            # BM25 lexical retrieval
+    "text_classifier_scores",      # hashed-linear classifier inference
+    "text_vocab_by_lang",          # per-language vocabulary rollup
+    "ts_anomaly_zscore",           # rolling z-score anomaly flags
+    "ts_resample_interpolate",     # grid resample + linear interpolation
+    "ts_subsequence_match",        # normalized subsequence similarity
+    "txnlog_skipping_event_stats",  # zone-map file skipping, pre-Spark
+    # -- NEW in round 7 ---------------------------------------------------
+    "multimodal_png_decode",       # REAL compressed-image decode (zlib PNG)
+    "stream_engine_append_watermark",  # real engine, append + watermark
 ]
 
 

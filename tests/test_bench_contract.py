@@ -9,7 +9,7 @@ from fictional_guacamole_spark.plans import REGISTRY
 
 CONTRACT_KEYS = {"metric", "value", "unit", "queries",
                  "calibration_s", "noise_factor", "par_eff", "par_load",
-                 "sf"}
+                 "par_load_attempts", "contended", "sf"}
 BUDGET = 1500  # chars; driver tail capture is ~2000 — leave headroom
 
 
@@ -25,6 +25,8 @@ def _worst_case_line() -> str:
         "noise_factor": 99.999,
         "par_eff": 99.999,
         "par_load": 99.999,
+        "par_load_attempts": [99.999, 99.999, 99.999],
+        "contended": True,
         "sf": 0.001,
     }
     return json.dumps(out)

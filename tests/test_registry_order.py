@@ -31,42 +31,59 @@ def test_every_family_has_an_inwindow_representative():
         "tpch": {"q1_pricing_summary", "q3_shipping_priority"},
         "joins": {"join_nonequi_funnel", "join_salted_hot_key",
                   "asof_join_last_purchase", "join_interval_bucketed",
-                  "asof_trades_book"},
+                  "asof_trades_book", "layout_bucketed_join_revenue",
+                  "lateral_top2_orders_per_customer"},
         "aggregations": {"agg_rollup_nation_segment", "agg_percentiles",
-                         "agg_approx_distinct", "agg_approx_percentile"},
+                         "agg_approx_distinct", "agg_approx_percentile",
+                         "agg_mode_clerk_bucket", "agg_regr_price_on_qty"},
         "windows": {"window_running_spend",
                     "window_topk_orders_per_customer",
-                    "window_rolling_7d_spend"},
+                    "window_rolling_7d_spend",
+                    "lateral_top2_orders_per_customer"},
         "set_ops": {"set_intersect_repeat_customers"},
         "pivot": {"pivot_status_by_priority", "unpivot_lineitem_measures"},
         "scalar_funcs": {"scalar_string_funcs", "scalar_date_funcs",
                          "scalar_json_extract", "scalar_array_funcs",
                          "scalar_map_funcs", "scalar_variant_funcs"},
-        "topk": {"topk_global_orders"},
+        "topk": {"topk_global_orders", "lateral_top2_orders_per_customer"},
         "book_kernel_T1_T5": {"t2_book_kernel_gaps", "t3_topk_book_format",
                               "t4_consecutive_change_dedup", "t5_gap_audit",
                               "asof_trades_book"},
         "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand",
                             "udaf_cents_returnflag"},
-        "streaming": {"stream_tumbling_window", "stream_session_window"},
+        "streaming": {"stream_tumbling_window", "stream_session_window",
+                      "stream_engine_hourly_counts",
+                      "stream_engine_append_watermark"},
+        "stream_engine_executed": {"stream_engine_hourly_counts",
+                                   "stream_engine_append_watermark"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
-                  "dedup_ngram_jaccard"},
+                  "dedup_ngram_jaccard", "dedup_keep_best",
+                  "dedup_incremental_ingest", "dedup_cluster_histogram"},
         "similarity": {"sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk",
                        "dedup_embedding_cosine"},
         "text_analysis": {"text_stats", "text_lang_id", "text_token_count",
                           "text_fingerprint", "text_edit_distance",
-                          "text_gopher_quality"},
+                          "text_gopher_quality", "text_vocab_by_lang",
+                          "text_classifier_scores"},
+        "lexical_retrieval": {"text_bm25_search", "index_inverted_postings"},
+        "basket_mining": {"basket_brand_pairs"},
+        "table_format_acid": {"txnlog_roundtrip_event_stats",
+                              "txnlog_skipping_event_stats"},
+        "layout": {"layout_zorder_events", "layout_bucketed_join_revenue"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
                              "sample_stratified"},
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
-                       "multimodal_decode_meta"},
+                       "multimodal_decode_meta", "multimodal_png_decode"},
         "sqlite_source_sink": {"sqlite_scan_events",
                                "sqlite_roundtrip_user_stats"},
-        "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value"},
+        "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value",
+                       "ts_anomaly_zscore", "ts_resample_interpolate",
+                       "ts_subsequence_match"},
         "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode",
-                        "multimodal_avi_frame_sample"},
+                        "multimodal_avi_frame_sample",
+                        "multimodal_png_decode"},
         "chunking": {"pipeline_chunk_overlap"},
         "columnar_formats": {"orc_roundtrip_brand_stats",
                              "jsonl_roundtrip_priority_stats"},
@@ -84,7 +101,8 @@ def test_every_family_has_an_inwindow_representative():
         "product_analytics": {"funnel_view_click_purchase",
                               "cohort_weekly_retention",
                               "path_event_transitions"},
-        "data_quality": {"dq_constraint_audit"},
+        "data_quality": {"dq_constraint_audit", "dq_profile_orders",
+                         "dq_table_checksum", "dq_histogram_equidepth"},
         "rag_capstone": {"pipeline_rag_retrieval"},
         "graph": {"graph_pagerank_suppliers", "dedup_components"},
         "recursion": {"rcte_event_type_reachability"},
