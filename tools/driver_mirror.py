@@ -37,7 +37,12 @@ from fictional_guacamole_spark.plans import JUDGE_WINDOW, REGISTRY  # noqa: E402
 from fictional_guacamole_spark.session import get_spark  # noqa: E402
 from fictional_guacamole_spark.tables import TABLE_NAMES  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# Overridable for the scale-up sweep (tools/make_scale_dataset.py builds
+# a ~sf1 replica set outside /root/testdata); the driver itself judges at
+# sf0.01, which stays the default.
+import os  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_MIRROR_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _cell(v) -> str:
@@ -78,7 +83,10 @@ def main() -> int:
             print(f"SKIP  {name} (rows-only)")
             continue
         try:
+            import time as _time
+            t0 = _time.perf_counter()
             sdf = q.builder(spark, SF_DIR).toPandas()
+            spark_s = _time.perf_counter() - t0
             ddf = duck.sql(q.oracle).df()
             sh, slines = _canon_hash(sdf)
             dh, dlines = _canon_hash(ddf)
@@ -106,7 +114,7 @@ def main() -> int:
             print(f"HASH  {name}: dtype-diff={diff_dt}\n"
                   f"      spark-only={only_s}\n      duck-only={only_d}")
         else:
-            print(f"OK    {name} ({len(sdf)} rows)")
+            print(f"OK    {name} ({len(sdf)} rows, spark {spark_s:.2f}s)")
     print(f"\n{len(failures)} mismatching: {failures}")
     spark.stop()
     return len(failures)
