@@ -263,6 +263,59 @@ def ewma_stream(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     return grouped.applyInPandas(batch_fold, schema=out_schema)
 
 
+# The EXACT pow-2 sibling of make_ewma_kernel: the same closed form as
+# ewma_pow2, maintained incrementally as per-key state so the judged
+# value can be produced BY the streaming engine (applyInPandasWithState)
+# and still hash-match the batch oracle bit-for-bit.
+
+EWMA_POW2_STATE_SCHEMA = "n_seen bigint, recent string"
+
+
+def make_ewma_pow2_state_kernel(key_col: str, order_cols: list[str],
+                                value_col: str):
+    """``applyInPandasWithState`` kernel computing :func:`ewma_pow2`'s
+    exact closed form incrementally.
+
+    State per key is (total rows seen, the last :data:`EWMA_HORIZON`
+    cent-scaled values oldest-first, comma-encoded) — bounded at 16
+    longs/key however long the stream runs. Each batch folds its rows in
+    ``order_cols`` order and emits ONE row (key, n_seen, n_used, ewma):
+    integer numerator ``x_1 + Σ 2^(i-2)·x_i`` over the kept window,
+    denominator ``2^(M-1)·scale``, one final IEEE division on operands
+    < 2^53 — bit-identical to :func:`ewma_pow2` and its DuckDB SQL
+    PROVIDED per-key arrival order across batches equals ``order_cols``
+    order (the time-clustered replay contract; equal-key timestamps
+    stay within one range-partitioned file, so batch boundaries cannot
+    reorder them). The drained sink's row with the largest n_seen per
+    key IS the batch answer."""
+    import math
+
+    import pandas as pd
+
+    def kernel(key, pdfs, state):
+        if state.exists:
+            n_seen, recent_s = state.get
+            recent = [int(x) for x in recent_s.split(",")] if recent_s else []
+        else:
+            n_seen, recent = 0, []
+        batches = list(pdfs)
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        for v in pdf[value_col].astype(float):
+            recent.append(math.floor(v * EWMA_VALUE_SCALE))
+            n_seen += 1
+        recent = recent[-EWMA_HORIZON:]
+        state.update((n_seen, ",".join(str(x) for x in recent)))
+        m = len(recent)
+        numer = recent[0] + sum((1 << (i - 2)) * recent[i - 1]
+                                for i in range(2, m + 1))
+        ewma = numer / ((1 << (m - 1)) * EWMA_VALUE_SCALE)
+        yield pd.DataFrame({key_col: [key[0]], "n_seen": [n_seen],
+                            "n_used": [m], "ewma": [ewma]})
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # Linear-interpolation resampling onto a regular grid
 # ---------------------------------------------------------------------------

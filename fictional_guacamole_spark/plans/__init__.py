@@ -202,7 +202,13 @@ JUDGE_WINDOW: list[str] = [
     "set_intersect_repeat_customers",   # INTERSECT
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
     "scalar_variant_funcs",        # semi-structured Variant funcs
-    "udaf_cents_returnflag",       # Arrow grouped-agg pandas UDAF
+    "stream_engine_stateful_ewma",  # applyInPandasWithState through the
+                                    # engine, exact pow-2 fold (replaces
+                                    # r6-green udaf_cents_returnflag as
+                                    # the python-surface representative —
+                                    # the custom-stateful API is the
+                                    # deeper surface, and T1–T5's
+                                    # execution model)
     "sim_ivf_topk",                # kept: certifies the SF-aware recall floor
     "sim_pq_topk",                 # PQ-ADC ANN + exact rerank
     "embed_random_projection",     # JL sign projection, exact hash

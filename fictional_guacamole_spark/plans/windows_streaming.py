@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from fictional_guacamole_spark.functions import timeseries as _TS
 from fictional_guacamole_spark.plans.compat import (
     dec_to_double_exact, dsum, sql_dec_to_double_exact, sql_dsum)
 from fictional_guacamole_spark.plans.registry import query
@@ -258,6 +259,45 @@ def stream_engine_hourly_counts(spark: SparkSession,
             .orderBy("window_start", "event_type"))
 
 
+def _time_clustered_events_copy(spark: SparkSession, sf_dir: str) -> str:
+    """A 4-file copy of ``events`` range-partitioned on ``ts`` with
+    ascending mtimes in range order, so a maxFilesPerTrigger=1 file
+    source replays micro-batches in event-time order (the file source
+    orders new files by mtime then path; the range partition index IS
+    the path order — mtimes are set anyway, belt and braces). Shared by
+    every judged row that drains the real engine deterministically:
+    time-ascending replay keeps watermarks behind the next batch's
+    minimum (no late drops) and keeps per-key arrival order equal to
+    event-time order (the stateful-fold contract). Built once per
+    (sf_dir, mtime) under an atomic rename; concurrent builders race
+    benignly on private per-pid dirs."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"strmsrc_rng1:{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_strmrng_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts") \
+            .write.mode("overwrite").parquet(build)
+        parts = sorted(f for f in os.listdir(build)
+                       if f.endswith(".parquet"))
+        t0 = time.time() - len(parts)  # ascending mtimes, range order
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(build, f), (t0 + i, t0 + i))
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return base
+
+
 @query(
     "stream_engine_append_watermark",
     survey_ref="§2.5 streaming: watermarked APPEND mode through the "
@@ -312,32 +352,11 @@ def stream_engine_append_watermark(spark: SparkSession,
     map-side, one shuffle on (window, event_type), state store keyed the
     same, watermark eviction bounding state size — the engine's own
     scale path, not a reimplementation."""
-    import hashlib
-    import os
     import shutil
     import tempfile
-    import time
     import uuid
 
-    src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(
-        f"strmsrc_rng1:{src}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"fg_strmrng_{tag}")
-    if not os.path.exists(base):
-        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
-        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts") \
-            .write.mode("overwrite").parquet(build)
-        parts = sorted(f for f in os.listdir(build)
-                       if f.endswith(".parquet"))
-        t0 = time.time() - len(parts)  # ascending mtimes, range order
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(build, f), (t0 + i, t0 + i))
-        try:
-            os.rename(build, base)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-
+    base = _time_clustered_events_copy(spark, sf_dir)
     name = f"fg_streamwm_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_streamwm_ckpt_")
     stream = (spark.readStream
@@ -363,3 +382,82 @@ def stream_engine_append_watermark(spark: SparkSession,
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "value_cents")
             .orderBy("window_start", "event_type"))
+
+
+@query(
+    "stream_engine_stateful_ewma",
+    survey_ref="§2.5 streaming: CUSTOM STATEFUL OPERATOR through the "
+               "engine (applyInPandasWithState, bounded per-key state, "
+               "exact pow-2 EWMA fold)",
+    description="Per-user EWMA computed BY a custom applyInPandasWithState "
+                "kernel draining the real micro-batch engine; final state "
+                "hash-matches the batch window-aggregation oracle",
+    oracle=_TS.sql_ewma_pow2("events", "user_id", ["ts", "event_id"],
+                             "value") + " ORDER BY user_id",
+)
+def stream_engine_stateful_ewma(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The third engine-executed judged row, and the first through the
+    CUSTOM-stateful-operator API: ``applyInPandasWithState`` carries 16
+    cent-scaled longs + a counter per user across micro-batches
+    (functions/timeseries.py::make_ewma_pow2_state_kernel) and re-emits
+    the exact pow-2 closed form after each update; the drained sink's
+    latest emission per key (largest n_seen — strictly increasing, so
+    max_by is unambiguous) equals ewma_pow2's batch answer BIT-FOR-BIT,
+    which the same DuckDB SQL as agg_ewma_user_value certifies. The
+    determinism contract is the shared time-clustered replay
+    (_time_clustered_events_copy): per-key arrival order across batches
+    equals (ts, event_id) order because equal timestamps cannot straddle
+    a range-partition boundary, and the kernel sorts within each batch.
+
+    This is T1/T2/T5's execution model (keyed state folded over an
+    ordered stream) certified end-to-end through the engine: state store
+    keyed by user, one shuffle per micro-batch on the grouping key,
+    state bounded at ~140 B/key forever — the 100 TB shape where the
+    stream runs for months and distinct keys, not event volume, size the
+    store. agg_ewma_user_value judges the same math as one batch window
+    aggregation; this row certifies the ENGINE path that produces it
+    incrementally."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from fictional_guacamole_spark.functions.timeseries import (
+        make_ewma_pow2_state_kernel)
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+    name = f"fg_streamewma_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_streamewma_ckpt_")
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base))
+    folded = (stream
+              .groupBy("user_id")
+              .applyInPandasWithState(
+                  make_ewma_pow2_state_kernel(
+                      "user_id", ["ts", "event_id"], "value"),
+                  outputStructType="user_id long, n_seen long, "
+                                   "n_used long, ewma double",
+                  stateStructType="n_seen bigint, recent string",
+                  outputMode="update",
+                  timeoutConf="NoTimeout"))
+    q = (folded.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    # latest emission per key = the fold's final state (n_seen strictly
+    # increases per update, so max_by is deterministic)
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max_by(F.struct("n_used", "ewma"), "n_seen")
+                 .alias("fin"))
+            .select("user_id", F.col("fin.n_used").alias("n_used"),
+                    F.col("fin.ewma").alias("ewma"))
+            .orderBy("user_id"))

@@ -370,3 +370,76 @@ class TestJudgedAppendWatermarkRow:
         # every emitted row is watermark-final
         assert all(r.window_start + datetime.timedelta(hours=1) <= wm
                    for r in got)
+
+
+class TestJudgedStatefulEwmaRow:
+    """Backs stream_engine_stateful_ewma: the applyInPandasWithState
+    kernel's incremental pow-2 fold equals ewma_pow2's batch closed form
+    (a) at the pure-kernel level with the series split across arbitrary
+    batch boundaries (state round-trip exactness), and (b) end-to-end
+    through the real engine at the test SF."""
+
+    def test_kernel_split_equals_batch_closed_form(self):
+        import math
+
+        import pandas as pd
+
+        from fictional_guacamole_spark.functions.timeseries import (
+            EWMA_HORIZON, EWMA_VALUE_SCALE, make_ewma_pow2_state_kernel)
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self._v = None
+
+            @property
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self.exists = True
+                self._v = v
+
+        rows = [(7, i, 100 + i, round(3.17 * (i % 23) - 11.0, 2))
+                for i in range(40)]  # 40 > horizon: eviction exercised
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id",
+                                          "value"])
+        kernel = make_ewma_pow2_state_kernel(
+            "user_id", ["ts", "event_id"], "value")
+
+        def drain(splits):
+            st = FakeState()
+            out = None
+            for lo, hi in splits:
+                out = next(kernel((7,), iter([pdf.iloc[lo:hi]]), st))
+            return out.iloc[0]
+
+        # closed form over the last-16, oldest first
+        cents = [math.floor(v * EWMA_VALUE_SCALE) for v in pdf["value"]]
+        kept = cents[-EWMA_HORIZON:]
+        numer = kept[0] + sum((1 << (i - 2)) * kept[i - 1]
+                              for i in range(2, len(kept) + 1))
+        expect = numer / ((1 << (len(kept) - 1)) * EWMA_VALUE_SCALE)
+
+        for splits in ([(0, 40)], [(0, 13), (13, 29), (29, 40)],
+                       [(i, i + 1) for i in range(40)]):
+            fin = drain(splits)
+            assert fin["n_seen"] == 40 and fin["n_used"] == EWMA_HORIZON
+            assert fin["ewma"] == expect  # bit-exact, any batching
+
+    def test_engine_result_equals_batch_operator(self, spark):
+        import os
+
+        from fictional_guacamole_spark.functions import timeseries as T
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_stateful_ewma)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = stream_engine_stateful_ewma(spark, sf_dir).collect()
+        exp = (T.ewma_pow2(load_table(spark, sf_dir, "events"),
+                           "user_id", ["ts", "event_id"], "value")
+               .orderBy("user_id").collect())
+        assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+        assert len(got) > 0

@@ -50,12 +50,15 @@ def test_every_family_has_an_inwindow_representative():
                               "t4_consecutive_change_dedup", "t5_gap_audit",
                               "asof_trades_book"},
         "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand",
-                            "udaf_cents_returnflag"},
+                            "udaf_cents_returnflag",
+                            "stream_engine_stateful_ewma"},
         "streaming": {"stream_tumbling_window", "stream_session_window",
                       "stream_engine_hourly_counts",
-                      "stream_engine_append_watermark"},
+                      "stream_engine_append_watermark",
+                      "stream_engine_stateful_ewma"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
-                                   "stream_engine_append_watermark"},
+                                   "stream_engine_append_watermark",
+                                   "stream_engine_stateful_ewma"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
