@@ -159,9 +159,14 @@ profile/checksum/histogram, text_analysis gains vocab_by_lang/
 classifier_scores, streaming gains the two engine-executed rows, and
 new lexical_retrieval / basket_mining / table_format_acid / layout
 families pin the r6 wave-6 operators). ``sim_ivf_topk`` stays judged:
-its row certifies the SF-aware recall floor. A green CORRECTNESS_r07
-makes the cumulative driver-certified union 167/167 oracled queries
-(everything but the oracle-less bench frame).
+its row certifies the SF-aware recall floor. Late in round 7 a THIRD
+engine-executed row registered and took the python-surface slot from
+the r6-green ``udaf_cents_returnflag``: ``stream_engine_stateful_ewma``
+(the exact pow-2 EWMA fold as bounded per-key applyInPandasWithState
+state — the first judged row through the custom-stateful-operator API,
+and T1–T5's execution model certified end-to-end). A green
+CORRECTNESS_r07 makes the cumulative driver-certified union 168/168
+oracled queries (everything but the oracle-less bench frame).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -185,16 +190,18 @@ JUDGE_WINDOW: list[str] = [
     # Round-7 rotation (VERDICT r6 task #1): (in) the 22 oracled queries
     # registered late in r6 that have NEVER been in a driver judge window
     # (all mirror-green locally with the driver's exact comparator,
-    # MIRROR_r06.txt) plus the two NEW r7 rows (real PNG decode;
-    # append-mode watermark streaming); (out) 24 siblings green in
+    # MIRROR_r06.txt) plus the three NEW r7 rows (real PNG decode;
+    # append-mode watermark streaming; the applyInPandasWithState
+    # stateful-EWMA row); (out) 25 siblings green in
     # CORRECTNESS_r06 whose families keep an in-window representative
     # (scd2/ts_gapfill/ewma stay via family extensions; wav/bmp/avi stay
-    # represented by the judged png real-codec row; session/zorder/
+    # represented by the judged png real-codec row; udaf_cents yields
+    # the python-surface slot to the stateful-kernel row; session/zorder/
     # funnel/gopher/c4/heavy_hitters/tfidf/pii/lines_global/decontam_
     # bloom/minhash/cosine/jsonl/xml/dq_constraint/topk_global/variant…
     # all have r6-green rows in the cumulative union and a family
     # sibling in this window). Judging these 50 green makes the
-    # cumulative driver-certified union 167/167 oracled queries.
+    # cumulative driver-certified union 168/168 oracled queries.
     # -- flagship + family anchors (driver-green in earlier rounds) -------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "asof_trades_book",            # trades ⋈ book over REAL kernel output
