@@ -1123,6 +1123,47 @@ class TestZoneMapProperty:
         assert not zone_map_survives(stats, {"a": (5, 7), "b": (300, 400)})
         assert not zone_map_survives(stats, {"a": (20, 30), "b": (150, 160)})
 
+    def test_never_drops_intersecting_file_datetime(self):
+        """The datetime sibling of the integer property (ADVICE r6: the
+        property suite only drove integers, which is exactly how the
+        tz-suffix mis-prune stayed invisible). Rows are datetimes with
+        MIXED tz-awareness — file stats render through _stat_key like
+        pyarrow's tz-aware footer values do, caller bounds render naive —
+        and an intersecting file must still always survive."""
+        import datetime
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            _stat_key, zone_map_survives)
+
+        utc = datetime.timezone.utc
+        epoch = datetime.datetime(2024, 1, 1)
+
+        def dt(minutes):
+            return epoch + datetime.timedelta(minutes=minutes)
+
+        rows_s = st.lists(st.integers(0, 10_000), min_size=1, max_size=30)
+        bound_s = st.one_of(st.none(), st.integers(-100, 10_100))
+
+        @settings(max_examples=300, deadline=None)
+        @given(rows=rows_s, lo=bound_s, hi=bound_s, aware=st.booleans())
+        def check(rows, lo, hi, aware):
+            # stats side: what pyarrow hands back (tz-aware when `aware`)
+            as_dt = [dt(m).replace(tzinfo=utc) if aware else dt(m)
+                     for m in rows]
+            stats = {"ts": [_stat_key(min(as_dt)), _stat_key(max(as_dt))]}
+            # caller side: always naive (read_pruned callers pass naive)
+            bounds = {"ts": (_stat_key(dt(lo)) if lo is not None else None,
+                             _stat_key(dt(hi)) if hi is not None else None)}
+            wanted = [m for m in rows
+                      if (lo is None or m >= lo) and (hi is None or m <= hi)]
+            if wanted:
+                assert zone_map_survives(stats, bounds), (rows, lo, hi, aware)
+
+        check()
+
 
 class TestZOrderSkipping:
     """The end of the layout story: Morton-code clustering (operators/
