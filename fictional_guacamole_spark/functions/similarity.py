@@ -34,7 +34,7 @@ the COST per touched row, the exact rerank restores top precision.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 
@@ -393,6 +393,91 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return _bucketed_topk(
         c, queries, bk_col="cid", k=k, id_col=id_col, vec_col=vec_col,
         query_keys=lambda qvec: nearest_cells(qvec, centroids, n_probe))
+
+
+def ivf_persist_index(spark: SparkSession, corpus: DataFrame,
+                      table_path: str, n_centroids: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 4) -> list[list[float]]:
+    """Materialize the IVF index AS STORAGE LAYOUT: the cell-assigned
+    corpus lands in a commit-log table (sources/txnlog.py) clustered by
+    cell id with per-file ``cid`` zone maps — ``ivf_topk``'s docstring
+    claim ("at 100 TB the assigned corpus is WRITTEN partitioned by cid,
+    so a probe is a partition-pruned read") as executed code. The build
+    runs ONCE per corpus: commit → clustered OPTIMIZE → vacuum; every
+    later probe is :func:`ivf_probe_topk` over zone-map-pruned file
+    reads. Returns the (deterministic) centroids — the only state a
+    probe needs besides the table path."""
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    centroids = train_ivf_centroids(corpus, n_centroids, vec_col, seed)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        norm(F.col(vec_col)).alias("c_norm"),
+        nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"))
+    t = TransactionalParquetTable(table_path)
+    t.commit(assigned, "ivf-build", stats_cols=["cid"])
+    t.compact(spark, "ivf-cluster", stats_cols=["cid"],
+              cluster_by=["cid"],
+              n_output_files=max(4, n_centroids // 2))
+    t.vacuum()
+    return centroids
+
+
+def ivf_probe_topk(spark: SparkSession, table_path: str,
+                   centroids: list[list[float]], queries: DataFrame,
+                   k: int = 10, n_probe: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF index: the candidate corpus comes from
+    zone-map-pruned reads of ONLY the probed cells' files — the amortized
+    production path (:func:`ivf_topk` re-trains and re-assigns per call,
+    which is the judged-SF convenience form, not the scale form).
+
+    The probed cell set is resolved driver-side first (|Q| × n_probe
+    values — a bounded collect over the TINY query frame, the same class
+    as the ANN trainers' documented collects); each distinct cell becomes
+    one ``read_pruned`` whose zone maps drop every file the clustered
+    compaction placed wholly outside that cell, and the residual
+    ``cid = cell`` filter is pushed to the surviving row groups. Output
+    is BIT-IDENTICAL to :func:`ivf_topk` with the same centroids: same
+    assignments (stored), same candidates (cid equi-join semantics),
+    same scoring fold and tie-break."""
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    t = TransactionalParquetTable(table_path)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_norm"),
+                       F.explode(nearest_cells(F.col(vec_col), centroids,
+                                               n_probe)).alias("cid"))
+    probed = sorted({r.cid for r in q.select("cid").distinct().collect()})
+    parts = []
+    for cell in probed:
+        # one pruned read per distinct probed cell; the exact predicate
+        # lands on the surviving files' row groups via Catalyst pushdown
+        parts.append(t.read_pruned(spark, {"cid": (cell, cell)})
+                     .filter(F.col("cid") == cell))
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    cand = (corpus.join(F.broadcast(q), "cid")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", "q_vec", "q_norm",
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("n_vec"), "c_norm")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        (dot(F.col("q_vec"), F.col("n_vec"))
+         / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rank"))
 
 
 # --- PQ (product quantization, ADC scoring) --------------------------------

@@ -165,8 +165,12 @@ the r6-green ``udaf_cents_returnflag``: ``stream_engine_stateful_ewma``
 (the exact pow-2 EWMA fold as bounded per-key applyInPandasWithState
 state — the first judged row through the custom-stateful-operator API,
 and T1–T5's execution model certified end-to-end). A green
-CORRECTNESS_r07 makes the cumulative driver-certified union 168/168
-oracled queries (everything but the oracle-less bench frame).
+CORRECTNESS_r07 makes the cumulative driver-certified union 168 of 169
+oracled queries; what remains is the oracle-less bench frame plus the
+round-7-final registration ``sim_ivf_persisted_topk`` (the IVF index
+persisted as commit-log storage layout and probed via zone-map file
+skipping — mirror-green on registration, r8 rotation fodder by the
+same protocol every late registration has followed).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.

@@ -452,6 +452,95 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_persisted_topk",
+    survey_ref="extensions: IVF ANN probed from PERSISTED index storage "
+               "(commit-log table clustered by cell id, zone-map-pruned "
+               "probe reads — the amortized 100 TB path, executed)",
+    # Output is bit-identical to sim_ivf_topk by construction (same
+    # deterministic centroids, assignments read back from storage, same
+    # scoring fold and tie-break — equality asserted outright in
+    # tests/test_extensions.py), so the same SF-aware recall-floor oracle
+    # certifies it.
+    oracle=f"""
+    WITH flo AS (
+      SELECT CASE {' '.join(f'WHEN {_IVF_FP_SQL} = {fp} THEN {fl}'
+                            for fp, fl in _IVF_FLOORS.items())}
+             ELSE {_IVF_DEFAULT_FLOOR} END AS f
+      FROM embeddings)
+    SELECT vec_id AS query_id, CAST(f AS INTEGER) AS n_hit_floored,
+           TRUE AS recall_ok
+    FROM embeddings, flo WHERE vec_id < 5
+    ORDER BY query_id
+    """,
+    description="IVF ANN recall@10 probed from a persisted clustered "
+                "commit-log index via zone-map file skipping",
+)
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ivf_topk's docstring claim made executable: the cell-assigned
+    corpus is WRITTEN once into a commit-log table (clustered OPTIMIZE on
+    ``cid`` + per-file ``cid`` zone maps, functions/similarity.py::
+    ivf_persist_index), and the probe reads ONLY the probed cells' files
+    (read_pruned per distinct cell — file skipping before Spark plans the
+    scan, residual ``cid`` filter pushed to surviving row groups). The
+    index builds once per corpus (cached per sf_dir mtime, atomic
+    publish) and every query amortizes it — the production economics at
+    100 TB, where re-training per query (the judged-SF convenience form)
+    is not an option. Output is bit-identical to the in-memory IVF row —
+    same recall floor certifies it; file-skip counts and outright
+    equality are gated in tests/test_extensions.py."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(
+        f"ivfidx1:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_ivfidx_{tag}")
+    cent_path = os.path.join(base, "centroids.json")
+    if not os.path.exists(cent_path):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        shutil.rmtree(build, ignore_errors=True)
+        cents = S.ivf_persist_index(spark, emb, build, n_centroids=16)
+        with open(os.path.join(build, "centroids.json"), "w") as f:
+            json.dump(cents, f)
+        try:
+            os.rename(build, base)
+        except OSError:  # lost the publish race: the winner's is identical
+            shutil.rmtree(build, ignore_errors=True)
+    with open(cent_path) as f:
+        centroids = json.load(f)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    approx = S.ivf_probe_topk(spark, base, centroids, queries,
+                              k=10, n_probe=6)
+    exact = S.cosine_topk(emb, queries, k=10)
+    hits = (approx.join(
+            F.broadcast(exact.select("query_id", "neighbor_id")),
+                        ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
+                  .alias("fp"))
+    floor_col = F.lit(_IVF_DEFAULT_FLOOR)
+    for fp, fl in _IVF_FLOORS.items():
+        floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(F.broadcast(hits), "query_id", "left")
+            .crossJoin(F.broadcast(sig))
+            .select("query_id",
+                    F.least(n_hit, floor_col).cast("int")
+                    .alias("n_hit_floored"),
+                    (n_hit >= floor_col).alias("recall_ok"))
+            .orderBy("query_id"))
+
+
+@query(
     "dedup_embedding_cosine",
     survey_ref="extensions: embedding-cosine near-dup",
     description="Vector pairs with cosine >= 0.5 for a bounded probe set",

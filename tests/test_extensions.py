@@ -1108,3 +1108,43 @@ class TestQualityClassifier:
         for r in a.values():
             assert r.keep == (r.score_sum >= 0)
             assert r.mean_weight == r.score_sum / r.n_tokens
+
+
+class TestIvfPersistedIndex:
+    """The persisted-index probe path (sim_ivf_persisted_topk): the
+    commit-log-clustered IVF layout must (a) return BIT-IDENTICAL results
+    to the in-memory ivf_topk with the same centroids, and (b) actually
+    skip files — the probe's pruned reads must touch fewer files than the
+    full table holds."""
+
+    def test_probe_equals_inmemory_and_skips_files(self, spark, tmp_path):
+        from fictional_guacamole_spark.functions.similarity import (
+            ivf_persist_index, ivf_probe_topk, ivf_topk)
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        path = str(tmp_path / "ivfidx")
+        cents = ivf_persist_index(spark, emb, path, n_centroids=16)
+
+        probed = ivf_probe_topk(spark, path, cents, queries,
+                                k=10, n_probe=6)
+        mem = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
+        assert sorted(map(tuple, probed.collect())) == \
+            sorted(map(tuple, mem.collect()))
+
+        # file skipping: a single-cell probe reads strictly fewer files
+        # than the clustered table holds
+        t = TransactionalParquetTable(path)
+        total = len(t.read(spark).inputFiles())
+        one_cell = len(t.read_pruned(spark, {"cid": (0, 0)}).inputFiles())
+        assert total >= 4 and one_cell < total
+
+        # the pruned read + residual filter is exact vs the full-scan cell
+        full_cell = sorted(r.vec_id for r in
+                           t.read(spark).filter("cid = 0").collect())
+        pruned_cell = sorted(
+            r.vec_id for r in t.read_pruned(spark, {"cid": (0, 0)})
+            .filter("cid = 0").collect())
+        assert full_cell == pruned_cell and len(full_cell) > 0
