@@ -104,6 +104,17 @@ def _ncpu() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _median(xs):
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
+def _materialize(df) -> None:
+    # noop sink: full plan execution (nothing pruned), no collect cost
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _probe(spark) -> float:
     """Fixed-cost, single-partition, IO-free JVM job: its wall time moves
     only with host load, so it converts 'is the host busy?' from a guess
@@ -147,11 +158,6 @@ def _measure_set(spark, ordered) -> dict:
     Returns raw timings plus this attempt's own calibration/contention
     readings, so attempts are comparable and the least-contended one can
     be selected as the official line."""
-
-    def materialize(df) -> None:
-        # noop sink: full plan execution (nothing pruned), no collect cost
-        df.write.format("noop").mode("overwrite").save()
-
     probes = [_probe(spark)]
     par_probes = [_probe_parallel(spark)]
     timings: dict[str, float] = {}
@@ -162,7 +168,7 @@ def _measure_set(spark, ordered) -> dict:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            materialize(q.builder(spark, SF_DIR))
+            _materialize(q.builder(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         if i == len(ordered) // 2 - 1:
@@ -170,12 +176,7 @@ def _measure_set(spark, ordered) -> dict:
     probes.append(_probe(spark))
     par_probes.append(_probe_parallel(spark))
 
-    def median(xs):
-        xs = sorted(xs)
-        mid = len(xs) // 2
-        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
-
-    calibration_s = round(median(probes), 4)
+    calibration_s = round(_median(probes), 4)
     par_s = round(min(par_probes), 4)
     par_ideal = calibration_s * PAR_PROBE_FACTOR / _ncpu()
     par_eff = round(par_ideal / par_s, 3) if par_s > 0 else None
@@ -189,13 +190,9 @@ def main() -> None:
     spark = get_spark("fg-bench")
     bench_queries = {n: q for n, q in REGISTRY.items() if q.bench}
 
-    def materialize(df) -> None:
-        # noop sink: full plan execution (nothing pruned), no collect cost
-        df.write.format("noop").mode("overwrite").save()
-
     # Warm-up: run the cheapest query once so session/codegen startup cost
     # is not attributed to the first measured query.
-    materialize(REGISTRY["q6_forecast_revenue"].builder(spark, SF_DIR))
+    _materialize(REGISTRY["q6_forecast_revenue"].builder(spark, SF_DIR))
     _probe(spark)  # probe warm-up (codegen for the probe plan itself)
 
     ordered = sorted(bench_queries.items())
@@ -235,11 +232,6 @@ def main() -> None:
     except OSError:
         pass
 
-    def median(xs: list[float]) -> float:
-        xs = sorted(xs)
-        mid = len(xs) // 2
-        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
-
     # calibration/contention readings come from the SELECTED attempt
     # (computed inside _measure_set, bracketing exactly those timings)
     calibration_s = best_attempt["calibration_s"]
@@ -251,13 +243,13 @@ def main() -> None:
     par_load = best_attempt["par_load"]
 
     vs_history = {
-        qn: {"median": round(median(h), 4),
-             "delta_pct": round(100.0 * (timings[qn] - median(h)) / median(h), 1),
+        qn: {"median": round(_median(h), 4),
+             "delta_pct": round(100.0 * (timings[qn] - _median(h)) / _median(h), 1),
              # the load-corrected delta: what the query would have read on
              # a reference-speed host — a real regression survives this,
              # a loaded host does not
              "delta_norm_pct": round(
-                 100.0 * (normalized[qn] - median(h)) / median(h), 1)}
+                 100.0 * (normalized[qn] - _median(h)) / _median(h), 1)}
         for qn, h in hist_by_query.items() if qn in timings and h
     }
 

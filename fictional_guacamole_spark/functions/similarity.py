@@ -360,8 +360,13 @@ def nearest_cells(vec: Column, centroids: list[list[float]],
     cells = []
     for i, c in enumerate(centroids):
         n = math.sqrt(sum(x * x for x in c))
-        unit = [x / n for x in c]  # true division: the zero-diff
-        # verification above was run with exactly this rounding
+        # zero-norm centroid (a degenerate corpus can average a cell to
+        # the origin): keep it unnormalized — every dot is then 0.0, a
+        # deterministic worst-rank cell, where dividing would crash at
+        # plan build (the old cosine form yielded NaN sims here, which
+        # was neither better nor deterministic)
+        unit = c if n == 0.0 else [x / n for x in c]  # true division:
+        # the zero-diff verification above used exactly this rounding
         cells.append(F.struct(
             dot(vec, F.array(*[F.lit(x) for x in unit])).alias("sim"),
             F.lit(i).alias("cid")))
@@ -447,13 +452,19 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
     from fictional_guacamole_spark.sources.txnlog import (
         TransactionalParquetTable)
 
+    from pyspark.sql import types as T
+
     t = TransactionalParquetTable(table_path)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"),
-                       norm(F.col(vec_col)).alias("q_norm"),
-                       F.explode(nearest_cells(F.col(vec_col), centroids,
-                                               n_probe)).alias("cid"))
-    probed = sorted({r.cid for r in q.select("cid").distinct().collect()})
+    probe_cells = queries.select(
+        F.explode(nearest_cells(F.col(vec_col), centroids,
+                                n_probe)).alias("cid"))
+    probed = sorted({r.cid for r in probe_cells.distinct().collect()})
+    if not probed:  # empty query frame: nothing to probe
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rank", T.IntegerType())]))
     parts = []
     for cell in probed:
         # one pruned read per distinct probed cell; the exact predicate
@@ -463,21 +474,13 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
     corpus = parts[0]
     for p in parts[1:]:
         corpus = corpus.unionByName(p)
-    cand = (corpus.join(F.broadcast(q), "cid")
-            .filter(F.col("query_id") != F.col(id_col))
-            .select("query_id", "q_vec", "q_norm",
-                    F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("n_vec"), "c_norm")
-            .dropDuplicates(["query_id", "neighbor_id"]))
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        (dot(F.col("q_vec"), F.col("n_vec"))
-         / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"))
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
-                                          F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos_sim", "rank"))
+    # the stored frame is exactly _bucketed_topk's corpus shape
+    # (id, vec, c_norm, cid) — reuse the SHARED scoring pipeline, so the
+    # bit-equality contract with ivf_topk rests on one implementation,
+    # not two hand-synchronized copies
+    return _bucketed_topk(
+        corpus, queries, bk_col="cid", k=k, id_col=id_col, vec_col=vec_col,
+        query_keys=lambda qvec: nearest_cells(qvec, centroids, n_probe))
 
 
 # --- PQ (product quantization, ADC scoring) --------------------------------

@@ -390,6 +390,37 @@ _IVF_FP_SQL = ("CAST(SUM(CAST(FLOOR(embedding[1] * 1000) AS BIGINT)) "
                "AS BIGINT)")
 
 
+def _recall_vs_floor(emb: DataFrame, queries: DataFrame, approx: DataFrame,
+                     exact: DataFrame, floors: dict[int, int],
+                     default_floor: int) -> DataFrame:
+    """The shared recall-certification frame of every ANN judged row
+    (sim_ivf_topk / sim_pq_topk / sim_ivf_persisted_topk): hits of the
+    approximate result against the exact baseline, floored at the
+    corpus-fingerprint-derived recall floor so the value hash pins
+    per-query recall ≥ floor with zero slack. One implementation — a
+    floor-logic or fingerprint change cannot silently diverge between
+    the three rows that claim 'the same oracle certifies this'."""
+    hits = (approx.join(  # both sides ≤ |Q|·k rows behind windows —
+            # Catalyst can't size them; broadcast the exact side
+            F.broadcast(exact.select("query_id", "neighbor_id")),
+                        ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
+                  .alias("fp"))
+    floor_col = F.lit(default_floor)
+    for fp, fl in floors.items():
+        floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (queries.select(F.col("vec_id").alias("query_id"))
+            .join(F.broadcast(hits), "query_id", "left")  # ≤|Q| rows
+            .crossJoin(F.broadcast(sig))  # 1-row corpus signature
+            .select("query_id",
+                    F.least(n_hit, floor_col).cast("int")
+                    .alias("n_hit_floored"),
+                    (n_hit >= floor_col).alias("recall_ok"))
+            .orderBy("query_id"))
+
+
 @query(
     "sim_ivf_topk",
     survey_ref="extensions: IVF ANN (data-adaptive scale path)",
@@ -430,25 +461,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
     exact = S.cosine_topk(emb, queries, k=10)
-    hits = (approx.join(  # both sides ≤ |Q|·k rows behind windows —
-            # Catalyst can't size them; broadcast the exact side
-            F.broadcast(exact.select("query_id", "neighbor_id")),
-                        ["query_id", "neighbor_id"])
-            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
-    sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
-                  .alias("fp"))
-    floor_col = F.lit(_IVF_DEFAULT_FLOOR)
-    for fp, fl in _IVF_FLOORS.items():
-        floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return (queries.select(F.col("vec_id").alias("query_id"))
-            .join(F.broadcast(hits), "query_id", "left")  # ≤|Q| rows
-            .crossJoin(F.broadcast(sig))  # 1-row corpus signature
-            .select("query_id",
-                    F.least(n_hit, floor_col).cast("int")
-                    .alias("n_hit_floored"),
-                    (n_hit >= floor_col).alias("recall_ok"))
-            .orderBy("query_id"))
+    return _recall_vs_floor(emb, queries, approx, exact,
+                            _IVF_FLOORS, _IVF_DEFAULT_FLOOR)
 
 
 @query(
@@ -520,24 +534,8 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.ivf_probe_topk(spark, base, centroids, queries,
                               k=10, n_probe=6)
     exact = S.cosine_topk(emb, queries, k=10)
-    hits = (approx.join(
-            F.broadcast(exact.select("query_id", "neighbor_id")),
-                        ["query_id", "neighbor_id"])
-            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
-    sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
-                  .alias("fp"))
-    floor_col = F.lit(_IVF_DEFAULT_FLOOR)
-    for fp, fl in _IVF_FLOORS.items():
-        floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return (queries.select(F.col("vec_id").alias("query_id"))
-            .join(F.broadcast(hits), "query_id", "left")
-            .crossJoin(F.broadcast(sig))
-            .select("query_id",
-                    F.least(n_hit, floor_col).cast("int")
-                    .alias("n_hit_floored"),
-                    (n_hit >= floor_col).alias("recall_ok"))
-            .orderBy("query_id"))
+    return _recall_vs_floor(emb, queries, approx, exact,
+                            _IVF_FLOORS, _IVF_DEFAULT_FLOOR)
 
 
 @query(
@@ -2350,25 +2348,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     approx = S.pq_topk(emb, queries, k=10, m=8, n_codes=16)  # adaptive rerank
     exact = S.cosine_topk(emb, queries, k=10)
-    hits = (approx.join(  # both sides ≤ |Q|·k rows behind windows —
-            # Catalyst can't size them; broadcast the exact side
-            F.broadcast(exact.select("query_id", "neighbor_id")),
-                        ["query_id", "neighbor_id"])
-            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")))
-    sig = emb.agg(F.sum(F.floor(F.col("embedding")[0] * 1000).cast("long"))
-                  .alias("fp"))
-    floor_col = F.lit(_PQ_DEFAULT_FLOOR)
-    for fp, fl in _PQ_FLOORS.items():
-        floor_col = F.when(F.col("fp") == fp, fl).otherwise(floor_col)
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return (queries.select(F.col("vec_id").alias("query_id"))
-            .join(F.broadcast(hits), "query_id", "left")  # ≤|Q| rows
-            .crossJoin(F.broadcast(sig))  # 1-row corpus signature
-            .select("query_id",
-                    F.least(n_hit, floor_col).cast("int")
-                    .alias("n_hit_floored"),
-                    (n_hit >= floor_col).alias("recall_ok"))
-            .orderBy("query_id"))
+    return _recall_vs_floor(emb, queries, approx, exact,
+                            _PQ_FLOORS, _PQ_DEFAULT_FLOOR)
 
 
 @query(

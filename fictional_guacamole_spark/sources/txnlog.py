@@ -102,6 +102,29 @@ def _stat_key(v):
     raise TypeError(f"unsupported zone-map stats type: {type(v).__name__}")
 
 
+def _session_naive_dt_to_utc(spark, v):
+    """Interpret a NAIVE datetime bound in the session timezone and
+    convert it to UTC-naive — the frame `_stat_key` renders file stats
+    in, and the frame Spark itself gives a naive timestamp literal in
+    the caller's residual filter. Identity under a UTC session;
+    tz-aware values and non-datetimes pass through (tz-aware is handled
+    by `_stat_key`). An unresolvable session zone falls back to the raw
+    value (UTC-equivalent behavior, matching every session this engine
+    configures)."""
+    import datetime
+
+    if not isinstance(v, datetime.datetime) or v.tzinfo is not None:
+        return v
+    try:
+        tzname = spark.conf.get("spark.sql.session.timeZone")
+        from zoneinfo import ZoneInfo
+        zone = ZoneInfo(tzname)
+    except Exception:
+        return v
+    return (v.replace(tzinfo=zone).astimezone(datetime.timezone.utc)
+            .replace(tzinfo=None))
+
+
 def zone_map_survives(stats: dict, bounds: dict) -> bool:
     """The pruning decision: may this file intersect every bounded range?
 
@@ -430,10 +453,21 @@ class TransactionalParquetTable:
         applies the exact ``filter(...)`` — which Catalyst then pushes
         into the surviving files' row groups, so footer-level pruning
         stacks under file-level pruning.
+
+        Naive ``datetime`` bounds are interpreted in the SESSION
+        timezone and converted to UTC before comparison — the same frame
+        Spark gives a naive timestamp literal in the caller's residual
+        filter, and the frame parquet stats are stored in (UTC-adjusted
+        TIMESTAMP_MICROS). Under a UTC session this is the identity;
+        under any other session tz, skipping the conversion would
+        compare wall clocks from two different zones and could wrongly
+        prune boundary files.
         """
-        bounds = {c: (_stat_key(lo) if lo is not None else None,
-                      _stat_key(hi) if hi is not None else None)
-                  for c, (lo, hi) in ranges.items()}
+        def enc(v):
+            return _stat_key(_session_naive_dt_to_utc(spark, v)) \
+                if v is not None else None
+
+        bounds = {c: (enc(lo), enc(hi)) for c, (lo, hi) in ranges.items()}
 
         entries = self._entries()
         if version is not None:

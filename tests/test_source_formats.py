@@ -1278,3 +1278,45 @@ class TestZoneMapEdges:
         assert t.read_pruned(spark, {"k": (1, 3)}).filter(
             "k BETWEEN 1 AND 3").count() == 3
         assert t.read(spark).count() == 5
+
+
+class TestZoneMapSessionTimezone:
+    """r7 code-review finding: naive datetime bounds must be interpreted
+    in the SESSION timezone (the frame Spark gives a naive literal in the
+    caller's residual filter), not compared as raw wall clocks against
+    the UTC-adjusted parquet stats."""
+
+    def test_non_utc_session_naive_bound_keeps_boundary_file(
+            self, spark, tmp_path):
+        import datetime
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        prev = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone",
+                           "America/New_York")
+            t = TransactionalParquetTable(str(tmp_path / "tz2"))
+            # hourly rows around local midnight 2024-01-02 (EST, UTC-5)
+            df = (spark.range(0, 48)
+                  .selectExpr(
+                      "timestampadd(HOUR, CAST(id AS INT), "
+                      "TIMESTAMP '2024-01-01 00:00:00') AS ts")
+                  .repartitionByRange(4, "ts"))
+            t.commit(df, "c1", stats_cols=["ts"])
+            # naive local bound = local midnight day 2; rows at exactly
+            # that instant (and before) must survive pruning
+            hi = datetime.datetime(2024, 1, 2)
+            got = (t.read_pruned(spark, {"ts": (None, hi)})
+                   .filter("ts <= TIMESTAMP '2024-01-02 00:00:00'")
+                   .count())
+            assert got == 25  # local hours 0..24 inclusive
+            # and the lower side: bound at local hour 36 onward
+            lo = datetime.datetime(2024, 1, 2, 12)
+            got_lo = (t.read_pruned(spark, {"ts": (lo, None)})
+                      .filter("ts >= TIMESTAMP '2024-01-02 12:00:00'")
+                      .count())
+            assert got_lo == 12  # hours 36..47
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev)
