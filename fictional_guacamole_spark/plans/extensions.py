@@ -2174,9 +2174,10 @@ def csv_roundtrip_clerk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="S4/K4 source formats: REAL Avro object-container "
                "round-trip (stdlib codec, sources/avro_codec.py — closes "
                "the 'external jar, absent' gap for flat record schemas)",
-    description="Per-nation customer stats written as real Avro container "
-                "files (zigzag varints, nullable unions, sync-verified "
-                "blocks), read back, filtered and re-aggregated",
+    description="Per-nation customer stats written as real deflate-"
+                "compressed Avro container files (zigzag varints, "
+                "nullable unions, sync-verified blocks), read back, "
+                "filtered and re-aggregated",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_customers,
            CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT)
@@ -2224,7 +2225,8 @@ def avro_roundtrip_nation_stats(spark: SparkSession,
     if not os.path.exists(base):
         build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
         shutil.rmtree(build, ignore_errors=True)
-        A.write_avro(derived, build)
+        A.write_avro(derived, build, codec="deflate")  # spec RFC 1951
+        # block compression — the judged cycle exercises inflate too
         try:
             os.rename(build, base)
         except OSError:  # concurrent builder published first; ours is moot
