@@ -105,9 +105,8 @@ def _ncpu() -> int:
 
 
 def _median(xs):
-    xs = sorted(xs)
-    mid = len(xs) // 2
-    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+    import statistics
+    return statistics.median(xs)
 
 
 def _materialize(df) -> None:

@@ -459,10 +459,12 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
         F.explode(nearest_cells(F.col(vec_col), centroids,
                                 n_probe)).alias("cid"))
     probed = sorted({r.cid for r in probe_cells.distinct().collect()})
-    if not probed:  # empty query frame: nothing to probe
+    if not probed:  # empty query frame: nothing to probe — schema must
+        # match the non-empty path, so id types come from the queries
+        id_type = queries.schema[id_col].dataType
         return spark.createDataFrame([], T.StructType([
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
             T.StructField("cos_sim", T.DoubleType()),
             T.StructField("rank", T.IntegerType())]))
     parts = []

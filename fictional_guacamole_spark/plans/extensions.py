@@ -2219,7 +2219,7 @@ def avro_roundtrip_nation_stats(spark: SparkSession,
 
     src = os.path.join(sf_dir, "customer.parquet")
     tag = hashlib.md5(
-        f"avro_nation:{src}:{os.path.getmtime(src)}".encode()
+        f"avro_nation:deflate:{src}:{os.path.getmtime(src)}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_avro_nation_{tag}")
     if not os.path.exists(base):

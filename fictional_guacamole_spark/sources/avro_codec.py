@@ -295,41 +295,81 @@ def decode_container(payload: bytes) -> tuple[list[tuple[str, str]], list]:
 # ---------------------------------------------------------------------------
 
 
+_NULL_FILL = {"bigint": "0L", "int": "0", "double": "CAST(0.0 AS DOUBLE)",
+              "float": "CAST(0.0 AS FLOAT)", "string": "''",
+              "boolean": "false", "binary": "X''"}
+
+
 def write_avro(df: DataFrame, out_dir: str, codec: str = "null") -> int:
     """Write ``df`` as REAL Avro container files, one per task (map-only;
     the same one-file-per-partition layout every Spark file sink uses).
     ``codec``: ``null`` or ``deflate``. Returns the number of files
     written. Caller owns directory lifecycle (private build dir + atomic
-    rename for the judged rows)."""
+    rename for the judged rows).
+
+    Two correctness properties the naive mapInPandas form gets WRONG
+    (r7 review findings, both repro'd before the fix):
+
+    - **Exact nullable integers, NaN-preserving doubles.** Arrow→pandas
+      converts an int64 column WITH nulls to float64, silently rounding
+      values past 2^53; and a pd.isna null test conflates NaN doubles
+      with null. The writer therefore ships an explicit null-mask column
+      per field and null-COALESCES the value Spark-side: integers cross
+      the Arrow boundary as int64 always, and NaN survives as a VALUE
+      because nullness is decided by the mask, never by isna.
+    - **Idempotent task retries.** Files are named by PARTITION id (not
+      uuid) and land via write-temp + ``os.replace``: a retried or
+      speculative attempt atomically overwrites the same name with
+      byte-identical content (the input split is deterministic), so
+      re-execution cannot duplicate rows — the commit-protocol property
+      every real Spark file sink provides.
+    """
     import os
 
     import pandas as pd
+    from pyspark.sql import functions as F
 
     fields = [(f, t) for f, t in df.dtypes]
     os.makedirs(out_dir, exist_ok=True)
+    aug = df.select(
+        *[F.expr(f"coalesce(`{f}`, {_NULL_FILL[t]})").alias(f)
+          for f, t in fields],
+        *[F.expr(f"`{f}` IS NULL").alias(f"__mask_{i}")
+          for i, (f, _) in enumerate(fields)])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os as _os
-        import uuid as _uuid
+
+        from pyspark import TaskContext
 
         pdfs = [p for p in it if len(p)]
         if not pdfs:
             yield pd.DataFrame({"path": pd.Series([], dtype=object),
                                 "n_records": pd.Series([], dtype="int64")})
             return
-        rows = (tuple(None if pd.isna(v) else v for v in rec)
-                for p in pdfs
-                for rec in p.itertuples(index=False, name=None))
-        payload = encode_container(fields, rows, codec=codec)
-        name = f"part-{_uuid.uuid4().hex}.avro"
-        path = _os.path.join(out_dir, name)
-        with open(path, "wb") as f:
+        n_fields = len(fields)
+
+        def rows():
+            for p in pdfs:
+                vals = [p.iloc[:, j] for j in range(n_fields)]
+                masks = [p.iloc[:, n_fields + j] for j in range(n_fields)]
+                for i in range(len(p)):
+                    yield tuple(
+                        None if masks[j].iat[i] else vals[j].iat[i]
+                        for j in range(n_fields))
+
+        payload = encode_container(fields, rows(), codec=codec)
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"part-{pid:05d}.avro")
+        tmp = f"{path}.{_os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
             f.write(payload)
+        _os.replace(tmp, path)  # atomic: retries/speculation converge
         n = sum(len(p) for p in pdfs)
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
-    written = df.mapInPandas(batches,
-                             schema="path string, n_records long").collect()
+    written = aug.mapInPandas(batches,
+                              schema="path string, n_records long").collect()
     return len([r for r in written if r.n_records])
 
 
@@ -341,11 +381,22 @@ def read_avro(spark: SparkSession, in_dir: str, schema: str) -> DataFrame:
     fails loudly rather than mis-typing columns."""
     import pandas as pd
 
-    ddl_norm = {"long": "bigint", "integer": "int"}
-    expect = []
-    for s in schema.split(","):
-        fname, ftype = s.strip().rsplit(" ", 1)
-        expect.append((fname, ddl_norm.get(ftype, ftype)))
+    # Parse the DDL with Spark's own parser (not string surgery): any
+    # spelling Spark accepts for the mapInPandas schema — extra spaces,
+    # LONG/BIGINT case variants — normalizes to the same StructType,
+    # whose simpleString per field matches the codec's type keys.
+    from pyspark.sql.types import _parse_datatype_string
+
+    expect = [(f.name, f.dataType.simpleString())
+              for f in _parse_datatype_string(schema).fields]
+
+    # pandas NULLABLE extension dtypes per column, not object dtype:
+    # object columns go through Arrow's NA detection, which folds a NaN
+    # double into null (r7 review repro) and would box big ints; masked
+    # Int64/Float64 arrays keep null and NaN distinct and ints exact.
+    _EXT_DTYPE = {"bigint": "Int64", "int": "Int32",
+                  "double": "Float64", "float": "Float32",
+                  "boolean": "boolean"}
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -355,7 +406,28 @@ def read_avro(spark: SparkSession, in_dir: str, schema: str) -> DataFrame:
                     raise ValueError(
                         f"Avro schema mismatch: file has {fields}, "
                         f"reader expects {expect}")
-                yield pd.DataFrame(rows, columns=[f for f, _ in fields])
+                data = {}
+                for j, (fname, ftype) in enumerate(fields):
+                    col = [r[j] for r in rows]
+                    if ftype in ("double", "float"):
+                        # explicit values+mask: pd.array() would fold a
+                        # NaN VALUE into NA at construction — the exact
+                        # conflation this path exists to avoid
+                        import numpy as np
+                        np_t = "float64" if ftype == "double" else "float32"
+                        vals = np.array(
+                            [0.0 if v is None else v for v in col],
+                            dtype=np_t)
+                        mask = np.array([v is None for v in col],
+                                        dtype=bool)
+                        data[fname] = pd.arrays.FloatingArray(vals, mask)
+                    elif ftype in _EXT_DTYPE:
+                        data[fname] = pd.array(
+                            [pd.NA if v is None else v for v in col],
+                            dtype=_EXT_DTYPE[ftype])
+                    else:  # string/binary stay object (None = null)
+                        data[fname] = pd.Series(col, dtype=object)
+                yield pd.DataFrame(data)
 
     files = spark.read.format("binaryFile").load(in_dir)
     return files.select("content").mapInPandas(batches, schema=schema)

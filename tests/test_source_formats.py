@@ -1503,3 +1503,66 @@ class TestAvroDeflateCodec:
         back = read_avro(spark, out, "k long, s string")
         assert sorted(map(tuple, back.collect())) == \
             sorted(map(tuple, df.collect()))
+
+
+class TestAvroWriterExactness:
+    """r7 second-review findings, both repro'd before the fix: the writer
+    must preserve exact int64 in nullable columns (Arrow→pandas float64
+    coercion rounded past 2^53) and NaN doubles as VALUES (pd.isna
+    conflated them with null); and re-executing a write must converge to
+    the same file set (partition-id naming + atomic replace), never
+    duplicate rows."""
+
+    def test_nullable_bigint_keeps_exact_precision(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.avro_codec import (
+            read_avro, write_avro)
+
+        big = 2 ** 53 + 1  # unrepresentable in float64
+        df = spark.createDataFrame(
+            [(1, big), (2, None), (3, -(2 ** 53) - 3)],
+            "k long, v long")
+        out = str(tmp_path / "prec")
+        write_avro(df, out)
+        got = {r.k: r.v for r in read_avro(spark, out,
+                                           "k long, v long").collect()}
+        assert got == {1: big, 2: None, 3: -(2 ** 53) - 3}
+
+    def test_nan_double_survives_as_value(self, spark, tmp_path):
+        import math
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            read_avro, write_avro)
+
+        df = spark.createDataFrame(
+            [(1, float("nan")), (2, None), (3, 1.5)], "k long, v double")
+        out = str(tmp_path / "nan")
+        write_avro(df, out)
+        got = {r.k: r.v for r in read_avro(spark, out,
+                                           "k long, v double").collect()}
+        assert math.isnan(got[1])  # NaN is a value, not null
+        assert got[2] is None and got[3] == 1.5
+
+    def test_rewrite_converges_no_duplicates(self, spark, tmp_path):
+        import os
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            read_avro, write_avro)
+
+        df = spark.range(0, 100).selectExpr("id AS k").repartition(4)
+        out = str(tmp_path / "idem")
+        write_avro(df, out)
+        first = sorted(os.listdir(out))
+        write_avro(df, out)  # the retry/speculation analogue
+        assert sorted(os.listdir(out)) == first  # same names, replaced
+        assert read_avro(spark, out, "k long").count() == 100
+
+    def test_ddl_spelling_variants_accepted(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources.avro_codec import (
+            read_avro, write_avro)
+
+        df = spark.range(0, 5).selectExpr("id AS k", "'x' AS s")
+        out = str(tmp_path / "ddl")
+        write_avro(df, out)
+        for ddl in ("k long, s string", "k  BIGINT,  s STRING",
+                    "k bigint,s string"):
+            assert read_avro(spark, out, ddl).count() == 5
