@@ -695,11 +695,107 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     centroids = train_ivf_centroids(corpus, n_centroids, vec_col, seed)
     books = train_pq_codebooks(corpus, m, n_codes, vec_col, pq_seed)
-    cw_norm2 = [[sum(v * v for v in cw) for cw in book] for book in books]
     codes = corpus.select(
         F.col(id_col),
         nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"),
         pq_encode(F.col(vec_col), books).alias("code"))
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("n_vec"),
+                         norm(F.col(vec_col)).alias("c_norm"))
+    return _ivf_pq_rank(codes, vecs, queries, centroids, books,
+                        k=k, n_probe=n_probe, rerank=rerank,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def ivf_pq_persist_index(spark: SparkSession, corpus: DataFrame,
+                         table_path: str, n_centroids: int = 16,
+                         m: int = 8, n_codes: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding", seed: int = 4,
+                         pq_seed: int = 7):
+    """The FULL production ANN index as storage layout: cells (WHICH rows
+    a probe touches) as clustered files with cid zone maps, PQ codes
+    (COST per touched row) stored alongside each vector — 'codes live
+    inside cell partitions' (SCALE.md) as executed code. Build once:
+    commit → clustered OPTIMIZE → vacuum. Returns (centroids,
+    codebooks), the plan-literal state a probe needs."""
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    centroids = train_ivf_centroids(corpus, n_centroids, vec_col, seed)
+    books = train_pq_codebooks(corpus, m, n_codes, vec_col, pq_seed)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        norm(F.col(vec_col)).alias("c_norm"),
+        nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"),
+        pq_encode(F.col(vec_col), books).alias("code"))
+    t = TransactionalParquetTable(table_path)
+    t.commit(assigned, "ivfpq-build", stats_cols=["cid"])
+    t.compact(spark, "ivfpq-cluster", stats_cols=["cid"],
+              cluster_by=["cid"],
+              n_output_files=max(4, n_centroids // 2))
+    t.vacuum()
+    return centroids, books
+
+
+def ivf_pq_probe_topk(spark: SparkSession, table_path: str,
+                      centroids: list[list[float]],
+                      books: list[list[list[float]]],
+                      queries: DataFrame, k: int = 10, n_probe: int = 4,
+                      rerank: int = 64, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Probe a persisted IVF-PQ index: zone-map-pruned reads of only the
+    probed cells' files feed the SHARED ADC-score → exact-rerank
+    pipeline (:func:`_ivf_pq_rank`), so output is bit-identical to the
+    in-memory :func:`ivf_pq_topk` with the same trainers. The scan reads
+    codes + vectors of probed cells only; at 100 TB the candidate pass
+    touches n_probe/n_centroids of storage and scores m small ints per
+    row — both bounds enforced by LAYOUT, not by a runtime filter."""
+    from pyspark.sql import types as T
+
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    t = TransactionalParquetTable(table_path)
+    probe_cells = queries.select(
+        F.explode(nearest_cells(F.col(vec_col), centroids,
+                                n_probe)).alias("cid"))
+    probed = sorted({r.cid for r in probe_cells.distinct().collect()})
+    if not probed:  # empty query frame: nothing to probe
+        id_type = queries.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("rank", T.IntegerType())]))
+    parts = [t.read_pruned(spark, {"cid": (cell, cell)})
+             .filter(F.col("cid") == cell) for cell in probed]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    codes = corpus.select(F.col(id_col), "cid", "code")
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("n_vec"), "c_norm")
+    return _ivf_pq_rank(codes, vecs, queries, centroids, books,
+                        k=k, n_probe=n_probe, rerank=rerank,
+                        id_col=id_col, vec_col=vec_col)
+
+
+def _ivf_pq_rank(codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+                 centroids: list[list[float]],
+                 books: list[list[list[float]]], *,
+                 k: int, n_probe: int, rerank: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """The shared IVF-PQ probe pipeline (in-memory and persisted callers
+    both land here, so their bit-equality rests on ONE implementation —
+    the r7 review convention): ADC-score the probed cells' codes, keep
+    the top-``rerank`` per query, exact-rerank against raw vectors.
+    ``codes``: (id_col, cid, code); ``vecs``: (neighbor_id, n_vec,
+    c_norm) — for the persisted caller both come from pruned reads of
+    only the probed cells, which is sufficient because every survivor
+    belongs to a probed cell by construction."""
+    m = len(books)
+    cw_norm2 = [[sum(v * v for v in cw) for cw in book] for book in books]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -727,11 +823,8 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     survivors = (scored.withColumn("r", F.row_number().over(w))
                  .filter(F.col("r") <= rerank)
                  .select("query_id", "neighbor_id"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("n_vec"),
-                      norm(F.col(vec_col)).alias("c_norm"))
     qv = q.select("query_id", "q_vec", "q_norm").dropDuplicates(["query_id"])
-    exact = (F.broadcast(survivors).join(c, "neighbor_id")
+    exact = (F.broadcast(survivors).join(vecs, "neighbor_id")
              .join(F.broadcast(qv), "query_id")
              .select("query_id", "neighbor_id",
                      (dot(F.col("q_vec"), F.col("n_vec"))

@@ -1148,3 +1148,38 @@ class TestIvfPersistedIndex:
             r.vec_id for r in t.read_pruned(spark, {"cid": (0, 0)})
             .filter("cid = 0").collect())
         assert full_cell == pruned_cell and len(full_cell) > 0
+
+
+class TestIvfPqPersistedIndex:
+    """sim_ivf_pq_persisted_topk's evidence: the code-carrying clustered
+    index returns BIT-IDENTICAL results to the in-memory ivf_pq_topk
+    with the same trainers, actually skips files per probed cell, and
+    stores decodable PQ codes in-row."""
+
+    def test_probe_equals_inmemory_and_skips_files(self, spark, tmp_path):
+        from fictional_guacamole_spark.functions.similarity import (
+            ivf_pq_persist_index, ivf_pq_probe_topk, ivf_pq_topk)
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        path = str(tmp_path / "ivfpqidx")
+        cents, books = ivf_pq_persist_index(spark, emb, path,
+                                            n_centroids=16, m=8,
+                                            n_codes=16)
+        probed = ivf_pq_probe_topk(spark, path, cents, books, queries,
+                                   k=10, n_probe=6, rerank=128)
+        mem = ivf_pq_topk(emb, queries, k=10, n_centroids=16, n_probe=6,
+                          m=8, n_codes=16, rerank=128)
+        assert sorted(map(tuple, probed.collect())) == \
+            sorted(map(tuple, mem.collect()))
+
+        t = TransactionalParquetTable(path)
+        total = len(t.read(spark).inputFiles())
+        one_cell = len(t.read_pruned(spark, {"cid": (0, 0)}).inputFiles())
+        assert total >= 4 and one_cell < total
+        # stored codes are m small ints in the declared range
+        row = t.read(spark).limit(1).collect()[0]
+        assert len(row.code) == 8
+        assert all(0 <= c < 16 for c in row.code)
