@@ -259,7 +259,8 @@ def stream_engine_hourly_counts(spark: SparkSession,
             .orderBy("window_start", "event_type"))
 
 
-def _time_clustered_events_copy(spark: SparkSession, sf_dir: str) -> str:
+def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
+                                transform=None, salt: str = "") -> str:
     """A 4-file copy of ``events`` range-partitioned on ``ts`` with
     ascending mtimes in range order, so a maxFilesPerTrigger=1 file
     source replays micro-batches in event-time order (the file source
@@ -270,7 +271,10 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str) -> str:
     minimum (no late drops) and keeps per-key arrival order equal to
     event-time order (the stateful-fold contract). Built once per
     (sf_dir, mtime) under an atomic rename; concurrent builders race
-    benignly on private per-pid dirs."""
+    benignly on private per-pid dirs. ``transform`` (optional) reshapes
+    the frame before clustering — e.g. the dedup row doubles it — and
+    MUST be paired with a distinct ``salt`` so variants never share a
+    cache dir."""
     import hashlib
     import os
     import shutil
@@ -279,12 +283,15 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(
-        f"strmsrc_rng1:{src}:{os.path.getmtime(src)}".encode()
+        f"strmsrc_rng1:{salt}:{src}:{os.path.getmtime(src)}".encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_strmrng_{tag}")
     if not os.path.exists(base):
         build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
-        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts") \
+        frame = load_table(spark, sf_dir, "events")
+        if transform is not None:
+            frame = transform(frame)
+        frame.repartitionByRange(4, "ts") \
             .write.mode("overwrite").parquet(build)
         parts = sorted(f for f in os.listdir(build)
                        if f.endswith(".parquet"))
@@ -461,3 +468,67 @@ def stream_engine_stateful_ewma(spark: SparkSession,
             .select("user_id", F.col("fin.n_used").alias("n_used"),
                     F.col("fin.ewma").alias("ewma"))
             .orderBy("user_id"))
+
+
+@query(
+    "stream_engine_dedup_watermark",
+    survey_ref="§2.5 streaming: dropDuplicatesWithinWatermark through "
+               "the engine (duplicate-laden replay → exactly-once rows)",
+    description="A doubled event stream deduplicated by the engine's "
+                "watermarked dedup operator: every event emitted exactly "
+                "once despite arriving twice",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def stream_engine_dedup_watermark(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The fourth engine-executed judged row, certifying the operator
+    behind every at-least-once ingestion path (the reference's T4/T6
+    idempotence problem, solved the engine's way): the source copy holds
+    EVERY event TWICE (events unioned with itself, range-partitioned on
+    ts so both copies of a row land in the same file and therefore the
+    same micro-batch), and ``dropDuplicatesWithinWatermark`` on
+    event_id emits each exactly once. Append mode emits first-seen rows
+    immediately — nothing is withheld, so the drained sink equals the
+    full distinct event set and the batch oracle is the plain SELECT.
+    Determinism: duplicates co-arrive (same file), replay is
+    time-ascending (no late drops), and dedup keeps the first of two
+    IDENTICAL rows, so batch boundaries cannot change the emitted set.
+
+    At 100 TB: state is one (event_id → seen) entry per key WITHIN the
+    watermark horizon — eviction bounds the store by event-time span,
+    not stream length; the shuffle is the dedup key partitioning the
+    same way the sink's exactly-once write would shard anyway."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=lambda ev: ev.unionAll(ev), salt="dup1")
+    name = f"fg_streamdup_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_streamdup_ckpt_")
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base))
+    deduped = (stream
+               .withWatermark("ts", "1 hour")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "ts", "user_id", "event_type",
+                       F.floor(F.col("value") * 100).cast("long")
+                       .alias("value_cents")))
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).orderBy("event_id")

@@ -443,3 +443,26 @@ class TestJudgedStatefulEwmaRow:
                .orderBy("user_id").collect())
         assert [tuple(r) for r in got] == [tuple(r) for r in exp]
         assert len(got) > 0
+
+
+class TestJudgedStreamDedupRow:
+    """Backs stream_engine_dedup_watermark: the doubled replay emits
+    every event exactly once, equal to the distinct batch set."""
+
+    def test_doubled_replay_emits_each_event_once(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_dedup_watermark)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = stream_engine_dedup_watermark(spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        exp = (ev.select("event_id", "ts", "user_id", "event_type",
+                         F.floor(F.col("value") * 100).cast("long")
+                         .alias("value_cents"))
+               .orderBy("event_id").collect())
+        assert len(got) == ev.count()  # exactly once, not twice
+        assert [tuple(r) for r in got] == [tuple(r) for r in exp]
