@@ -165,9 +165,9 @@ the r6-green ``udaf_cents_returnflag``: ``stream_engine_stateful_ewma``
 (the exact pow-2 EWMA fold as bounded per-key applyInPandasWithState
 state — the first judged row through the custom-stateful-operator API,
 and T1–T5's execution model certified end-to-end). A green
-CORRECTNESS_r07 makes the cumulative driver-certified union 168 of 172
+CORRECTNESS_r07 makes the cumulative driver-certified union 168 of 173
 oracled queries; what remains is the oracle-less bench frame plus the
-four round-7-final registrations — ``sim_ivf_persisted_topk`` (the IVF
+five round-7-final registrations — ``sim_ivf_persisted_topk`` (the IVF
 index persisted as commit-log storage layout and probed via zone-map
 file skipping), ``sim_ivf_pq_persisted_topk`` (the composed faiss-style
 IVFx,PQy stack with PQ codes stored in-row, SF-aware measured floors),
@@ -175,9 +175,12 @@ IVFx,PQy stack with PQ codes stored in-row, SF-aware measured floors),
 interchange with deflate), and ``stream_engine_dedup_watermark`` (the
 fourth engine-executed row: dropDuplicatesWithinWatermark over a
 doubled replay emits every event exactly once — the
-at-least-once-ingestion idempotence story judged through the engine) —
-all mirror-green on registration, r8 rotation fodder by the same
-protocol every late registration has followed.
+at-least-once-ingestion idempotence story judged through the engine),
+and ``stream_engine_stream_join`` (the fifth engine-executed row: a
+watermarked stream-STREAM interval join — purchase←view attribution —
+whose drained two-sided state equals the batch join verbatim) — all
+mirror-green on registration, r8 rotation fodder by the same protocol
+every late registration has followed.
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
@@ -212,11 +215,12 @@ JUDGE_WINDOW: list[str] = [
     # bloom/minhash/cosine/jsonl/xml/dq_constraint/topk_global/variant…
     # all have r6-green rows in the cumulative union and a family
     # sibling in this window). Judging these 50 green makes the
-    # cumulative driver-certified union 168 of 172 oracled queries —
+    # cumulative driver-certified union 168 of 173 oracled queries —
     # the round-7-final registrations sim_ivf_persisted_topk,
-    # sim_ivf_pq_persisted_topk, avro_roundtrip_nation_stats and
-    # stream_engine_dedup_watermark remain (all mirror-green; r8
-    # rotation fodder), see the module docstring.
+    # sim_ivf_pq_persisted_topk, avro_roundtrip_nation_stats,
+    # stream_engine_dedup_watermark and stream_engine_stream_join
+    # remain (all mirror-green; r8 rotation fodder), see the module
+    # docstring.
     # -- flagship + family anchors (driver-green in earlier rounds) -------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "asof_trades_book",            # trades ⋈ book over REAL kernel output

@@ -532,3 +532,87 @@ def stream_engine_dedup_watermark(spark: SparkSession,
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("event_id")
+
+
+@query(
+    "stream_engine_stream_join",
+    survey_ref="§2.5 streaming: stream-stream interval join through the "
+               "engine (watermarked two-sided state, attribution shape)",
+    description="purchase<-view attribution computed by an actual "
+                "watermarked stream-stream join: views joined to same-"
+                "user purchases within the preceding 6 hours",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id, p.ts AS purchase_ts
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 6 HOUR
+    ORDER BY purchase_id, view_id
+    """,
+)
+def stream_engine_stream_join(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The fifth engine-executed judged row, and the last major
+    streaming API without one: a stream-STREAM join, where BOTH sides
+    buffer watermarked state and the engine matches across micro-batch
+    boundaries (a view in batch 1 joins a purchase in batch 4). The
+    attribution shape production runs: every purchase joined to the
+    same user's views in the preceding 6 hours.
+
+    Why the drain is deterministic: inner-join matches emit as soon as
+    both rows are present (no watermark withholding for inner joins),
+    and state eviction cannot outrun replay — the engine keeps a view
+    matchable until the watermark passes its ts + 6 h, while
+    time-ascending replay holds the watermark only 1 h behind the
+    newest purchase, so every view is still buffered when its last
+    possible purchase arrives. The drained set is therefore exactly the
+    batch join, which the oracle runs verbatim.
+
+    At 100 TB this is the shape to reach for BEFORE a stream-static
+    join against a mutable table: both sides shard on user_id (one
+    co-partitioned shuffle per batch), and state is bounded by the
+    6-hour horizon × arrival rate, not stream length."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+
+    def side():
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(base))
+
+    purchases = (side().filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", "1 hour")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts")))
+    views = (side().filter(F.col("event_type") == "view")
+             .withWatermark("ts", "1 hour")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts")))
+    joined = purchases.join(
+        views,
+        F.expr("""p_user = v_user
+                  AND view_ts <= purchase_ts
+                  AND view_ts > purchase_ts - INTERVAL 6 HOURS"""))
+
+    name = f"fg_streamjoin_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_streamjoin_ckpt_")
+    q = (joined.select("purchase_id", "view_id",
+                       F.col("p_user").alias("user_id"), "purchase_ts")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).orderBy("purchase_id", "view_id")

@@ -466,3 +466,37 @@ class TestJudgedStreamDedupRow:
                .orderBy("event_id").collect())
         assert len(got) == ev.count()  # exactly once, not twice
         assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+class TestJudgedStreamStreamJoinRow:
+    """Backs stream_engine_stream_join: the drained two-sided join equals
+    the batch join verbatim (every view still buffered when its last
+    possible purchase arrives), and the match set is non-trivial."""
+
+    def test_drained_join_equals_batch_join(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_stream_join)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = stream_engine_stream_join(spark, sf_dir).collect()
+
+        ev = load_table(spark, sf_dir, "events")
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id"), F.col("ts").alias("purchase_ts")))
+        v = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts")))
+        exp = (p.join(v, (p.user_id == v.v_user)
+                      & (F.col("view_ts") <= F.col("purchase_ts"))
+                      & (F.col("view_ts") > F.col("purchase_ts")
+                         - F.expr("INTERVAL 6 HOURS")))
+               .select("purchase_id", "view_id", "user_id", "purchase_ts")
+               .orderBy("purchase_id", "view_id").collect())
+        assert len(got) > 0
+        assert [tuple(r) for r in got] == [tuple(r) for r in exp]

@@ -56,11 +56,13 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_hourly_counts",
                       "stream_engine_append_watermark",
                       "stream_engine_stateful_ewma",
-                      "stream_engine_dedup_watermark"},
+                      "stream_engine_dedup_watermark",
+                      "stream_engine_stream_join"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
                                    "stream_engine_append_watermark",
                                    "stream_engine_stateful_ewma",
-                                   "stream_engine_dedup_watermark"},
+                                   "stream_engine_dedup_watermark",
+                                   "stream_engine_stream_join"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
