@@ -755,6 +755,48 @@ class TestPqTopk:
         assert all(0 <= v < 16 for r in codes for v in r.c)
 
 
+class TestPyQueryFrame:
+    """The driver-side ANN query frame (similarity._pq_query_frame) must
+    replay the column-expression rendering BIT-FOR-BIT: q_norm, every ADC
+    table entry, the rebuilt q_vec, and the probe-cell list — the
+    guarantee that collapsing the query side to a LocalRelation (an
+    analysis-cost optimization) cannot move a single ranked result."""
+
+    def test_py_query_frame_matches_expressions(self, spark):
+        import struct
+
+        from fictional_guacamole_spark.functions.similarity import (
+            _adc_table, _pq_query_frame, nearest_cells, norm,
+            train_ivf_centroids, train_pq_codebooks)
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        books = train_pq_codebooks(emb, m=8, n_codes=16)
+        cents = train_ivf_centroids(emb, n_centroids=8)
+        expr = {r.query_id: r for r in queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+            norm(F.col("embedding")).alias("q_norm"),
+            _adc_table(F.col("embedding"), books).alias("adc"),
+            nearest_cells(F.col("embedding"), cents, 4).alias("cells"))
+            .collect()}
+        py = {r.query_id: r for r in _pq_query_frame(
+            spark, queries, books, "vec_id", "embedding", cents, 4)
+            .collect()}
+        assert expr.keys() == py.keys() and len(py) == 5
+
+        def bits(x):
+            return struct.pack("<d", x)
+
+        for k, e in expr.items():
+            p = py[k]
+            assert bits(e.q_norm) == bits(p.q_norm)
+            assert [bits(v) for v in e.q_vec] == [bits(v) for v in p.q_vec]
+            assert [[bits(v) for v in row] for row in e.adc] \
+                == [[bits(v) for v in row] for row in p.adc]
+            assert list(e.cells) == list(p.cells)
+
+
 class TestSignProjection:
     """JL-transform quality: the judged query pins exact values; these pin
     the geometric property that makes the reduction USEFUL — pairwise
