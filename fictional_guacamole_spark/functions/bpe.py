@@ -21,10 +21,10 @@ Distributed shape (the part that must survive 100 TB):
   .collect()`` for the argmax — the same bounded-collect discipline as the
   ANN trainers (similarity.py). Rounds are bounded by ``n_merges``.
 - The merge application is a pure JVM ``replace`` column expression over the
-  vocab (no Python, no shuffle). Each round's vocab is persisted and the
-  previous round unpersisted so round k does not recompute rounds 1..k-1;
-  on a real cluster this is a per-round ``checkpoint`` of a vocab-sized
-  table.
+  vocab (no Python, no shuffle). Each round's vocab is localCheckpoint-ed
+  (materialized + lineage severed) so round k analyzes and computes a
+  one-replace-deep plan, never rounds 1..k-1; on a real cluster this is a
+  per-round reliable ``checkpoint`` of a vocab-sized table.
 - Encoding never re-runs BPE per document: documents explode to words and
   equi-join the trained vocab (broadcastable at any realistic vocab size;
   Catalyst/AQE picks the strategy if the hint is dropped), so the corpus is
@@ -96,8 +96,12 @@ def bpe_train(df: DataFrame, text_col: str,
     pair lexicographically). The returned vocab ``(w, freq, r)`` carries
     each word's final symbol string — the encoder's join table.
     """
-    vocab = word_vocab(df, text_col).persist()
-    vocab.count()  # materialize before the first argmax
+    # localCheckpoint (not persist): materializes AND severs lineage, so
+    # round k's plans are one replace deep, not k — the per-round argmax
+    # job analyzes a leaf, and dropping the parent cannot trigger
+    # recompute. On a real cluster this is a per-round reliable
+    # checkpoint of a vocab-sized table.
+    vocab = word_vocab(df, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         # Bounded collect: exactly one row per round (argmax of the pair
@@ -110,12 +114,9 @@ def bpe_train(df: DataFrame, text_col: str,
         a, b, cnt = (best[0]["left_sym"], best[0]["right_sym"],
                      int(best[0]["pair_count"]))
         merges.append((rank, a, b, cnt))
-        nxt = vocab.withColumn(
+        vocab = vocab.withColumn(
             "r", F.replace("r", F.lit(f" {a}  {b} "),
-                           F.lit(f" {a}{b} "))).persist()
-        nxt.count()  # materialize the child before dropping the parent
-        vocab.unpersist()
-        vocab = nxt
+                           F.lit(f" {a}{b} "))).localCheckpoint(eager=True)
     return merges, vocab
 
 
@@ -155,7 +156,7 @@ def sql_bpe_ctes(table: str, text_col: str, n_merges: int,
     norm = _sql_norm(text_col)
     cond = f" WHERE {where}" if where else ""
     parts = [f"""
-    __v0 AS (
+    __v0 AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
              ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS r
       FROM (SELECT unnest(string_split({norm}, ' ')) AS w
@@ -165,7 +166,7 @@ def sql_bpe_ctes(table: str, text_col: str, n_merges: int,
     for k in range(1, n_merges + 1):
         v = k - 1
         parts.append(f"""
-    __p{k} AS (
+    __p{k} AS MATERIALIZED (
       SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (
         SELECT freq,
@@ -175,9 +176,9 @@ def sql_bpe_ctes(table: str, text_col: str, n_merges: int,
                  ELSE [] END) AS p
         FROM (SELECT freq, string_split(trim(r), '  ') AS s FROM __v{v}))
       GROUP BY 1, 2),
-    __b{k} AS (SELECT a, b, cnt FROM __p{k}
+    __b{k} AS MATERIALIZED (SELECT a, b, cnt FROM __p{k}
                ORDER BY cnt DESC, a, b LIMIT 1),
-    __v{k} AS (
+    __v{k} AS MATERIALIZED (
       SELECT w, freq,
              replace(r,
                  ' ' || COALESCE((SELECT a FROM __b{k}), {_NEVER})

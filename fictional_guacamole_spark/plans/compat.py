@@ -74,3 +74,23 @@ def sql_davg(expr: str) -> str:
     """DuckDB-side rendering of :func:`davg`."""
     return (sql_dec_to_double_exact(f"SUM(CAST({expr} AS DECIMAL(25,6)))")
             + f" / COUNT({expr})")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` for one judged query whose
+    intermediate tables are orders of magnitude smaller than the corpus
+    (e.g. BPE's Heaps-bounded vocabulary, streaming state stores — see
+    windows_streaming._stream_state_partitions for the streaming variant).
+    The count is a deployment sizing knob, not semantics: results are
+    identical at any value. Restored on exit so surrounding plans keep the
+    session default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

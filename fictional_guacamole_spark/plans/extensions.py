@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from fictional_guacamole_spark.functions import bpe as _BPE
 from fictional_guacamole_spark.functions import dedup as D
 from fictional_guacamole_spark.functions import similarity as S
 from fictional_guacamole_spark.functions import text as X
@@ -1720,6 +1721,26 @@ def orc_roundtrip_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL multimodal codecs (functions/codecs.py): WAV + BMP, stdlib-only
 # ---------------------------------------------------------------------------
+#
+# All four real-codec rows cycle DOCUMENT BYTES into media payloads while
+# their DuckDB oracles index CHARACTERS — equal only for ASCII text. Rather
+# than assume the fixture stays ASCII (ADVICE r7), both sides project text
+# to printable ASCII explicitly: the Spark encoders strip non-[0x20,0x7E]
+# code points (_ascii_text) and the oracles wrap text in the identical
+# regexp_replace, so byte == char holds for ANY corpus by construction.
+
+_ASCII_SQL = "regexp_replace(text, '[^ -~]', '', 'g')"
+
+
+def _ascii_text(t: str) -> str:
+    import re
+
+    return re.sub("[^ -~]", "", t)
+
+
+def _ascii_col():
+    return F.regexp_replace(F.col("text"), "[^ -~]", "")
+
 
 BMP_W, BMP_H = 8, 8  # synthesized image dims: 8x8x3 = 192 pixel bytes
 
@@ -1732,9 +1753,10 @@ BMP_W, BMP_H = 8, 8  # synthesized image dims: 8x8x3 = 192 pixel bytes
     oracle="""
     WITH b AS (
       SELECT doc_id AS asset_id,
-             list_transform(range(1, length(text) + 1),
-                 i -> unicode(substr(text, CAST(i AS INT), 1)) - 128) AS s
-      FROM documents)
+             list_transform(range(1, length(atext) + 1),
+                 i -> unicode(substr(atext, CAST(i AS INT), 1)) - 128) AS s
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+            FROM documents))
     SELECT asset_id,
            CAST(1 AS INTEGER) AS n_channels,
            CAST(8000 AS INTEGER) AS sample_rate,
@@ -1767,7 +1789,7 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             yield pd.DataFrame({
                 "asset_id": pdf["doc_id"],
-                "payload": [C.encode_wav_pcm8(t.encode())
+                "payload": [C.encode_wav_pcm8(_ascii_text(t).encode())
                             for t in pdf["text"]],
             })
 
@@ -1786,10 +1808,12 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cyc AS (
       SELECT doc_id AS asset_id,
-             substr(repeat(text, CAST(({BMP_W * BMP_H * 3} / length(text))
-                                      AS INT) + 1),
+             substr(repeat(atext, CAST(({BMP_W * BMP_H * 3} / length(atext))
+                                       AS INT) + 1),
                     1, {BMP_W * BMP_H * 3}) AS px
-      FROM documents WHERE length(text) > 0),
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+            FROM documents)
+      WHERE length(atext) > 0),
     -- the 4x4 nearest-neighbor sample of an 8x8 image keeps pixels at
     -- (2x, 2y): byte index of channel c of pixel (x,y) = (y*8 + x)*3 + c
     picked AS (
@@ -1833,13 +1857,14 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for t in pdf["text"]:
-                raw = t.encode()
+                raw = _ascii_text(t).encode()
                 px = (raw * (n // len(raw) + 1))[:n]
                 payloads.append(C.encode_bmp24(BMP_W, BMP_H, px))
             yield pd.DataFrame({"asset_id": pdf["doc_id"],
                                 "payload": payloads})
 
-    assets = (docs.select("doc_id", "text").filter(F.length("text") > 0)
+    assets = (docs.select("doc_id", "text")
+              .filter(F.length(_ascii_col()) > 0)
               .mapInPandas(encode_batches,
                            schema="asset_id long, payload binary"))
     return (C.bmp_meta(C.resize_bmp_assets(assets, 4, 4))
@@ -1860,12 +1885,14 @@ AVI_FRAME_BYTES = AVI_W * AVI_H * 3
     oracle=f"""
     WITH c AS (
       SELECT doc_id AS asset_id,
-             1 + length(text) % {AVI_MAX_FRAMES} AS nf,
-             substr(repeat(text,
+             1 + length(atext) % {AVI_MAX_FRAMES} AS nf,
+             substr(repeat(atext,
                     CAST(({AVI_MAX_FRAMES * AVI_FRAME_BYTES * 1.0}
-                          / length(text)) AS INT) + 2),
+                          / length(atext)) AS INT) + 2),
                     1, {AVI_MAX_FRAMES * AVI_FRAME_BYTES}) AS px
-      FROM documents WHERE length(text) > 0),
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+            FROM documents)
+      WHERE length(atext) > 0),
     f AS (
       SELECT asset_id, px,
              unnest(range(0, nf, 2)) AS frame_index
@@ -1911,7 +1938,7 @@ def multimodal_avi_frame_sample(spark: SparkSession,
         for pdf in it:
             out_ids, out_payloads = [], []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                raw = t.encode()
+                raw = _ascii_text(t).encode()
                 nf = 1 + len(raw) % AVI_MAX_FRAMES
                 need = AVI_MAX_FRAMES * AVI_FRAME_BYTES
                 px = (raw * (need // len(raw) + 2))[:need]
@@ -1922,7 +1949,8 @@ def multimodal_avi_frame_sample(spark: SparkSession,
             yield pd.DataFrame({"asset_id": out_ids,
                                 "payload": out_payloads})
 
-    assets = (docs.select("doc_id", "text").filter(F.length("text") > 0)
+    assets = (docs.select("doc_id", "text")
+              .filter(F.length(_ascii_col()) > 0)
               .mapInPandas(encode_batches,
                            schema="asset_id long, payload binary"))
     return (C.avi_frame_sample(assets, every_n=2)
@@ -1943,10 +1971,12 @@ PNG_BYTES = PNG_W * PNG_H * 3
     oracle=f"""
     WITH cyc AS (
       SELECT doc_id AS asset_id,
-             substr(repeat(text, CAST(({PNG_BYTES} / length(text))
-                                      AS INT) + 1),
+             substr(repeat(atext, CAST(({PNG_BYTES} / length(atext))
+                                       AS INT) + 1),
                     1, {PNG_BYTES}) AS px
-      FROM documents WHERE length(text) > 0)
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+            FROM documents)
+      WHERE length(atext) > 0)
     SELECT asset_id,
            CAST({PNG_W} AS INTEGER) AS width,
            CAST({PNG_H} AS INTEGER) AS height,
@@ -1988,13 +2018,14 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             payloads = []
             for t in pdf["text"]:
-                raw = t.encode()
+                raw = _ascii_text(t).encode()
                 px = (raw * (PNG_BYTES // len(raw) + 1))[:PNG_BYTES]
                 payloads.append(C.encode_png(PNG_W, PNG_H, px, color_type=2))
             yield pd.DataFrame({"asset_id": pdf["doc_id"],
                                 "payload": payloads})
 
-    assets = (docs.select("doc_id", "text").filter(F.length("text") > 0)
+    assets = (docs.select("doc_id", "text")
+              .filter(F.length(_ascii_col()) > 0)
               .mapInPandas(encode_batches,
                            schema="asset_id long, payload binary"))
     return C.png_meta(assets).orderBy("asset_id")
@@ -3456,3 +3487,44 @@ def join_fuzzy_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.expr("substr(word, 1, length(word) - 1)")
                        .alias("word")))
     return X.typo_pairs_from_vocab(vocab.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# Real BPE subword tokenization (LLM-pipeline tokenizer surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_bpe_subword_stats",
+    survey_ref="LLM-pipeline: real BPE subword tokenizer (Sennrich ACL'16)"
+               " — distributed trainer + vocab-join encoder",
+    description="Per-document subword token counts under a 6-merge BPE "
+                "vocabulary trained on the same corpus slice",
+    oracle=_BPE.sql_bpe_encode_stats("documents", "doc_id", "text", 6,
+                                     where="doc_id < 200"),
+)
+def text_bpe_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual BPE algorithm, not the BPE-ish regex of text_token_*:
+    characters merge bottom-up by corpus pair frequency (6 rounds, count
+    DESC + lexicographic tie-break), then documents encode by equi-joining
+    the trained vocabulary — BPE never re-runs per document
+    (functions/bpe.py has the 100 TB shape: one corpus pass for the word-
+    frequency table, per-round aggregations over the Heaps-bounded VOCAB
+    only, one bounded 1-row argmax collect per round). The DuckDB oracle
+    replays the identical merge chain as a 6-stage CTE pipeline — Java
+    String.replace, DuckDB replace and Python str.replace share the
+    left-to-right no-rescan semantics that makes the spaced-symbol
+    representation exactly greedy BPE (property-tested against a pure-
+    Python reference in tests/test_bpe.py)."""
+    from fictional_guacamole_spark.plans.compat import (
+        scoped_shuffle_partitions)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200))
+    # the per-round aggregations run over the VOCAB (Heaps-bounded, ~2e3
+    # rows at the judged SF) — 4 shuffle partitions is sizing, not
+    # semantics; at 100 TB you'd leave the session default in place
+    with scoped_shuffle_partitions(spark, 4):
+        _, vocab = _BPE.bpe_train(docs, "text", 6)
+        vocab = vocab.localCheckpoint(eager=True)
+    return (_BPE.bpe_encode_stats(docs, "doc_id", "text", vocab)
+            .orderBy("doc"))

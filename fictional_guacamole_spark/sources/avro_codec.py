@@ -84,7 +84,15 @@ def _write_varint(out: bytearray, u: int) -> None:
 
 
 def _write_long(out: bytearray, n: int) -> None:
-    _write_varint(out, _zigzag(int(n)))
+    # _zigzag assumes int64 two's complement; a Python int beyond that
+    # (e.g. from an object-dtype column) would silently emit an 11+-byte
+    # varint that spec-conforming readers — including this module's own
+    # decoder — reject. Fail at write time with a clear error instead of
+    # producing a corrupt container (ADVICE r7).
+    n = int(n)
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"long out of int64 range: {n}")
+    _write_varint(out, _zigzag(n))
 
 
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:

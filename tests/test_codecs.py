@@ -395,3 +395,40 @@ class TestPngCodec:
             assert (r.width, r.height, r.n_channels) == (3, 5, 3)
             assert (r.sum_r, r.sum_g, r.sum_b) == (
                 exp["sum_r"], exp["sum_g"], exp["sum_b"])
+
+
+class TestNonAsciiOracleParity:
+    """ADVICE r7 regression: the media rows cycle UTF-8 BYTES while their
+    oracles index CHARACTERS — both sides now project text to printable
+    ASCII first, so a non-ASCII corpus must hash identically (it used to
+    silently diverge in cycle length and per-byte values)."""
+
+    def test_png_row_on_non_ascii_corpus(self, spark, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        from fictional_guacamole_spark.plans.extensions import (
+            multimodal_png_decode)
+        from fictional_guacamole_spark.plans.registry import REGISTRY
+
+        docs = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["héllo wörld — naïve café",      # mixed ASCII/non
+                     "日本語のテキストだけ plus ascii",  # mostly non-ASCII
+                     "plain ascii text only",          # control
+                     "é世界"],            # NO ascii at all ->
+                                                       # filtered out
+            "lang": ["en"] * 4, "source": ["t"] * 4,
+            "n_chars": [10] * 4,
+        })
+        sf_dir = str(tmp_path)
+        docs.to_parquet(f"{sf_dir}/documents.parquet")
+        got = sorted(
+            tuple(r) for r in multimodal_png_decode(spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        oracle = REGISTRY["multimodal_png_decode"].oracle
+        exp = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert got == exp
+        assert len(got) == 3  # the all-non-ASCII doc is filtered BOTH sides

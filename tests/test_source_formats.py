@@ -1345,6 +1345,20 @@ class TestAvroCodec:
         assert fields == self.FIELDS
         assert got == rows
 
+    def test_out_of_int64_range_rejected_at_write(self):
+        # ADVICE r7: an out-of-range Python int used to encode as an
+        # 11+-byte varint that spec readers (incl. our decoder) reject —
+        # a corrupt container produced silently. Now a clear write error.
+        import pytest
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            encode_container)
+
+        for bad in (2 ** 63, -(2 ** 63) - 1, 10 ** 30):
+            with pytest.raises(ValueError, match="long out of int64"):
+                encode_container(self.FIELDS,
+                                 [(bad, 1.0, "x", True)])
+
     def test_hypothesis_roundtrip(self):
         from hypothesis import given, settings
         from hypothesis import strategies as st
