@@ -644,3 +644,185 @@ def stream_engine_stream_join(spark: SparkSession,
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("purchase_id", "view_id")
+
+
+@query(
+    "stream_engine_restart_recovery",
+    survey_ref="§2.5 streaming: CHECKPOINT RESTART RECOVERY through the "
+               "engine (kill a watermarked append query mid-drain, restart "
+               "from the checkpoint, exactly-once file sink)",
+    description="Hourly event counts from an append-mode streaming query "
+                "that is KILLED mid-drain and restarted from its "
+                "checkpoint; the file sink's final contents still equal "
+                "the batch oracle exactly once",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events
+      GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, value_cents
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_engine_restart_recovery(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The sixth engine-executed judged row, and the one streaming
+    property no earlier row certified: CRASH RECOVERY. The exact
+    aggregation of stream_engine_append_watermark runs against a real
+    FILE sink (parquet + its _spark_metadata transaction log — the sink
+    production append pipelines use), the first query object is STOPPED
+    as soon as it has committed a micro-batch (a mid-drain kill), and a
+    SECOND query object restarts from the same checkpoint and drains to
+    completion. The judged contract: the sink's final contents equal the
+    batch oracle EXACTLY ONCE — the offset log replays any in-flight
+    batch, the sink's metadata log deduplicates any double-written
+    batch, and watermark state resumes from the checkpoint rather than
+    restarting at zero (the reference's crash story,
+    real_guac_async.py:43-57, done the engine's way).
+
+    The kill point is deliberately timing-dependent; the RESULT is not —
+    exactly-once across restart means every kill position yields the
+    same final file-sink contents (that invariance IS the judged
+    property). Batch readers of the output directory consult the sink's
+    metadata log, so partially-committed files from the kill are
+    invisible. At 100 TB this is just... how the pipeline runs: months
+    of micro-batches survive executor loss, driver restarts and code
+    redeploys through exactly this offset-log + idempotent-sink cycle."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fg_streamrr_")
+    outdir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def start_query():
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp, user_id long, "
+                          "event_type string, value double, props string")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(base))
+        agg = (stream
+               .withWatermark("ts", "1 hour")
+               .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.floor(F.col("value") * 100))
+                    .alias("value_cents"))
+               .select(F.col("w.start").alias("window_start"), "event_type",
+                       "n_events", "value_cents"))
+        return (agg.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start())
+
+    with _stream_state_partitions(spark):
+        q1 = start_query()
+        try:
+            # kill mid-drain: as soon as the first micro-batch has
+            # committed (progress visible), stop the query cold
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    # batch read consults the sink's metadata log (exactly-once view);
+    # localCheckpoint so the temp dirs can be reclaimed before the
+    # driver collects
+    out = (spark.read.parquet(outdir)
+           .orderBy("window_start", "event_type")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_engine_txnlog_sink",
+    survey_ref="§2.5 streaming: foreachBatch → commit-log table with "
+               "batch-id txn ids (K1's scale-grade exactly-once sink), "
+               "one batch deliberately replayed",
+    description="An event stream landed into the ACID commit-log table "
+                "via foreachBatch with batch-id transaction ids; a "
+                "deliberately replayed micro-batch converges through log "
+                "idempotence and every event lands exactly once",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def stream_engine_txnlog_sink(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The seventh engine-executed judged row: the Delta
+    txnAppId/txnVersion pattern end-to-end through the real engine.
+    foreachBatch lands every micro-batch into the transactional
+    commit-log table (sources/txnlog.py) with the BATCH ID as the
+    transaction id, and batch 1 is committed TWICE on purpose — the
+    simulated sink-failure retry. The log's idempotent publish makes the
+    replay a no-op (same txn_id → same version returned, no second data
+    directory), so the read-back equals the batch oracle exactly once.
+    This is K1's (append sink) scale-grade form: the reference appends
+    trades to SQLite and trusts INSERT OR REPLACE; at 100 TB the sink
+    must make micro-batch retries CONVERGE, not dedupe rows after the
+    fact — which is exactly what txn_id-keyed commits give. State:
+    none (this is a pass-through landing); the exactly-once guarantee
+    lives in the (offset log, commit log) pair, the same place it lives
+    in production."""
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="fg_streamtxn_")
+    table = TransactionalParquetTable(os.path.join(root, "t"))
+    ckpt = os.path.join(root, "ckpt")
+
+    def land(batch_df, batch_id):
+        table.commit(batch_df, f"stream-batch-{batch_id}")
+        if batch_id == 1:
+            # simulated sink-failure retry: the SAME batch lands again
+            # with the same txn id — must converge, not duplicate
+            table.commit(batch_df, f"stream-batch-{batch_id}")
+
+    with _stream_state_partitions(spark):
+        q = (spark.readStream
+             .schema("event_id long, ts timestamp, user_id long, "
+                     "event_type string, value double, props string")
+             .option("maxFilesPerTrigger", "1")
+             .parquet(base)
+             .select("event_id", "ts", "user_id", "event_type",
+                     F.floor(F.col("value") * 100).cast("long")
+                     .alias("value_cents"))
+             .writeStream.foreachBatch(land)
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    out = (table.read(spark).orderBy("event_id")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
