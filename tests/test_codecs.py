@@ -432,3 +432,86 @@ class TestNonAsciiOracleParity:
         exp = sorted(tuple(r) for r in con.execute(oracle).fetchall())
         assert got == exp
         assert len(got) == 3  # the all-non-ASCII doc is filtered BOTH sides
+
+
+class TestGifCodec:
+    """functions/codecs.py GIF89a + LZW — evidence protocol mirrors the
+    Avro codec's: roundtrip through our own encoder, a HAND-BUILT LZW
+    stream (codes computed by hand from the GIF89a appendix-F algorithm,
+    crossing a code-width boundary and containing the KwKwK case)
+    decoded independently of the encoder, spec-level byte assertions,
+    and hostile-input rejection."""
+
+    def test_lzw_hand_built_stream_decodes(self):
+        # indices [1,1,1,1,1,0] with min_code_size=2 encode per spec as
+        # codes [CLEAR=4(3b), 1(3b), 6(3b KwKwK), 6(3b), 0(4b), END=5(4b)]
+        # -> LSB-first packed bytes 8C 0D 05 (hand-computed)
+        from fictional_guacamole_spark.functions.codecs import _lzw_decode
+        assert _lzw_decode(b"\x8C\x0D\x05", 2) == b"\x01\x01\x01\x01\x01\x00"
+
+    def test_lzw_encoder_matches_hand_built_stream(self):
+        from fictional_guacamole_spark.functions.codecs import _lzw_encode
+        assert _lzw_encode(b"\x01\x01\x01\x01\x01\x00", 2) == b"\x8C\x0D\x05"
+
+    def test_lzw_roundtrip_across_width_boundaries_and_reset(self):
+        import random
+        from fictional_guacamole_spark.functions.codecs import (
+            _lzw_decode, _lzw_encode)
+        rng = random.Random(11)
+        # random 256-alphabet crosses 9->10->11->12 bits and the 4096
+        # dictionary reset at ~the 60k mark; small alphabets are
+        # KwKwK-rich and cross widths fast
+        for min_size, n in [(8, 1), (8, 300), (8, 70000),
+                            (2, 10), (2, 100000), (5, 20000)]:
+            data = bytes(rng.randrange(1 << min_size) for _ in range(n))
+            assert _lzw_decode(_lzw_encode(data, min_size),
+                               min_size) == data
+        assert _lzw_decode(_lzw_encode(b"\x01" * 70000, 8),
+                           8) == b"\x01" * 70000
+
+    def test_container_roundtrip_and_palette(self):
+        import numpy as np
+        import random
+        from fictional_guacamole_spark.functions.codecs import (
+            decode_gif, encode_gif, gif_palette, gif_stats)
+        rng = random.Random(3)
+        idx = bytes(rng.randrange(256) for _ in range(7 * 5))
+        payload = encode_gif(7, 5, idx)
+        assert payload[:6] == b"GIF89a" and payload[-1:] == b"\x3B"
+        w, h, arr = decode_gif(payload)
+        pal = np.frombuffer(gif_palette(), np.uint8).reshape(-1, 3)
+        assert (w, h) == (7, 5)
+        assert (arr == pal[np.frombuffer(idx, np.uint8)]
+                .reshape(5, 7, 3)).all()
+        st = gif_stats(payload)
+        assert st["sum_r"] == sum(idx)
+        assert st["sum_g"] == sum((2 * v) % 256 for v in idx)
+        assert st["sum_b"] == sum(255 - v for v in idx)
+
+    def test_extension_blocks_are_skipped(self):
+        # splice a Graphic Control Extension before the image descriptor
+        from fictional_guacamole_spark.functions.codecs import (
+            decode_gif, encode_gif)
+        payload = encode_gif(3, 2, bytes(range(6)))
+        head_end = 13 + 768  # header + LSD + global color table
+        gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+        spliced = payload[:head_end] + gce + payload[head_end:]
+        w, h, arr = decode_gif(spliced)
+        assert (w, h) == (3, 2)
+
+    def test_hostile_inputs_rejected(self):
+        import pytest
+        from fictional_guacamole_spark.functions.codecs import (
+            decode_gif, encode_gif)
+        good = encode_gif(3, 2, bytes(6))
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"NOPE" + good[4:])
+        with pytest.raises(ValueError, match="truncated|ended|trailer"):
+            decode_gif(good[:-10])
+        # interlace flag set in the image descriptor
+        bad = bytearray(good)
+        bad[13 + 768 + 9] |= 0x40
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_gif(bytes(bad))
+        with pytest.raises(ValueError, match="does not match"):
+            encode_gif(4, 4, bytes(3))
