@@ -99,6 +99,16 @@ PAR_EFF_QUIET_REF = 0.50  # measured idle-host par_eff (see note above)
 PAR_LOAD_RETRY_THRESHOLD = 1.2
 PAR_LOAD_MAX_ATTEMPTS = 3
 
+# Round 8 (r7 verdict task #7): a SECOND bench tier for the heavy paths the
+# headline set predates — the persisted-ANN probe and an engine-executed
+# streaming drain. Kept OUT of the headline total so the committed trend
+# stays comparable round-over-round; measured min-of-2 after the main set
+# (the first persisted-ANN run may build the index — min-of-2 reads the
+# amortized warm probe, which is the number that matters at 100 TB) and
+# recorded in the contract line under "heavy" + in BENCH_HISTORY for
+# median tracking.
+HEAVY_TIER = ["sim_ivf_persisted_topk", "stream_engine_append_watermark"]
+
 
 def _ncpu() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -212,6 +222,20 @@ def main() -> None:
     timings = best_attempt["timings"]
     par_probes = best_attempt["par_probes"]
 
+    # heavy tier: outside the calibrated set (raw seconds; min-of-2 so the
+    # persisted-ANN index build amortizes out of the reading)
+    heavy: dict[str, float] = {}
+    for name in HEAVY_TIER:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(q.builder(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        heavy[name] = round(best, 4)
+
     # per-query delta vs the committed history's rolling median, so a real
     # regression (one query moves, plan changed) is distinguishable from a
     # loaded host (every query moves together)
@@ -227,6 +251,8 @@ def main() -> None:
             if str(rec.get("sf")) != sf_val:
                 continue
             for qn, secs in (rec.get("queries") or {}).items():
+                hist_by_query.setdefault(qn, []).append(float(secs))
+            for qn, secs in (rec.get("heavy") or {}).items():
                 hist_by_query.setdefault(qn, []).append(float(secs))
     except OSError:
         pass
@@ -270,6 +296,7 @@ def main() -> None:
         "par_load_attempts": [a["par_load"] for a in attempts],
         "contended": bool(par_load is not None
                           and par_load > PAR_LOAD_RETRY_THRESHOLD),
+        "heavy": heavy,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     diagnostics = {
@@ -281,7 +308,11 @@ def main() -> None:
     }
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
+        # value_normalized travels ON the headline record (r7 verdict
+        # nit #2): a parser reading headline lines alone gets the
+        # load-corrected trend without the vs_history companion
         hist = dict(out, calibration_ref_s=CALIBRATION_REF_S,
+                    value_normalized=diagnostics["value_normalized"],
                     ts=int(time.time()),
                     round=os.environ.get("SPARK_GRAFT_ROUND"))
         # history lines stay raw-timings-only (+ the calibration sample so

@@ -182,6 +182,28 @@ whose drained two-sided state equals the batch join verbatim) — all
 mirror-green on registration, r8 rotation fodder by the same protocol
 every late registration has followed.
 
+Round 8 rotates those five in — with four NEW r8 registrations:
+``stream_engine_restart_recovery`` (a watermarked append query killed
+mid-drain and resumed from its checkpoint into an exactly-once file
+sink — crash recovery, the one streaming property never judged),
+``stream_engine_txnlog_sink`` (foreachBatch → commit-log table with
+batch-id txn ids and a deliberately replayed batch — K1's scale-grade
+exactly-once sink), ``multimodal_gif_decode`` (a from-the-spec
+variable-width LZW + GIF89a block-grammar codec, closing the r7
+"GIF is stdlib-feasible" item) and ``text_bpe_subword_stats`` (the
+real Sennrich BPE trainer/encoder, closing the r7 advisor's dead-code
+finding with property tests and a judged consumer). Nine r7-green
+anchors rotate out, each leaving a family sibling in-window:
+sim_ivf_topk / sim_pq_topk yield to their PERSISTED forms (bit-identical
+output, same recall-floor oracles, and the persisted path is the one
+that matters at 100 TB), orc yields the columnar slot to avro, the
+oldest engine row (hourly_counts) yields to the two new engine rows,
+and cluster_histogram / dq_histogram / ts_subsequence / path_event /
+text_classifier return to the green union. A green CORRECTNESS_r08
+makes the cumulative driver-certified union 177 of 178 registered
+queries — every oracled row judged at least once; the only never-judged
+row is the oracle-less-by-design bench kernel frame.
+
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
 """
@@ -201,26 +223,27 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.
 JUDGE_WINDOW: list[str] = [
-    # Round-7 rotation (VERDICT r6 task #1): (in) the 22 oracled queries
-    # registered late in r6 that have NEVER been in a driver judge window
-    # (all mirror-green locally with the driver's exact comparator,
-    # MIRROR_r06.txt) plus the three NEW r7 rows (real PNG decode;
-    # append-mode watermark streaming; the applyInPandasWithState
-    # stateful-EWMA row); (out) 25 siblings green in
-    # CORRECTNESS_r06 whose families keep an in-window representative
-    # (scd2/ts_gapfill/ewma stay via family extensions; wav/bmp/avi stay
-    # represented by the judged png real-codec row; udaf_cents yields
-    # the python-surface slot to the stateful-kernel row; session/zorder/
-    # funnel/gopher/c4/heavy_hitters/tfidf/pii/lines_global/decontam_
-    # bloom/minhash/cosine/jsonl/xml/dq_constraint/topk_global/variant…
-    # all have r6-green rows in the cumulative union and a family
-    # sibling in this window). Judging these 50 green makes the
-    # cumulative driver-certified union 168 of 173 oracled queries —
-    # the round-7-final registrations sim_ivf_persisted_topk,
+    # Round-8 rotation (VERDICT r7 task #1): (in) the 5 late-r7 oracled
+    # queries that have NEVER seen a driver window — sim_ivf_persisted_topk,
     # sim_ivf_pq_persisted_topk, avro_roundtrip_nation_stats,
-    # stream_engine_dedup_watermark and stream_engine_stream_join
-    # remain (all mirror-green; r8 rotation fodder), see the module
-    # docstring.
+    # stream_engine_dedup_watermark, stream_engine_stream_join (all
+    # mirror-green, MIRROR_r07.txt) — plus the four NEW r8 rows
+    # (checkpoint-restart recovery; the foreachBatch→commit-log
+    # exactly-once sink; real GIF/LZW decode; the real-BPE subword
+    # tokenizer). (out) 9 siblings, every one judged green in
+    # CORRECTNESS_r07, whose families keep an in-window representative:
+    # sim_ivf_topk / sim_pq_topk yield to their persisted forms (same
+    # oracle, bit-identical output by construction, and the persisted
+    # path is the 100 TB-relevant one); orc_roundtrip yields the
+    # columnar-format slot to avro; stream_engine_hourly_counts (the
+    # oldest engine row) yields to the two new engine rows — five
+    # engine-executed rows remain in-window; cluster_histogram /
+    # dq_histogram / ts_subsequence / path_event / text_classifier all
+    # keep ≥1 judged family sibling in-window and their own green r7
+    # rows in the cumulative union. Judging these 50 green makes every
+    # oracled query in the registry driver-certified at least once
+    # (the cumulative union becomes 177 of 178 registered; the only
+    # never-judged row is the oracle-less-by-design bench frame).
     # -- flagship + family anchors (driver-green in earlier rounds) -------
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "asof_trades_book",            # trades ⋈ book over REAL kernel output
@@ -229,14 +252,10 @@ JUDGE_WINDOW: list[str] = [
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
     "scalar_variant_funcs",        # semi-structured Variant funcs
     "stream_engine_stateful_ewma",  # applyInPandasWithState through the
-                                    # engine, exact pow-2 fold (replaces
-                                    # r6-green udaf_cents_returnflag as
-                                    # the python-surface representative —
-                                    # the custom-stateful API is the
-                                    # deeper surface, and T1–T5's
-                                    # execution model)
-    "sim_ivf_topk",                # kept: certifies the SF-aware recall floor
-    "sim_pq_topk",                 # PQ-ADC ANN + exact rerank
+                                    # engine, exact pow-2 fold (the
+                                    # python-surface + custom-stateful
+                                    # representative, T1–T5's execution
+                                    # model)
     "embed_random_projection",     # JL sign projection, exact hash
     "text_quality_filter",         # quality-score gate (sampling family)
     "text_lm_familiarity",         # bigram-LM quality signal
@@ -245,7 +264,6 @@ JUDGE_WINDOW: list[str] = [
     "pipeline_domain_mix",         # domain-proportional mixing
     "pipeline_rag_retrieval",      # chunk→embed→rank capstone
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
-    "orc_roundtrip_brand_stats",   # ORC write→pushdown-read cycle
     "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (K4)
     "mv_incremental_order_stats",  # delta-IVM over the commit log
     "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle
@@ -254,32 +272,40 @@ JUDGE_WINDOW: list[str] = [
     "graph_pagerank_suppliers",    # PageRank in exact integer ppb
     "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal
     "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
-    # -- r7 rotation: the 22 never-driver-judged queries ------------------
     "agg_mode_clerk_bucket",       # exact mode via two-level groupBy
     "agg_regr_price_on_qty",       # per-group OLS slope/intercept/R²
     "basket_brand_pairs",          # market-basket pair-support mining
     "cohort_weekly_retention",     # weekly signup-cohort retention grid
-    "dedup_cluster_histogram",     # duplicate-cluster size distribution
     "dedup_incremental_ingest",    # fingerprint-store incremental dedup
     "dedup_keep_best",             # canonical-doc selection per cluster
-    "dq_histogram_equidepth",      # equi-depth histogram profiling
     "dq_profile_orders",           # per-column null/distinct/minmax profile
     "dq_table_checksum",           # order-free additive table digest
     "index_inverted_postings",     # inverted index (postings lists)
     "lateral_top2_orders_per_customer",  # LATERAL correlated top-n
     "layout_bucketed_join_revenue",  # bucketed co-located join layout
-    "path_event_transitions",      # Markov path/transition analytics
-    "stream_engine_hourly_counts",  # real engine, complete mode
     "text_bm25_search",            # BM25 lexical retrieval
-    "text_classifier_scores",      # hashed-linear classifier inference
     "text_vocab_by_lang",          # per-language vocabulary rollup
     "ts_anomaly_zscore",           # rolling z-score anomaly flags
     "ts_resample_interpolate",     # grid resample + linear interpolation
-    "ts_subsequence_match",        # normalized subsequence similarity
     "txnlog_skipping_event_stats",  # zone-map file skipping, pre-Spark
-    # -- NEW in round 7 ---------------------------------------------------
     "multimodal_png_decode",       # REAL compressed-image decode (zlib PNG)
     "stream_engine_append_watermark",  # real engine, append + watermark
+    # -- r8 rotation: the 5 never-driver-judged late-r7 registrations -----
+    "sim_ivf_persisted_topk",      # IVF ANN probed from persisted
+                                   # clustered index storage (zone-map
+                                   # file skipping — the amortized path)
+    "sim_ivf_pq_persisted_topk",   # composed IVFx,PQy as table layout
+    "avro_roundtrip_nation_stats",  # real stdlib Avro container + deflate
+    "stream_engine_dedup_watermark",  # engine dropDuplicatesWithin-
+                                      # Watermark, exactly-once replay
+    "stream_engine_stream_join",   # engine stream-stream interval join
+    # -- NEW in round 8 ---------------------------------------------------
+    "stream_engine_restart_recovery",  # checkpoint restart, exactly-once
+                                       # file sink across a mid-drain kill
+    "stream_engine_txnlog_sink",   # foreachBatch→commit log, batch-id
+                                   # txn ids, deliberate replay converges
+    "multimodal_gif_decode",       # REAL LZW decode (GIF89a, spec impl)
+    "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
 ]
 
 

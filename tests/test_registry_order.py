@@ -57,17 +57,24 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_append_watermark",
                       "stream_engine_stateful_ewma",
                       "stream_engine_dedup_watermark",
-                      "stream_engine_stream_join"},
+                      "stream_engine_stream_join",
+                      "stream_engine_restart_recovery",
+                      "stream_engine_txnlog_sink"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
                                    "stream_engine_append_watermark",
                                    "stream_engine_stateful_ewma",
                                    "stream_engine_dedup_watermark",
-                                   "stream_engine_stream_join"},
+                                   "stream_engine_stream_join",
+                                   "stream_engine_restart_recovery",
+                                   "stream_engine_txnlog_sink"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
                   "dedup_incremental_ingest", "dedup_cluster_histogram"},
         "similarity": {"sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk",
+                       "sim_ivf_persisted_topk",  # bit-identical to
+                       # sim_ivf_topk by construction, same recall-floor
+                       # oracle — the persisted form certifies the family
                        "dedup_embedding_cosine"},
         "text_analysis": {"text_stats", "text_lang_id", "text_token_count",
                           "text_fingerprint", "text_edit_distance",
@@ -76,13 +83,15 @@ def test_every_family_has_an_inwindow_representative():
         "lexical_retrieval": {"text_bm25_search", "index_inverted_postings"},
         "basket_mining": {"basket_brand_pairs"},
         "table_format_acid": {"txnlog_roundtrip_event_stats",
-                              "txnlog_skipping_event_stats"},
+                              "txnlog_skipping_event_stats",
+                              "stream_engine_txnlog_sink"},
         "layout": {"layout_zorder_events", "layout_bucketed_join_revenue"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
                              "sample_stratified"},
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
-                       "multimodal_decode_meta", "multimodal_png_decode"},
+                       "multimodal_decode_meta", "multimodal_png_decode",
+                       "multimodal_gif_decode"},
         "sqlite_source_sink": {"sqlite_scan_events",
                                "sqlite_roundtrip_user_stats"},
         "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value",
@@ -90,13 +99,14 @@ def test_every_family_has_an_inwindow_representative():
                        "ts_subsequence_match"},
         "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode",
                         "multimodal_avi_frame_sample",
-                        "multimodal_png_decode"},
+                        "multimodal_png_decode", "multimodal_gif_decode"},
         "chunking": {"pipeline_chunk_overlap"},
         "columnar_formats": {"orc_roundtrip_brand_stats",
-                             "jsonl_roundtrip_priority_stats"},
+                             "jsonl_roundtrip_priority_stats",
+                             "avro_roundtrip_nation_stats"},
         "interchange_text_formats": {"csv_roundtrip_clerk_stats",
                                      "xml_roundtrip_segment_stats"},
-        "ann_quantization": {"sim_pq_topk"},
+        "ann_quantization": {"sim_pq_topk", "sim_ivf_pq_persisted_topk"},
         "dim_reduction": {"embed_random_projection"},
         "incremental_mv": {"mv_incremental_order_stats"},
         "cdc_merge": {"merge_upsert_order_stats"},
@@ -114,6 +124,8 @@ def test_every_family_has_an_inwindow_representative():
         "graph": {"graph_pagerank_suppliers", "dedup_components"},
         "recursion": {"rcte_event_type_reachability"},
         "fuzzy_join": {"join_fuzzy_typo_pairs"},
+        "subword_tokenization": {"text_bpe_subword_stats"},
+        "crash_recovery": {"stream_engine_restart_recovery"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"
