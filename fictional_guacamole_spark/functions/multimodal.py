@@ -1,21 +1,23 @@
 """Multimodal column conventions: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched Pandas functions.
 
-The decode step for formats that NEED external libraries (JPEG via PIL,
-MP3/OGG via librosa, compressed video via ffmpeg) is STUBBED — those
-libraries are not in this container — behind ``_fake_decode``'s
-deterministic fake.
+The decode step for formats that NEED external libraries (MP3/OGG via
+librosa, compressed video via ffmpeg) is STUBBED — those libraries are
+not in this container — behind ``_fake_decode``'s deterministic fake.
 Everything Spark-side is real and tested: the schema convention, the
 ``mapInPandas`` batch shape, and the partitioning story (binary payloads
 never shuffle through an aggregate; metadata extraction is a map-only stage
 that runs at scan parallelism on a 1000-executor cluster).
 
 For the media formats decodable with stdlib + numpy alone — RIFF/WAV PCM
-audio, 24-bit BMP images, uncompressed AVI video, and zlib-compressed PNG
-(all five RFC 2083 row filters) — the engine ships REAL codecs, including
-a real nearest-neighbor image resize: see ``functions/codecs.py``, judged
-end-to-end by ``multimodal_wav_decode`` / ``multimodal_bmp_decode`` /
-``multimodal_avi_frame_sample`` / ``multimodal_png_decode``.
+audio, 24-bit BMP images, uncompressed AVI video, zlib-compressed PNG
+(all five RFC 2083 row filters), LZW-compressed GIF89a, and baseline
+JPEG (canonical Huffman + 8x8 DCT) — the engine ships REAL codecs,
+including a real nearest-neighbor image resize: see
+``functions/codecs.py``, judged end-to-end by ``multimodal_wav_decode``
+/ ``multimodal_bmp_decode`` / ``multimodal_avi_frame_sample`` /
+``multimodal_png_decode`` / ``multimodal_gif_decode`` /
+``multimodal_jpeg_decode``.
 """
 
 from __future__ import annotations

@@ -515,3 +515,146 @@ class TestGifCodec:
             decode_gif(bytes(bad))
         with pytest.raises(ValueError, match="does not match"):
             encode_gif(4, 4, bytes(3))
+
+
+class TestJpegCodec:
+    """Baseline JPEG (T.81): constant-block bit-exactness (the judged-row
+    contract), lossy error bounds on general content, restart markers,
+    4:4:4 color, a HAND-BUILT bitstream decoded independently of the
+    encoder, and loud rejection of the unsupported spec corners."""
+
+    @staticmethod
+    def _block_image(vals, bw):
+        bh = -(-len(vals) // bw)
+        img = np.zeros((bh * 8, bw * 8), np.uint8)
+        for i, v in enumerate(vals):
+            by, bx = divmod(i, bw)
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+        return img
+
+    def test_constant_blocks_roundtrip_bit_exact(self):
+        vals = [0x20, 0x41, 0x7E, 0x30, 0x55, 0x66, 0x25, 0x5A]
+        img = self._block_image(vals, 4)
+        payload = C.encode_jpeg(32, 16, img.tobytes(), 1)
+        w, h, ch, arr = C.decode_jpeg(payload)
+        assert (w, h, ch) == (32, 16, 1)
+        assert np.array_equal(arr[:, :, 0], img)
+        st = C.jpeg_stats(payload)
+        assert st["sum_r"] == st["sum_g"] == st["sum_b"] == 64 * sum(vals)
+
+    def test_general_content_lossy_within_quantizer_bound(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (24, 40), np.uint8)
+        w, h, ch, arr = C.decode_jpeg(C.encode_jpeg(40, 24, img.tobytes(), 1))
+        assert (w, h, ch) == (40, 24, 1)
+        err = np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err <= 32  # q_ac=16: error bounded by the quantizer scale
+
+    def test_color_444_roundtrip(self):
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (16, 16, 3), np.uint8)
+        w, h, ch, arr = C.decode_jpeg(C.encode_jpeg(16, 16, img.tobytes(), 3))
+        assert (w, h, ch) == (16, 16, 3)
+        assert np.abs(arr.astype(int) - img.astype(int)).max() <= 64
+
+    def test_restart_markers_reset_dc_prediction(self):
+        vals = list(range(0x20, 0x20 + 12))
+        img = self._block_image(vals, 4)
+        payload = C.encode_jpeg(32, 24, img.tobytes(), 1, restart_interval=2)
+        assert b"\xff\xd0" in payload and b"\xff\xdd" in payload
+        w, h, ch, arr = C.decode_jpeg(payload)
+        assert np.array_equal(arr[:, :, 0], img)
+
+    def test_non_multiple_of_8_dims_crop_back(self):
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (11, 13), np.uint8)
+        w, h, ch, arr = C.decode_jpeg(C.encode_jpeg(13, 11, img.tobytes(), 1))
+        assert (w, h) == (13, 11) and arr.shape == (11, 13, 1)
+
+    def test_byte_stuffing_survives_roundtrip(self):
+        # rich random content reliably produces 0xFF entropy bytes; every
+        # one must be stuffed (0xFF00) and the payload must still decode
+        stuffed = 0
+        for seed in range(8):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 256, (16, 16), np.uint8)
+            payload = C.encode_jpeg(16, 16, img.tobytes(), 1)
+            body = payload[payload.index(b"\xff\xda"):-2]
+            stuffed += body.count(b"\xff\x00")
+            # stuffing invariant: inside the scan every 0xFF is 0xFF00
+            idx = body.index(b"\xff\xda") + 14
+            for j in range(idx, len(body) - 1):
+                if body[j] == 0xFF:
+                    assert body[j + 1] == 0x00, seed
+            w, h, ch, arr = C.decode_jpeg(payload)
+            err = np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max()
+            assert err <= 32, seed
+        assert stuffed > 0
+
+    def test_hand_built_bitstream_decodes_independently(self):
+        """An 8x8 single-block stream assembled BY HAND from the spec:
+        DC category 2 value +3 (code 011 + bits 11), AC (run 0, size 1)
+        value +1 at zigzag index 1 (code 00 + bit 1), EOB (1010) — packed
+        01111001 1010 + 1111 padding = 0x79 0xAF. The decoder must
+        reconstruct exactly the dequantized IDCT of that coefficient
+        pair, proving it against the spec rather than the encoder."""
+        def seg(marker, payload):
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        zz_quant = bytes([8] + [16] * 63)
+        jpg = bytearray(b"\xff\xd8")
+        jpg += seg(0xFFDB, b"\x00" + zz_quant)
+        jpg += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        jpg += seg(0xFFC4, bytes([0x00]) + bytes(C._JPEG_DC_BITS)
+                   + bytes(C._JPEG_DC_VALS))
+        jpg += seg(0xFFC4, bytes([0x10]) + bytes(C._JPEG_AC_BITS)
+                   + bytes(C._JPEG_AC_VALS))
+        jpg += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        jpg += bytes([0x79, 0xAF])
+        jpg += b"\xff\xd9"
+        w, h, ch, arr = C.decode_jpeg(bytes(jpg))
+        assert (w, h, ch) == (8, 8, 1)
+        # independent expectation: own cosine basis, not the codec's
+        t = np.array([[(np.sqrt(0.125) if u == 0 else 0.5)
+                       * np.cos((2 * x + 1) * u * np.pi / 16)
+                       for x in range(8)] for u in range(8)])
+        coef = np.zeros((8, 8))
+        coef[0, 0] = 3 * 8       # DC 3, q_dc 8
+        coef[0, 1] = 1 * 16      # zigzag index 1 = (0, 1), q_ac 16
+        want = np.clip(np.floor(t.T @ coef @ t + 128.0 + 0.5),
+                       0, 255).astype(np.uint8)
+        assert np.array_equal(arr[:, :, 0], want)
+
+    def test_unsupported_variants_rejected_loudly(self):
+        img = self._block_image([65] * 4, 2)
+        good = C.encode_jpeg(16, 16, img.tobytes(), 1)
+        with pytest.raises(ValueError, match="SOI"):
+            C.decode_jpeg(b"\x00" + good)
+        # progressive: flip SOF0 -> SOF2
+        prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+        with pytest.raises(ValueError, match="baseline"):
+            C.decode_jpeg(prog)
+        # subsampled: h/v factors 2x2
+        sub = good.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1)
+        with pytest.raises(ValueError, match="subsampled"):
+            C.decode_jpeg(sub)
+        with pytest.raises(ValueError):
+            C.decode_jpeg(good[:len(good) // 2])  # truncated mid-stream
+
+    def test_out_of_sequence_rst_rejected(self):
+        img = self._block_image(list(range(0x30, 0x3C)), 4)
+        payload = C.encode_jpeg(32, 24, img.tobytes(), 1, restart_interval=2)
+        bad = payload.replace(b"\xff\xd0", b"\xff\xd5", 1)
+        with pytest.raises(ValueError, match="RST"):
+            C.decode_jpeg(bad)
+
+    def test_spark_jpeg_meta_operator(self, spark):
+        imgs = [self._block_image([40 + i, 50 + i, 60 + i, 70 + i], 2)
+                for i in range(3)]
+        rows = [(i, C.encode_jpeg(16, 16, im.tobytes(), 1))
+                for i, im in enumerate(imgs)]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        got = {r["asset_id"]: r for r in C.jpeg_meta(df).collect()}
+        for i, im in enumerate(imgs):
+            assert got[i]["width"] == 16 and got[i]["n_channels"] == 1
+            assert got[i]["sum_r"] == int(im.sum(dtype=np.int64))
