@@ -1,0 +1,196 @@
+"""Distinct-count sketches: K-minimum-values and HyperLogLog, both
+DETERMINISTIC (md5-keyed) and bit-reproducible in ANSI SQL.
+
+Spark ships approx_count_distinct (a JVM HLL++), but its register layout
+and rounding are engine-private — no external oracle can replay it. These
+two sketches recompute the published estimators from scratch over an
+md5-derived 60-bit hash, entirely in JVM column expressions (md5 / conv /
+bin / bit ops — whole-stage codegen, no Python), so the DuckDB oracle runs
+the identical algorithm and the driver's value-hash compare certifies the
+estimator itself, not just a row count.
+
+- **KMV** (Bar-Yossef et al., RANDOM'02 "Counting distinct elements in a
+  data stream"): keep the K smallest distinct hash values; with the hash
+  space scaled to [0, 2^60), E = (K-1) * 2^60 / h_(K). Distributed shape:
+  a distinct + per-partition top-K (Spark plans orderBy().limit(K) as
+  TakeOrderedAndProject — no global sort), so the corpus is one shuffle
+  of DISTINCT hashes and the sketch itself is K numbers. Sketches merge
+  by unioning and re-taking the K smallest — the property that makes KMV
+  a partition-parallel aggregate at 100 TB.
+- **HLL** (Flajolet et al., AofA'07): bucket = top p bits, rho = leading
+  zeros + 1 of the remaining bits, register M_j = max rho per bucket,
+  E = alpha_m * m^2 / sum_j 2^-M_j. The harmonic denominator is summed
+  EXACTLY: each term 2^-M_j is scaled to the integer 2^(53-M_j) and
+  accumulated in BIGINT (order-independent, unlike a float sum; bounded
+  by 256 * 2^53 = 2^61, overflow-proof and pandas-exact on both engines),
+  with one final correctly-rounded double division — this is what makes
+  the estimate bit-identical across engines and partition orders.
+  The small-range branch (E <= 2.5 m with empty buckets -> linear
+  counting m * ln(m/V)) is implemented faithfully but involves libm ln;
+  the judged fixture (event_id, >= 1000 distinct at every SF) stays in
+  the raw regime, where every operation is exact or correctly rounded.
+
+Reference parity anchor: the reference app (SURVEY §2) has no sketch
+surface; this extends the LLM-pipeline / analytics family alongside the
+CMS heavy-hitters sketch in functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_HEX = 15                 # 15 hex chars = 60 bits, fits BIGINT
+_HASH_SPACE = float(1 << 60)   # exact power-of-two double
+
+HLL_P = 8                      # 2^8 = 256 buckets
+HLL_M = 1 << HLL_P
+_HLL_W_BITS = 60 - HLL_P       # bits feeding the rho (leading-zero) count
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# the harmonic terms 2^-M are scaled by 2^53 so the exact integer sum
+# tops out at 256 * 2^53 = 2^61: inside BIGINT on both engines (and
+# inside pandas int64, which a DECIMAL/HUGEINT column is not).
+_HLL_SCALE_BITS = _HLL_W_BITS + 1  # 53: max rho, so min term is 2^0 = 1
+# alpha * m^2 * 2^53 as one Python float literal: both engines parse the
+# same repr, so the one double division below is bit-identical.
+_HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_SCALE_BITS)
+
+
+def hash60(col: Column) -> Column:
+    """The shared 60-bit uniform hash: first 15 md5 hex chars of the
+    value's canonical string form, as a BIGINT in [0, 2^60)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, _HASH_HEX),
+                  16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB rendering of :func:`hash60`."""
+    return (f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, "
+            f"{_HASH_HEX}) AS BIGINT)")
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int) -> DataFrame:
+    """The KMV synopsis: the ``k`` smallest DISTINCT 60-bit hashes of
+    ``col`` — one distinct-shuffle then TakeOrderedAndProject (partial
+    per-partition top-K, never a global sort)."""
+    return (df.select(hash60(F.col(col)).alias("h"))
+            .distinct().orderBy("h").limit(k))
+
+
+def kmv_estimate(df: DataFrame, col: str, k: int) -> DataFrame:
+    """One-row KMV distinct estimate with the exact count alongside:
+    (k, n_in_sketch, kth_hash, est_distinct, exact_distinct). Degenerate
+    corpora with fewer than k distinct hashes fall back to the sketch
+    size itself (which is then exact) — integer arithmetic, no float."""
+    sk = (kmv_sketch(df, col, k)
+          .agg(F.count("h").alias("n_in_sketch"),
+               F.max("h").alias("kth_hash")))
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    est = (F.when(F.col("n_in_sketch") < k,
+                  F.col("n_in_sketch").cast("double"))
+           .otherwise(F.lit(float(k - 1) * _HASH_SPACE)
+                      / F.col("kth_hash").cast("double")))
+    return (sk.crossJoin(exact)
+            .select(F.lit(k).alias("k"),
+                    F.col("n_in_sketch").cast("int").alias("n_in_sketch"),
+                    "kth_hash",
+                    est.alias("est_distinct"),
+                    "exact_distinct"))
+
+
+def sql_kmv_estimate(table: str, expr: str, k: int) -> str:
+    """DuckDB replay of :func:`kmv_estimate` — same hash, same top-K,
+    same estimator arithmetic."""
+    return f"""
+    WITH h AS (SELECT DISTINCT {sql_hash60(expr)} AS h FROM {table}),
+    sk AS (SELECT h FROM h ORDER BY h LIMIT {k}),
+    s AS (SELECT COUNT(*) AS n_in_sketch, MAX(h) AS kth_hash FROM sk),
+    e AS (SELECT COUNT(DISTINCT {expr}) AS exact_distinct FROM {table})
+    SELECT CAST({k} AS INTEGER) AS k,
+           CAST(n_in_sketch AS INTEGER) AS n_in_sketch,
+           kth_hash,
+           CASE WHEN n_in_sketch < {k} THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE {float(k - 1) * _HASH_SPACE!r}
+                     / CAST(kth_hash AS DOUBLE)
+           END AS est_distinct,
+           exact_distinct
+    FROM s, e
+    """
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """HLL register file: (bucket, M) for the occupied buckets — the
+    mergeable synopsis (union-max merges register files). rho uses
+    bin()'s digit count for the bit length, an exact integer path."""
+    h = hash60(F.col(col))
+    bucket = F.shiftright(h, _HLL_W_BITS).alias("bucket")
+    w = h.bitwiseAND(F.lit((1 << _HLL_W_BITS) - 1))
+    rho = (F.lit(_HLL_W_BITS + 1)
+           - F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w))))
+    return (df.select(bucket, rho.alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("M")))
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """One-row HLL estimate: (m, occupied, harmonic_denom, est_distinct,
+    exact_distinct). harmonic_denom is sum_j 2^(53 - M_j) over ALL m
+    buckets (M_j = 0 when empty) held in BIGINT — the exact,
+    order-independent form of the harmonic mean's denominator; the
+    estimate is alpha*m^2*2^53 / denom, one double division. The
+    small-range linear-counting branch is present for spec fidelity."""
+    regs = hll_registers(df, col)
+    agg = regs.agg(
+        F.count("bucket").cast("int").alias("occupied"),
+        F.sum(F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), {_HLL_SCALE_BITS} - M)"
+            )).alias("s_present"))
+    exact = df.agg(F.count_distinct(F.col(col)).alias("exact_distinct"))
+    denom = (F.col("s_present")
+             + (F.lit(HLL_M) - F.col("occupied")).cast("long")
+             * F.lit(1 << _HLL_SCALE_BITS)).cast("long")
+    raw = F.lit(_HLL_NUMERATOR) / F.col("harmonic_denom").cast("double")
+    empties = F.lit(HLL_M) - F.col("occupied")
+    est = (F.when((raw <= F.lit(2.5 * HLL_M)) & (empties > 0),
+                  F.lit(float(HLL_M))
+                  * F.log(F.lit(float(HLL_M)) / empties.cast("double")))
+           .otherwise(raw))
+    return (agg.crossJoin(exact)
+            .withColumn("harmonic_denom", denom)
+            .select(F.lit(HLL_M).alias("m"), "occupied", "harmonic_denom",
+                    est.alias("est_distinct"), "exact_distinct"))
+
+
+def sql_hll_estimate(table: str, expr: str) -> str:
+    """DuckDB replay of :func:`hll_estimate` — same bucketing, same exact
+    integer denominator, same final division and correction branch."""
+    wb = _HLL_W_BITS
+    return f"""
+    WITH h AS (SELECT {sql_hash60(expr)} AS h FROM {table}),
+    regs AS (
+      SELECT h >> {wb} AS bucket,
+             MAX({wb + 1} - CASE WHEN (h & {(1 << wb) - 1}) = 0 THEN 0
+                 ELSE length(bin(h & {(1 << wb) - 1})) END) AS M
+      FROM h GROUP BY 1),
+    agg AS (
+      SELECT CAST(COUNT(*) AS INTEGER) AS occupied,
+             SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE_BITS} - M)) AS s_present
+      FROM regs),
+    e AS (SELECT COUNT(DISTINCT {expr}) AS exact_distinct FROM {table}),
+    d AS (
+      SELECT occupied,
+             CAST(s_present + CAST({HLL_M} - occupied AS BIGINT)
+                  * {1 << _HLL_SCALE_BITS} AS BIGINT) AS harmonic_denom,
+             exact_distinct
+      FROM agg, e)
+    SELECT CAST({HLL_M} AS INTEGER) AS m, occupied, harmonic_denom,
+           CASE WHEN {_HLL_NUMERATOR!r} / CAST(harmonic_denom AS DOUBLE)
+                     <= {2.5 * HLL_M!r}
+                 AND {HLL_M} - occupied > 0
+                THEN {float(HLL_M)!r}
+                     * ln({float(HLL_M)!r}
+                          / CAST({HLL_M} - occupied AS DOUBLE))
+                ELSE {_HLL_NUMERATOR!r} / CAST(harmonic_denom AS DOUBLE)
+           END AS est_distinct,
+           exact_distinct
+    FROM d
+    """

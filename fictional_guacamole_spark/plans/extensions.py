@@ -16,6 +16,7 @@ from fictional_guacamole_spark.functions import similarity as S
 from fictional_guacamole_spark.functions import text as X
 from fictional_guacamole_spark.functions import multimodal as M
 from fictional_guacamole_spark.functions import retrieval as R
+from fictional_guacamole_spark.functions import sketches as _SK
 from fictional_guacamole_spark.functions.multimodal import (
     as_binary_asset, extract_media_meta)
 from fictional_guacamole_spark.operators.layout import sql_zorder_value
@@ -3801,3 +3802,55 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
               .mapInPandas(encode_batches,
                            schema="asset_id long, payload binary"))
     return C.jpeg_meta(assets).orderBy("asset_id")
+
+
+@query(
+    "sketch_kmv_distinct_events",
+    survey_ref="extensions: K-minimum-values distinct sketch — the "
+               "estimator itself judged bit-exact vs a SQL replay",
+    description="KMV (k=64) distinct-count estimate of events.event_id "
+                "with the exact count alongside",
+    oracle=_SK.sql_kmv_estimate("events", "event_id", 64),
+)
+def sketch_kmv_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct sketch (Bar-Yossef et al., RANDOM'02)
+    judged as an ALGORITHM, not a row count: the md5-keyed 60-bit hash,
+    the k smallest distinct values, and the (k-1)*2^60/h_k estimator are
+    replayed verbatim by the DuckDB oracle, so one wrong hash width,
+    tie-break, or division breaks the value hash. Distributed shape: one
+    DISTINCT shuffle of hashes, then TakeOrderedAndProject (per-partition
+    partial top-K — no global sort); the synopsis is 64 longs and merges
+    by union + re-take, i.e. a partition-parallel aggregate at 100 TB.
+    Unlike Spark's built-in approx_count_distinct, every bit here is
+    specified, which is what makes cross-engine certification possible."""
+    return _SK.kmv_estimate(load_table(spark, sf_dir, "events"),
+                            "event_id", 64)
+
+
+@query(
+    "sketch_hll_distinct_events",
+    survey_ref="extensions: HyperLogLog distinct sketch with an EXACT "
+               "decimal harmonic denominator, judged vs a SQL replay",
+    description="HLL (p=8, 256 registers) distinct-count estimate of "
+                "events.event_id; register file + estimate bit-exact",
+    oracle=_SK.sql_hll_estimate("events", "event_id"),
+)
+def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet et al., AofA'07): bucket = top
+    8 hash bits, rho = leading zeros + 1 of the remaining 52 (computed
+    exactly via bin()'s digit count), registers = per-bucket max. The
+    float trap in HLL is the harmonic denominator — a naive sum of
+    2^-M_j doubles is partition-order-dependent — so each term is scaled
+    to the integer 2^(60-M_j) and summed in DECIMAL(38,0): exact,
+    order-independent, overflow-proof (max 256 * 2^60 < 10^21 << 10^38),
+    then ONE correctly-rounded double division yields the estimate. The
+    judged row certifies the register file (occupied count + exact
+    denominator) and the estimate against DuckDB running the identical
+    algorithm. Scale shape: one groupBy on 256 bucket keys (map-side
+    combine collapses everything before the shuffle); the synopsis is
+    256 bytes and merges by register-wise max — the reason HLL is THE
+    100 TB distinct-count structure. Small-range linear counting is
+    implemented for spec fidelity; event_id keeps every SF in the raw
+    regime where all arithmetic is exact-or-correctly-rounded."""
+    return _SK.hll_estimate(load_table(spark, sf_dir, "events"),
+                            "event_id")
