@@ -200,9 +200,25 @@ that matters at 100 TB), orc yields the columnar slot to avro, the
 oldest engine row (hourly_counts) yields to the two new engine rows,
 and cluster_histogram / dq_histogram / ts_subsequence / path_event /
 text_classifier return to the green union. A green CORRECTNESS_r08
-makes the cumulative driver-certified union 177 of 178 registered
-queries — every oracled row judged at least once; the only never-judged
-row is the oracle-less-by-design bench kernel frame.
+makes the cumulative driver-certified union 177 of 178 queries
+registered at window-rotation time — every oracled row judged at least
+once; the only never-judged row is the oracle-less-by-design bench
+kernel frame.
+
+Mid-round-8 registrations past the window (r9 rotation fodder, each
+mirror-green with the driver's exact comparator on registration):
+``retrieval_hybrid_rrf`` (BM25 + vector legs fused by reciprocal-rank
+fusion — the production RAG ranker), ``text_bpe_merge_table`` (the BPE
+trainer's learned merge table judged directly),
+``multimodal_jpeg_decode`` (a from-the-spec baseline JPEG codec —
+canonical Annex K Huffman + true 8x8 DCT — via bit-exact
+constant-block fixtures, removing JPEG from the external-library stub
+list), ``sketch_kmv_distinct_events`` / ``sketch_hll_distinct_events``
+(deterministic KMV and HyperLogLog distinct sketches whose estimators
+the oracle replays bit-for-bit — the 100 TB approximate-distinct
+surface), and ``stream_engine_static_enrich`` (the sixth
+engine-executed row: stream-static broadcast dimension enrichment —
+the stateless per-micro-batch lookup every production pipeline runs).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.

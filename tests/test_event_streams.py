@@ -500,3 +500,34 @@ class TestJudgedStreamStreamJoinRow:
                .orderBy("purchase_id", "view_id").collect())
         assert len(got) > 0
         assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+class TestJudgedStaticEnrichRow:
+    """Backs stream_engine_static_enrich: the drained stream⋈static result
+    equals the batch join + aggregation over the same inputs, and the
+    drain is genuinely multi-micro-batch."""
+
+    def test_drained_enrichment_equals_batch(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_static_enrich)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = [tuple(r) for r in
+               stream_engine_static_enrich(spark, sf_dir).collect()]
+        assert len(got) > 0
+
+        ev = load_table(spark, sf_dir, "events")
+        dim = load_table(spark, sf_dir, "customer") \
+            .select("c_custkey", "c_mktsegment")
+        want = (ev.join(dim, ev.user_id == dim.c_custkey)
+                .groupBy(F.col("c_mktsegment").alias("segment"),
+                         "event_type")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.floor(F.col("value") * 100))
+                     .alias("value_cents"))
+                .orderBy("segment", "event_type"))
+        assert got == [tuple(r) for r in want.collect()]
