@@ -194,3 +194,101 @@ def sql_hll_estimate(table: str, expr: str) -> str:
            exact_distinct
     FROM d
     """
+
+
+def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
+                k: int) -> DataFrame:
+    """KMV set-operation estimates between two keyed sets (Beyer et al.,
+    SIGMOD'07 "On synopses for distinct-value estimation under multiset
+    operations"): the k smallest of the UNION of the two sketches form
+    the union synopsis (KMV's closure property); with h_k its kth value,
+    |A u B| ~ (k-1) * 2^60 / h_k, rho = |{h in sk_A ^ sk_B : h <= h_k}|
+    estimates Jaccard as rho/k, and |A ^ B| ~ (rho/k) * |A u B|.
+    Everything is integer until three explicitly-ordered IEEE divisions,
+    so a SQL oracle replays it bit-for-bit. Degenerate corpora where the
+    union sketch holds fewer than k hashes are EXACT (every hash was
+    kept), and the estimators collapse to the true counts.
+
+    One row out: (k, n_union_sketch, rho, union_est, inter_est,
+    jaccard_est, exact_union, exact_inter). Scale shape: each input is
+    one DISTINCT + per-partition top-K; the set algebra then runs on
+    <= 2k rows — the reason sketch set operations replace multi-join
+    exact counting at 100 TB."""
+    sk_a, sk_b = kmv_sketch(df_a, col, k), kmv_sketch(df_b, col, k)
+    union_sk = sk_a.union(sk_b).distinct().orderBy("h").limit(k)
+    u = union_sk.agg(F.count("h").alias("n_union_sketch"),
+                     F.max("h").alias("hk"))
+    common = sk_a.join(sk_b, "h")
+    rho = (common.crossJoin(F.broadcast(u.select("hk")))
+           .filter(F.col("h") <= F.col("hk"))
+           .agg(F.count("h").alias("rho")))
+    a_ids = df_a.select(F.col(col).alias("id")).distinct()
+    b_ids = df_b.select(F.col(col).alias("id")).distinct()
+    exact = (a_ids.unionByName(b_ids).distinct()
+             .agg(F.count("id").alias("exact_union"))
+             .crossJoin(a_ids.join(b_ids, "id")
+                        .agg(F.count("id").alias("exact_inter"))))
+    degenerate = F.col("n_union_sketch") < k
+    union_est = (F.when(degenerate,
+                        F.col("n_union_sketch").cast("double"))
+                 .otherwise(F.lit(float(k - 1) * _HASH_SPACE)
+                            / F.col("hk").cast("double")))
+    inter_est = (F.when(degenerate, F.col("rho").cast("double"))
+                 .otherwise(F.col("rho").cast("double") / F.lit(float(k))
+                            * union_est))
+    jaccard = (F.col("rho").cast("double")
+               / F.col("n_union_sketch").cast("double"))
+    return (u.crossJoin(rho).crossJoin(exact)
+            .select(F.lit(k).alias("k"),
+                    F.col("n_union_sketch").cast("int")
+                    .alias("n_union_sketch"),
+                    F.col("rho").cast("int").alias("rho"),
+                    union_est.alias("union_est"),
+                    inter_est.alias("inter_est"),
+                    jaccard.alias("jaccard_est"),
+                    "exact_union", "exact_inter"))
+
+
+def sql_kmv_set_ops(table: str, expr: str, pred_a: str, pred_b: str,
+                    k: int) -> str:
+    """DuckDB replay of :func:`kmv_set_ops` over two predicates of one
+    table — same sketches, same closure, same division order."""
+    h = sql_hash60(expr)
+    return f"""
+    WITH sk_a AS (
+      SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table}
+                     WHERE {pred_a}) ORDER BY h LIMIT {k}),
+    sk_b AS (
+      SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table}
+                     WHERE {pred_b}) ORDER BY h LIMIT {k}),
+    union_sk AS (
+      SELECT h FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b)
+      ORDER BY h LIMIT {k}),
+    u AS (SELECT COUNT(*) AS n_union_sketch, MAX(h) AS hk FROM union_sk),
+    r AS (SELECT COUNT(*) AS rho
+          FROM sk_a JOIN sk_b USING (h), u WHERE sk_a.h <= u.hk),
+    ex AS (
+      SELECT (SELECT COUNT(DISTINCT {expr}) FROM {table}
+              WHERE ({pred_a}) OR ({pred_b})) AS exact_union,
+             (SELECT COUNT(*) FROM
+                (SELECT DISTINCT {expr} FROM {table} WHERE {pred_a}
+                 INTERSECT
+                 SELECT DISTINCT {expr} FROM {table} WHERE {pred_b}))
+               AS exact_inter)
+    SELECT CAST({k} AS INTEGER) AS k,
+           CAST(n_union_sketch AS INTEGER) AS n_union_sketch,
+           CAST(rho AS INTEGER) AS rho,
+           CASE WHEN n_union_sketch < {k}
+                THEN CAST(n_union_sketch AS DOUBLE)
+                ELSE {float(k - 1) * _HASH_SPACE!r} / CAST(hk AS DOUBLE)
+           END AS union_est,
+           CASE WHEN n_union_sketch < {k} THEN CAST(rho AS DOUBLE)
+                ELSE CAST(rho AS DOUBLE) / {float(k)!r}
+                     * ({float(k - 1) * _HASH_SPACE!r}
+                        / CAST(hk AS DOUBLE))
+           END AS inter_est,
+           CAST(rho AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
+             AS jaccard_est,
+           exact_union, exact_inter
+    FROM u, r, ex
+    """

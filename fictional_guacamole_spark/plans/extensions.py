@@ -3854,3 +3854,38 @@ def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     regime where all arithmetic is exact-or-correctly-rounded."""
     return _SK.hll_estimate(load_table(spark, sf_dir, "events"),
                             "event_id")
+
+
+@query(
+    "sketch_kmv_set_ops_events",
+    survey_ref="extensions: KMV sketch SET OPERATIONS — union/intersection/"
+               "Jaccard between two event sets, estimators judged bit-exact",
+    description="KMV (k=64) union, intersection and Jaccard estimates "
+                "between low-value events and view/click events — two "
+                "large partially-overlapping id sets — with exact counts",
+    oracle=_SK.sql_kmv_set_ops("events", "event_id",
+                               "value < 50.0",
+                               "event_type IN ('view', 'click')", 64),
+)
+def sketch_kmv_set_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes KMV the production set sketch (Beyer et
+    al., SIGMOD'07): sketches are CLOSED under union — the k smallest of
+    two sketches' union IS the union's sketch — so |A u B|, |A ^ B| and
+    Jaccard come from two 64-long synopses without ever comparing the
+    underlying sets. Judged end-to-end: both per-set sketches, the union
+    closure, the rho overlap count below the union threshold, and all
+    three estimators are replayed verbatim by the DuckDB oracle (integer
+    arithmetic until three explicitly-ordered IEEE divisions). The two
+    fixture sets genuinely partially overlap at every SF (low-value
+    events vs view/click events: ~60 % x ~40 % of the corpus, Jaccard
+    ~0.25), so the rho path is exercised away from its 0/1 extremes —
+    user_id would be degenerate here (every slice holds all 150 users).
+    At 100 TB each leg is one DISTINCT shuffle + per-partition top-K
+    over its predicate's scan; the set algebra itself touches <= 2k =
+    128 rows — audience-overlap analytics at a cost independent of
+    corpus size. Exact counts ride along for an honest error readout."""
+    ev = load_table(spark, sf_dir, "events")
+    return _SK.kmv_set_ops(
+        ev.filter(F.col("value") < 50.0),
+        ev.filter(F.col("event_type").isin("view", "click")),
+        "event_id", 64)

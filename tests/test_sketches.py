@@ -142,3 +142,50 @@ class TestHll:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestKmvSetOps:
+    def _py_set_ops(self, a, b, k):
+        sa = sorted({_py_hash60(v) for v in set(a)})[:k]
+        sb = sorted({_py_hash60(v) for v in set(b)})[:k]
+        un = sorted(set(sa) | set(sb))[:k]
+        n, hk = len(un), max(un)
+        rho = sum(1 for h in set(sa) & set(sb) if h <= hk)
+        if n < k:
+            u_est, i_est = float(n), float(rho)
+        else:
+            u_est = (k - 1) * float(1 << 60) / float(hk)
+            i_est = rho / float(k) * u_est
+        return n, rho, u_est, i_est, rho / float(n)
+
+    def test_matches_python_reference_with_overlap(self, spark):
+        a, b = list(range(0, 1200)), list(range(800, 2000))
+        k = 64
+        n, rho, u_est, i_est, j_est = self._py_set_ops(a, b, k)
+        row = SK.kmv_set_ops(_df_of(spark, a), _df_of(spark, b),
+                             "event_id", k).first()
+        assert (row["n_union_sketch"], row["rho"]) == (n, rho)
+        assert row["union_est"] == u_est
+        assert row["inter_est"] == i_est
+        assert row["jaccard_est"] == j_est
+        assert row["exact_union"] == 2000 and row["exact_inter"] == 400
+        # sanity: estimates land near truth
+        assert abs(u_est - 2000) / 2000 < 4 / math.sqrt(k - 2)
+        assert abs(j_est - 0.2) < 0.15
+
+    def test_degenerate_small_sets_are_exact(self, spark):
+        a, b = list(range(0, 30)), list(range(20, 50))
+        row = SK.kmv_set_ops(_df_of(spark, a), _df_of(spark, b),
+                             "event_id", 64).first()
+        assert row["n_union_sketch"] == 50
+        assert row["union_est"] == 50.0 and row["exact_union"] == 50
+        assert row["inter_est"] == 10.0 and row["exact_inter"] == 10
+
+    def test_disjoint_sets_estimate_zero_intersection(self, spark):
+        a, b = list(range(0, 1000)), list(range(5000, 6000))
+        row = SK.kmv_set_ops(_df_of(spark, a), _df_of(spark, b),
+                             "event_id", 48).first()
+        # overlap in hash space below threshold is possible but the md5
+        # hash makes collisions across disjoint ids vanishingly unlikely
+        assert row["rho"] == 0 and row["inter_est"] == 0.0
+        assert row["exact_inter"] == 0
