@@ -899,3 +899,123 @@ def stream_engine_static_enrich(spark: SparkSession,
     return (spark.table(name)
             .select("segment", "event_type", "n_events", "value_cents")
             .orderBy("segment", "event_type"))
+
+
+@query(
+    "stream_engine_outer_join",
+    survey_ref="§2.5 streaming: stream-stream LEFT OUTER join through the "
+               "engine (watermark-driven NULL emission for unmatched rows)",
+    description="Purchases LEFT OUTER joined to same-user views in the "
+                "preceding 6h by the real engine: matches emit on arrival, "
+                "unmatched purchases emit null-padded when the watermark "
+                "proves no view can still arrive",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'),
+    v AS (
+      SELECT event_id AS view_id, user_id AS v_user, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+    wm AS (SELECT LEAST((SELECT MAX(ts) FROM events
+                         WHERE event_type = 'purchase'),
+                        (SELECT MAX(ts) FROM events
+                         WHERE event_type = 'view'))
+                  - INTERVAL 1 HOUR AS w),
+    matched AS (
+      SELECT p.purchase_id, v.view_id, p.user_id, p.purchase_ts
+      FROM p JOIN v
+        ON p.user_id = v.v_user
+       AND v.view_ts <= p.purchase_ts
+       AND v.view_ts > p.purchase_ts - INTERVAL 6 HOUR),
+    unmatched AS (
+      SELECT p.purchase_id, CAST(NULL AS BIGINT) AS view_id,
+             p.user_id, p.purchase_ts
+      FROM p, wm
+      WHERE p.purchase_ts < wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM v
+          WHERE v.v_user = p.user_id
+            AND v.view_ts <= p.purchase_ts
+            AND v.view_ts > p.purchase_ts - INTERVAL 6 HOUR))
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM unmatched
+    ORDER BY purchase_id, view_id NULLS FIRST
+    """,
+)
+def stream_engine_outer_join(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The seventh engine-executed judged row, and the hardest streaming
+    join semantics: LEFT OUTER stream-stream. Inner matches emit the
+    moment both rows are buffered (same as stream_engine_stream_join);
+    the OUTER part is pure watermark protocol — an unmatched purchase
+    may only emit its null-padded row once the engine can PROVE no
+    matching view will ever arrive, i.e. when the global watermark
+    passes purchase_ts (views satisfy view_ts <= purchase_ts, and the
+    watermark bounds how late a view can be). The drained set is
+    therefore deterministic: matched pairs exactly as the batch join,
+    plus null rows for unmatched purchases with purchase_ts strictly
+    below the final GLOBAL watermark — which is the MIN across the two
+    sides' watermark nodes (each side's max event time - 1h; the
+    watermark sits after the per-side filter, so the purchase side's
+    clock stops at the last purchase, not the last event — the oracle's
+    LEAST(...) replays exactly this); later unmatched purchases
+    stay withheld by design — their absence IS the correctness property
+    (emitting them would be premature: a view could still arrive). The
+    oracle replays both halves including the cutoff, so a wrong eviction
+    predicate, a premature null, or a dropped match breaks the hash.
+    The final no-data micro-batch (noDataMicroBatches, default on)
+    advances the watermark past the last purchase and flushes the
+    trailing null rows before processAllAvailable returns.
+
+    At 100 TB: identical state story to the inner join (both sides
+    shard on user_id, state bounded by the 6h horizon x arrival rate);
+    the outer semantics add only the per-key eviction timer the state
+    store already maintains. This is the shape for attribution with
+    EXPLICIT no-touch rows — the analytics form of 'every purchase
+    appears exactly once, attributed or not'."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+
+    def side():
+        return (spark.readStream
+                .schema("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(base))
+
+    purchases = (side().filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", "1 hour")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts")))
+    views = (side().filter(F.col("event_type") == "view")
+             .withWatermark("ts", "1 hour")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts")))
+    joined = purchases.join(
+        views,
+        F.expr("""p_user = v_user
+                  AND view_ts <= purchase_ts
+                  AND view_ts > purchase_ts - INTERVAL 6 HOURS"""),
+        "leftOuter")
+
+    name = f"fg_streamoj_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_streamoj_ckpt_")
+    with _stream_state_partitions(spark):
+        q = (joined.select("purchase_id", "view_id",
+                           F.col("p_user").alias("user_id"), "purchase_ts")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .orderBy("purchase_id", F.asc_nulls_first("view_id")))

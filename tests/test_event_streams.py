@@ -531,3 +531,55 @@ class TestJudgedStaticEnrichRow:
                      .alias("value_cents"))
                 .orderBy("segment", "event_type"))
         assert got == [tuple(r) for r in want.collect()]
+
+
+class TestJudgedOuterJoinRow:
+    """Backs stream_engine_outer_join: the drained LEFT OUTER set equals
+    batch matches plus null rows for unmatched purchases below the final
+    GLOBAL watermark (min across the two sides' filtered clocks), and
+    both halves are non-trivially populated."""
+
+    def test_drained_outer_join_equals_batch_with_cutoff(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_outer_join)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = [tuple(r) for r in
+               stream_engine_outer_join(spark, sf_dir).collect()]
+        n_null = sum(1 for r in got if r[1] is None)
+        assert n_null > 0, "no unmatched purchases emitted"
+        assert n_null < len(got), "no matches emitted"
+
+        ev = load_table(spark, sf_dir, "events")
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     "user_id", F.col("ts").alias("purchase_ts")))
+        v = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts")))
+        cond = ((p.user_id == v.v_user)
+                & (F.col("view_ts") <= F.col("purchase_ts"))
+                & (F.col("view_ts") > F.col("purchase_ts")
+                   - F.expr("INTERVAL 6 HOURS")))
+        matched = p.join(v, cond).select(
+            "purchase_id", "view_id", "user_id", "purchase_ts")
+        # global watermark = min of the two sides' (max ts - 1h)
+        wm = min(p.agg(F.max("purchase_ts")).first()[0],
+                 v.agg(F.max("view_ts")).first()[0])
+        import datetime
+        cut = wm - datetime.timedelta(hours=1)
+        unmatched = (p.join(v, cond, "left_anti")
+                     .filter(F.col("purchase_ts") < F.lit(cut))
+                     .select("purchase_id",
+                             F.lit(None).cast("long").alias("view_id"),
+                             "user_id", "purchase_ts"))
+        want = [tuple(r) for r in
+                matched.unionByName(unmatched)
+                .orderBy("purchase_id", F.asc_nulls_first("view_id"))
+                .collect()]
+        assert got == want
