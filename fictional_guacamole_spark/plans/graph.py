@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions.graph import (
-    pagerank_ppb, sql_pagerank_ppb)
+    pagerank_ppb, sql_pagerank_ppb, sql_triangle_census)
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.tables import load_table
 
@@ -106,3 +106,70 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pagerank_ppb(edges, iters=3)
             .orderBy(F.desc("rank_ppb"), F.asc("node"))
             .limit(20))
+
+
+# one-pass projection: shared counts and their global mean come from the
+# SAME aggregation via a window, so the heavy pair join runs once on both
+# engines (DuckDB inlines plain CTEs; the census wrapper additionally
+# MATERIALIZEs the edge set it references four times)
+_COSUPP_EDGES_CTE = """
+      SELECT i, j FROM (
+        SELECT a.s AS i, b.s AS j, COUNT(*) AS shared,
+               AVG(COUNT(*)) OVER () AS mu
+        FROM (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey) a
+        JOIN (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey) b
+          ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s)
+      WHERE shared > mu"""
+
+
+@query(
+    "graph_triangle_census",
+    survey_ref="extensions: exact TRIANGLE CENSUS (compact-forward "
+               "oriented-wedge join) + global clustering coefficient",
+    description="Triangles, wedges and global clustering of the "
+                "co-supplier graph (suppliers sharing more customers "
+                "than the mean pair)",
+    oracle=sql_triangle_census(_COSUPP_EDGES_CTE),
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting — the third classic whole-graph statistic after
+    PageRank (graph_pagerank_suppliers) and connected components
+    (dedup_components), and the building block of clustering/community
+    metrics. The customer-supplier purchase relation is bipartite
+    (triangle-free by construction), so the judged graph is its
+    one-mode PROJECTION: suppliers joined when they share strictly more
+    distinct customers than the supplier-pair mean — an SF-adaptive
+    cut that stays non-degenerate at every fixture scale (sf0.001: 26
+    edges / 37 triangles; sf0.01: 2 476 / 30 962 of a possible 161 700)
+    where any absolute threshold collapses to the empty or complete
+    graph. Census math: canonical i<j orientation finds each triangle
+    exactly once as wedge (i,j)+(j,k) closed by (i,k) — two node-keyed
+    equi-joins (Suri & Vassilvitskii, WWW'11); wedges are the exact
+    integer degree fold; clustering = 3T/W is the one IEEE division.
+    At 100 TB the projection step is the guarded part (shared-neighbor
+    joins explode on hub customers — the same reason dedup's banded
+    joins bucket first); degree orientation then bounds the census
+    joins' fan-out by sqrt(|E|). All exact — no sampling, no sketch."""
+    from fictional_guacamole_spark.functions.graph import triangle_census
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    a = cs.select(F.col("c"), F.col("s").alias("i"))
+    b = cs.select(F.col("c").alias("c2"), F.col("s").alias("j"))
+    from pyspark.sql import Window as W
+
+    w = (a.join(b, (F.col("c") == F.col("c2"))
+                & (F.col("i") < F.col("j")))
+         .groupBy("i", "j").agg(F.count(F.lit(1)).alias("shared")))
+    edges = (w.withColumn("mu", F.avg("shared").over(
+                 W.partitionBy(F.lit(1))))
+             .filter(F.col("shared") > F.col("mu"))
+             .select("i", "j"))
+    return triangle_census(edges)
