@@ -216,9 +216,16 @@ constant-block fixtures, removing JPEG from the external-library stub
 list), ``sketch_kmv_distinct_events`` / ``sketch_hll_distinct_events``
 (deterministic KMV and HyperLogLog distinct sketches whose estimators
 the oracle replays bit-for-bit — the 100 TB approximate-distinct
-surface), and ``stream_engine_static_enrich`` (the sixth
-engine-executed row: stream-static broadcast dimension enrichment —
-the stateless per-micro-batch lookup every production pipeline runs).
+surface), ``sketch_kmv_set_ops_events`` (KMV closure under union:
+union/intersection/Jaccard from two 64-long synopses),
+``stream_engine_static_enrich`` (stream-static broadcast dimension
+enrichment — the stateless per-micro-batch lookup every production
+pipeline runs), ``stream_engine_outer_join`` (stream-stream LEFT OUTER
+with watermark-driven null emission; its oracle encodes the finding
+that the global watermark is the MIN across per-side filtered clocks),
+and ``graph_triangle_census`` (exact triangles/wedges/clustering via
+the compact-forward oriented-wedge join over an SF-adaptive
+co-supplier projection).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
