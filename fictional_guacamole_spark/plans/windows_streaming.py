@@ -1019,3 +1019,89 @@ def stream_engine_outer_join(spark: SparkSession,
             shutil.rmtree(ckpt, ignore_errors=True)
     return (spark.table(name)
             .orderBy("purchase_id", F.asc_nulls_first("view_id")))
+
+
+@query(
+    "stream_engine_session_window",
+    survey_ref="§2.5 streaming: SESSION windows through the engine "
+               "(merging-window state, append mode, watermark-finalized "
+               "sessions only)",
+    description="Per-user 30-min-gap sessions computed by an actual "
+                "append-mode streaming query: sessions MERGE across "
+                "micro-batches and emit only when the watermark passes "
+                "their end",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    agg AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id, session_id)
+    SELECT user_id, session_start, session_end, n_events
+    FROM agg
+    WHERE session_end <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_engine_session_window(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """SESSION windows under the engine — the one windowed aggregation
+    whose state MERGES: a session's extent is data-driven (gap-based),
+    so two separate window states fuse when a bridging event arrives in
+    a later micro-batch, and the state store must support variable-span
+    merge (Spark's session-window state format), not just keyed upsert.
+    The batch sibling stream_session_window certifies the semantics;
+    this row certifies the ENGINE execution: append mode emits each
+    session exactly once, when the watermark (event-time max - 1h)
+    passes its end (last event + 30 min gap), so the drained set is
+    sessions with end <= final watermark — the oracle replays that
+    cutoff over the gaps-and-islands batch formulation. Time-ascending
+    file replay guarantees no late-drop and makes mid-stream session
+    merges real (a user's events span trigger boundaries). At 100 TB:
+    state is keyed by (user, session) with watermark eviction exactly
+    like the tumbling form; the merge adds no extra shuffle — it is a
+    state-store operation inside the same exchange."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+    name = f"fg_streamsw_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_streamsw_ckpt_")
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double, props string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base))
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy("user_id",
+                    F.session_window("ts", "30 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "n_events")
+            .orderBy("user_id", "session_start"))

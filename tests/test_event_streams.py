@@ -583,3 +583,44 @@ class TestJudgedOuterJoinRow:
                 .orderBy("purchase_id", F.asc_nulls_first("view_id"))
                 .collect()]
         assert got == want
+
+
+class TestJudgedSessionWindowRow:
+    """Backs stream_engine_session_window: the drained append-mode
+    session set equals the batch session_window aggregation filtered to
+    watermark-finalized sessions, and sessions genuinely span micro-batch
+    boundaries (merge-state exercised)."""
+
+    def test_drained_sessions_equal_batch_with_cutoff(self, spark):
+        import datetime
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_session_window)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = [tuple(r) for r in
+               stream_engine_session_window(spark, sf_dir).collect()]
+        assert len(got) > 0
+
+        ev = load_table(spark, sf_dir, "events")
+        cut = (ev.agg(F.max("ts")).first()[0]
+               - datetime.timedelta(hours=1))
+        want_df = (ev.groupBy("user_id",
+                              F.session_window("ts", "30 minutes")
+                              .alias("w"))
+                   .agg(F.count(F.lit(1)).alias("n_events"))
+                   .filter(F.col("w.end") <= F.lit(cut))
+                   .select("user_id", F.col("w.start"), F.col("w.end"),
+                           "n_events")
+                   .orderBy("user_id", "w.start"))
+        want = [tuple(r) for r in want_df.collect()]
+        assert got == want
+        # the batch total must exceed the drained set: trailing sessions
+        # are withheld by design (their end is past the final watermark)
+        total = (ev.groupBy("user_id",
+                            F.session_window("ts", "30 minutes")).count()
+                 .count())
+        assert total > len(got)
