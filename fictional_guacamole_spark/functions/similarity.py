@@ -384,7 +384,7 @@ def nearest_cells(vec: Column, centroids: list[list[float]],
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 4) -> DataFrame:
+             seed: int = 4, candidate_filter=None) -> DataFrame:
     """Approximate top-k via an inverted-file index: corpus rows live in
     their nearest centroid's cell; each query scores only its ``n_probe``
     closest cells.
@@ -396,12 +396,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the IVF list structure expressed as data layout. Recall is tuned by
     n_probe (cells searched) and n_centroids (cell granularity); both are
     validated against the brute-force baseline in tests.
+
+    ``candidate_filter`` (optional Column predicate) implements FILTERED
+    vector search with post-filter semantics over ONE shared index: the
+    index is built on (and cells trained over) the FULL corpus, and the
+    predicate drops candidates after cell assignment, before scoring —
+    the production shape, where per-predicate index builds are not an
+    option. Recall under a filter is certified per-fixture by the judged
+    row's SF-aware floor.
     """
     centroids = train_ivf_centroids(corpus, n_centroids, vec_col, seed)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
         norm(F.col(vec_col)).alias("c_norm"),
         nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"))
+    if candidate_filter is not None:
+        c = c.filter(candidate_filter)
     return _bucketed_topk(
         c, queries, bk_col="cid", k=k, id_col=id_col, vec_col=vec_col,
         query_keys=lambda qvec: nearest_cells(qvec, centroids, n_probe))
@@ -410,7 +420,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_persist_index(spark: SparkSession, corpus: DataFrame,
                       table_path: str, n_centroids: int = 16,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      seed: int = 4) -> list[list[float]]:
+                      seed: int = 4,
+                      extra_cols: list[str] | None = None
+                      ) -> list[list[float]]:
     """Materialize the IVF index AS STORAGE LAYOUT: the cell-assigned
     corpus lands in a commit-log table (sources/txnlog.py) clustered by
     cell id with per-file ``cid`` zone maps — ``ivf_topk``'s docstring
@@ -419,7 +431,10 @@ def ivf_persist_index(spark: SparkSession, corpus: DataFrame,
     runs ONCE per corpus: commit → clustered OPTIMIZE → vacuum; every
     later probe is :func:`ivf_probe_topk` over zone-map-pruned file
     reads. Returns the (deterministic) centroids — the only state a
-    probe needs besides the table path."""
+    probe needs besides the table path. ``extra_cols`` stores filterable
+    metadata IN-ROW next to the vectors (the attribute-filtered-ANN
+    layout: a probe's predicate then pushes into the pruned files
+    instead of joining a side table)."""
     from fictional_guacamole_spark.sources.txnlog import (
         TransactionalParquetTable)
 
@@ -427,7 +442,8 @@ def ivf_persist_index(spark: SparkSession, corpus: DataFrame,
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col),
         norm(F.col(vec_col)).alias("c_norm"),
-        nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"))
+        nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cid"),
+        *[F.col(c) for c in (extra_cols or [])])
     t = TransactionalParquetTable(table_path)
     t.commit(assigned, "ivf-build", stats_cols=["cid"])
     t.compact(spark, "ivf-cluster", stats_cols=["cid"],
@@ -441,7 +457,8 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
                    centroids: list[list[float]], queries: DataFrame,
                    k: int = 10, n_probe: int = 4,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   candidate_filter=None) -> DataFrame:
     """Probe a persisted IVF index: the candidate corpus comes from
     zone-map-pruned reads of ONLY the probed cells' files — the amortized
     production path (:func:`ivf_topk` re-trains and re-assigns per call,
@@ -482,6 +499,12 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
     corpus = parts[0]
     for p in parts[1:]:
         corpus = corpus.unionByName(p)
+    if candidate_filter is not None:
+        # filtered vector search, post-filter semantics: ONE shared index,
+        # predicate applied to the pruned candidates before scoring (and
+        # pushed by Catalyst into the surviving row groups when the
+        # stored table carries the column)
+        corpus = corpus.filter(candidate_filter)
     # the stored frame is exactly _bucketed_topk's corpus shape
     # (id, vec, c_norm, cid) — reuse the SHARED scoring pipeline, so the
     # bit-equality contract with ivf_topk rests on one implementation,

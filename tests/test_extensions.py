@@ -1225,3 +1225,52 @@ class TestIvfPqPersistedIndex:
         row = t.read(spark).limit(1).collect()[0]
         assert len(row.code) == 8
         assert all(0 <= c < 16 for c in row.code)
+
+
+class TestIvfFilteredSearch:
+    """sim_ivf_filtered_topk's evidence: attribute-filtered vector search
+    over ONE shared index — persisted probe bit-equals the in-memory
+    filtered form, every neighbor satisfies the predicate, and the
+    filtered result is exactly the filtered-exact baseline's domain."""
+
+    def test_filtered_probe_equals_inmemory_and_respects_predicate(
+            self, spark, tmp_path):
+        from fictional_guacamole_spark.functions.similarity import (
+            ivf_persist_index, ivf_probe_topk, ivf_topk)
+
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        path = str(tmp_path / "ivffilt")
+        cents = ivf_persist_index(spark, emb, path, n_centroids=16,
+                                  extra_cols=["label"])
+
+        pred = F.col("label") == 2
+        probed = ivf_probe_topk(spark, path, cents, queries, k=10,
+                                n_probe=8, candidate_filter=pred)
+        mem = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=8,
+                       candidate_filter=pred)
+        got = sorted(map(tuple, probed.collect()))
+        assert got == sorted(map(tuple, mem.collect()))
+        assert len(got) > 0
+
+        # every returned neighbor carries the filtered label
+        labels = {r.vec_id: r.label for r in
+                  emb.select("vec_id", "label").collect()}
+        assert all(labels[nid] == 2 for _, nid, _, _ in got)
+
+    def test_filter_column_is_stored_in_row(self, spark, tmp_path):
+        from fictional_guacamole_spark.functions.similarity import (
+            ivf_persist_index)
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        emb = load_table(spark, SF, "embeddings")
+        path = str(tmp_path / "ivffilt2")
+        ivf_persist_index(spark, emb, path, n_centroids=16,
+                          extra_cols=["label"])
+        stored = TransactionalParquetTable(path).read(spark)
+        assert "label" in stored.columns
+        # the predicate reaches the scan of the stored files
+        plan = (stored.filter(F.col("label") == 2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "label" in plan
