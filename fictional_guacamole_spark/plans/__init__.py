@@ -292,27 +292,30 @@ JUDGE_WINDOW: list[str] = [
     "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle
     "scd2_order_status_history",   # SCD2 from the change feed
     "federated_tri_source_user_summary",  # 3 storage engines, 1 plan
-    "graph_pagerank_suppliers",    # PageRank in exact integer ppb
+    "graph_triangle_census",       # exact triangles/wedges/clustering
+                                   # (pagerank green r7; graph family
+                                   # keeps a judged representative)
     "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal
     "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
-    "agg_mode_clerk_bucket",       # exact mode via two-level groupBy
-    "agg_regr_price_on_qty",       # per-group OLS slope/intercept/R²
+    "sketch_kmv_distinct_events",  # KMV distinct estimator, bit-exact
+    "sketch_hll_distinct_events",  # HLL with exact integer denominator
     "basket_brand_pairs",          # market-basket pair-support mining
     "cohort_weekly_retention",     # weekly signup-cohort retention grid
     "dedup_incremental_ingest",    # fingerprint-store incremental dedup
-    "dedup_keep_best",             # canonical-doc selection per cluster
+    "sim_ivf_filtered_topk",       # attribute-filtered ANN, persisted
     "dq_profile_orders",           # per-column null/distinct/minmax profile
-    "dq_table_checksum",           # order-free additive table digest
-    "index_inverted_postings",     # inverted index (postings lists)
+    "retrieval_hybrid_rrf",        # BM25 + vector RRF fusion ranker
+    "text_bpe_merge_table",        # the BPE trainer's learned merges
     "lateral_top2_orders_per_customer",  # LATERAL correlated top-n
     "layout_bucketed_join_revenue",  # bucketed co-located join layout
     "text_bm25_search",            # BM25 lexical retrieval
     "text_vocab_by_lang",          # per-language vocabulary rollup
     "ts_anomaly_zscore",           # rolling z-score anomaly flags
-    "ts_resample_interpolate",     # grid resample + linear interpolation
-    "txnlog_skipping_event_stats",  # zone-map file skipping, pre-Spark
-    "multimodal_png_decode",       # REAL compressed-image decode (zlib PNG)
-    "stream_engine_append_watermark",  # real engine, append + watermark
+    "multimodal_jpeg_decode",      # REAL baseline JPEG decode (T.81)
+    "stream_engine_static_enrich",  # engine stream-static broadcast join
+    "stream_engine_outer_join",    # engine LEFT OUTER stream-stream join
+    "stream_engine_session_window",  # engine session windows (merging
+                                     # state), append + watermark cutoff
     # -- r8 rotation: the 5 never-driver-judged late-r7 registrations -----
     "sim_ivf_persisted_topk",      # IVF ANN probed from persisted
                                    # clustered index storage (zone-map
@@ -330,6 +333,23 @@ JUDGE_WINDOW: list[str] = [
     "multimodal_gif_decode",       # REAL LZW decode (GIF89a, spec impl)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
 ]
+# Mid-r8 second rotation: the 10 queries REGISTERED during round 8 after
+# the round-start rotation (JPEG codec, KMV/HLL sketches, filtered ANN,
+# hybrid RRF, BPE merge table, three new engine-executed streaming rows,
+# triangle census) swap in — each mirror-green on registration AND at the
+# sf1 sweep — displacing 10 anchors judged green in CORRECTNESS_r07 or
+# earlier whose families keep an in-window representative:
+# graph_pagerank_suppliers (graph keeps the census), agg_mode /
+# agg_regr (aggregations keep approx_percentile), dedup_keep_best
+# (dedup keeps incremental_ingest), dq_table_checksum (dq keeps
+# profile_orders), index_inverted_postings (lexical retrieval keeps
+# bm25 + gains rrf), ts_resample_interpolate (timeseries keeps
+# anomaly_zscore), txnlog_skipping (ACID family keeps the engine
+# txnlog sink), multimodal_png_decode (codecs keep gif + gain jpeg),
+# stream_engine_append_watermark (its exact aggregation shape stays
+# judged through stream_engine_restart_recovery, which reuses it).
+# sketch_kmv_set_ops_events stays r9 fodder (the KMV machinery is
+# certified by the distinct row; set-ops is mirror- and sweep-green).
 
 
 def _reorder() -> None:

@@ -59,14 +59,22 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_dedup_watermark",
                       "stream_engine_stream_join",
                       "stream_engine_restart_recovery",
-                      "stream_engine_txnlog_sink"},
+                      "stream_engine_txnlog_sink",
+                      "stream_engine_static_enrich",
+                      "stream_engine_outer_join",
+                      "stream_engine_session_window"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
                                    "stream_engine_append_watermark",
                                    "stream_engine_stateful_ewma",
                                    "stream_engine_dedup_watermark",
                                    "stream_engine_stream_join",
                                    "stream_engine_restart_recovery",
-                                   "stream_engine_txnlog_sink"},
+                                   "stream_engine_txnlog_sink",
+                                   "stream_engine_static_enrich",
+                                   "stream_engine_outer_join",
+                                   "stream_engine_session_window"},
+        "stream_stream_join": {"stream_engine_stream_join",
+                               "stream_engine_outer_join"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
@@ -75,12 +83,16 @@ def test_every_family_has_an_inwindow_representative():
                        "sim_ivf_persisted_topk",  # bit-identical to
                        # sim_ivf_topk by construction, same recall-floor
                        # oracle — the persisted form certifies the family
+                       "sim_ivf_filtered_topk",
                        "dedup_embedding_cosine"},
+        "filtered_ann": {"sim_ivf_filtered_topk"},
         "text_analysis": {"text_stats", "text_lang_id", "text_token_count",
                           "text_fingerprint", "text_edit_distance",
                           "text_gopher_quality", "text_vocab_by_lang",
                           "text_classifier_scores"},
-        "lexical_retrieval": {"text_bm25_search", "index_inverted_postings"},
+        "lexical_retrieval": {"text_bm25_search", "index_inverted_postings",
+                              "retrieval_hybrid_rrf"},
+        "hybrid_retrieval": {"retrieval_hybrid_rrf"},
         "basket_mining": {"basket_brand_pairs"},
         "table_format_acid": {"txnlog_roundtrip_event_stats",
                               "txnlog_skipping_event_stats",
@@ -91,7 +103,7 @@ def test_every_family_has_an_inwindow_representative():
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
                        "multimodal_decode_meta", "multimodal_png_decode",
-                       "multimodal_gif_decode"},
+                       "multimodal_gif_decode", "multimodal_jpeg_decode"},
         "sqlite_source_sink": {"sqlite_scan_events",
                                "sqlite_roundtrip_user_stats"},
         "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value",
@@ -99,7 +111,8 @@ def test_every_family_has_an_inwindow_representative():
                        "ts_subsequence_match"},
         "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode",
                         "multimodal_avi_frame_sample",
-                        "multimodal_png_decode", "multimodal_gif_decode"},
+                        "multimodal_png_decode", "multimodal_gif_decode",
+                        "multimodal_jpeg_decode"},
         "chunking": {"pipeline_chunk_overlap"},
         "columnar_formats": {"orc_roundtrip_brand_stats",
                              "jsonl_roundtrip_priority_stats",
@@ -111,7 +124,13 @@ def test_every_family_has_an_inwindow_representative():
         "incremental_mv": {"mv_incremental_order_stats"},
         "cdc_merge": {"merge_upsert_order_stats"},
         "lm_quality": {"text_lm_familiarity"},
-        "sketches": {"agg_approx_percentile", "text_heavy_hitters"},
+        "sketches": {"agg_approx_percentile", "text_heavy_hitters",
+                     "sketch_kmv_distinct_events",
+                     "sketch_hll_distinct_events",
+                     "sketch_kmv_set_ops_events"},
+        "distinct_sketches": {"sketch_kmv_distinct_events",
+                              "sketch_hll_distinct_events",
+                              "sketch_kmv_set_ops_events"},
         "corpus_mixing": {"pipeline_domain_mix"},
         "scd2": {"scd2_order_status_history"},
         "federation": {"federated_tri_source_user_summary"},
@@ -121,10 +140,12 @@ def test_every_family_has_an_inwindow_representative():
         "data_quality": {"dq_constraint_audit", "dq_profile_orders",
                          "dq_table_checksum", "dq_histogram_equidepth"},
         "rag_capstone": {"pipeline_rag_retrieval"},
-        "graph": {"graph_pagerank_suppliers", "dedup_components"},
+        "graph": {"graph_pagerank_suppliers", "dedup_components",
+                  "graph_triangle_census"},
         "recursion": {"rcte_event_type_reachability"},
         "fuzzy_join": {"join_fuzzy_typo_pairs"},
-        "subword_tokenization": {"text_bpe_subword_stats"},
+        "subword_tokenization": {"text_bpe_subword_stats",
+                                 "text_bpe_merge_table"},
         "crash_recovery": {"stream_engine_restart_recovery"},
     }
     for family, names in families.items():
