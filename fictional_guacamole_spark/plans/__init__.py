@@ -205,8 +205,11 @@ registered at window-rotation time — every oracled row judged at least
 once; the only never-judged row is the oracle-less-by-design bench
 kernel frame.
 
-Mid-round-8 registrations past the window (r9 rotation fodder, each
-mirror-green with the driver's exact comparator on registration):
+Mid-round-8 registrations (each mirror-green with the driver's exact
+comparator on registration AND at the sf1 sweep; all but one rotated
+into the window by the mid-r8 second rotation below, so they are judged
+THIS round — only ``sketch_kmv_set_ops_events`` stays r9 fodder, its
+KMV machinery already certified by the distinct row):
 ``retrieval_hybrid_rrf`` (BM25 + vector legs fused by reciprocal-rank
 fusion — the production RAG ranker), ``text_bpe_merge_table`` (the BPE
 trainer's learned merge table judged directly),
@@ -223,9 +226,11 @@ enrichment — the stateless per-micro-batch lookup every production
 pipeline runs), ``stream_engine_outer_join`` (stream-stream LEFT OUTER
 with watermark-driven null emission; its oracle encodes the finding
 that the global watermark is the MIN across per-side filtered clocks),
-and ``graph_triangle_census`` (exact triangles/wedges/clustering via
+``graph_triangle_census`` (exact triangles/wedges/clustering via
 the compact-forward oriented-wedge join over an SF-adaptive
-co-supplier projection).
+co-supplier projection), and ``stream_engine_session_window``
+(session windows through the engine — MERGING window state, append
+mode, watermark-finalized sessions only).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
