@@ -199,11 +199,13 @@ output, same recall-floor oracles, and the persisted path is the one
 that matters at 100 TB), orc yields the columnar slot to avro, the
 oldest engine row (hourly_counts) yields to the two new engine rows,
 and cluster_histogram / dq_histogram / ts_subsequence / path_event /
-text_classifier return to the green union. A green CORRECTNESS_r08
-makes the cumulative driver-certified union 177 of 178 queries
-registered at window-rotation time — every oracled row judged at least
-once; the only never-judged row is the oracle-less-by-design bench
-kernel frame.
+text_classifier return to the green union. With the mid-r8 second
+rotation (below), a green CORRECTNESS_r08 makes the cumulative
+driver-certified union 187 of the 189 registered queries — every
+oracled row judged at least once EXCEPT ``sketch_kmv_set_ops_events``
+(registered late-r8, mirror- and sf1-sweep-green, r9 fodder); the only
+other never-judged row is the oracle-less-by-design bench kernel
+frame.
 
 Mid-round-8 registrations (each mirror-green with the driver's exact
 comparator on registration AND at the sf1 sweep; all but one rotated
