@@ -658,3 +658,35 @@ class TestJpegCodec:
         for i, im in enumerate(imgs):
             assert got[i]["width"] == 16 and got[i]["n_channels"] == 1
             assert got[i]["sum_r"] == int(im.sum(dtype=np.int64))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestJpegProperties:
+    """Hypothesis property suites for the JPEG codec: constant-block
+    bit-exactness over the full byte range, and the lossy error bound on
+    arbitrary content at arbitrary (non-multiple-of-8) geometry."""
+
+    @given(vals=st.lists(st.integers(min_value=0, max_value=255),
+                         min_size=1, max_size=12),
+           bw=st.integers(min_value=1, max_value=4))
+    @settings(max_examples=30, deadline=None)
+    def test_constant_blocks_always_bit_exact(self, vals, bw):
+        img = TestJpegCodec._block_image(vals, bw)
+        h, w = img.shape
+        got = C.decode_jpeg(C.encode_jpeg(w, h, img.tobytes(), 1))[3]
+        assert np.array_equal(got[:, :, 0], img)
+
+    @given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+           w=st.integers(min_value=1, max_value=40),
+           h=st.integers(min_value=1, max_value=40))
+    @settings(max_examples=25, deadline=None)
+    def test_arbitrary_content_bounded_error(self, seed, w, h):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w), np.uint8)
+        gw, gh, ch, arr = C.decode_jpeg(C.encode_jpeg(w, h, img.tobytes(), 1))
+        assert (gw, gh, ch) == (w, h, 1)
+        err = np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err <= 40  # q_ac=16 quantizer + edge-padding worst case
