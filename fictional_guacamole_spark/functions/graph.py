@@ -148,9 +148,15 @@ def triangle_census(edges: DataFrame, src: str = "i",
     deg = (e.select(F.col("i").alias("n"))
            .unionAll(e.select(F.col("j").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    # wedge terms in EXACT integer math: d*(d-1) is even, so DIV 2 is
+    # lossless in BIGINT (a float division is only exact below 2^53 —
+    # hub degrees at 100 TB exceed that); the sum rides in DECIMAL(38,0)
+    # per the engine's q1 accumulator convention, then bounded-casts to
+    # the BIGINT output
     node_agg = deg.agg(
         F.count("n").alias("n_nodes"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        F.sum(F.expr(
+            "CAST(d * (d - 1) DIV 2 AS DECIMAL(38,0))")).cast("long")
         .alias("n_wedges"))
     e1 = e.select(F.col("i").alias("a"), F.col("j").alias("b"))
     e2 = e.select(F.col("i").alias("b2"), F.col("j").alias("c"))
@@ -181,7 +187,8 @@ def sql_triangle_census(edges_cte: str) -> str:
       GROUP BY n),
     __nodes AS (
       SELECT COUNT(*) AS n_nodes,
-             CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+             CAST(SUM(CAST(d * (d - 1) // 2 AS DECIMAL(38,0)))
+                  AS BIGINT) AS n_wedges
       FROM __deg),
     __tri AS (
       SELECT COUNT(*) AS n_triangles
