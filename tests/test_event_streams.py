@@ -624,3 +624,66 @@ class TestJudgedSessionWindowRow:
                             F.session_window("ts", "30 minutes")).count()
                  .count())
         assert total > len(got)
+
+
+class TestJudgedFullOuterJoinRow:
+    """Backs stream_engine_full_outer_join: the drained set equals batch
+    matches plus BOTH sides' cutoff-filtered unmatched rows, and each
+    side's eviction clock is genuinely different (the asymmetry is the
+    judged property)."""
+
+    def test_drained_full_outer_equals_batch_with_per_side_cutoffs(
+            self, spark):
+        import datetime
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_full_outer_join)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = [tuple(r) for r in
+               stream_engine_full_outer_join(spark, sf_dir).collect()]
+        n_null_v = sum(1 for r in got if r[1] is None)
+        n_null_p = sum(1 for r in got if r[0] is None)
+        assert n_null_v > 0, "no unmatched purchases emitted"
+        assert n_null_p > 0, "no unmatched views emitted"
+
+        ev = load_table(spark, sf_dir, "events")
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("purchase_ts")))
+        v = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts")))
+        cond = ((p.p_user == v.v_user)
+                & (F.col("view_ts") <= F.col("purchase_ts"))
+                & (F.col("view_ts") > F.col("purchase_ts")
+                   - F.expr("INTERVAL 6 HOURS")))
+        wm = min(p.agg(F.max("purchase_ts")).first()[0],
+                 v.agg(F.max("view_ts")).first()[0]) \
+            - datetime.timedelta(hours=1)
+        matched = p.join(v, cond).select(
+            "purchase_id", "view_id", F.col("p_user").alias("user_id"),
+            "purchase_ts", "view_ts")
+        un_p = (p.join(v, cond, "left_anti")
+                .filter(F.col("purchase_ts") < F.lit(wm))
+                .select("purchase_id",
+                        F.lit(None).cast("long").alias("view_id"),
+                        F.col("p_user").alias("user_id"), "purchase_ts",
+                        F.lit(None).cast("timestamp").alias("view_ts")))
+        un_v = (v.join(p, cond, "left_anti")
+                .filter(F.col("view_ts") + F.expr("INTERVAL 6 HOURS")
+                        <= F.lit(wm))
+                .select(F.lit(None).cast("long").alias("purchase_id"),
+                        "view_id", F.col("v_user").alias("user_id"),
+                        F.lit(None).cast("timestamp").alias("purchase_ts"),
+                        "view_ts"))
+        want = [tuple(r) for r in
+                matched.unionByName(un_p).unionByName(un_v)
+                .orderBy(F.asc_nulls_first("purchase_id"),
+                         F.asc_nulls_first("view_id")).collect()]
+        assert got == want

@@ -62,6 +62,7 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_txnlog_sink",
                       "stream_engine_static_enrich",
                       "stream_engine_outer_join",
+                      "stream_engine_full_outer_join",
                       "stream_engine_session_window"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
                                    "stream_engine_append_watermark",
@@ -72,9 +73,11 @@ def test_every_family_has_an_inwindow_representative():
                                    "stream_engine_txnlog_sink",
                                    "stream_engine_static_enrich",
                                    "stream_engine_outer_join",
+                                   "stream_engine_full_outer_join",
                                    "stream_engine_session_window"},
         "stream_stream_join": {"stream_engine_stream_join",
-                               "stream_engine_outer_join"},
+                               "stream_engine_outer_join",
+                               "stream_engine_full_outer_join"},
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
