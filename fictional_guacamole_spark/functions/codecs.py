@@ -1198,13 +1198,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             raise ValueError("JPEG truncated before SOS")
         if payload[pos] != 0xFF:
             raise ValueError("expected JPEG marker")
-        while pos < len(payload) and payload[pos] == 0xFF and \
+        while pos + 1 < len(payload) and payload[pos] == 0xFF and \
                 payload[pos + 1] == 0xFF:
             pos += 1                       # fill bytes
+        if pos + 1 >= len(payload):
+            raise ValueError("JPEG truncated mid-marker")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue                       # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("JPEG segment length truncated")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         body = payload[pos + 2:pos + seglen]
         if len(body) != seglen - 2:
@@ -1270,6 +1274,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             rd = _JpegBitReader(payload, pos + seglen)
             mx, my = -(-w // 8), -(-h // 8)
             nc = len(comps)
+            # hostile-header guard BEFORE allocating anything keyed on
+            # dims (the decode_png proportionality check, adapted):
+            # every block costs >= 2 entropy bits (a 1-bit DC symbol +
+            # a 1-bit EOB) under ANY Huffman table, so a payload without
+            # at least that many bits cannot be a real scan — reject a
+            # 300-byte file claiming 65535x65535 without touching numpy
+            min_entropy = (mx * my * nc * 2) // 8
+            if len(payload) - (pos + seglen) < min_entropy:
+                raise ValueError(
+                    "JPEG entropy data impossibly small for declared "
+                    f"dimensions {w}x{h}")
             planes = np.zeros((my * 8, mx * 8, nc))
             pred = [0] * nc
             for m in range(mx * my):

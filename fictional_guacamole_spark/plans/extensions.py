@@ -3841,9 +3841,11 @@ def sketch_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly via bin()'s digit count), registers = per-bucket max. The
     float trap in HLL is the harmonic denominator — a naive sum of
     2^-M_j doubles is partition-order-dependent — so each term is scaled
-    to the integer 2^(60-M_j) and summed in DECIMAL(38,0): exact,
-    order-independent, overflow-proof (max 256 * 2^60 < 10^21 << 10^38),
-    then ONE correctly-rounded double division yields the estimate. The
+    to the integer 2^(53-M_j) and summed in BIGINT: exact,
+    order-independent, overflow-proof (max 256 * 2^53 = 2^61 < 2^63,
+    and inside pandas int64 on both engines — a DECIMAL/HUGEINT column
+    is not), then ONE correctly-rounded double division yields the
+    estimate. The
     judged row certifies the register file (occupied count + exact
     denominator) and the estimate against DuckDB running the identical
     algorithm. Scale shape: one groupBy on 256 bucket keys (map-side

@@ -235,11 +235,7 @@ def stream_engine_hourly_counts(spark: SparkSession,
 
     name = f"fg_stream_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_stream_ckpt_")
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double, props string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base))
+    stream = _events_stream(spark, base)
     agg = (stream
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
@@ -329,6 +325,43 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
     return base
 
 
+_EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                         "event_type string, value double, props string")
+
+
+def _events_stream(spark: SparkSession, base: str):
+    """The shared file-stream reader every engine-executed judged row
+    drains: the events schema over a time-clustered copy, one file per
+    trigger (so every drain is genuinely multi-micro-batch). ONE
+    definition — a schema or trigger change cannot silently
+    desynchronize judged siblings (late-r8 review finding)."""
+    return (spark.readStream
+            .schema(_EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base))
+
+
+def _purchase_view_sides(spark: SparkSession, base: str):
+    """The two watermarked sides every stream-stream join row shares:
+    purchases (purchase_id, p_user, purchase_ts) and views (view_id,
+    v_user, view_ts), each 1h-watermarked AFTER its type filter — which
+    is why the global watermark runs on per-side clocks (the
+    stream_engine_outer_join finding)."""
+    purchases = (_events_stream(spark, base)
+                 .filter(F.col("event_type") == "purchase")
+                 .withWatermark("ts", "1 hour")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts")))
+    views = (_events_stream(spark, base)
+             .filter(F.col("event_type") == "view")
+             .withWatermark("ts", "1 hour")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts")))
+    return purchases, views
+
+
 @query(
     "stream_engine_append_watermark",
     survey_ref="§2.5 streaming: watermarked APPEND mode through the "
@@ -390,11 +423,7 @@ def stream_engine_append_watermark(spark: SparkSession,
     base = _time_clustered_events_copy(spark, sf_dir)
     name = f"fg_streamwm_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_streamwm_ckpt_")
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double, props string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base))
+    stream = _events_stream(spark, base)
     agg = (stream
            .withWatermark("ts", "1 hour")
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -460,11 +489,7 @@ def stream_engine_stateful_ewma(spark: SparkSession,
     base = _time_clustered_events_copy(spark, sf_dir)
     name = f"fg_streamewma_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_streamewma_ckpt_")
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double, props string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base))
+    stream = _events_stream(spark, base)
     folded = (stream
               .groupBy("user_id")
               .applyInPandasWithState(
@@ -537,11 +562,7 @@ def stream_engine_dedup_watermark(spark: SparkSession,
         spark, sf_dir, transform=lambda ev: ev.unionAll(ev), salt="dup1")
     name = f"fg_streamdup_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_streamdup_ckpt_")
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double, props string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base))
+    stream = _events_stream(spark, base)
     deduped = (stream
                .withWatermark("ts", "1 hour")
                .dropDuplicatesWithinWatermark(["event_id"])
@@ -606,23 +627,7 @@ def stream_engine_stream_join(spark: SparkSession,
 
     base = _time_clustered_events_copy(spark, sf_dir)
 
-    def side():
-        return (spark.readStream
-                .schema("event_id long, ts timestamp, user_id long, "
-                        "event_type string, value double, props string")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(base))
-
-    purchases = (side().filter(F.col("event_type") == "purchase")
-                 .withWatermark("ts", "1 hour")
-                 .select(F.col("event_id").alias("purchase_id"),
-                         F.col("user_id").alias("p_user"),
-                         F.col("ts").alias("purchase_ts")))
-    views = (side().filter(F.col("event_type") == "view")
-             .withWatermark("ts", "1 hour")
-             .select(F.col("event_id").alias("view_id"),
-                     F.col("user_id").alias("v_user"),
-                     F.col("ts").alias("view_ts")))
+    purchases, views = _purchase_view_sides(spark, base)
     joined = purchases.join(
         views,
         F.expr("""p_user = v_user
@@ -706,11 +711,7 @@ def stream_engine_restart_recovery(spark: SparkSession,
     ckpt = os.path.join(root, "ckpt")
 
     def start_query():
-        stream = (spark.readStream
-                  .schema("event_id long, ts timestamp, user_id long, "
-                          "event_type string, value double, props string")
-                  .option("maxFilesPerTrigger", "1")
-                  .parquet(base))
+        stream = _events_stream(spark, base)
         agg = (stream
                .withWatermark("ts", "1 hour")
                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -806,11 +807,7 @@ def stream_engine_txnlog_sink(spark: SparkSession,
             table.commit(batch_df, f"stream-batch-{batch_id}")
 
     with _stream_state_partitions(spark):
-        q = (spark.readStream
-             .schema("event_id long, ts timestamp, user_id long, "
-                     "event_type string, value double, props string")
-             .option("maxFilesPerTrigger", "1")
-             .parquet(base)
+        q = (_events_stream(spark, base)
              .select("event_id", "ts", "user_id", "event_type",
                      F.floor(F.col("value") * 100).cast("long")
                      .alias("value_cents"))
@@ -875,11 +872,7 @@ def stream_engine_static_enrich(spark: SparkSession,
         .select("c_custkey", "c_mktsegment")
     name = f"fg_streamenr_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_streamenr_ckpt_")
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double, props string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base))
+    stream = _events_stream(spark, base)
     enriched = stream.join(F.broadcast(dim),
                            stream.user_id == dim.c_custkey, "inner")
     agg = (enriched
@@ -979,23 +972,7 @@ def stream_engine_outer_join(spark: SparkSession,
 
     base = _time_clustered_events_copy(spark, sf_dir)
 
-    def side():
-        return (spark.readStream
-                .schema("event_id long, ts timestamp, user_id long, "
-                        "event_type string, value double, props string")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(base))
-
-    purchases = (side().filter(F.col("event_type") == "purchase")
-                 .withWatermark("ts", "1 hour")
-                 .select(F.col("event_id").alias("purchase_id"),
-                         F.col("user_id").alias("p_user"),
-                         F.col("ts").alias("purchase_ts")))
-    views = (side().filter(F.col("event_type") == "view")
-             .withWatermark("ts", "1 hour")
-             .select(F.col("event_id").alias("view_id"),
-                     F.col("user_id").alias("v_user"),
-                     F.col("ts").alias("view_ts")))
+    purchases, views = _purchase_view_sides(spark, base)
     joined = purchases.join(
         views,
         F.expr("""p_user = v_user
@@ -1081,11 +1058,7 @@ def stream_engine_session_window(spark: SparkSession,
     base = _time_clustered_events_copy(spark, sf_dir)
     name = f"fg_streamsw_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="fg_streamsw_ckpt_")
-    stream = (spark.readStream
-              .schema("event_id long, ts timestamp, user_id long, "
-                      "event_type string, value double, props string")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(base))
+    stream = _events_stream(spark, base)
     agg = (stream
            .withWatermark("ts", "1 hour")
            .groupBy("user_id",
@@ -1186,23 +1159,7 @@ def stream_engine_full_outer_join(spark: SparkSession,
 
     base = _time_clustered_events_copy(spark, sf_dir)
 
-    def side():
-        return (spark.readStream
-                .schema("event_id long, ts timestamp, user_id long, "
-                        "event_type string, value double, props string")
-                .option("maxFilesPerTrigger", "1")
-                .parquet(base))
-
-    purchases = (side().filter(F.col("event_type") == "purchase")
-                 .withWatermark("ts", "1 hour")
-                 .select(F.col("event_id").alias("purchase_id"),
-                         F.col("user_id").alias("p_user"),
-                         F.col("ts").alias("purchase_ts")))
-    views = (side().filter(F.col("event_type") == "view")
-             .withWatermark("ts", "1 hour")
-             .select(F.col("event_id").alias("view_id"),
-                     F.col("user_id").alias("v_user"),
-                     F.col("ts").alias("view_ts")))
+    purchases, views = _purchase_view_sides(spark, base)
     joined = purchases.join(
         views,
         F.expr("""p_user = v_user

@@ -690,3 +690,45 @@ class TestJpegProperties:
         assert (gw, gh, ch) == (w, h, 1)
         err = np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max()
         assert err <= 40  # q_ac=16 quantizer + edge-padding worst case
+
+
+class TestJpegHostileInputs:
+    """Regression tests for the late-r8 review findings: truncated and
+    dimension-hostile payloads must raise ValueError (the codec contract)
+    — never IndexError, struct.error, or a multi-GB allocation."""
+
+    def test_truncated_mid_marker_raises_valueerror(self):
+        with pytest.raises(ValueError):
+            C.decode_jpeg(b"\xff\xd8\xff\xff")
+
+    def test_truncated_segment_length_raises_valueerror(self):
+        with pytest.raises(ValueError):
+            C.decode_jpeg(b"\xff\xd8\xff\xdb\x00")
+
+    def test_huge_declared_dims_tiny_payload_rejected_cheaply(self):
+        """A 65535x65535 SOF0 with a few hundred bytes of 'scan' must be
+        rejected by the entropy-floor guard BEFORE any allocation keyed
+        on the declared dimensions (was: ~103 GB np.zeros attempt)."""
+        def seg(marker, payload):
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        jpg = bytearray(b"\xff\xd8")
+        jpg += seg(0xFFDB, b"\x00" + bytes([8] + [16] * 63))
+        jpg += seg(0xFFC0, struct.pack(">BHHB", 8, 65535, 65535, 1)
+                   + b"\x01\x11\x00")
+        jpg += seg(0xFFC4, bytes([0x00]) + bytes(C._JPEG_DC_BITS)
+                   + bytes(C._JPEG_DC_VALS))
+        jpg += seg(0xFFC4, bytes([0x10]) + bytes(C._JPEG_AC_BITS)
+                   + bytes(C._JPEG_AC_VALS))
+        jpg += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+        jpg += b"\x00" * 200 + b"\xff\xd9"
+        with pytest.raises(ValueError, match="impossibly small"):
+            C.decode_jpeg(bytes(jpg))
+
+    @given(st.binary(min_size=2, max_size=120))
+    @settings(max_examples=120, deadline=None)
+    def test_fuzz_never_crashes_outside_valueerror(self, junk):
+        try:
+            C.decode_jpeg(b"\xff\xd8" + junk)
+        except ValueError:
+            pass
