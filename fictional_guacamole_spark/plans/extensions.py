@@ -3982,3 +3982,60 @@ def sim_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_topk(emb.filter(F.col("label") == 2), queries, k=10)
     return _recall_vs_floor(emb, queries, approx, exact,
                             _IVF_FILT_FLOORS, _IVF_FILT_DEFAULT_FLOOR)
+
+
+@query(
+    "arrow_map_batches_cents",
+    survey_ref="§2.5 UDF surface: mapInArrow — raw RecordBatch transform, "
+               "the zero-pandas Arrow path",
+    description="Per-returnflag revenue cents where the cents conversion "
+                "runs INSIDE a mapInArrow RecordBatch transform "
+                "(pyarrow.compute, no pandas materialization)",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def arrow_map_batches_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the Python-surface matrix: cogroup
+    (cogroup_event_order_align), UDTF (udtf_gap_expand), grouped-agg
+    UDAF (udaf_cents_returnflag), custom stateful
+    (stream_engine_stateful_ewma), mapInPandas (every codec row) — and
+    now ``mapInArrow``, the LOWEST-overhead Python boundary: the worker
+    receives raw ``pyarrow.RecordBatch``es and answers with
+    RecordBatches, no pandas conversion on either side (no index
+    allocation, no object-dtype risk, no NaN/None conflation). The
+    cents transform runs in ``pyarrow.compute`` kernels (multiply /
+    floor / cast — C++ vectorized, IEEE-identical to the SQL
+    ``FLOOR(x * 100)``), so the Python stage is a pure Arrow pass-through
+    and the judged hash certifies it bit-for-bit. The aggregation stays
+    JVM-side AFTER the map stage — the production split: Python touches
+    each batch once at scan parallelism (map-only, no shuffle through
+    Python), Catalyst owns the shuffle. This is the template the
+    multimodal rows would use for decode libraries that speak Arrow
+    natively (tokenizers, tensor codecs) — one less copy than
+    mapInPandas on every 100 TB scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_returnflag", "l_extendedprice")
+
+    def batches(it):
+        for rb in it:
+            cents = pc.cast(
+                pc.floor(pc.multiply(rb.column(1), pa.scalar(100.0))),
+                pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), cents], ["l_returnflag", "cents"])
+
+    mapped = li.mapInArrow(batches, schema="l_returnflag string, cents long")
+    return (mapped.groupBy("l_returnflag")
+            .agg(F.sum("cents").alias("revenue_cents"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("l_returnflag"))

@@ -51,6 +51,7 @@ def test_every_family_has_an_inwindow_representative():
                               "asof_trades_book"},
         "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand",
                             "udaf_cents_returnflag",
+                            "arrow_map_batches_cents",
                             "stream_engine_stateful_ewma"},
         "streaming": {"stream_tumbling_window", "stream_session_window",
                       "stream_engine_hourly_counts",
