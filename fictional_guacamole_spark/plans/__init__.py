@@ -201,13 +201,13 @@ oldest engine row (hourly_counts) yields to the two new engine rows,
 and cluster_histogram / dq_histogram / ts_subsequence / path_event /
 text_classifier return to the green union. With the mid-r8 second
 rotation (below), a green CORRECTNESS_r08 makes the cumulative
-driver-certified union 187 of the 190 registered queries — every
-oracled row judged at least once EXCEPT the two registered after the
-rotation, ``sketch_kmv_set_ops_events`` and
-``stream_engine_full_outer_join`` (both mirror-green at sf0.01 AND the
-sf1 sweep — the full-outer row additionally at sf10 — r9 fodder); the
-only other never-judged row is the oracle-less-by-design bench kernel
-frame.
+driver-certified union 187 of the 191 registered queries — every
+oracled row judged at least once EXCEPT the three registered after the
+rotation, ``sketch_kmv_set_ops_events``,
+``stream_engine_full_outer_join`` and ``arrow_map_batches_cents``
+(each mirror-green at sf0.01 AND the sf1 sweep — the full-outer row
+additionally at sf10 — r9 fodder); the only other never-judged row is
+the oracle-less-by-design bench kernel frame.
 
 Mid-round-8 registrations (each mirror-green with the driver's exact
 comparator on registration AND at the sf1 sweep; all but one rotated
