@@ -3671,12 +3671,20 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = (R.bm25_search(docs, "doc_id", "text", _BM25_TERMS,
                          k=_RRF_DEPTH)
            .select("doc", F.col("rank").alias("lex_rank")))
+    # norms staged as named columns BEFORE the broadcast join (the
+    # cosine_topk discipline: same fold, same sqrt, same multiply order
+    # — hash-identical, but the query norm is computed once instead of
+    # once per corpus row)
     corp = docs.select(F.col("doc_id").alias("doc"),
                        X.embed_md5(F.col("text")).alias("e"))
+    corp = corp.withColumn("e_norm", S.norm(F.col("e")))
     qf = (spark.createDataFrame([(_RRF_QUERY,)], "qtext string")
-          .select(X.embed_md5(F.col("qtext")).alias("qe")))
+          .select(X.embed_md5(F.col("qtext")).alias("qe"))
+          .withColumn("q_norm", S.norm(F.col("qe"))))
     vec = (corp.crossJoin(F.broadcast(qf))
-           .select("doc", S.cosine(F.col("e"), F.col("qe")).alias("sim"))
+           .select("doc", (S.dot(F.col("e"), F.col("qe"))
+                           / (F.col("e_norm") * F.col("q_norm")))
+                   .alias("sim"))
            .withColumn("vec_rank", F.row_number().over(
                W.orderBy(F.desc("sim"), F.asc("doc"))).cast("int"))
            .filter(F.col("vec_rank") <= _RRF_DEPTH)
@@ -3717,9 +3725,9 @@ def text_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (load_table(spark, sf_dir, "documents")
             .filter(F.col("doc_id") < 200))
     with scoped_shuffle_partitions(spark, 4):
-        merges, vocab = _BPE.bpe_train(docs, "text", 8)
+        merges, _ = _BPE.bpe_train(docs, "text", 8)
     return spark.createDataFrame(
-        [(int(r), a, b, int(c)) for r, a, b, c in merges],
+        [(r, a, b, c) for r, a, b, c in merges],
         "merge_rank int, left_sym string, right_sym string, "
         "pair_count bigint")
 
