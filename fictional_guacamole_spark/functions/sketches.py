@@ -236,8 +236,12 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
     inter_est = (F.when(degenerate, F.col("rho").cast("double"))
                  .otherwise(F.col("rho").cast("double") / F.lit(float(k))
                             * union_est))
-    jaccard = (F.col("rho").cast("double")
-               / F.col("n_union_sketch").cast("double"))
+    # Empty-pair guard (r8 advisor finding): at n_union_sketch = 0 Spark's
+    # non-ANSI Divide yields NULL while DuckDB's IEEE division yields NaN —
+    # pin both engines to 0.0 (the Jaccard of two empty sets by convention).
+    jaccard = (F.when(F.col("n_union_sketch") == 0, F.lit(0.0))
+               .otherwise(F.col("rho").cast("double")
+                          / F.col("n_union_sketch").cast("double")))
     return (u.crossJoin(rho).crossJoin(exact)
             .select(F.lit(k).alias("k"),
                     F.col("n_union_sketch").cast("int")
@@ -287,8 +291,9 @@ def sql_kmv_set_ops(table: str, expr: str, pred_a: str, pred_b: str,
                      * ({float(k - 1) * _HASH_SPACE!r}
                         / CAST(hk AS DOUBLE))
            END AS inter_est,
-           CAST(rho AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
-             AS jaccard_est,
+           CASE WHEN n_union_sketch = 0 THEN 0.0
+                ELSE CAST(rho AS DOUBLE) / CAST(n_union_sketch AS DOUBLE)
+           END AS jaccard_est,
            exact_union, exact_inter
     FROM u, r, ex
     """

@@ -23,6 +23,8 @@ to decimal and multiply in decimal instead (see agg_corr_price_discount).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -74,9 +76,6 @@ def sql_davg(expr: str) -> str:
     """DuckDB-side rendering of :func:`davg`."""
     return (sql_dec_to_double_exact(f"SUM(CAST({expr} AS DECIMAL(25,6)))")
             + f" / COUNT({expr})")
-
-
-from contextlib import contextmanager
 
 
 @contextmanager

@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions import timeseries as _TS
 from fictional_guacamole_spark.plans.compat import (
-    dec_to_double_exact, dsum, sql_dec_to_double_exact, sql_dsum)
+    dec_to_double_exact, dsum, scoped_shuffle_partitions,
+    sql_dec_to_double_exact, sql_dsum)
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.tables import load_table
 
@@ -256,27 +257,20 @@ def stream_engine_hourly_counts(spark: SparkSession,
             .orderBy("window_start", "event_type"))
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
 def _stream_state_partitions(spark: SparkSession, n: int = 4):
     """Scope ``spark.sql.shuffle.partitions`` down for one engine-executed
-    judged row. A Structured Streaming query pins its state-store partition
-    count from this conf at checkpoint creation, and every micro-batch then
-    pays per-partition state-store open/commit cost — at the judged SF a
-    32-partition store is ~8× pure overhead per trigger (measured: the
-    stream-stream join drains 5× faster at 4). The value is a DEPLOYMENT
-    sizing knob, not semantics: state is hash-partitioned by key, so the
-    drained result set is identical at any count; at 100 TB you size it to
-    executor count × cores once, when the checkpoint is first created.
-    Restored after the drain so surrounding batch plans are untouched."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    judged row (a thin alias of :func:`compat.scoped_shuffle_partitions`
+    kept for the streaming-specific rationale). A Structured Streaming
+    query pins its state-store partition count from this conf at
+    checkpoint creation, and every micro-batch then pays per-partition
+    state-store open/commit cost — at the judged SF a 32-partition store
+    is ~8× pure overhead per trigger (measured: the stream-stream join
+    drains 5× faster at 4). The value is a DEPLOYMENT sizing knob, not
+    semantics: state is hash-partitioned by key, so the drained result
+    set is identical at any count; at 100 TB you size it to executor
+    count × cores once, when the checkpoint is first created. Restored
+    after the drain so surrounding batch plans are untouched."""
+    return scoped_shuffle_partitions(spark, n)
 
 
 def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,

@@ -687,3 +687,20 @@ class TestJudgedFullOuterJoinRow:
                 .orderBy(F.asc_nulls_first("purchase_id"),
                          F.asc_nulls_first("view_id")).collect()]
         assert got == want
+
+
+class TestScopedStatePartitions:
+    def test_stream_state_partitions_is_the_compat_scope(self, spark):
+        """r8 advisor finding: _stream_state_partitions duplicated
+        compat.scoped_shuffle_partitions. It now delegates — one
+        save/set/restore implementation, identical scoping behavior."""
+        from fictional_guacamole_spark.plans import compat
+        from fictional_guacamole_spark.plans import windows_streaming as ws
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with ws._stream_state_partitions(spark, 4):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+            with compat.scoped_shuffle_partitions(spark, 7):
+                assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -189,3 +189,27 @@ class TestKmvSetOps:
         # hash makes collisions across disjoint ids vanishingly unlikely
         assert row["rho"] == 0 and row["inter_est"] == 0.0
         assert row["exact_inter"] == 0
+
+    def test_empty_pair_degenerate_guard_matches_oracle(self, spark):
+        """r8 advisor finding: jaccard_est on an EMPTY pair of inputs
+        (n_union_sketch = 0) must be 0.0 in both engines — Spark's
+        non-ANSI Divide returned NULL while DuckDB's IEEE division
+        returned NaN before the shared degenerate branch was added."""
+        import duckdb
+
+        row = SK.kmv_set_ops(_df_of(spark, []), _df_of(spark, []),
+                             "event_id", 16).first()
+        assert row["jaccard_est"] == 0.0
+        assert row["union_est"] == 0.0 and row["inter_est"] == 0.0
+        assert row["n_union_sketch"] == 0 and row["rho"] == 0
+        assert row["exact_union"] == 0 and row["exact_inter"] == 0
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT CAST(1 AS BIGINT) AS event_id")
+        orow = con.execute(
+            SK.sql_kmv_set_ops("t", "event_id", "FALSE", "FALSE", 16)
+        ).fetchone()
+        got = (row["k"], row["n_union_sketch"], row["rho"],
+               row["union_est"], row["inter_est"], row["jaccard_est"],
+               row["exact_union"], row["exact_inter"])
+        assert tuple(orow) == got
