@@ -136,12 +136,13 @@ def triangle_census(edges: DataFrame, src: str = "i",
 
     Scale shape: both joins key on a single node column — hash
     shuffles, broadcastable when the oriented edge list is small. At
-    100 TB the curse-of-the-last-reducer fix is DEGREE orientation
-    (order endpoints by (degree, id) instead of raw id), which bounds
-    every join key's fan-out by sqrt(|E|); id orientation is kept here
-    because the judged fixture's degree distribution is near-uniform
-    and id order keeps the oracle SQL one line — the swap changes only
-    the edge canonicalization, not the census."""
+    100 TB the curse-of-the-last-reducer fix is DEGREE orientation —
+    :func:`orient_by_degree` re-canonicalizes endpoints by (degree, id)
+    so every join key's fan-out is bounded by ~sqrt(|E|). The census is
+    orientation-INVARIANT (any acyclic total order finds each triangle
+    exactly once, and wedges/edges/nodes never look at direction), so
+    callers feed this function degree-oriented edges for skew safety and
+    an oracle can replay the id-oriented form bit-identically."""
     i, j = F.col(src), F.col(dst)
     e = edges.select(i.alias("i"), j.alias("j"))
     edge_agg = e.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -174,6 +175,42 @@ def triangle_census(edges: DataFrame, src: str = "i",
                .otherwise(F.lit(0.0))))
     return out.select("n_nodes", "n_edges", "n_wedges", "n_triangles",
                       "global_clustering")
+
+
+def orient_by_degree(edges: DataFrame, src: str = "i",
+                     dst: str = "j") -> DataFrame:
+    """Re-canonicalize an undirected simple edge list so each edge points
+    from the endpoint earlier in the (degree, id) total order — the
+    compact-forward skew fix (Suri & Vassilvitskii, WWW'11 §4): a hub
+    that touches half the edges has maximal degree, so every incident
+    edge points INTO it and its out-neighborhood — the wedge join's
+    fan-out set — is empty; every node's out-degree is bounded by
+    ~sqrt(2·|E|) regardless of the degree distribution, which is exactly
+    the "curse of the last reducer" bound.
+
+    Input may be oriented arbitrarily (id-canonical, random) as long as
+    each undirected edge appears once. Output satisfies
+    :func:`triangle_census`'s exactly-once precondition because
+    (degree, id) is a total order. The census result is bit-identical to
+    the id-oriented run — orientation only redistributes join fan-out.
+
+    Scale shape: one degree aggregation (the census recomputes it, but
+    both are map-side-combined counts) + two broadcastable equi-joins
+    tagging each endpoint with its degree; no shuffle beyond the keyed
+    joins."""
+    e = edges.select(F.col(src).alias("i"), F.col(dst).alias("j"))
+    deg = (e.select(F.col("i").alias("n"))
+           .unionAll(e.select(F.col("j").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    di = deg.select(F.col("n").alias("i"), F.col("d").alias("di"))
+    dj = deg.select(F.col("n").alias("j"), F.col("d").alias("dj"))
+    ed = e.join(di, "i").join(dj, "j")
+    i_first = ((F.col("di") < F.col("dj"))
+               | ((F.col("di") == F.col("dj"))
+                  & (F.col("i") < F.col("j"))))
+    return ed.select(
+        F.when(i_first, F.col("i")).otherwise(F.col("j")).alias("i"),
+        F.when(i_first, F.col("j")).otherwise(F.col("i")).alias("j"))
 
 
 def sql_triangle_census(edges_cte: str) -> str:

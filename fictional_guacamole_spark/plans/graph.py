@@ -151,9 +151,13 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer degree fold; clustering = 3T/W is the one IEEE division.
     At 100 TB the projection step is the guarded part (shared-neighbor
     joins explode on hub customers — the same reason dedup's banded
-    joins bucket first); degree orientation then bounds the census
-    joins' fan-out by sqrt(|E|). All exact — no sampling, no sketch."""
-    from fictional_guacamole_spark.functions.graph import triangle_census
+    joins bucket first); the census joins then run over DEGREE-oriented
+    edges (orient_by_degree) so each key's fan-out is bounded by
+    ~sqrt(|E|) even on a hub-skewed graph — the census is
+    orientation-invariant, so the id-oriented oracle replays it
+    bit-identically. All exact — no sampling, no sketch."""
+    from fictional_guacamole_spark.functions.graph import (
+        orient_by_degree, triangle_census)
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -172,4 +176,4 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                  W.partitionBy(F.lit(1))))
              .filter(F.col("shared") > F.col("mu"))
              .select("i", "j"))
-    return triangle_census(edges)
+    return triangle_census(orient_by_degree(edges))

@@ -114,3 +114,81 @@ class TestTriangleCensus:
         r = self._census(spark, edges)
         assert r["n_triangles"] == want_tri
         assert r["n_wedges"] == want_wedges
+
+
+class TestDegreeOrientation:
+    """orient_by_degree (the compact-forward skew fix, VERDICT r8 task #3):
+    census invariance under re-orientation and the fan-out bound on a
+    hub-skewed graph where one node sits on >=50% of all edges."""
+
+    @staticmethod
+    def _hub_skewed_edges():
+        """Star hub 0 -> 1..160 (160 edges) + a leaf path with chords
+        (109 edges): hub degree 160 of 269 edges (>=50%), plus real
+        triangles both through and away from the hub."""
+        edges = [(0, leaf) for leaf in range(1, 161)]
+        edges += [(leaf, leaf + 1) for leaf in range(1, 96)]
+        edges += [(leaf, leaf + 2) for leaf in range(1, 94, 7)]
+        return edges
+
+    @staticmethod
+    def _py_census(edges):
+        import itertools
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+                  if b in adj[a] and c in adj[a] and c in adj[b])
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        return len(adj), len(edges), wedges, tri
+
+    def test_census_invariant_and_fanout_bounded_on_hub_skew(self, spark):
+        from pyspark.sql import functions as F
+
+        from fictional_guacamole_spark.functions.graph import (
+            orient_by_degree, triangle_census)
+
+        edges = self._hub_skewed_edges()
+        n_nodes, n_edges, wedges, tri = self._py_census(edges)
+        assert max(sum(1 for e in edges if 0 in e) for _ in [0]) * 2 \
+            >= n_edges, "fixture must keep the hub on >=50% of edges"
+
+        df = spark.createDataFrame(edges, "i long, j long")
+        oriented = orient_by_degree(df)
+
+        by_id = triangle_census(df).first()
+        by_deg = triangle_census(oriented).first()
+        assert tuple(by_id) == tuple(by_deg)  # orientation-invariant
+        assert (by_deg["n_nodes"], by_deg["n_edges"],
+                by_deg["n_wedges"], by_deg["n_triangles"]) == (
+            n_nodes, n_edges, wedges, tri)
+
+        # the wedge join keys on the edge's SOURCE: its per-key fan-out
+        # is the out-degree. id orientation leaves the hub (id 0) with
+        # out-degree 120; degree orientation points every hub edge INTO
+        # the hub, collapsing the max fan-out below sqrt(2|E|).
+        def max_outdeg(e):
+            return (e.groupBy("i").agg(F.count(F.lit(1)).alias("od"))
+                    .agg(F.max("od")).first()[0])
+
+        id_fanout, deg_fanout = max_outdeg(df), max_outdeg(oriented)
+        assert id_fanout == 160
+        assert deg_fanout < (2 * n_edges) ** 0.5 + 1
+        assert deg_fanout < id_fanout
+
+    def test_orientation_output_is_a_valid_total_order(self, spark):
+        """Every output edge must point strictly forward in (degree, id):
+        re-orienting an already degree-oriented list is a no-op."""
+        from fictional_guacamole_spark.functions.graph import (
+            orient_by_degree)
+
+        df = spark.createDataFrame(self._hub_skewed_edges(),
+                                   "i long, j long")
+        once = orient_by_degree(df)
+        twice = orient_by_degree(once)
+        got_once = sorted(map(tuple, once.collect()))
+        got_twice = sorted(map(tuple, twice.collect()))
+        assert got_once == got_twice
+        assert len(got_once) == len(set(got_once))
