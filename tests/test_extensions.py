@@ -1274,3 +1274,43 @@ class TestIvfFilteredSearch:
         plan = (stored.filter(F.col("label") == 2)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "label" in plan
+
+
+class TestRecallAudit:
+    """sim_recall_audit (VERDICT r8 task #5): the judged ANN-quality row.
+    At a known corpus fingerprint the row must emit the EXACT per-query
+    hit counts of both persisted indexes vs the exact cosine baseline —
+    zero slack — with every floor assertion true; and the exact hit
+    counts must agree with an independent recomputation from the raw
+    result sets."""
+
+    def test_exact_hits_floors_and_independent_recount(self, spark):
+        from fictional_guacamole_spark.plans.extensions import (
+            _RECALL_AUDIT_HITS, sim_recall_audit)
+        from fictional_guacamole_spark.functions.similarity import (
+            cosine_topk, ivf_topk)
+
+        rows = sim_recall_audit(spark, SF).collect()
+        assert len(rows) == 10
+        assert all(r["recall_ok"] for r in rows)
+        got = {(r["method"], r["query_id"]): r["n_hit_certified"]
+               for r in rows}
+        want = _RECALL_AUDIT_HITS[-1712]  # sf0.001 corpus fingerprint
+        for m in ("ivf", "ivf_pq"):
+            assert [got[(m, q)] for q in range(5)] == want[m]
+        for r in rows:
+            assert r["recall_at_10"] == r["n_hit_certified"] / 10.0
+
+        # independent recount: brute-force set intersection of the
+        # in-memory IVF result (bit-identical to the persisted probe,
+        # gated in TestIvfPersistedIndex) vs the exact baseline
+        emb = load_table(spark, SF, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in cosine_topk(emb, queries, k=10).collect()}
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ivf_topk(emb, queries, k=10, n_centroids=16,
+                                    n_probe=6).collect()}
+        for q in range(5):
+            n = sum(1 for (qq, nn) in approx & exact if qq == q)
+            assert n == got[("ivf", q)]
