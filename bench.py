@@ -96,8 +96,13 @@ PAR_EFF_QUIET_REF = 0.50  # measured idle-host par_eff (see note above)
 # recorded in the output (`par_load_attempts`) and a `contended` flag
 # marks a line whose best attempt still exceeded the threshold, so a
 # reader can adjudicate inflated small-query deltas instead of guessing.
-PAR_LOAD_RETRY_THRESHOLD = 1.2
-PAR_LOAD_MAX_ATTEMPTS = 3
+# Round 9 (r8 verdict task #2): the official r8 run published at par_load
+# 1.171 — just UNDER the old 1.2 threshold — and its sub-second fixed-cost
+# queries still inflated 10–30% vs r7 while heavy queries improved, i.e.
+# the gate passed a run it exists to catch. Tightened to 1.1 with one more
+# retry attempt to compensate for the stricter bar.
+PAR_LOAD_RETRY_THRESHOLD = 1.1
+PAR_LOAD_MAX_ATTEMPTS = 4
 
 # Round 8 (r7 verdict task #7): a SECOND bench tier for the heavy paths the
 # headline set predates — the persisted-ANN probe and an engine-executed
@@ -107,7 +112,12 @@ PAR_LOAD_MAX_ATTEMPTS = 3
 # amortized warm probe, which is the number that matters at 100 TB) and
 # recorded in the contract line under "heavy" + in BENCH_HISTORY for
 # median tracking.
-HEAVY_TIER = ["sim_ivf_persisted_topk", "stream_engine_append_watermark"]
+# Round 9 (r8 verdict task #8): the r8 latency wins on the stream-stream
+# join drain (23.5 s → 4.8 s via replay coalescing) and the composed
+# IVF-PQ probe (15.3 s → 2.9 s via shared codebooks) join the tier so the
+# wins are regression-guarded by history medians.
+HEAVY_TIER = ["sim_ivf_persisted_topk", "stream_engine_append_watermark",
+              "stream_engine_stream_join", "sim_ivf_pq_persisted_topk"]
 
 
 def _ncpu() -> int:
