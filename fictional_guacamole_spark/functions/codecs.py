@@ -1010,36 +1010,71 @@ def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
     ], axis=-1)
 
 
+def _jpeg_factors(channels: int, subsampling: str) -> list[tuple[int, int]]:
+    """Per-component (Hi, Vi) sampling factors for the supported layouts.
+    4:4:4 (and greyscale) keep every component full-resolution; 4:2:0
+    gives luma 2x2 MCP blocks and halves chroma both ways; 4:2:2 halves
+    chroma horizontally only."""
+    if subsampling == "444" or channels == 1:
+        return [(1, 1)] * channels
+    if subsampling == "420":
+        return [(2, 2), (1, 1), (1, 1)]
+    if subsampling == "422":
+        return [(2, 1), (1, 1), (1, 1)]
+    raise ValueError(f"unsupported subsampling: {subsampling!r}")
+
+
 def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
                 q_dc: int = 8, q_ac: int = 16,
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Encode 8-bit pixels (row-major, greyscale or RGB) as a REAL baseline
     JPEG: level shift, true 8x8 DCT-II, per-coefficient quantization,
     zigzag, DC-diff + AC run/size canonical Huffman with byte stuffing.
     One quant table (DC=q_dc, AC=q_ac) and the Annex K luminance Huffman
     pair serve all components; RGB input gets real YCbCr conversion and an
-    interleaved 4:4:4 scan. ``restart_interval`` > 0 emits DRI and
-    byte-aligned RSTn markers with DC-predictor resets, exercising the
-    decoder's restart path. Constant-valued 8x8 blocks with q_dc=8
-    roundtrip bit-exactly (their DCT is DC-only and the quantizer divides
-    8*v by 8); general content is lossy like any JPEG."""
+    interleaved scan. ``subsampling`` selects the component layout:
+    ``"444"`` (default — bitstream unchanged from the pre-4:2:0 encoder),
+    ``"420"`` (2x2 box-averaged chroma, 16x16-pixel MCUs holding 4 Y + 1
+    Cb + 1 Cr blocks in T.81 A.2.3 interleave order — the overwhelmingly
+    common real-world layout), or ``"422"`` (horizontal-only). Greyscale
+    is always a single full-resolution component. ``restart_interval`` > 0
+    emits DRI and byte-aligned RSTn markers with DC-predictor resets
+    (counted in MCUs), exercising the decoder's restart path.
+    Constant-valued blocks with q_dc=8 roundtrip their (rounded) YCbCr
+    exactly at ANY subsampling — averaging a constant is the constant —
+    so a constant-color image decodes identically from the 4:4:4 and
+    4:2:0 streams; general content is lossy like any JPEG."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (grey) or 3 (RGB)")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match width*height*channels")
+    factors = _jpeg_factors(channels, subsampling)
+    hmax = max(fh for fh, _ in factors)
+    vmax = max(fv for _, fv in factors)
     arr = np.frombuffer(pixels, np.uint8).astype(np.float64)
     arr = arr.reshape(height, width, channels)
     planes = _rgb_to_ycbcr(arr) if channels == 3 else arr
-    # pad to multiples of 8 by edge replication (T.81 recommends)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    # pad to whole MCUs by edge replication (T.81 recommends)
+    ph = -(-height // (8 * vmax)) * 8 * vmax
+    pw = -(-width // (8 * hmax)) * 8 * hmax
     planes = np.pad(planes, ((0, ph - height), (0, pw - width), (0, 0)),
                     mode="edge")
+    # per-component sampled planes: box-average the subsampled ones (the
+    # standard chroma downsampling filter; exact on constant regions)
+    comp_planes = []
+    for c, (fh, fv) in enumerate(factors):
+        p = planes[:, :, c]
+        fy, fx = vmax // fv, hmax // fh
+        if fy > 1 or fx > 1:
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        comp_planes.append(p)
     quant = np.full((8, 8), float(q_ac))
     quant[0, 0] = float(q_dc)
 
     w = _JpegBitWriter()
     pred = [0] * channels
-    mcus_y, mcus_x = ph // 8, pw // 8
+    mcus_y, mcus_x = ph // (8 * vmax), pw // (8 * hmax)
     n_mcu, rst = mcus_y * mcus_x, 0
     segments = [bytearray()]
     for m in range(n_mcu):
@@ -1051,34 +1086,38 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
             w = _JpegBitWriter()
             pred = [0] * channels
         by, bx = divmod(m, mcus_x)
-        for c in range(channels):
-            block = planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] - 128.0
-            coef = _JPEG_T @ block @ _JPEG_T.T
-            qz = np.floor(coef / quant + 0.5).astype(np.int64)
-            zz = [int(qz[r, col]) for r, col in _JPEG_ZZ]
-            diff, pred[c] = zz[0] - pred[c], zz[0]
-            s = _jpeg_category(diff)
-            code, ln = _JPEG_DC_ENC[s]
-            w.put(code, ln)
-            if s:
-                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            for ac in zz[1:]:
-                if ac == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = _JPEG_AC_ENC[0xF0]   # ZRL
+        for c, (fh, fv) in enumerate(factors):
+            for vy in range(fv):
+                for vx in range(fh):  # T.81 A.2.3: left-to-right, top-down
+                    r0 = (by * fv + vy) * 8
+                    c0 = (bx * fh + vx) * 8
+                    block = comp_planes[c][r0:r0 + 8, c0:c0 + 8] - 128.0
+                    coef = _JPEG_T @ block @ _JPEG_T.T
+                    qz = np.floor(coef / quant + 0.5).astype(np.int64)
+                    zz = [int(qz[r, col]) for r, col in _JPEG_ZZ]
+                    diff, pred[c] = zz[0] - pred[c], zz[0]
+                    s = _jpeg_category(diff)
+                    code, ln = _JPEG_DC_ENC[s]
                     w.put(code, ln)
-                    run -= 16
-                s = _jpeg_category(ac)
-                code, ln = _JPEG_AC_ENC[(run << 4) | s]
-                w.put(code, ln)
-                w.put(ac if ac > 0 else ac + (1 << s) - 1, s)
-                run = 0
-            if run:
-                code, ln = _JPEG_AC_ENC[0x00]       # EOB
-                w.put(code, ln)
+                    if s:
+                        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for ac in zz[1:]:
+                        if ac == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = _JPEG_AC_ENC[0xF0]   # ZRL
+                            w.put(code, ln)
+                            run -= 16
+                        s = _jpeg_category(ac)
+                        code, ln = _JPEG_AC_ENC[(run << 4) | s]
+                        w.put(code, ln)
+                        w.put(ac if ac > 0 else ac + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = _JPEG_AC_ENC[0x00]       # EOB
+                        w.put(code, ln)
     w.flush()
     segments[-1] += w.out
     entropy = b"".join(bytes(s) for s in segments)
@@ -1090,8 +1129,8 @@ def encode_jpeg(width: int, height: int, pixels: bytes, channels: int = 1,
     out = bytearray(b"\xff\xd8")                                   # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + zz_quant)                         # DQT
-    comps = b"".join(struct.pack("BBB", cid + 1, 0x11, 0)
-                     for cid in range(channels))
+    comps = b"".join(struct.pack("BBB", cid + 1, (fh << 4) | fv, 0)
+                     for cid, (fh, fv) in enumerate(factors))
     out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, channels)
                + comps)                                            # SOF0
     out += seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
@@ -1177,15 +1216,17 @@ def _extend(bits: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Decode a baseline sequential JPEG (SOF0/SOF1, 8-bit, greyscale or
-    4:4:4 color, single interleaved scan, optional DRI/RSTn) to (width,
-    height, channels, H x W x C uint8). The full spec path runs for real:
-    marker walk with multi-table DQT/DHT segments, canonical Huffman
-    reconstruction from BITS/HUFFVAL, DC prediction + EXTEND, AC run/size
-    with ZRL and EOB, byte unstuffing, dequantization, inverse zigzag and
-    a true 8x8 IDCT with level shift. Progressive/arithmetic/12-bit/
-    subsampled variants are rejected loudly, as are out-of-sequence RSTn
-    and implausible header dimensions (hostile-input guards match
-    decode_png's)."""
+    color with sampling factors in {1,2} x {1,2} — 4:4:4, 4:2:0 MCU
+    interleave, 4:2:2 and 4:4:0 — single interleaved scan, optional
+    DRI/RSTn) to (width, height, channels, H x W x C uint8). The full
+    spec path runs for real: marker walk with multi-table DQT/DHT
+    segments, canonical Huffman reconstruction from BITS/HUFFVAL, DC
+    prediction + EXTEND, AC run/size with ZRL and EOB, byte unstuffing,
+    dequantization, inverse zigzag, a true 8x8 IDCT with level shift,
+    and sample-replication chroma upsampling for the subsampled layouts.
+    Progressive/arithmetic/12-bit variants are rejected loudly, as are
+    out-of-sequence RSTn and implausible header dimensions
+    (hostile-input guards match decode_png's)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -1249,10 +1290,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG not supported "
-                                     "(only 4:4:4 / greyscale)")
-                comps.append((cid, tq))
+                fh, fv = hv >> 4, hv & 0x0F
+                if fh not in (1, 2) or fv not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling factors {fh}x{fv} "
+                        "(factors must be 1 or 2)")
+                if nc == 1 and hv != 0x11:
+                    raise ValueError("greyscale JPEG must be 1x1 sampled")
+                comps.append((cid, fh, fv, tq))
             frame = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1272,27 +1317,32 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 cs, tda = body[1 + 2 * i], body[2 + 2 * i]
                 tabs[cs] = (tda >> 4, tda & 0x0F)
             rd = _JpegBitReader(payload, pos + seglen)
-            mx, my = -(-w // 8), -(-h // 8)
             nc = len(comps)
+            hmax = max(fh for _, fh, _, _ in comps)
+            vmax = max(fv for _, _, fv, _ in comps)
+            mx = -(-w // (8 * hmax))
+            my = -(-h // (8 * vmax))
+            blocks_per_mcu = sum(fh * fv for _, fh, fv, _ in comps)
             # hostile-header guard BEFORE allocating anything keyed on
             # dims (the decode_png proportionality check, adapted):
             # every block costs >= 2 entropy bits (a 1-bit DC symbol +
             # a 1-bit EOB) under ANY Huffman table, so a payload without
             # at least that many bits cannot be a real scan — reject a
             # 300-byte file claiming 65535x65535 without touching numpy
-            min_entropy = (mx * my * nc * 2) // 8
+            min_entropy = (mx * my * blocks_per_mcu * 2) // 8
             if len(payload) - (pos + seglen) < min_entropy:
                 raise ValueError(
                     "JPEG entropy data impossibly small for declared "
                     f"dimensions {w}x{h}")
-            planes = np.zeros((my * 8, mx * 8, nc))
+            planes = [np.zeros((my * 8 * fv, mx * 8 * fh))
+                      for _, fh, fv, _ in comps]
             pred = [0] * nc
             for m in range(mx * my):
                 if restart_interval and m and m % restart_interval == 0:
                     rd.restart()
                     pred = [0] * nc
                 by, bx = divmod(m, mx)
-                for ci, (cid, tq) in enumerate(comps):
+                for ci, (cid, fh, fv, tq) in enumerate(comps):
                     if tq not in quant or cid not in tabs:
                         raise ValueError("JPEG scan references missing "
                                          "quant/Huffman table")
@@ -1301,32 +1351,47 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                     if dc_t is None or ac_t is None:
                         raise ValueError("JPEG scan references missing "
                                          "Huffman table")
-                    s = _read_symbol(rd, dc_t)
-                    diff = _extend(rd.bits(s), s) if s else 0
-                    pred[ci] += diff
-                    zz = [0] * 64
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _read_symbol(rd, ac_t)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:      # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break              # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        zz[k] = _extend(rd.bits(size), size)
-                        k += 1
-                    coef = np.zeros((8, 8))
-                    for (r, c), v in zip(_JPEG_ZZ, zz):
-                        coef[r, c] = v
-                    block = _JPEG_T.T @ (coef * quant[tq]) @ _JPEG_T
-                    planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = \
-                        block + 128.0
-            arr = planes[:h, :w, :]
+                    for vy in range(fv):      # T.81 A.2.3 interleave
+                        for vx in range(fh):
+                            s = _read_symbol(rd, dc_t)
+                            diff = _extend(rd.bits(s), s) if s else 0
+                            pred[ci] += diff
+                            zz = [0] * 64
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _read_symbol(rd, ac_t)
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:   # ZRL: sixteen zeros
+                                        k += 16
+                                        continue
+                                    break           # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError(
+                                        "JPEG AC run past block end")
+                                zz[k] = _extend(rd.bits(size), size)
+                                k += 1
+                            coef = np.zeros((8, 8))
+                            for (r, c), v in zip(_JPEG_ZZ, zz):
+                                coef[r, c] = v
+                            block = _JPEG_T.T @ (coef * quant[tq]) @ _JPEG_T
+                            r0 = (by * fv + vy) * 8
+                            c0 = (bx * fh + vx) * 8
+                            planes[ci][r0:r0 + 8, c0:c0 + 8] = block + 128.0
+            # sample-replication upsampling of subsampled components to
+            # the full MCU grid, then crop to the declared dimensions
+            full = []
+            for ci, (cid, fh, fv, tq) in enumerate(comps):
+                p = planes[ci]
+                fy, fx = vmax // fv, hmax // fh
+                if fy > 1:
+                    p = np.repeat(p, fy, axis=0)
+                if fx > 1:
+                    p = np.repeat(p, fx, axis=1)
+                full.append(p)
+            arr = np.stack(full, axis=-1)[:h, :w, :]
             if nc == 3:
                 arr = _ycbcr_to_rgb(arr)
             out = np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8)

@@ -3928,6 +3928,90 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.jpeg_meta(assets).orderBy("asset_id")
 
 
+JPEG420_TW, JPEG420_TH = 4, 2      # 16x16 tiles -> 64 x 32 px, 8 MCUs
+JPEG420_TILES = JPEG420_TW * JPEG420_TH
+_JPEG420_SUM_SQL = ("list_sum(list_transform(range(1, {n}),"
+                    " i -> unicode(substr(px, CAST(i AS INT), 1))))"
+                    .format(n=JPEG420_TILES + 1))
+
+
+@query(
+    "multimodal_jpeg420_decode",
+    survey_ref="extensions: 4:2:0 chroma-subsampled JPEG decode (16x16 "
+               "MCU interleave: 4 Y + 1 Cb + 1 Cr blocks, box-averaged "
+               "chroma, replication upsampling)",
+    description="Documents rendered as real 4:2:0 JPEGs (constant 16x16 "
+                "MCU tiles, bit-exact by construction) and decoded by "
+                "the subsampling-aware parser; channel sums judged "
+                "bit-exact",
+    oracle=f"""
+    WITH cyc AS (
+      SELECT doc_id AS asset_id,
+             substr(repeat(atext, CAST(({JPEG420_TILES} / length(atext))
+                                       AS INT) + 1),
+                    1, {JPEG420_TILES}) AS px
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+            FROM documents)
+      WHERE length(atext) > 0)
+    SELECT asset_id,
+           CAST({JPEG420_TW * 16} AS INTEGER) AS width,
+           CAST({JPEG420_TH * 16} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS n_channels,
+           CAST(256 * {_JPEG420_SUM_SQL} AS BIGINT) AS sum_r,
+           CAST(256 * {_JPEG420_SUM_SQL} AS BIGINT) AS sum_g,
+           CAST(256 * {_JPEG420_SUM_SQL} AS BIGINT) AS sum_b
+    FROM cyc ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4:2:0 MCU-interleaved scan — the layout real-world JPEGs
+    overwhelmingly use — through the REAL encoder and decoder (VERDICT r8
+    task #7): 2x2 luma sampling, box-averaged half-resolution chroma, the
+    T.81 A.2.3 four-Y-then-Cb-then-Cr block order, and replication
+    upsampling all sit on the judged path; a wrong interleave order, MCU
+    geometry, or upsample garbles the luma sums and breaks the hash.
+    Bit-exactness argument: each document byte paints one CONSTANT
+    16x16-pixel MCU with the grey color (v, v, v). Its YCbCr lands within
+    ~1e-13 of the integers (v, 128, 128) — never near a .5 rounding
+    boundary — so DC quantization at q_dc=8 rounds to exactly those
+    integers no matter the DCT's last-bit noise, chroma box-averaging is
+    exact on constants, and the inverse conversion returns exactly
+    (v, v, v): each byte contributes 256x its code point per channel.
+    Chroma VALUE fidelity (non-grey colors) is property-tested against
+    the 4:4:4 decode on random color tiles in tests/test_codecs.py::
+    TestJpeg420Subsampling — a float-boundary-free oracle and a
+    saturated-color test would be mutually exclusive. Two chained
+    map-only mapInPandas stages; no shuffle anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from fictional_guacamole_spark.functions import codecs as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_px, h_px = JPEG420_TW * 16, JPEG420_TH * 16
+
+    def encode_batches(it):
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                raw = _ascii_text(t).encode()
+                px = (raw * (JPEG420_TILES // len(raw) + 1))[:JPEG420_TILES]
+                img = np.zeros((h_px, w_px, 3), np.uint8)
+                for i, v in enumerate(px):
+                    ty, tx = divmod(i, JPEG420_TW)
+                    img[ty * 16:ty * 16 + 16, tx * 16:tx * 16 + 16, :] = v
+                payloads.append(C.encode_jpeg(w_px, h_px, img.tobytes(), 3,
+                                              subsampling="420"))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    assets = (docs.select("doc_id", "text")
+              .filter(F.length(_ascii_col()) > 0)
+              .mapInPandas(encode_batches,
+                           schema="asset_id long, payload binary"))
+    return C.jpeg_meta(assets).orderBy("asset_id")
+
+
 @query(
     "sketch_kmv_distinct_events",
     survey_ref="extensions: K-minimum-values distinct sketch — the "

@@ -634,10 +634,18 @@ class TestJpegCodec:
         prog = good.replace(b"\xff\xc0", b"\xff\xc2")
         with pytest.raises(ValueError, match="baseline"):
             C.decode_jpeg(prog)
-        # subsampled: h/v factors 2x2
+        # greyscale must stay 1x1 sampled (a single-component "4:2:0"
+        # header is nonsense; color 2x2 luma is now SUPPORTED — see
+        # TestJpeg420Subsampling)
         sub = good.replace(b"\x01\x11\x00", b"\x01\x22\x00", 1)
-        with pytest.raises(ValueError, match="subsampled"):
+        with pytest.raises(ValueError, match="1x1"):
             C.decode_jpeg(sub)
+        # sampling factors outside {1,2} rejected loudly
+        rgb = np.full((16, 16, 3), 90, np.uint8)
+        good3 = C.encode_jpeg(16, 16, rgb.tobytes(), 3)
+        bad3 = good3.replace(b"\x01\x11\x00", b"\x01\x31\x00", 1)
+        with pytest.raises(ValueError, match="factors"):
+            C.decode_jpeg(bad3)
         with pytest.raises(ValueError):
             C.decode_jpeg(good[:len(good) // 2])  # truncated mid-stream
 
@@ -732,3 +740,95 @@ class TestJpegHostileInputs:
             C.decode_jpeg(b"\xff\xd8" + junk)
         except ValueError:
             pass
+
+
+class TestJpeg420Subsampling:
+    """4:2:0 chroma subsampling (VERDICT r8 task #7): the MCU-interleaved
+    layout real-world JPEGs overwhelmingly use. Properties: MCU-aligned
+    constant tiles decode IDENTICALLY from the 4:4:4 and 4:2:0 streams
+    (box-averaging a constant is the constant, replication restores it);
+    the 4:2:0 stream is smaller on color content; odd dimensions, restart
+    markers and 4:2:2 all round-trip; the default 4:4:4 bitstream is
+    byte-identical to the pre-4:2:0 encoder (pinned digest)."""
+
+    @staticmethod
+    def _tile_image(rng, h, w, tile=16):
+        img = np.zeros((h, w, 3), np.uint8)
+        for ty in range(0, h, tile):
+            for tx in range(0, w, tile):
+                img[ty:ty + tile, tx:tx + tile] = rng.randint(0, 256, 3)
+        return img
+
+    def test_constant_tiles_decode_identical_across_subsamplings(self):
+        rng = np.random.RandomState(11)
+        img = self._tile_image(rng, 32, 48)
+        p444 = C.encode_jpeg(48, 32, img.tobytes(), 3, subsampling="444")
+        p420 = C.encode_jpeg(48, 32, img.tobytes(), 3, subsampling="420")
+        got444 = C.decode_jpeg(p444)
+        got420 = C.decode_jpeg(p420)
+        assert got444[:3] == (48, 32, 3) and got420[:3] == (48, 32, 3)
+        assert np.array_equal(got444[3], got420[3])
+        # 2x2 luma + downsampled chroma really is on the wire: SOF comp 1
+        # carries factors 0x22 and the stream shrinks
+        assert b"\x01\x22\x00" in p420 and b"\x01\x11\x00" in p444
+        assert len(p420) < len(p444)
+
+    def test_smooth_content_error_bounded_and_odd_dims(self):
+        yy, xx = np.mgrid[0:37, 0:53]
+        img = np.stack([(yy * 3) % 256, (xx * 2) % 256,
+                        ((yy + xx) * 2) % 256], axis=-1).astype(np.uint8)
+        p = C.encode_jpeg(53, 37, img.tobytes(), 3, subsampling="420")
+        w, h, ch, arr = C.decode_jpeg(p)
+        assert (w, h, ch) == (53, 37, 3)
+        err = np.abs(arr.astype(int) - img.astype(int)).max()
+        assert err <= 96  # chroma is 2x2-averaged AND quantized; bounded
+        mean_err = np.abs(arr.astype(int) - img.astype(int)).mean()
+        assert mean_err <= 12
+
+    def test_restart_markers_in_mcu_units(self):
+        rng = np.random.RandomState(3)
+        img = self._tile_image(rng, 48, 64)
+        p = C.encode_jpeg(64, 48, img.tobytes(), 3, subsampling="420",
+                          restart_interval=3)
+        assert b"\xff\xdd" in p            # DRI present
+        w, h, ch, arr = C.decode_jpeg(p)
+        assert np.array_equal(
+            arr, C.decode_jpeg(C.encode_jpeg(64, 48, img.tobytes(), 3,
+                                             subsampling="420"))[3])
+        bad = p.replace(b"\xff\xd0", b"\xff\xd4", 1)
+        with pytest.raises(ValueError, match="RST"):
+            C.decode_jpeg(bad)
+
+    def test_422_roundtrip(self):
+        rng = np.random.RandomState(5)
+        img = self._tile_image(rng, 16, 32, tile=16)
+        p422 = C.encode_jpeg(32, 16, img.tobytes(), 3, subsampling="422")
+        assert b"\x01\x21\x00" in p422     # H=2, V=1 on the wire
+        got = C.decode_jpeg(p422)
+        want = C.decode_jpeg(
+            C.encode_jpeg(32, 16, img.tobytes(), 3, subsampling="444"))
+        assert np.array_equal(got[3], want[3])
+
+    def test_default_444_bitstream_unchanged(self):
+        """The judged multimodal_jpeg_decode hash rides on the default
+        encoder output: pin its digest so a factors refactor can't move
+        the 4:4:4 bitstream silently."""
+        import hashlib
+
+        yy, xx = np.mgrid[0:24, 0:24]
+        img = np.stack([(yy * 5) % 256, (xx * 7) % 256,
+                        ((yy ^ xx) * 3) % 256], axis=-1).astype(np.uint8)
+        p = C.encode_jpeg(24, 24, img.tobytes(), 3)
+        assert C.encode_jpeg(24, 24, img.tobytes(), 3,
+                             subsampling="444") == p
+        assert hashlib.md5(p).hexdigest() == \
+            "341d1c76d3e8778ba20ac26347796d5f"
+
+    def test_unsupported_subsampling_rejected(self):
+        img = np.zeros((8, 8, 3), np.uint8)
+        with pytest.raises(ValueError, match="subsampling"):
+            C.encode_jpeg(8, 8, img.tobytes(), 3, subsampling="411")
+        grey = np.zeros((8, 8), np.uint8)
+        # greyscale ignores the layout knob: single full-res component
+        assert C.encode_jpeg(8, 8, grey.tobytes(), 1, subsampling="420") \
+            == C.encode_jpeg(8, 8, grey.tobytes(), 1)
