@@ -704,3 +704,72 @@ class TestScopedStatePartitions:
                 assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
             assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestStreamJoinStateEconomics:
+    """VERDICT r8 task #6: the stream-stream join's state store must
+    PLATEAU once the watermark passes — resident rows track the join
+    horizon (6h) + watermark (1h), not stream length. Asserted from the
+    JsonlMetricsListener's per-batch state_operators readings over the
+    judged row's exact join (30-day replay in 4 time-ascending
+    micro-batches: anything older than ~7h of stream-end must be gone)."""
+
+    def test_join_state_plateaus_under_watermark(self, spark, tmp_path):
+        import shutil
+        import tempfile
+        import time
+        import uuid
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            _purchase_view_sides, _stream_state_partitions,
+            _time_clustered_events_copy)
+        from fictional_guacamole_spark.streaming import monitoring as MON
+
+        base = _time_clustered_events_copy(spark, "/root/testdata/sf0.001")
+        purchases, views = _purchase_view_sides(spark, base)
+        joined = purchases.join(
+            views,
+            F.expr("""p_user = v_user
+                      AND view_ts <= purchase_ts
+                      AND view_ts > purchase_ts - INTERVAL 6 HOURS"""))
+
+        metrics = str(tmp_path / "metrics.jsonl")
+        listener = MON.attach_metrics(spark, metrics)
+        name = f"fg_statecheck_{uuid.uuid4().hex[:12]}"
+        ckpt = tempfile.mkdtemp(prefix="fg_statecheck_ckpt_")
+        try:
+            with _stream_state_partitions(spark):
+                q = (joined.select("purchase_id", "view_id")
+                     .writeStream.format("memory").queryName(name)
+                     .outputMode("append")
+                     .option("checkpointLocation", ckpt)
+                     .start())
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+            # listener events are delivered asynchronously after commits
+            for _ in range(50):
+                if len(MON.read_progress(metrics)) >= 4:
+                    break
+                time.sleep(0.2)
+        finally:
+            MON.detach_metrics(spark, listener)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        s = MON.state_plateau_summary(metrics)
+        batches = [t for t in s["trajectory"] if t["rows_updated"] > 0]
+        assert len(batches) >= 4, s  # one per time-ascending file
+        # every purchase and view row enters state once (both sides
+        # buffer; sf0.001 holds 202 purchases + 188 views = 390)
+        assert s["cum_updated"] == 390
+        # the plateau: resident state ends at roughly ONE replay batch's
+        # span (the last batch's rows stay resident — cleanup runs with
+        # the PREVIOUS batch's watermark, and nothing runs after the
+        # final file), so with 4 equal time slices the floor is ~25% and
+        # a leak would leave final_rows ~= cum_updated. Peak state is
+        # likewise bounded by a batch span + horizon at EVERY batch, not
+        # by accumulation across the replay.
+        assert s["final_rows"] < 0.35 * s["cum_updated"], s
+        assert s["evicted"] > 0.65 * s["cum_updated"], s
+        assert s["max_rows"] < 0.35 * s["cum_updated"], s
