@@ -236,6 +236,30 @@ co-supplier projection), and ``stream_engine_session_window``
 (session windows through the engine — MERGING window state, append
 mode, watermark-finalized sessions only).
 
+Round-9 rotation (VERDICT r8 task #1 — REGISTRY CLOSURE): (in) the 3
+never-driver-judged oracled rows — ``arrow_map_batches_cents``,
+``sketch_kmv_set_ops_events``, ``stream_engine_full_outer_join`` — plus
+the two NEW r9 rows ``sim_recall_audit`` (EXACT per-query recall@10 of
+the persisted IVF and IVF-PQ indexes vs the exact cosine baseline,
+zero slack at known corpus fingerprints) and
+``multimodal_jpeg420_decode`` (the 4:2:0 chroma-subsampled MCU
+interleave through the real codec), each mirror-green at sf0.01 and the
+sf1 sweep before entering. (out) 5 anchors judged green in
+CORRECTNESS_r08, each leaving a family sibling in-window:
+sketch_kmv_distinct_events (sketches keep hll_distinct and gain the
+set-ops row, which exercises a superset of the KMV machinery),
+stream_engine_outer_join (the join matrix keeps the inner row and gains
+FULL OUTER — the strictly harder eviction arithmetic),
+sim_ivf_persisted_topk (ANN keeps filtered + PQ-persisted + the new
+recall audit, which probes the SAME persisted IVF index with a tighter
+oracle), multimodal_jpeg_decode (codecs keep gif and gain the 4:2:0
+row — the 4:4:4 bitstream is additionally digest-pinned in
+tests/test_codecs.py), and text_bpe_merge_table (BPE keeps
+subword_stats, whose encoder consumes the judged merges). A green
+CORRECTNESS_r09 certifies every oracled query in the registry
+driver-judged at least once: 193 registered = 192 oracled (all judged)
++ the oracle-less-by-design bench kernel frame.
+
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.
 """
@@ -306,7 +330,6 @@ JUDGE_WINDOW: list[str] = [
                                    # keeps a judged representative)
     "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal
     "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
-    "sketch_kmv_distinct_events",  # KMV distinct estimator, bit-exact
     "sketch_hll_distinct_events",  # HLL with exact integer denominator
     "basket_brand_pairs",          # market-basket pair-support mining
     "cohort_weekly_retention",     # weekly signup-cohort retention grid
@@ -314,21 +337,15 @@ JUDGE_WINDOW: list[str] = [
     "sim_ivf_filtered_topk",       # attribute-filtered ANN, persisted
     "dq_profile_orders",           # per-column null/distinct/minmax profile
     "retrieval_hybrid_rrf",        # BM25 + vector RRF fusion ranker
-    "text_bpe_merge_table",        # the BPE trainer's learned merges
     "lateral_top2_orders_per_customer",  # LATERAL correlated top-n
     "layout_bucketed_join_revenue",  # bucketed co-located join layout
     "text_bm25_search",            # BM25 lexical retrieval
     "text_vocab_by_lang",          # per-language vocabulary rollup
     "ts_anomaly_zscore",           # rolling z-score anomaly flags
-    "multimodal_jpeg_decode",      # REAL baseline JPEG decode (T.81)
     "stream_engine_static_enrich",  # engine stream-static broadcast join
-    "stream_engine_outer_join",    # engine LEFT OUTER stream-stream join
     "stream_engine_session_window",  # engine session windows (merging
                                      # state), append + watermark cutoff
     # -- r8 rotation: the 5 never-driver-judged late-r7 registrations -----
-    "sim_ivf_persisted_topk",      # IVF ANN probed from persisted
-                                   # clustered index storage (zone-map
-                                   # file skipping — the amortized path)
     "sim_ivf_pq_persisted_topk",   # composed IVFx,PQy as table layout
     "avro_roundtrip_nation_stats",  # real stdlib Avro container + deflate
     "stream_engine_dedup_watermark",  # engine dropDuplicatesWithin-
@@ -341,6 +358,14 @@ JUDGE_WINDOW: list[str] = [
                                    # txn ids, deliberate replay converges
     "multimodal_gif_decode",       # REAL LZW decode (GIF89a, spec impl)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
+    # -- r9 rotation: registry closure + the two new r9 rows --------------
+    "arrow_map_batches_cents",     # mapInArrow RecordBatch transform
+    "sketch_kmv_set_ops_events",   # KMV closure: union/inter/Jaccard
+    "stream_engine_full_outer_join",  # engine FULL OUTER stream-stream
+                                      # join, two-sided null emission
+    "sim_recall_audit",            # EXACT recall@10 of persisted IVF +
+                                   # IVF-PQ vs the exact baseline
+    "multimodal_jpeg420_decode",   # 4:2:0 chroma-subsampled MCU decode
 ]
 # Mid-r8 second rotation: the 10 queries REGISTERED during round 8 after
 # the round-start rotation (JPEG codec, KMV/HLL sketches, filtered ANN,

@@ -88,8 +88,11 @@ def test_every_family_has_an_inwindow_representative():
                        # sim_ivf_topk by construction, same recall-floor
                        # oracle — the persisted form certifies the family
                        "sim_ivf_filtered_topk",
+                       "sim_recall_audit",  # probes the SAME persisted
+                       # indexes with the tighter exact-hit oracle
                        "dedup_embedding_cosine"},
         "filtered_ann": {"sim_ivf_filtered_topk"},
+        "ann_quality": {"sim_recall_audit"},
         "text_analysis": {"text_stats", "text_lang_id", "text_token_count",
                           "text_fingerprint", "text_edit_distance",
                           "text_gopher_quality", "text_vocab_by_lang",
@@ -107,7 +110,8 @@ def test_every_family_has_an_inwindow_representative():
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
                        "multimodal_decode_meta", "multimodal_png_decode",
-                       "multimodal_gif_decode", "multimodal_jpeg_decode"},
+                       "multimodal_gif_decode", "multimodal_jpeg_decode",
+                       "multimodal_jpeg420_decode"},
         "sqlite_source_sink": {"sqlite_scan_events",
                                "sqlite_roundtrip_user_stats"},
         "timeseries": {"ts_gapfill_locf", "agg_ewma_user_value",
@@ -116,7 +120,9 @@ def test_every_family_has_an_inwindow_representative():
         "real_codecs": {"multimodal_wav_decode", "multimodal_bmp_decode",
                         "multimodal_avi_frame_sample",
                         "multimodal_png_decode", "multimodal_gif_decode",
-                        "multimodal_jpeg_decode"},
+                        "multimodal_jpeg_decode",
+                        "multimodal_jpeg420_decode"},
+        "chroma_subsampled_jpeg": {"multimodal_jpeg420_decode"},
         "chunking": {"pipeline_chunk_overlap"},
         "columnar_formats": {"orc_roundtrip_brand_stats",
                              "jsonl_roundtrip_priority_stats",
