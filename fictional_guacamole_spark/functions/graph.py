@@ -204,7 +204,9 @@ def orient_by_degree(edges: DataFrame, src: str = "i",
            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
     di = deg.select(F.col("n").alias("i"), F.col("d").alias("di"))
     dj = deg.select(F.col("n").alias("j"), F.col("d").alias("dj"))
-    ed = e.join(di, "i").join(dj, "j")
+    # the degree frame is |V| rows — broadcast both endpoint tags so the
+    # orientation adds no shuffle to the edge list's lineage
+    ed = e.join(F.broadcast(di), "i").join(F.broadcast(dj), "j")
     i_first = ((F.col("di") < F.col("dj"))
                | ((F.col("di") == F.col("dj"))
                   & (F.col("i") < F.col("j"))))
