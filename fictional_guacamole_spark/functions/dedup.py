@@ -392,10 +392,10 @@ def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str,
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
         for i in range(MINHASH_K))
     return f"""
-    WITH sig AS ({sig_sql}),
-    bands AS (
+    WITH sig AS MATERIALIZED ({sig_sql}),
+    bands AS MATERIALIZED (
       {band_rows}),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc < y.doc)
@@ -463,12 +463,18 @@ def sql_lsh_verified_pairs(table: str, id_col: str, text_col: str,
     return f"""
     WITH lsh_pairs AS ({lsh}),
     cand AS (SELECT doc_a, doc_b FROM lsh_pairs),
-    sh AS (SELECT {id_col} AS doc, unnest({shingles}) AS s FROM {table}),
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    vsh AS MATERIALIZED (
+      -- named vsh, NOT sh: the signatures CTE nested inside lsh_pairs
+      -- also defines `sh`, and DuckDB 1.x hits an internal error
+      -- ("Recursive CTE scan found without recursive CTE node") when a
+      -- MATERIALIZED outer CTE shadows a nested CTE's name
+      SELECT {id_col} AS doc, unnest({shingles}) AS s FROM {table}),
+    sizes AS MATERIALIZED (
+      SELECT doc, COUNT(*) AS n_sh FROM vsh GROUP BY doc),
     common AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS common
-      FROM cand c JOIN sh a ON a.doc = c.doc_a
-                  JOIN sh b ON b.doc = c.doc_b AND a.s = b.s
+      FROM cand c JOIN vsh a ON a.doc = c.doc_a
+                  JOIN vsh b ON b.doc = c.doc_b AND a.s = b.s
       GROUP BY c.doc_a, c.doc_b)
     SELECT doc_a, doc_b,
            CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
@@ -530,8 +536,8 @@ def sql_dedup_components(pairs_sql: str, table: str, id_col: str) -> str:
     (UNION semantics dedupe visited (node,label) states; the final
     aggregate keeps each node's minimum reachable label)."""
     return f"""
-    WITH RECURSIVE pairs AS ({pairs_sql}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+    edges AS MATERIALIZED (
       SELECT doc_a AS u, doc_b AS v FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs),
