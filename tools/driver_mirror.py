@@ -72,7 +72,16 @@ def _canon_hash(df: pd.DataFrame) -> tuple[str, list[str]]:
 def main() -> int:
     names = sys.argv[1:] or [n for n in JUDGE_WINDOW if REGISTRY[n].oracle]
     spark = get_spark("fg-driver-mirror")
-    duck = duckdb.connect()
+    # Scale-sweep knobs (no effect on the judged comparison): DuckDB's
+    # default memory_limit is 80% of RAM, which stacks on top of the Spark
+    # JVM heap in the same process tree and got the sf10 replay OOM-killed
+    # (73 GB RSS) — cap it so heavy replays SPILL to $CWD/.tmp instead.
+    duck_cfg = {}
+    if os.environ.get("SPARK_GRAFT_DUCKDB_MEM"):
+        duck_cfg["memory_limit"] = os.environ["SPARK_GRAFT_DUCKDB_MEM"]
+    if os.environ.get("SPARK_GRAFT_DUCKDB_THREADS"):
+        duck_cfg["threads"] = int(os.environ["SPARK_GRAFT_DUCKDB_THREADS"])
+    duck = duckdb.connect(config=duck_cfg)
     for t in TABLE_NAMES:
         duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
