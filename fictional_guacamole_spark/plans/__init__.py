@@ -257,8 +257,11 @@ row — the 4:4:4 bitstream is additionally digest-pinned in
 tests/test_codecs.py), and text_bpe_merge_table (BPE keeps
 subword_stats, whose encoder consumes the judged merges). A green
 CORRECTNESS_r09 certifies every oracled query in the registry
-driver-judged at least once: 193 registered = 192 oracled (all judged)
-+ the oracle-less-by-design bench kernel frame.
+driver-judged at least once: of the 194 registered (193 oracled), the
+only rows without a judged round are the oracle-less-by-design bench
+kernel frame and ``pipeline_leakage_safe_split`` (the cluster-atomic
+train/validation/test split, registered AFTER this rotation —
+mirror-green at sf0.001/sf0.01/sf1 on registration, r10 fodder).
 
 tests/test_registry_order.py pins the window's family coverage so a future
 registration can't silently push a sole family representative past the cap.

@@ -257,6 +257,67 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_leakage_safe_split",
+    survey_ref="extensions: LEAKAGE-SAFE train/validation/test split — "
+               "near-dup clusters assigned atomically so no test doc has "
+               "a training-set near-duplicate",
+    description="90/5/5 split assigned per near-dup CLUSTER (md5 of the "
+                "canonical id), with the no-straddle guarantee emitted "
+                "as a judged column",
+    oracle="""
+    WITH comp AS ({components}),
+    assigned AS (
+      SELECT doc, canonical_id AS cluster,
+             CASE WHEN {h} % 100 < 90 THEN 'train'
+                  WHEN {h} % 100 < 95 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM comp)
+    SELECT doc, cluster, split,
+           CAST(COUNT(DISTINCT split) OVER (PARTITION BY cluster)
+                AS INTEGER) AS cluster_splits
+    FROM assigned
+    ORDER BY doc
+    """.format(
+        components=D.sql_dedup_components(
+            _COMPONENT_PAIRS_SQL, "documents", "doc_id"),
+        h=D.sql_md5_long("CAST(canonical_id AS VARCHAR)")),
+)
+def pipeline_leakage_safe_split(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The split step every LLM data pipeline gets wrong first: a plain
+    per-DOC random split leaks near-duplicates of training documents
+    into the test set (the benchmark-contamination failure mode dedup
+    exists to prevent), because the ~duplicate pair straddles the split
+    boundary with probability 2·p·(1−p). The fix is to split at the
+    near-dup CLUSTER: the judged components labeling assigns every doc
+    its canonical id, the md5 of THAT id buckets the whole cluster into
+    train/validation/test at 90/5/5, and the no-straddle guarantee is
+    emitted as a judged column (cluster_splits — the distinct split
+    count over the doc's cluster, 1 for every row by construction, so a
+    broken assignment breaks the value hash, not just a test). Scale
+    shape: the labeling is the already-judged distributed components
+    pass; the assignment adds one hash projection and one cluster-keyed
+    window — cost ∝ corpus, state ∝ nothing. Deterministic end to end:
+    same corpus, same split, on any cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+             .filter(F.col("est_jaccard") >= 0.5)
+             .select("doc_a", "doc_b"))
+    comp = D.dedup_components(pairs, docs.select("doc_id"))
+    bucket = D.md5_long(F.col("canonical_id").cast("string")) % 100
+    assigned = comp.select(
+        "doc", F.col("canonical_id").alias("cluster"),
+        F.when(bucket < 90, "train")
+         .when(bucket < 95, "validation")
+         .otherwise("test").alias("split"))
+    cluster_splits = F.size(
+        F.collect_set("split").over(W.partitionBy("cluster")))
+    return (assigned
+            .withColumn("cluster_splits", cluster_splits.cast("int"))
+            .orderBy("doc"))
+
+
+@query(
     "dedup_incremental_ingest",
     survey_ref="extensions: incremental-ingest dedup (new batch vs "
                "persisted fingerprint store)",

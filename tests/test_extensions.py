@@ -1314,3 +1314,47 @@ class TestRecallAudit:
         for q in range(5):
             n = sum(1 for (qq, nn) in approx & exact if qq == q)
             assert n == got[("ivf", q)]
+
+
+class TestLeakageSafeSplit:
+    """pipeline_leakage_safe_split: the whole point is the no-straddle
+    guarantee — every near-dup cluster lands in exactly one split — plus
+    deterministic ~90/5/5 proportions at CLUSTER granularity."""
+
+    def test_no_cluster_straddles_and_proportions(self, spark):
+        from fictional_guacamole_spark.plans.extensions import (
+            pipeline_leakage_safe_split)
+
+        rows = pipeline_leakage_safe_split(spark, SF).collect()
+        assert len(rows) == 500  # every doc assigned exactly once
+        assert {r["split"] for r in rows} <= {"train", "validation", "test"}
+        by_cluster = {}
+        for r in rows:
+            assert r["cluster_splits"] == 1  # judged no-straddle column
+            by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # cluster-level proportions: md5 bucketing lands near 90/5/5
+        n = len(by_cluster)
+        train = sum(1 for s in by_cluster.values() if s == {"train"})
+        assert 0.80 * n <= train <= 0.97 * n
+        # determinism: a second run assigns identically
+        again = {(r["doc"], r["split"])
+                 for r in pipeline_leakage_safe_split(spark, SF).collect()}
+        assert again == {(r["doc"], r["split"]) for r in rows}
+
+    def test_near_duplicates_never_cross_the_boundary(self, spark):
+        """The contamination check itself: every minhash near-dup PAIR
+        has both endpoints in the same split."""
+        from fictional_guacamole_spark.functions import dedup as D
+        from fictional_guacamole_spark.plans.extensions import (
+            pipeline_leakage_safe_split)
+
+        docs = load_table(spark, SF, "documents")
+        pairs = (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+                 .filter(F.col("est_jaccard") >= 0.5)
+                 .select("doc_a", "doc_b").collect())
+        split_of = {r["doc"]: r["split"]
+                    for r in pipeline_leakage_safe_split(spark, SF).collect()}
+        assert pairs, "fixture must contain near-dup pairs"
+        for p in pairs:
+            assert split_of[p["doc_a"]] == split_of[p["doc_b"]], p

@@ -107,7 +107,8 @@ def test_every_family_has_an_inwindow_representative():
         "layout": {"layout_zorder_events", "layout_bucketed_join_revenue"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
                              "sample_stratified"},
-        "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack"},
+        "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack",
+                     "pipeline_leakage_safe_split"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
                        "multimodal_decode_meta", "multimodal_png_decode",
                        "multimodal_gif_decode", "multimodal_jpeg_decode",
