@@ -278,6 +278,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     windows_streaming,
     timeseries,
     graph,
+    curation,
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.

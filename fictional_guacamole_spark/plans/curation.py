@@ -1,0 +1,231 @@
+"""Round-10 corpus-curation judged rows: weighted sampling, temperature
+mixing, semantic (embedding-space) dedup.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2.5) past near-dup
+removal into the SELECTION layer: which documents, from which domains, in
+what proportion, actually enter the training corpus. All three are full
+value oracles — see functions/curation.py for the integer-exactness
+engineering that makes lossy-looking operations (weighted sampling,
+temperature mixing, cosine thresholds) bit-replayable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.functions import curation as C
+from fictional_guacamole_spark.functions import dedup as D
+from fictional_guacamole_spark.functions import text as X
+from fictional_guacamole_spark.plans.registry import query
+from fictional_guacamole_spark.tables import load_table
+
+_SAMPLE_K = 100
+
+_TOKN_SQL = (f"len(regexp_extract_all("
+             f"trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), "
+             f"'{X.TOKEN_PATTERN}'))")
+
+
+@query(
+    "sample_weighted_bottomk",
+    survey_ref="extensions: weighted reservoir sampling "
+               "(Efraimidis–Spirakis bottom-k, integer-exact)",
+    description="Top-100 token-count-weighted sample via min-of-w md5 "
+                "draws (exact E-S key order, no floats)",
+    oracle=f"""
+    WITH wts AS (
+      SELECT doc_id AS doc,
+             GREATEST(1, LEAST({C.W_CAP}, {_TOKN_SQL})) AS weight
+      FROM documents),
+    keyed AS (
+      SELECT doc, weight,
+             {C.sql_weighted_sample_key('doc', 'weight')} AS sample_key
+      FROM wts),
+    ranked AS (
+      SELECT doc, weight, sample_key,
+             ROW_NUMBER() OVER (ORDER BY sample_key, doc) AS rank
+      FROM keyed)
+    SELECT doc, CAST(weight AS BIGINT) AS weight, sample_key,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_SAMPLE_K}
+    ORDER BY rank
+    """,
+)
+def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement — the curation primitive
+    behind quality-weighted corpus selection ('sample documents with
+    probability ∝ quality×length'). Key design (functions/curation.py):
+    the Efraimidis–Spirakis key u^(1/w) is order-equivalent to the MIN of
+    w iid uniforms, realized as integer md5 draws — so selection is exact
+    integer comparison, immune to pow/log rounding skew between engines.
+
+    100 TB shape: ≤ W_CAP md5s per doc computed map-side, then ONE
+    TakeOrderedAndProject for the global bottom-k — the corpus never
+    shuffles, and the sample merges associatively (per-partition bottom-k
+    then re-take, the same property KMV exploits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wts = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.greatest(F.lit(1),
+                   F.least(F.lit(C.W_CAP), X.token_count(F.col("text"))))
+         .cast("long").alias("weight"))
+    keyed = wts.select(
+        "doc", "weight",
+        C.weighted_sample_key(F.col("doc"), F.col("weight"))
+         .alias("sample_key"))
+    # limit-then-rank: the global selection is TakeOrdered (no total sort);
+    # the rank window then runs over only the k survivors.
+    topk = keyed.orderBy("sample_key", "doc").limit(_SAMPLE_K)
+    w = W.orderBy("sample_key", "doc")
+    return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
+            .orderBy("rank"))
+
+
+@query(
+    "pipeline_temperature_mix",
+    survey_ref="extensions: temperature-scaled domain mixing "
+               "(α=0.5 multinomial, exact largest-remainder apportionment)",
+    description="Quarter-corpus budget apportioned across skewed domains "
+                "with p_d ∝ sqrt(n_d), docs picked by md5 rank",
+    oracle="""
+    WITH doms AS (
+      SELECT doc_id AS doc,
+             'd' || CAST(CAST(FLOOR(SQRT(CAST(substr(source, 4) AS DOUBLE)))
+                              AS INT) AS VARCHAR) AS domain
+      FROM documents),
+    counts AS (
+      SELECT domain, COUNT(*) AS n_d,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_d
+      FROM doms GROUP BY domain),
+    tot AS (
+      SELECT SUM(w_d) AS w_sum, SUM(n_d) AS n_total,
+             SUM(n_d) // 4 AS budget
+      FROM counts),
+    quota AS (
+      SELECT domain, n_d, w_d,
+             (budget * w_d) // w_sum AS base,
+             (budget * w_d) % w_sum AS rem,
+             budget - SUM((budget * w_d) // w_sum) OVER () AS leftover
+      FROM counts, tot),
+    alloc AS (
+      SELECT domain, n_d,
+             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, domain)
+                              <= leftover THEN 1 ELSE 0 END AS alloc
+      FROM quota),
+    picked AS (
+      SELECT d.doc, d.domain, a.alloc,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.domain
+               ORDER BY CAST('0x' || substr(md5(CAST(d.doc AS VARCHAR)), 1, 8)
+                             AS BIGINT), d.doc) AS pick_rank
+      FROM doms d JOIN alloc a USING (domain))
+    SELECT doc, domain, CAST(alloc AS BIGINT) AS alloc,
+           CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM picked WHERE pick_rank <= alloc
+    ORDER BY doc
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (XLM / mT5's α-sampling) with
+    α=0.5: small domains are up-weighted relative to their share
+    (p_d ∝ √n_d), the standard fix for head-domain dominance in
+    multi-source corpora. Unlike pipeline_domain_mix (rate-based hash
+    sampling — expected counts), this row apportions an EXACT budget:
+    integer square roots (IEEE-correctly-rounded sqrt under FLOOR),
+    Hamilton largest-remainder rounding so per-domain quotas sum exactly
+    to the budget, and within-domain picks by md5 rank. The fixture's
+    sources are uniform, so the domain key sqrt-buckets the source index
+    into authentically skewed groups (25/75/125/175/100 at sf0.01).
+
+    100 TB shape: the quota table is |domains| rows (KBs, broadcast);
+    the pick is one md5 projection + one per-domain window — at scale the
+    window becomes a per-domain TakeOrdered since alloc ≪ n_d."""
+    docs = load_table(spark, sf_dir, "documents")
+    doms = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.concat(F.lit("d"),
+                 F.floor(F.sqrt(F.expr(
+                     "CAST(substring(source, 4) AS DOUBLE)")))
+                  .cast("int").cast("string")).alias("domain"))
+    counts = (doms.groupBy("domain")
+              .agg(F.count(F.lit(1)).alias("n_d"))
+              .withColumn("w_d", F.floor(F.sqrt(F.col("n_d")
+                                                .cast("double")))
+                          .cast("long")))
+    tot = counts.agg(F.sum("w_d").alias("w_sum"),
+                     F.sum("n_d").alias("n_total"),
+                     (F.sum("n_d") / 4).cast("long").alias("budget"))
+    quota = (counts.join(F.broadcast(tot))
+             .select("domain", "n_d", "w_d",
+                     F.expr("(budget * w_d) DIV w_sum").alias("base"),
+                     F.expr("(budget * w_d) % w_sum").alias("rem"),
+                     F.col("budget")))
+    wq = W.orderBy(F.desc("rem"), F.asc("domain"))
+    alloc = (quota
+             .withColumn("leftover",
+                         F.col("budget") - F.sum("base").over(
+                             W.partitionBy()))
+             .withColumn(
+                 "alloc",
+                 F.col("base") + F.when(
+                     F.row_number().over(wq) <= F.col("leftover"),
+                     F.lit(1)).otherwise(F.lit(0)))
+             .select("domain", "alloc"))
+    wp = W.partitionBy("domain").orderBy(
+        D.md5_long(F.col("doc").cast("string")), F.asc("doc"))
+    return (doms.join(F.broadcast(alloc), "domain")
+            .withColumn("pick_rank", F.row_number().over(wp).cast("int"))
+            .filter(F.col("pick_rank") <= F.col("alloc"))
+            .select("doc", "domain", F.col("alloc").cast("long").alias("alloc"),
+                    "pick_rank")
+            .orderBy("doc"))
+
+
+_SEM_PAIRS_SQL = C.sql_semantic_pairs("documents", "doc_id", "text")
+
+
+@query(
+    "dedup_semantic_embedding",
+    survey_ref="extensions: semantic dedup (SemDeDup-shaped: embed → "
+               "bucket → exact-cosine verify → cluster → keep-one)",
+    description="Embedding-space near-dup clusters: hashed-TF vectors, "
+                "sign-band candidates, integer-exact cosine ≥ 0.95, "
+                "components labeling with cluster sizes",
+    oracle=f"""
+    WITH comp AS ({D.sql_dedup_components(
+        _SEM_PAIRS_SQL, "documents", "doc_id")})
+    SELECT doc, canonical_id AS cluster,
+           (doc = canonical_id) AS is_rep,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS n_members
+    FROM comp
+    ORDER BY doc
+    """,
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicates in
+    EMBEDDING space — rewordings, template variants, boilerplate — that
+    string-level MinHash misses. The judged pipeline embeds every doc as
+    a 64-dim feature-hashed token-count vector (the deterministic stand-in
+    for a neural encoder; the downstream plumbing is encoder-agnostic),
+    generates candidates by 6 band equi-joins over a 48-bit md5-derived
+    sign signature, verifies cosine ≥ 0.95 in EXACT integer arithmetic
+    (400·dot² ≥ 361·|a|²·|b|² — no float compare anywhere), labels
+    clusters with the judged components pass, and emits each doc's
+    cluster, representative flag, and cluster size.
+
+    100 TB shape: embed at scan speed (one explode + map-side-combined
+    groupBy); candidates are banded equi-joins — all-pairs never
+    materializes; verification touches only in-bucket pairs via a sparse
+    dim equi-join; components is the already-sf10-proven distributed
+    labeling. State per doc beyond the scan: 6 band buckets (48 bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = C.semantic_pairs(docs, "doc_id", "text")
+    comp = D.dedup_components(pairs, docs.select("doc_id"))
+    wc = W.partitionBy("cluster")
+    return (comp.select("doc", F.col("canonical_id").alias("cluster"))
+            .withColumn("is_rep", F.col("doc") == F.col("cluster"))
+            .withColumn("n_members",
+                        F.count(F.lit(1)).over(wc).cast("long"))
+            .orderBy("doc"))

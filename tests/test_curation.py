@@ -1,0 +1,185 @@
+"""Curation-operator tests (functions/curation.py, plans/curation.py):
+integer-exactness of the weighted-sampling keys against a pure-Python
+hashlib reference, Efraimidis–Spirakis distributional sanity, temperature-
+mix apportionment invariants, sign-table parity (hashlib literal vs engine
+md5), semantic-dedup candidate recall vs the exact all-pairs baseline, and
+plan-quality gates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fictional_guacamole_spark.functions import curation as C
+from fictional_guacamole_spark.plans import REGISTRY
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_JUDGED = "/root/testdata/sf0.01"
+
+
+def _py_md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+class TestWeightedSampleKey:
+    def test_key_matches_hashlib_reference(self, spark):
+        rows = [(7, 1), (8, 3), (9, 64)]
+        df = spark.createDataFrame(rows, "doc long, weight long")
+        got = {r["doc"]: r["k"] for r in df.select(
+            "doc", C.weighted_sample_key(F.col("doc"), F.col("weight"))
+            .alias("k")).collect()}
+        for doc, w in rows:
+            want = min(_py_md5_long(f"{doc}:{i}") for i in range(1, w + 1))
+            assert got[doc] == want
+
+    def test_higher_weight_wins_more_often(self, spark):
+        # E-S property, empirically: weight-8 docs should out-select
+        # weight-1 docs roughly 8:1 in the bottom-k. 400 docs, half at
+        # w=1, half at w=8, k=100 → expect ~89 heavy picks; assert a
+        # loose floor (the draw is deterministic, so this is a fixed
+        # fact about the md5 stream, not a flaky sample).
+        rows = [(i, 8 if i % 2 == 0 else 1) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc long, weight long")
+        keyed = df.select("doc", "weight",
+                          C.weighted_sample_key(F.col("doc"),
+                                                F.col("weight")).alias("k"))
+        top = keyed.orderBy("k", "doc").limit(100).collect()
+        heavy = sum(1 for r in top if r["weight"] == 8)
+        assert heavy >= 75, heavy
+
+    def test_query_row_invariants(self, spark):
+        out = REGISTRY["sample_weighted_bottomk"].builder(
+            spark, SF_SMALL).collect()
+        assert len(out) == 100
+        assert [r["rank"] for r in out] == list(range(1, 101))
+        keys = [r["sample_key"] for r in out]
+        assert keys == sorted(keys)
+        assert all(1 <= r["weight"] <= C.W_CAP for r in out)
+
+
+class TestTemperatureMix:
+    def test_apportionment_invariants(self, spark):
+        rows = REGISTRY["pipeline_temperature_mix"].builder(
+            spark, SF_JUDGED).collect()
+        # budget = 500 // 4 exactly, met exactly (largest-remainder)
+        assert len(rows) == 125
+        by_dom = {}
+        for r in rows:
+            by_dom.setdefault(r["domain"], []).append(r)
+        # per-domain pick_rank is 1..alloc and allocs sum to the budget
+        allocs = {}
+        for dom, picks in by_dom.items():
+            ranks = sorted(p["pick_rank"] for p in picks)
+            assert ranks == list(range(1, len(picks) + 1))
+            allocs[dom] = picks[0]["alloc"]
+            assert len(picks) == allocs[dom]
+        assert sum(allocs.values()) == 125
+
+    def test_temperature_flattens_the_skew(self, spark):
+        # domain sizes at sf0.01 are 25/75/125/175/100; α=0.5 must give
+        # the smallest domain a larger share than proportional and the
+        # largest a smaller share.
+        rows = REGISTRY["pipeline_temperature_mix"].builder(
+            spark, SF_JUDGED).collect()
+        share = {}
+        for r in rows:
+            share[r["domain"]] = share.get(r["domain"], 0) + 1
+        total = sum(share.values())
+        # proportional shares: 25/500 = 5%, 175/500 = 35%
+        assert share["d0"] / total > 25 / 500
+        assert share["d3"] / total < 175 / 500
+
+
+class TestSignTable:
+    def test_sign_table_matches_engine_md5(self, spark):
+        # the Spark path bakes hashlib-derived ±1 literals; the oracle
+        # recomputes md5 parity in SQL. Assert the two hash stacks agree
+        # on a sample of (b, dim) cells via the engine's own md5.
+        table = C._sign_table()
+        cells = [(b, d) for b in (0, 7, 23, 47) for d in (0, 1, 31, 63)]
+        df = spark.createDataFrame(cells, "b int, dim int")
+        got = df.select("b", "dim", F.conv(F.substring(F.md5(
+            F.concat_ws(":", F.lit("sem"), F.col("b").cast("string"),
+                        F.col("dim").cast("string"))), 1, 8), 16, 10)
+            .cast("long").alias("h")).collect()
+        for r in got:
+            want = 1 if r["h"] % 2 == 0 else -1
+            assert table[r["b"]][r["dim"]] == want
+
+
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def tf_pairs(self, spark):
+        from fictional_guacamole_spark.tables import load_table
+        docs = load_table(spark, SF_SMALL, "documents")
+        tf = {(r["doc"], r["dim"]): r["c"]
+              for r in C.hashed_tf(docs, "doc_id", "text").collect()}
+        by_doc = {}
+        for (doc, dim), c in tf.items():
+            by_doc.setdefault(doc, {})[dim] = c
+        found = {(r["doc_a"], r["doc_b"])
+                 for r in C.semantic_pairs(docs, "doc_id", "text").collect()}
+        return by_doc, found
+
+    def test_verified_pairs_truly_clear_tau(self, tf_pairs):
+        by_doc, found = tf_pairs
+        for a, b in found:
+            va, vb = by_doc[a], by_doc[b]
+            dot = sum(va[d] * vb.get(d, 0) for d in va)
+            na = sum(c * c for c in va.values())
+            nb = sum(c * c for c in vb.values())
+            assert 400 * dot * dot >= 361 * na * nb, (a, b)
+
+    def test_candidate_recall_vs_exact_all_pairs(self, tf_pairs):
+        # exact τ≥0.95 pairs via brute force; the banded candidates must
+        # recover at least the measured floor (fixed fixture + fixed md5
+        # stream → a deterministic fact, pinned at the observed value).
+        by_doc, found = tf_pairs
+        docs = sorted(by_doc)
+        exact = set()
+        for a, b in itertools.combinations(docs, 2):
+            va, vb = by_doc[a], by_doc[b]
+            dot = sum(va[d] * vb.get(d, 0) for d in va)
+            na = sum(c * c for c in va.values())
+            nb = sum(c * c for c in vb.values())
+            if 400 * dot * dot >= 361 * na * nb:
+                exact.add((a, b))
+        assert found <= exact  # verification is exact → no false positives
+        if exact:
+            recall = len(found) / len(exact)
+            assert recall >= 0.9, (len(found), len(exact))
+
+    def test_cluster_output_invariants(self, spark):
+        rows = REGISTRY["dedup_semantic_embedding"].builder(
+            spark, SF_SMALL).collect()
+        assert len(rows) == 500  # every doc labeled
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        for cl, members in by_cluster.items():
+            assert cl == min(m["doc"] for m in members)  # canonical = min
+            reps = [m for m in members if m["is_rep"]]
+            assert len(reps) == 1 and reps[0]["doc"] == cl
+            assert all(m["n_members"] == len(members) for m in members)
+
+
+class TestPlanQuality:
+    def test_weighted_sample_has_no_global_sort(self, spark):
+        df = REGISTRY["sample_weighted_bottomk"].builder(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the selection itself must be TakeOrdered; the only acceptable
+        # sort is over the ≤k survivors
+        assert "TakeOrderedAndProject" in plan
+
+    def test_no_python_udfs_anywhere(self, spark):
+        for name in ("sample_weighted_bottomk", "pipeline_temperature_mix",
+                     "dedup_semantic_embedding"):
+            df = REGISTRY[name].builder(spark, SF_SMALL)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan, name
+            assert "ArrowEvalPython" not in plan, name
