@@ -229,3 +229,101 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_members",
                         F.count(F.lit(1)).over(wc).cast("long"))
             .orderBy("doc"))
+
+
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN sn.m{i} = sh.m{i} THEN 1 ELSE 0 END)"
+    for i in range(D.MINHASH_K))
+_MH_BANDS = "\n      UNION ALL\n      ".join(
+    "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM msig".format(
+        b=b,
+        concat=" || '_' || ".join(
+            f"m{b * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)),
+    )
+    for b in range(D.LSH_BANDS))
+
+
+@query(
+    "dedup_incremental_minhash",
+    survey_ref="extensions: incremental NEAR-dup ingest (new batch probed "
+               "against the persisted MinHash band store)",
+    description="Incoming docs (id >= 300) matched against the historical "
+                "band store (id < 300): novel flag + best near-dup match",
+    oracle=f"""
+    WITH msig AS MATERIALIZED (
+      {D.sql_minhash_signatures('documents', 'doc_id', 'text', n=3)}),
+    mbands AS MATERIALIZED (
+      {_MH_BANDS}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT x.doc AS doc, y.doc AS hist_doc
+      FROM mbands x JOIN mbands y
+        ON x.band = y.band AND x.band_sig = y.band_sig
+      WHERE x.doc >= 300 AND y.doc < 300),
+    est AS (
+      SELECT c.doc, c.hist_doc,
+             CAST(({_MH_AGREE}) AS DOUBLE) / {D.MINHASH_K} AS est_jaccard
+      FROM cand c JOIN msig sn ON sn.doc = c.doc
+                  JOIN msig sh ON sh.doc = c.hist_doc),
+    best AS (
+      SELECT doc, hist_doc, est_jaccard,
+             ROW_NUMBER() OVER (PARTITION BY doc
+                                ORDER BY est_jaccard DESC, hist_doc) AS rn
+      FROM est WHERE est_jaccard >= 0.5)
+    SELECT d.doc_id AS doc,
+           (b.hist_doc IS NULL) AS novel,
+           b.hist_doc AS best_match,
+           b.est_jaccard AS best_est
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc
+    WHERE d.doc_id >= 300
+    ORDER BY doc
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingestion — the nightly-crawl shape at 100 TB:
+    the corpus-so-far is represented by its persisted MinHash state
+    (K=32 longs/doc, banded 8×4 — the band store is the only thing the
+    ingest job reads), and each incoming batch probes the store with an
+    equi-join on (band, band_sig). Cost ∝ batch × collisions, never the
+    historical corpus; the store grows by one signature row per accepted
+    doc. Complements dedup_incremental_ingest (exact-fp store — catches
+    byte-identical copies only) with the near-dup layer: each new doc is
+    flagged novel or matched to its best historical near-duplicate.
+    est_jaccard = agree/32 is exact in both engines (integer agree count,
+    division by a power of two)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=True)
+    hist_bk = D.minhash_band_keys(sig.filter(F.col("doc") < 300))
+    new_bk = D.minhash_band_keys(sig.filter(F.col("doc") >= 300))
+    cand = (new_bk.alias("x").join(
+                hist_bk.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig")))
+            .select(F.col("x.doc").alias("doc"),
+                    F.col("y.doc").alias("hist_doc"))
+            .distinct())
+    sn = sig.select(F.col("doc"),
+                    *[F.col(f"m{i}").alias(f"n{i}")
+                      for i in range(D.MINHASH_K)])
+    sh = sig.select(F.col("doc").alias("hist_doc"),
+                    *[F.col(f"m{i}").alias(f"h{i}")
+                      for i in range(D.MINHASH_K)])
+    agree = sum(F.when(F.col(f"n{i}") == F.col(f"h{i}"), 1).otherwise(0)
+                for i in range(D.MINHASH_K))
+    est = (cand.join(sn, "doc").join(sh, "hist_doc")
+           .select("doc", "hist_doc",
+                   (agree.cast("double") / D.MINHASH_K).alias("est_jaccard"))
+           .filter(F.col("est_jaccard") >= 0.5))
+    wb = W.partitionBy("doc").orderBy(F.desc("est_jaccard"),
+                                      F.asc("hist_doc"))
+    best = (est.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("doc", F.col("hist_doc").alias("best_match"),
+                    F.col("est_jaccard").alias("best_est")))
+    incoming = docs.filter(F.col("doc_id") >= 300).select(
+        F.col("doc_id").alias("doc"))
+    return (incoming.join(best, "doc", "left")
+            .select("doc", F.col("best_match").isNull().alias("novel"),
+                    "best_match", "best_est")
+            .orderBy("doc"))

@@ -1180,3 +1180,87 @@ def stream_engine_full_outer_join(spark: SparkSession,
     return (spark.table(name)
             .orderBy(F.asc_nulls_first("purchase_id"),
                      F.asc_nulls_first("view_id")))
+
+
+@query(
+    "stream_engine_chained_agg",
+    survey_ref="§2.5 streaming: CHAINED stateful aggregations through the "
+               "micro-batch engine (windowed agg → windowed re-agg, one "
+               "append-mode query, two state stores)",
+    description="15-min event buckets rolled up to hourly stats by a "
+                "second windowed aggregation INSIDE the same streaming "
+                "query (multiple-stateful-operator support)",
+    oracle="""
+    WITH q AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS q_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    hr AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, q_start) AS window_start,
+             event_type,
+             COUNT(*) AS n_buckets,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(MAX(n) AS BIGINT) AS max_bucket
+      FROM q GROUP BY 1, 2)
+    SELECT window_start, event_type, n_buckets, n_events, max_bucket
+    FROM hr
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_engine_chained_agg(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregation — two windowed aggs in ONE streaming
+    query (Spark 3.4+ multiple-stateful-operator support): 15-minute
+    per-type counts feed an hourly re-aggregation via ``window_time()``
+    (the first agg's window struct becomes the second's event-time
+    column), both in append mode over one watermark. This is the
+    pre-aggregation cascade production pipelines want (fine-grain state
+    near the data, coarse rollup downstream) WITHOUT landing the
+    intermediate in a sink and starting a second query — one checkpoint,
+    two state stores, exactly-once end to end.
+
+    Emission semantics the oracle replays: an hourly window finalizes
+    when the watermark (max event time − 1h, propagated through the
+    first operator) passes its end; every 15-min bucket inside a
+    finalized hour is itself finalized (bucket end ≤ hour end ≤
+    watermark), so the rollup is complete exactly when it emits — the
+    batch replay is the double GROUP BY with the sibling rows' cutoff.
+
+    100 TB shape: both aggs partial-aggregate map-side and shuffle on
+    (window, type); state is two keyed stores bounded by watermark
+    eviction; the second store holds one row per (hour, type) — a
+    96× reduction of the first's key space."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+    name = f"fg_chain_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_chain_ckpt_")
+    stream = _events_stream(spark, base)
+    q15 = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n")))
+    hourly = (q15
+              .groupBy(F.window(F.window_time("w"), "1 hour").alias("hw"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_buckets"),
+                   F.sum("n").alias("n_events"),
+                   F.max("n").alias("max_bucket")))
+    with _stream_state_partitions(spark):
+        q = (hourly.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select(F.col("hw.start").alias("window_start"), "event_type",
+                    "n_buckets", "n_events", "max_bucket")
+            .orderBy("window_start", "event_type"))

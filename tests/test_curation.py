@@ -183,3 +183,57 @@ class TestPlanQuality:
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "BatchEvalPython" not in plan, name
             assert "ArrowEvalPython" not in plan, name
+
+
+class TestIncrementalMinhash:
+    @pytest.fixture(scope="class")
+    def out(self, spark):
+        return REGISTRY["dedup_incremental_minhash"].builder(
+            spark, SF_JUDGED).collect()
+
+    def test_row_per_incoming_doc(self, out, spark):
+        from fictional_guacamole_spark.tables import load_table
+        docs = load_table(spark, SF_JUDGED, "documents")
+        n_incoming = docs.filter(F.col("doc_id") >= 300).count()
+        assert len(out) == n_incoming
+        assert all(r["doc"] >= 300 for r in out)
+
+    def test_match_invariants(self, out):
+        for r in out:
+            if r["novel"]:
+                assert r["best_match"] is None and r["best_est"] is None
+            else:
+                assert r["best_match"] < 300
+                assert r["best_est"] >= 0.5
+                # est is an exact multiple of 1/32 in both engines
+                assert (r["best_est"] * 32) == int(r["best_est"] * 32)
+
+    def test_exact_copies_are_flagged(self, out, spark):
+        # any incoming doc byte-identical (normalized) to a historical
+        # doc must NOT be novel: identical shingle sets → identical
+        # signatures → every band collides, est_jaccard = 1.0
+        from fictional_guacamole_spark.functions.text import normalize
+        from fictional_guacamole_spark.tables import load_table
+        docs = load_table(spark, SF_JUDGED, "documents")
+        fps = docs.select("doc_id",
+                          F.md5(normalize(F.col("text"))).alias("fp"))
+        hist = fps.filter(F.col("doc_id") < 300).select("fp").distinct()
+        copies = {r["doc_id"] for r in
+                  fps.filter(F.col("doc_id") >= 300)
+                  .join(hist, "fp").collect()}
+        flagged = {r["doc"] for r in out if not r["novel"]}
+        assert copies <= flagged
+        exact = {r["doc"] for r in out
+                 if not r["novel"] and r["best_est"] == 1.0}
+        assert copies <= exact
+
+
+class TestChainedAgg:
+    def test_rollup_invariants(self, spark):
+        rows = REGISTRY["stream_engine_chained_agg"].builder(
+            spark, SF_JUDGED).collect()
+        assert rows, "drain produced no finalized hourly windows"
+        for r in rows:
+            assert 1 <= r["n_buckets"] <= 4  # ≤ four 15-min buckets/hour
+            assert r["max_bucket"] <= r["n_events"]
+            assert r["n_events"] >= r["n_buckets"]  # each bucket ≥ 1 event
