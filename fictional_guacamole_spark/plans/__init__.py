@@ -334,7 +334,6 @@ JUDGE_WINDOW: list[str] = [
                                    # keeps a judged representative)
     "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal
     "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
-    "sketch_hll_distinct_events",  # HLL with exact integer denominator
     "basket_brand_pairs",          # market-basket pair-support mining
     "cohort_weekly_retention",     # weekly signup-cohort retention grid
     "dedup_incremental_ingest",    # fingerprint-store incremental dedup
@@ -343,24 +342,16 @@ JUDGE_WINDOW: list[str] = [
     "retrieval_hybrid_rrf",        # BM25 + vector RRF fusion ranker
     "lateral_top2_orders_per_customer",  # LATERAL correlated top-n
     "layout_bucketed_join_revenue",  # bucketed co-located join layout
-    "text_bm25_search",            # BM25 lexical retrieval
     "text_vocab_by_lang",          # per-language vocabulary rollup
     "ts_anomaly_zscore",           # rolling z-score anomaly flags
-    "stream_engine_static_enrich",  # engine stream-static broadcast join
-    "stream_engine_session_window",  # engine session windows (merging
-                                     # state), append + watermark cutoff
     # -- r8 rotation: the 5 never-driver-judged late-r7 registrations -----
     "sim_ivf_pq_persisted_topk",   # composed IVFx,PQy as table layout
     "avro_roundtrip_nation_stats",  # real stdlib Avro container + deflate
-    "stream_engine_dedup_watermark",  # engine dropDuplicatesWithin-
-                                      # Watermark, exactly-once replay
-    "stream_engine_stream_join",   # engine stream-stream interval join
     # -- NEW in round 8 ---------------------------------------------------
     "stream_engine_restart_recovery",  # checkpoint restart, exactly-once
                                        # file sink across a mid-drain kill
     "stream_engine_txnlog_sink",   # foreachBatch→commit log, batch-id
                                    # txn ids, deliberate replay converges
-    "multimodal_gif_decode",       # REAL LZW decode (GIF89a, spec impl)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
     "arrow_map_batches_cents",     # mapInArrow RecordBatch transform
@@ -370,6 +361,30 @@ JUDGE_WINDOW: list[str] = [
     "sim_recall_audit",            # EXACT recall@10 of persisted IVF +
                                    # IVF-PQ vs the exact baseline
     "multimodal_jpeg420_decode",   # 4:2:0 chroma-subsampled MCU decode
+    # -- r10 rotation: the last never-judged oracled row + the five new
+    # r10 registrations. (out, all green in CORRECTNESS_r08 with family
+    # coverage kept: text_bm25_search — lexical retrieval keeps
+    # retrieval_hybrid_rrf; sketch_hll_distinct_events — sketches keep
+    # kmv_distinct's set-ops sibling in-window; multimodal_gif_decode —
+    # codecs keep the two JPEG rows' jpeg420 representative;
+    # stream_engine_dedup_watermark / stream_engine_stream_join /
+    # stream_engine_session_window — six engine-executed rows remain
+    # in-window and the stream-stream join family keeps full_outer.
+    # The five r9-rotation rows STAY in-window: no CORRECTNESS_r09
+    # artifact exists in-tree, so their driver certification is
+    # unconfirmed — rotating them out could leave them unjudged.)
+    "pipeline_leakage_safe_split",  # cluster-atomic train/val/test split
+    "sample_weighted_bottomk",     # integer-exact E-S weighted sampling
+    "pipeline_temperature_mix",    # α=0.5 mix, largest-remainder quotas
+    "dedup_semantic_embedding",    # SemDeDup: sign-banded embedding
+                                   # near-dup clusters, integer cosine
+    "dedup_incremental_minhash",   # batch-vs-band-store near-dup ingest
+    "stream_engine_chained_agg",   # two chained stateful window aggs in
+                                   # one engine query (window_time path)
+    "pipeline_dsir_importance",    # DSIR importance resampling, hashed
+                                   # bigrams, integer-quantized log ratio
+                                   # (in for stream_engine_static_enrich,
+                                   # green r8; 5 engine rows remain)
 ]
 # Mid-r8 second rotation: the 10 queries REGISTERED during round 8 after
 # the round-start rotation (JPEG codec, KMV/HLL sketches, filtered ANN,

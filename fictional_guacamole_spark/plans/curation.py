@@ -327,3 +327,93 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc", F.col("best_match").isNull().alias("novel"),
                     "best_match", "best_est")
             .orderBy("doc"))
+
+
+_DSIR_BUCKETS = 4096
+_DSIR_K = 50
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "pipeline_dsir_importance",
+    survey_ref="extensions: data selection via importance resampling "
+               "(DSIR-shaped: hashed-bigram LM ratio, integer-quantized)",
+    description="Top-50 docs by hashed-bigram importance weight "
+                "log2(p_target/p_raw), quantized to integer bit-lengths",
+    oracle=f"""
+    WITH dw AS (
+      SELECT doc_id AS doc, lang, string_split({_NORM}, ' ') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc, lang,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i+1])) AS b
+      FROM dw WHERE len(w) >= 2),
+    hb AS (
+      SELECT doc, lang,
+             {D.sql_md5_long('b')} % {_DSIR_BUCKETS} AS bucket
+      FROM bg),
+    model AS (
+      SELECT bucket,
+             CAST(length(bin(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0
+                                      END) + 1 AS BIGINT)))
+                  - length(bin(CAST(COUNT(*) + 1 AS BIGINT))) AS BIGINT)
+               AS weight
+      FROM hb GROUP BY bucket),
+    scores AS (
+      SELECT doc, CAST(SUM(weight) AS BIGINT) AS score
+      FROM hb JOIN model USING (bucket)
+      GROUP BY doc),
+    ranked AS (
+      SELECT doc, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rank
+      FROM scores)
+    SELECT doc, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_DSIR_K}
+    ORDER BY rank
+    """,
+)
+def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw document by how much more likely its hashed n-gram
+    features are under a target-domain LM than under the raw-corpus LM,
+    then keep the top of the importance ranking. Here the target is the
+    fixture's English subset, features are word bigrams hashed to 4096
+    buckets, and the log-ratio is QUANTIZED to integer bit-lengths
+    (log2 via length(bin(c+1)) — identical in both engines), which keeps
+    the entire selection in exact integer arithmetic: no float log, no
+    cross-engine rounding surface. The quantization preserves DSIR's
+    structure (hashed features, target/raw ratio, importance ranking)
+    while making the judged output bit-deterministic.
+
+    100 TB shape: the model is one 4096-row table built by a map-side-
+    combined count and broadcast back; scoring is scan-speed (explode →
+    bucket → broadcast equi-join → per-doc integer sum); selection is
+    one TakeOrdered. The raw corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = X.words(F.col("text"))
+    dw = docs.select(F.col("doc_id").alias("doc"), "lang",
+                     w.alias("w")).filter(F.size("w") >= 2)
+    bigrams = dw.select(
+        "doc", "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("w"), i + 1),
+                                  F.element_at(F.col("w"), i + 2))))
+        .alias("b"))
+    hb = bigrams.select(
+        "doc", "lang",
+        (D.md5_long(F.col("b")) % _DSIR_BUCKETS).alias("bucket"))
+    blen = lambda c: F.length(F.bin(c.cast("long")))  # noqa: E731
+    model = (hb.groupBy("bucket")
+             .agg((blen(F.sum(F.when(F.col("lang") == "en", 1)
+                              .otherwise(0)) + 1)
+                   - blen(F.count(F.lit(1)) + 1))
+                  .cast("long").alias("weight")))
+    scores = (hb.join(F.broadcast(model), "bucket")
+              .groupBy("doc")
+              .agg(F.sum("weight").cast("long").alias("score")))
+    topk = scores.orderBy(F.desc("score"), F.asc("doc")).limit(_DSIR_K)
+    wr = W.orderBy(F.desc("score"), F.asc("doc"))
+    return (topk.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .orderBy("rank"))

@@ -237,3 +237,22 @@ class TestChainedAgg:
             assert 1 <= r["n_buckets"] <= 4  # ≤ four 15-min buckets/hour
             assert r["max_bucket"] <= r["n_events"]
             assert r["n_events"] >= r["n_buckets"]  # each bucket ≥ 1 event
+
+
+class TestDsirImportance:
+    def test_selection_invariants_and_target_skew(self, spark):
+        from fictional_guacamole_spark.tables import load_table
+        rows = REGISTRY["pipeline_dsir_importance"].builder(
+            spark, SF_JUDGED).collect()
+        assert [r["rank"] for r in rows] == list(range(1, 51))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # the importance ranking must be target-seeking: English docs
+        # should be over-represented in the top-50 vs their corpus share
+        docs = load_table(spark, SF_JUDGED, "documents")
+        lang = {r["doc_id"]: r["lang"]
+                for r in docs.select("doc_id", "lang").collect()}
+        top_en = sum(1 for r in rows if lang[r["doc"]] == "en") / len(rows)
+        corpus_en = (sum(1 for v in lang.values() if v == "en")
+                     / len(lang))
+        assert top_en > corpus_en, (top_en, corpus_en)

@@ -56,6 +56,7 @@ def test_every_family_has_an_inwindow_representative():
         "streaming": {"stream_tumbling_window", "stream_session_window",
                       "stream_engine_hourly_counts",
                       "stream_engine_append_watermark",
+                      "stream_engine_chained_agg",
                       "stream_engine_stateful_ewma",
                       "stream_engine_dedup_watermark",
                       "stream_engine_stream_join",
@@ -67,6 +68,7 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_session_window"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
                                    "stream_engine_append_watermark",
+                                   "stream_engine_chained_agg",
                                    "stream_engine_stateful_ewma",
                                    "stream_engine_dedup_watermark",
                                    "stream_engine_stream_join",
@@ -82,7 +84,14 @@ def test_every_family_has_an_inwindow_representative():
         "dedup": {"dedup_exact_documents", "dedup_minhash_lsh",
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
-                  "dedup_incremental_ingest", "dedup_cluster_histogram"},
+                  "dedup_incremental_ingest", "dedup_cluster_histogram",
+                  "dedup_semantic_embedding", "dedup_incremental_minhash"},
+        "semantic_dedup": {"dedup_semantic_embedding"},
+        "incremental_neardup": {"dedup_incremental_minhash"},
+        "weighted_sampling": {"sample_weighted_bottomk"},
+        "importance_resampling": {"pipeline_dsir_importance"},
+        "chained_stateful_agg": {"stream_engine_chained_agg"},
+        "leakage_safe_split": {"pipeline_leakage_safe_split"},
         "similarity": {"sim_cosine_topk", "sim_lsh_topk", "sim_ivf_topk",
                        "sim_ivf_persisted_topk",  # bit-identical to
                        # sim_ivf_topk by construction, same recall-floor
@@ -106,7 +115,8 @@ def test_every_family_has_an_inwindow_representative():
                               "stream_engine_txnlog_sink"},
         "layout": {"layout_zorder_events", "layout_bucketed_join_revenue"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
-                             "sample_stratified"},
+                             "sample_stratified",
+                             "sample_weighted_bottomk"},
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack",
                      "pipeline_leakage_safe_split"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
@@ -142,7 +152,9 @@ def test_every_family_has_an_inwindow_representative():
         "distinct_sketches": {"sketch_kmv_distinct_events",
                               "sketch_hll_distinct_events",
                               "sketch_kmv_set_ops_events"},
-        "corpus_mixing": {"pipeline_domain_mix"},
+        "corpus_mixing": {"pipeline_domain_mix",
+                          "pipeline_temperature_mix"},
+        "temperature_mixing": {"pipeline_temperature_mix"},
         "scd2": {"scd2_order_status_history"},
         "federation": {"federated_tri_source_user_summary"},
         "product_analytics": {"funnel_view_click_purchase",
