@@ -627,3 +627,38 @@ class TestAnalyticsWaveSevenPlans:
         plan = plan_of(spark, "text_classifier_scores")
         assert "BroadcastHashJoin" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestCurationPlans:
+    """Round-10 curation rows: the scale-shape promises in their
+    docstrings asserted against the actual physical plans."""
+
+    @pytest.mark.parametrize("name", [
+        "sample_weighted_bottomk", "pipeline_temperature_mix",
+        "dedup_semantic_embedding", "dedup_incremental_minhash",
+        "pipeline_dsir_importance",
+    ])
+    def test_no_cartesian_product(self, spark, name):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+    def test_dsir_model_is_broadcast(self, spark):
+        # the 4096-row bucket-weight model must join as a broadcast —
+        # a shuffled join here would shuffle the whole scoring stream
+        plan = plan_of(spark, "pipeline_dsir_importance")
+        assert "BroadcastHashJoin" in plan
+
+    def test_dsir_selection_is_take_ordered(self, spark):
+        plan = plan_of(spark, "pipeline_dsir_importance")
+        assert "TakeOrderedAndProject" in plan
+
+    def test_temperature_mix_quota_is_broadcast(self, spark):
+        # the per-domain alloc table joins back as a broadcast; the only
+        # BNLJ is the 1-row totals frame
+        plan = plan_of(spark, "pipeline_temperature_mix")
+        assert "BroadcastHashJoin" in plan
+
+    def test_incremental_minhash_band_probe_no_python(self, spark):
+        plan = plan_of(spark, "dedup_incremental_minhash")
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas"):
+            assert marker not in plan, marker
