@@ -116,8 +116,13 @@ PAR_LOAD_MAX_ATTEMPTS = 4
 # join drain (23.5 s → 4.8 s via replay coalescing) and the composed
 # IVF-PQ probe (15.3 s → 2.9 s via shared codebooks) join the tier so the
 # wins are regression-guarded by history medians.
+# Round 10: the two heaviest new r10 rows join the tier — the chained
+# two-stateful-operator drain and the semantic-dedup pipeline (banded
+# candidate joins + components labeling) — so their latencies are
+# median-tracked from the round they shipped.
 HEAVY_TIER = ["sim_ivf_persisted_topk", "stream_engine_append_watermark",
-              "stream_engine_stream_join", "sim_ivf_pq_persisted_topk"]
+              "stream_engine_stream_join", "sim_ivf_pq_persisted_topk",
+              "stream_engine_chained_agg", "dedup_semantic_embedding"]
 
 
 def _ncpu() -> int:

@@ -28,14 +28,31 @@ Algorithms (public literature):
   an integer square root, the per-domain quota an exact largest-remainder
   apportionment (Hamilton's method), and the within-domain pick an md5
   ranking — bit-reproducible end to end.
-- **Semantic dedup**: SemDeDup-shaped (Abbas et al. 2023) — embed, bucket,
+- **Semantic dedup**: SemDeDup-shaped (Abbas et al. 2023) — embed, block,
   verify cosine, cluster, keep one representative. The embedding is a
-  64-dim feature-hashed token-count vector (integer), candidate buckets are
-  bands of a 48-bit random-hyperplane signature whose ±1 signs derive from
-  md5 parity (integer sums — order-independent, GROUP-BY-safe in both
-  engines), and the cosine-threshold verify is exact integer arithmetic:
-  ``cos(a,b) ≥ τ = p/q  ⟺  q²·dot² ≥ p²·|a|²·|b|²`` for non-negative count
-  vectors.
+  256-dim feature-hashed token-count vector (integer); candidate blocking
+  is the proven MinHash band store (equi-joins, sf10-verified in
+  functions/dedup.py); the cosine-threshold verify is exact integer
+  arithmetic: ``cos(a,b) ≥ τ = p/q  ⟺  q²·dot² ≥ p²·|a|²·|b|²`` for
+  non-negative count vectors.
+
+  Candidate-generation note (measured, round 10): the first cut used
+  random-hyperplane sign-LSH over the raw TF vectors (48-bit signature,
+  6×8 bands, md5-parity ±1 planes). On this corpus it is scale-broken:
+  hashed-TF vectors of a small shared vocabulary all point near the
+  common-word direction, so sign tests are highly correlated across
+  random pairs — measured 40 % of ALL pairs surfacing as candidates at
+  both sf0.01 (49 297/124 750) and sf0.1 (5.03 M/12.5 M), i.e. a
+  quadratic candidate set. Mean-centering the vectors (integer-exact as
+  ``N·c − S``) cut it to ~7 %, still quadratic; integer-quantized tf-idf
+  weighting collapsed 95 % of docs to zero vectors at sf0.01 (every
+  word is common at small N) and stayed quadratic at sf0.1. Word-shingle
+  MinHash banding measures 92–97 % recall against the exact τ ≥ 0.95
+  pair set at linear candidate volume (135 candidates for 25 true pairs
+  at sf0.01; 11 231 for 265 at sf0.1) — so blocking is lexical, exact
+  verification is geometric. With a real neural encoder (where embedding
+  directions are spread), the swap-in blocker is the IVF cell assignment
+  from functions/similarity.py.
 """
 
 from __future__ import annotations
@@ -43,15 +60,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fictional_guacamole_spark.functions import dedup as _D
 from fictional_guacamole_spark.functions.dedup import md5_long, sql_md5_long
 from fictional_guacamole_spark.functions.text import TOKEN_PATTERN, normalize
 
 # --- shared constants (must match the SQL renderings) -----------------------
 
-HASH_DIM = 64          # feature-hashing bucket count for the doc embedding
-SIG_BITS = 48          # sign-signature length
-SIG_BANDS = 6          # bands × band_bits = SIG_BITS
-BAND_BITS = SIG_BITS // SIG_BANDS
+HASH_DIM = 256         # feature-hashing bucket count for the doc embedding
 W_CAP = 64             # weighted-sampling replica cap (weights clip here)
 
 
@@ -84,7 +99,11 @@ def hashed_tf(docs: DataFrame, id_col: str, text_col: str,
 
     One explode + one map-side-combined groupBy; at 100 TB this is the
     scan-speed 'embed' stage (a real pipeline swaps in a neural encoder —
-    the downstream bucket/verify/cluster plumbing is identical)."""
+    the downstream block/verify/cluster plumbing is identical). 256 dims:
+    measured at sf0.1, 64 dims let random count vectors of a shared
+    vocabulary reach cos ≥ 0.95 by chance (485 'near-dup' pairs, half of
+    them lexically unrelated); at 256 the chance pairs vanish (265 → the
+    lexically-real set)."""
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize(F.col(text_col)), " ")).alias("t"))
@@ -106,105 +125,31 @@ def sql_hashed_tf(table: str, id_col: str, text_col: str,
       GROUP BY doc, dim"""
 
 
-# --- sign-band buckets over the hashed embedding ----------------------------
-
-def _sign_table(sig_bits: int = SIG_BITS,
-                dim: int = HASH_DIM) -> list[list[int]]:
-    """Deterministic ±1 hyperplane entries: md5("sem:b:d") parity. Only
-    sig_bits×dim values exist, so the Spark side bakes them in as literals
-    (hashlib md5 ≡ engine md5 — parity asserted in tests/test_curation.py)
-    while the SQL oracle recomputes the identical parity inline."""
-    import hashlib
-    return [[1 if int(hashlib.md5(f"sem:{b}:{d}".encode())
-                      .hexdigest()[:8], 16) % 2 == 0 else -1
-             for d in range(dim)]
-            for b in range(sig_bits)]
-
-
-def sign_band_buckets(tf: DataFrame, sig_bits: int = SIG_BITS,
-                      band_bits: int = BAND_BITS) -> DataFrame:
-    """(doc, band, bucket): each bucket packs ``band_bits`` sign tests of
-    the hashed-TF vector against md5-derived ±1 hyperplanes. All sums are
-    INTEGER (±c contributions), so aggregation order cannot perturb the
-    result — the GROUP BY is safe in any engine, any parallelism.
-
-    Physical shape: per TF row, ONE lookup into a single 2D ±1 literal
-    (indexed by dim, then all sig_bits signs at once) feeds a
-    posexplode — no runtime hashing, no per-bit expression fan-out, so
-    the plan stays small and whole-stage-codegen-friendly. The signed
-    sums combine map-side; the shuffle carries (doc, bit) longs.
-
-    Near-identical vectors collide in every band; the band-bit count sets
-    the bucket granularity (raise it as the corpus grows — the judged
-    48/6 layout gives high pair recall at cos ≥ 0.95 while keeping
-    buckets small; see tests/test_curation.py for the measured floor)."""
-    # transpose: signs_by_dim[d][b] — one element_at per row fetches the
-    # row's full sign column, the lambda scales it by the count
-    table = _sign_table(sig_bits)
-    signs_by_dim = F.lit([[table[b][d] for b in range(sig_bits)]
-                          for d in range(HASH_DIM)])
-    contribs = F.transform(
-        F.element_at(signs_by_dim, F.col("dim").cast("int") + 1),
-        lambda s: s.cast("long") * F.col("c"))
-    sums = (tf.select("doc", F.posexplode(contribs).alias("b", "contrib"))
-            .groupBy("doc", "b").agg(F.sum("contrib").alias("s")))
-    return (sums.select(
-                "doc",
-                F.expr(f"CAST(b DIV {band_bits} AS INT)").alias("band"),
-                F.when(F.col("s") > 0,
-                       F.expr(f"shiftleft(1, CAST(b % {band_bits} AS INT))"))
-                 .otherwise(F.lit(0)).cast("long").alias("bitval"))
-            .groupBy("doc", "band")
-            .agg(F.sum("bitval").alias("bucket")))
-
-
-def sql_sign_band_buckets(tf_cte: str, sig_bits: int = SIG_BITS,
-                          band_bits: int = BAND_BITS) -> str:
-    """DuckDB rendering of :func:`sign_band_buckets` over a named TF CTE."""
-    sign = (f"CASE WHEN {sql_md5_long(_SEM_SIGN_KEY)} % 2 = 0 "
-            f"THEN c ELSE -c END")
-    return f"""
-      SELECT doc, b // {band_bits} AS band,
-             SUM(CASE WHEN s > 0 THEN 1 << (b % {band_bits}) ELSE 0 END)
-               AS bucket
-      FROM (
-        SELECT doc, g.b, SUM({sign}) AS s
-        FROM {tf_cte} CROSS JOIN
-             (SELECT unnest(generate_series(0, {sig_bits - 1})) AS b) g
-        GROUP BY doc, g.b) _sem_sums
-      GROUP BY doc, band"""
-
-
-_SEM_SIGN_KEY = ("'sem:' || CAST(b AS VARCHAR) || ':' || "
-                 "CAST(dim AS VARCHAR)")
-
-
-# --- exact integer cosine verification --------------------------------------
+# --- exact integer cosine verification over blocked candidates --------------
 
 def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
                    tau_num: int = 19, tau_den: int = 20) -> DataFrame:
-    """(doc_a, doc_b) pairs with hashed-TF cosine ≥ tau_num/tau_den,
-    candidates from sign-band buckets, verified in EXACT integer
-    arithmetic (cross-multiplied squares — count vectors are non-negative
-    so the sign check is free). Default τ = 0.95.
+    """(doc_a, doc_b) pairs with hashed-TF cosine ≥ tau_num/tau_den:
+    candidates from the MinHash band store (the sf10-proven blocking
+    equi-join — see the module docstring for why sign-LSH was measured
+    out), verified in EXACT integer arithmetic (cross-multiplied squares
+    — count vectors are non-negative so the sign check is free).
+    Default τ = 0.95.
 
-    100 TB shape: embed map-side → 6 band equi-joins (never all-pairs) →
-    per-candidate sparse dot (equi-join on dim) → integer compare. The
-    quadratic blow-up surface is bucket size, bounded by band_bits."""
-    # Both tf and sig are reused (tf: candidate dot + norms; sig: the
-    # band self-join). localCheckpoint materializes each once AND
-    # truncates lineage — without it every reuse re-analyzes the
-    # 48-aggregate literal-table subtree, which dominates wall time at
-    # small SF and compounds plan size at any SF.
-    tf = hashed_tf(docs, id_col, text_col).localCheckpoint(eager=True)
-    sig = sign_band_buckets(tf).localCheckpoint(eager=True)
-    a, b = sig.alias("a"), sig.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.doc") < F.col("b.doc")))
-            .select(F.col("a.doc").alias("doc_a"),
-                    F.col("b.doc").alias("doc_b"))
+    100 TB shape: embed map-side → 8 band equi-joins (never all-pairs) →
+    per-candidate sparse dot (equi-join on dim) → integer compare. Band
+    width is the standard banding knob as the corpus grows."""
+    sig = _D.minhash_signatures(docs, id_col, text_col, n=3)
+    bk = _D.minhash_band_keys(sig).localCheckpoint(eager=True)
+    cand = (bk.alias("x").join(
+                bk.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("x.doc") < F.col("y.doc")))
+            .select(F.col("x.doc").alias("doc_a"),
+                    F.col("y.doc").alias("doc_b"))
             .distinct())
+    tf = hashed_tf(docs, id_col, text_col).localCheckpoint(eager=True)
     x, y = tf.alias("x"), tf.alias("y")
     dots = (cand.join(x, F.col("x.doc") == F.col("doc_a"))
             .join(y, (F.col("y.doc") == F.col("doc_b"))
@@ -226,20 +171,32 @@ def sql_semantic_pairs(table: str, id_col: str, text_col: str,
                        tau_num: int = 19, tau_den: int = 20) -> str:
     """Standalone SELECT for :func:`semantic_pairs` (composable into
     sql_dedup_components' pairs slot). CTE names are module-unique (the
-    DuckDB nested-CTE shadowing bug recorded in SCALE.md)."""
+    DuckDB nested-CTE shadowing bug recorded in SCALE.md); the MinHash
+    band SQL is the shared dedup rendering, so blocking here and in the
+    judged MinHash rows cannot silently diverge."""
+    sig_sql = _D.sql_minhash_signatures(table, id_col, text_col, n=3)
+    band_rows = "\n        UNION ALL\n        ".join(
+        "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM semsig"
+        .format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"m{b * _D.LSH_ROWS + r}" for r in range(_D.LSH_ROWS)),
+        )
+        for b in range(_D.LSH_BANDS))
     tf = sql_hashed_tf(table, id_col, text_col)
-    sig = sql_sign_band_buckets("semtf")
     return f"""
     SELECT doc_a, doc_b FROM (
-      WITH semtf AS MATERIALIZED ({tf}),
-      semsig AS MATERIALIZED ({sig}),
+      WITH semsig AS MATERIALIZED ({sig_sql}),
+      semband AS MATERIALIZED (
+        {band_rows}),
+      semcand AS MATERIALIZED (
+        SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        FROM semband x JOIN semband y
+          ON x.band = y.band AND x.band_sig = y.band_sig
+             AND x.doc < y.doc),
+      semtf AS MATERIALIZED ({tf}),
       semnrm AS MATERIALIZED (
         SELECT doc, SUM(c * c) AS n2 FROM semtf GROUP BY doc),
-      semcand AS MATERIALIZED (
-        SELECT DISTINCT sa.doc AS doc_a, sb.doc AS doc_b
-        FROM semsig sa JOIN semsig sb
-          ON sa.band = sb.band AND sa.bucket = sb.bucket
-             AND sa.doc < sb.doc),
       semdot AS MATERIALIZED (
         SELECT sc.doc_a, sc.doc_b, SUM(x.c * y.c) AS dot
         FROM semcand sc
