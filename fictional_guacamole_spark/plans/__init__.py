@@ -317,11 +317,9 @@ JUDGE_WINDOW: list[str] = [
                                     # representative, T1–T5's execution
                                     # model)
     "embed_random_projection",     # JL sign projection, exact hash
-    "text_quality_filter",         # quality-score gate (sampling family)
     "text_lm_familiarity",         # bigram-LM quality signal
     "pipeline_training_corpus",    # the end-to-end LLM-corpus capstone
     "pipeline_chunk_overlap",      # overlapping context-window chunking
-    "pipeline_domain_mix",         # domain-proportional mixing
     "pipeline_rag_retrieval",      # chunk→embed→rank capstone
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
     "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (K4)
@@ -385,6 +383,16 @@ JUDGE_WINDOW: list[str] = [
                                    # bigrams, integer-quantized log ratio
                                    # (in for stream_engine_static_enrich,
                                    # green r8; 5 engine rows remain)
+    # -- late-r10 registrations (in for text_quality_filter and
+    # pipeline_domain_mix, both green r8 — their families keep the new
+    # weighted-sampling and temperature-mix representatives) -----------
+    "stream_engine_join_then_agg",  # stream-stream join feeding a
+                                    # windowed agg, one engine query;
+                                    # the join delays the watermark by
+                                    # its 6h horizon (judged cutoff)
+    "pipeline_curation_corpus",    # CAPSTONE: dedup keep-best → quality
+                                   # gate → α=0.5 quotas → E-S weighted
+                                   # picks, one judged manifest
 ]
 # Mid-r8 second rotation: the 10 queries REGISTERED during round 8 after
 # the round-start rotation (JPEG codec, KMV/HLL sketches, filtered ANN,

@@ -417,3 +417,146 @@ def pipeline_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = W.orderBy(F.desc("score"), F.asc("doc"))
     return (topk.withColumn("rank", F.row_number().over(wr).cast("int"))
             .orderBy("rank"))
+
+
+_CAP_PAIRS_SQL = (
+    "SELECT doc_a, doc_b FROM ("
+    + D.sql_minhash_lsh_pairs("documents", "doc_id", "text", n=3)
+    + ") WHERE est_jaccard >= 0.5")
+_CAP_MIN_TOKENS = 20
+
+
+@query(
+    "pipeline_curation_corpus",
+    survey_ref="extensions: CURATION CAPSTONE — near-dup keep-best → "
+               "quality gate → sqrt-temperature quotas → weighted picks, "
+               "one judged manifest",
+    description="Final corpus manifest: dedup survivors gated on token "
+                "count, half-budget apportioned across domains at α=0.5, "
+                "docs picked per domain by the E-S weighted key",
+    oracle=f"""
+    WITH comp AS ({D.sql_dedup_components(
+        _CAP_PAIRS_SQL, "documents", "doc_id")}),
+    toks AS (
+      SELECT doc_id AS doc,
+             len(regexp_extract_all({_NORM}, '{X.TOKEN_PATTERN}'))
+               AS n_tokens,
+             'd' || CAST(CAST(FLOOR(SQRT(CAST(substr(source, 4) AS DOUBLE)))
+                              AS INT) AS VARCHAR) AS domain
+      FROM documents),
+    kept AS (
+      SELECT comp.doc, toks.domain, toks.n_tokens
+      FROM comp JOIN toks ON comp.doc = toks.doc
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY canonical_id
+                                 ORDER BY n_tokens DESC, comp.doc) = 1),
+    gated AS (
+      SELECT doc, domain,
+             GREATEST(1, LEAST({C.W_CAP}, n_tokens)) AS weight
+      FROM kept WHERE n_tokens >= {_CAP_MIN_TOKENS}),
+    counts AS (
+      SELECT domain, COUNT(*) AS n_d,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_d
+      FROM gated GROUP BY domain),
+    tot AS (
+      SELECT SUM(w_d) AS w_sum, SUM(n_d) // 2 AS budget FROM counts),
+    quota AS (
+      SELECT domain, n_d, w_d,
+             (budget * w_d) // w_sum AS base,
+             (budget * w_d) % w_sum AS rem,
+             budget - SUM((budget * w_d) // w_sum) OVER () AS leftover
+      FROM counts, tot),
+    alloc AS (
+      SELECT domain,
+             LEAST(n_d, base
+                   + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, domain)
+                               <= leftover THEN 1 ELSE 0 END) AS alloc
+      FROM quota),
+    picked AS (
+      SELECT g.doc, g.domain, g.weight, a.alloc,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.domain
+               ORDER BY {C.sql_weighted_sample_key('g.doc', 'g.weight')},
+                        g.doc) AS pick_rank
+      FROM gated g JOIN alloc a USING (domain))
+    SELECT doc, domain, CAST(weight AS BIGINT) AS weight,
+           CAST(alloc AS BIGINT) AS alloc,
+           CAST(pick_rank AS INTEGER) AS pick_rank
+    FROM picked WHERE pick_rank <= alloc
+    ORDER BY doc
+    """,
+)
+def pipeline_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CAPSTONE: every r10 selection primitive composed into
+    the manifest a training run would actually consume. Stages — (1) the
+    judged near-dup components labeling keeps the token-count argmax per
+    cluster (the keep-best policy); (2) survivors gate on a minimum
+    token count (the quality floor); (3) a half-corpus budget is
+    apportioned across the skewed domains at temperature α=0.5 (integer
+    sqrt + Hamilton largest-remainder, quotas clamped to domain size);
+    (4) each domain fills its quota in Efraimidis–Spirakis weighted
+    order (weight = clipped token count, the min-of-w-md5-draws key), so
+    longer documents are proportionally likelier to make the corpus.
+    Deterministic end to end — same corpus, same manifest, any cluster —
+    and every stage is the exact arithmetic its standalone judged row
+    certified (components / keep_best / temperature_mix /
+    weighted_bottomk share their builders with this oracle).
+
+    100 TB shape: the labeling is the sf10-proven distributed components
+    pass; everything after is one hash projection, a |domains|-row
+    broadcast quota table, and per-domain TakeOrdered picks — no stage
+    shuffles the corpus beyond the dedup evidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+             .filter(F.col("est_jaccard") >= 0.5)
+             .select("doc_a", "doc_b"))
+    comp = D.dedup_components(pairs, docs.select("doc_id"))
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.concat(F.lit("d"),
+                 F.floor(F.sqrt(F.expr(
+                     "CAST(substring(source, 4) AS DOUBLE)")))
+                  .cast("int").cast("string")).alias("domain"))
+    wk = W.partitionBy("canonical_id").orderBy(F.desc("n_tokens"),
+                                               F.asc("doc"))
+    kept = (comp.join(toks, "doc")
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1))
+    gated = (kept.filter(F.col("n_tokens") >= _CAP_MIN_TOKENS)
+             .select("doc", "domain",
+                     F.greatest(F.lit(1),
+                                F.least(F.lit(C.W_CAP), F.col("n_tokens")))
+                      .cast("long").alias("weight")))
+    counts = (gated.groupBy("domain")
+              .agg(F.count(F.lit(1)).alias("n_d"))
+              .withColumn("w_d", F.floor(F.sqrt(F.col("n_d")
+                                                .cast("double")))
+                          .cast("long")))
+    tot = counts.agg(F.sum("w_d").alias("w_sum"),
+                     (F.sum("n_d") / 2).cast("long").alias("budget"))
+    quota = (counts.join(F.broadcast(tot))
+             .select("domain", "n_d",
+                     F.expr("(budget * w_d) DIV w_sum").alias("base"),
+                     F.expr("(budget * w_d) % w_sum").alias("rem"),
+                     F.col("budget")))
+    wq = W.orderBy(F.desc("rem"), F.asc("domain"))
+    alloc = (quota
+             .withColumn("leftover",
+                         F.col("budget") - F.sum("base").over(
+                             W.partitionBy()))
+             .withColumn(
+                 "alloc",
+                 F.least(
+                     F.col("n_d"),
+                     F.col("base") + F.when(
+                         F.row_number().over(wq) <= F.col("leftover"),
+                         F.lit(1)).otherwise(F.lit(0))))
+             .select("domain", "alloc"))
+    wp = W.partitionBy("domain").orderBy(
+        C.weighted_sample_key(F.col("doc"), F.col("weight")), F.asc("doc"))
+    return (gated.join(F.broadcast(alloc), "domain")
+            .withColumn("pick_rank", F.row_number().over(wp).cast("int"))
+            .filter(F.col("pick_rank") <= F.col("alloc"))
+            .select("doc", "domain", "weight",
+                    F.col("alloc").cast("long").alias("alloc"), "pick_rank")
+            .orderBy("doc"))

@@ -1264,3 +1264,88 @@ def stream_engine_chained_agg(spark: SparkSession,
             .select(F.col("hw.start").alias("window_start"), "event_type",
                     "n_buckets", "n_events", "max_bucket")
             .orderBy("window_start", "event_type"))
+
+
+@query(
+    "stream_engine_join_then_agg",
+    survey_ref="§2.5 streaming: stream-stream join FEEDING a windowed "
+               "aggregation inside one engine query (the second "
+               "multiple-stateful-operator combination: join state + "
+               "window state under one checkpoint)",
+    description="Hourly attribution rollup computed downstream of a "
+                "watermarked stream-stream interval join, one append-mode "
+                "streaming query",
+    oracle="""
+    WITH j AS (
+      SELECT p.ts AS pts, v.event_id AS vid
+      FROM events p JOIN events v
+        ON p.user_id = v.user_id
+       AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 6 HOUR),
+    agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, pts) AS window_start,
+             COUNT(*) AS n_attributed,
+             MIN(vid) AS min_view, MAX(vid) AS max_view
+      FROM j GROUP BY 1)
+    SELECT window_start, n_attributed, min_view, max_view
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 7 HOUR FROM events)
+    ORDER BY window_start
+    """,
+)
+def stream_engine_join_then_agg(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-stream join CHAINED into a windowed aggregation — the
+    attribution rollup (purchases joined to the same user's preceding-6h
+    views, counted per purchase hour) as ONE streaming query. Together
+    with stream_engine_chained_agg (agg→agg) this exercises the second
+    multiple-stateful-operator composition: two-sided join state AND
+    windowed aggregation state, one checkpoint, exactly-once end to end.
+
+    The judged emission cutoff encodes a real engine fact the agg→agg
+    row cannot show: a stream-stream join DELAYS the downstream
+    watermark by its state horizon. The view side must stay matchable
+    for 6 hours past its event time, so the join's output watermark runs
+    (watermark delay + join horizon) = 7 hours behind max event time,
+    and the hourly windows the aggregation may finalize are exactly
+    those ending ≤ max(ts) − 7 h — measured on the drain (162 emitted
+    windows vs 164 for a 1 h cutoff) and replayed verbatim by the batch
+    oracle.
+
+    At 100 TB: both stateful operators shard on their keys (user_id,
+    then window); state is bounded by horizon × rate for the join and
+    by watermark eviction for the windows; the rollup's key space is
+    |hours|, a ~10⁴× reduction of the pair stream."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(spark, sf_dir)
+    purchases, views = _purchase_view_sides(spark, base)
+    joined = purchases.join(
+        views,
+        F.expr("""p_user = v_user
+                  AND view_ts <= purchase_ts
+                  AND view_ts > purchase_ts - INTERVAL 6 HOURS"""))
+    agg = (joined
+           .groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_attributed"),
+                F.min("view_id").alias("min_view"),
+                F.max("view_id").alias("max_view")))
+    name = f"fg_joinagg_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_joinagg_ckpt_")
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("window_start"),
+                    "n_attributed", "min_view", "max_view")
+            .orderBy("window_start"))

@@ -240,3 +240,46 @@ class TestDsirImportance:
         corpus_en = (sum(1 for v in lang.values() if v == "en")
                      / len(lang))
         assert top_en > corpus_en, (top_en, corpus_en)
+
+
+class TestJoinThenAgg:
+    def test_rollup_invariants(self, spark):
+        rows = REGISTRY["stream_engine_join_then_agg"].builder(
+            spark, SF_JUDGED).collect()
+        assert rows, "drain produced no finalized windows"
+        for r in rows:
+            assert r["n_attributed"] >= 1
+            assert r["min_view"] <= r["max_view"]
+        starts = [r["window_start"] for r in rows]
+        assert starts == sorted(starts)
+
+
+class TestCurationCapstone:
+    @pytest.fixture(scope="class")
+    def manifest(self, spark):
+        return REGISTRY["pipeline_curation_corpus"].builder(
+            spark, SF_JUDGED).collect()
+
+    def test_quota_and_rank_invariants(self, manifest):
+        by_dom = {}
+        for r in manifest:
+            by_dom.setdefault(r["domain"], []).append(r)
+        for dom, picks in by_dom.items():
+            ranks = sorted(p["pick_rank"] for p in picks)
+            assert ranks == list(range(1, len(picks) + 1)), dom
+            assert all(p["alloc"] == len(picks) for p in picks), dom
+        # every selected doc clears the quality gate's weight floor
+        # (weight = clipped token count; gate is 20 tokens)
+        assert all(20 <= r["weight"] <= C.W_CAP for r in manifest)
+
+    def test_selection_is_dedup_survivors_only(self, manifest, spark):
+        # no two selected docs may be near-duplicates of each other:
+        # re-run the pair evidence and assert no selected pair collides
+        from fictional_guacamole_spark.functions import dedup as D
+        from fictional_guacamole_spark.tables import load_table
+        docs = load_table(spark, SF_JUDGED, "documents")
+        pairs = (D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+                 .filter(F.col("est_jaccard") >= 0.5).collect())
+        selected = {r["doc"] for r in manifest}
+        for p in pairs:
+            assert not (p["doc_a"] in selected and p["doc_b"] in selected), p

@@ -57,6 +57,7 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_hourly_counts",
                       "stream_engine_append_watermark",
                       "stream_engine_chained_agg",
+                      "stream_engine_join_then_agg",
                       "stream_engine_stateful_ewma",
                       "stream_engine_dedup_watermark",
                       "stream_engine_stream_join",
@@ -69,6 +70,7 @@ def test_every_family_has_an_inwindow_representative():
         "stream_engine_executed": {"stream_engine_hourly_counts",
                                    "stream_engine_append_watermark",
                                    "stream_engine_chained_agg",
+                                   "stream_engine_join_then_agg",
                                    "stream_engine_stateful_ewma",
                                    "stream_engine_dedup_watermark",
                                    "stream_engine_stream_join",
@@ -118,7 +120,10 @@ def test_every_family_has_an_inwindow_representative():
                              "sample_stratified",
                              "sample_weighted_bottomk"},
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack",
-                     "pipeline_leakage_safe_split"},
+                     "pipeline_leakage_safe_split",
+                     "pipeline_curation_corpus"},
+        "curation_capstone": {"pipeline_curation_corpus"},
+        "join_then_agg": {"stream_engine_join_then_agg"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
                        "multimodal_decode_meta", "multimodal_png_decode",
                        "multimodal_gif_decode", "multimodal_jpeg_decode",
