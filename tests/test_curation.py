@@ -1,9 +1,10 @@
 """Curation-operator tests (functions/curation.py, plans/curation.py):
 integer-exactness of the weighted-sampling keys against a pure-Python
 hashlib reference, Efraimidis–Spirakis distributional sanity, temperature-
-mix apportionment invariants, sign-table parity (hashlib literal vs engine
-md5), semantic-dedup candidate recall vs the exact all-pairs baseline, and
-plan-quality gates.
+mix apportionment invariants, semantic-dedup candidate recall vs the exact
+all-pairs baseline, incremental-minhash/chained-agg/join-then-agg
+invariants, the curation-capstone manifest contract, and plan-quality
+gates.
 """
 
 from __future__ import annotations
