@@ -57,16 +57,23 @@ Algorithms (public literature):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions import dedup as _D
 from fictional_guacamole_spark.functions.dedup import md5_long, sql_md5_long
-from fictional_guacamole_spark.functions.text import TOKEN_PATTERN, normalize
+from fictional_guacamole_spark.functions.text import normalize
 
 # --- shared constants (must match the SQL renderings) -----------------------
 
 HASH_DIM = 256         # feature-hashing bucket count for the doc embedding
+TF_CAP = 255           # per-dim count clip: keeps the exact-cosine compare
+                       # inside int64 — na, nb ≤ HASH_DIM·TF_CAP² ≈ 1.7e7,
+                       # so 400·dot² and 361·na·nb ≤ ~1.1e17 < 2^63 (Spark's
+                       # non-ANSI multiply would wrap silently and DuckDB
+                       # would raise; the clip makes overflow impossible by
+                       # construction, and count clipping at 255 is the
+                       # standard tf saturation — near-dups still match)
 W_CAP = 64             # weighted-sampling replica cap (weights clip here)
 
 
@@ -110,7 +117,7 @@ def hashed_tf(docs: DataFrame, id_col: str, text_col: str,
     toks = toks.filter(F.col("t") != "")
     return (toks.select("doc", (md5_long(F.col("t")) % dim).alias("dim"))
             .groupBy("doc", "dim")
-            .agg(F.count(F.lit(1)).alias("c")))
+            .agg(F.least(F.count(F.lit(1)), F.lit(TF_CAP)).alias("c")))
 
 
 def sql_hashed_tf(table: str, id_col: str, text_col: str,
@@ -118,7 +125,7 @@ def sql_hashed_tf(table: str, id_col: str, text_col: str,
     norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
     return f"""
       SELECT {id_col} AS doc, {sql_md5_long('t')} % {dim} AS dim,
-             COUNT(*) AS c
+             LEAST(COUNT(*), {TF_CAP}) AS c
       FROM (SELECT {id_col}, unnest(string_split({norm}, ' ')) AS t
             FROM {table}) _sem_toks
       WHERE t <> ''
@@ -175,14 +182,7 @@ def sql_semantic_pairs(table: str, id_col: str, text_col: str,
     band SQL is the shared dedup rendering, so blocking here and in the
     judged MinHash rows cannot silently diverge."""
     sig_sql = _D.sql_minhash_signatures(table, id_col, text_col, n=3)
-    band_rows = "\n        UNION ALL\n        ".join(
-        "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM semsig"
-        .format(
-            b=b,
-            concat=" || '_' || ".join(
-                f"m{b * _D.LSH_ROWS + r}" for r in range(_D.LSH_ROWS)),
-        )
-        for b in range(_D.LSH_BANDS))
+    band_rows = _D.sql_minhash_band_rows("semsig")
     tf = sql_hashed_tf(table, id_col, text_col)
     return f"""
     SELECT doc_a, doc_b FROM (
@@ -209,3 +209,72 @@ def sql_semantic_pairs(table: str, id_col: str, text_col: str,
       JOIN semnrm nb ON sd.doc_b = nb.doc
       WHERE {tau_den * tau_den} * dot * dot
             >= {tau_num * tau_num} * na.n2 * nb.n2) _sem_pairs"""
+
+
+# --- sqrt-temperature Hamilton apportionment (shared by both mix rows) ------
+
+def temperature_alloc(grouped: DataFrame, key_col: str,
+                      budget_div: int) -> DataFrame:
+    """(key, alloc) quotas for α=0.5 temperature mixing: weights are
+    integer square roots of group sizes (IEEE-CR sqrt under FLOOR),
+    quotas are Hamilton largest-remainder apportionment of
+    ``total // budget_div``, and every quota is CLAMPED to its group
+    size (a tiny heavily-up-weighted domain cannot be allocated more
+    docs than it has; the clamped surplus is deliberately NOT
+    reassigned — the manifest under-fills rather than silently
+    re-skewing the mixture, and the shortfall is visible as
+    sum(alloc) < budget). ONE implementation feeds both judged mix rows
+    and their oracles compose :func:`sql_temperature_alloc`, so the
+    clamp semantics cannot drift between siblings.
+
+    ``grouped``: one row per key with an ``n_d`` count column."""
+    counts = grouped.withColumn(
+        "w_d", F.floor(F.sqrt(F.col("n_d").cast("double"))).cast("long"))
+    tot = counts.agg(
+        F.sum("w_d").alias("w_sum"),
+        (F.sum("n_d") / budget_div).cast("long").alias("budget"))
+    quota = (counts.join(F.broadcast(tot))
+             .select(key_col, "n_d",
+                     F.expr("(budget * w_d) DIV w_sum").alias("base"),
+                     F.expr("(budget * w_d) % w_sum").alias("rem"),
+                     F.col("budget")))
+    wq = W.orderBy(F.desc("rem"), F.asc(key_col))
+    return (quota
+            .withColumn("leftover",
+                        F.col("budget") - F.sum("base").over(W.partitionBy()))
+            .withColumn(
+                "alloc",
+                F.least(
+                    F.col("n_d"),
+                    F.col("base") + F.when(
+                        F.row_number().over(wq) <= F.col("leftover"),
+                        F.lit(1)).otherwise(F.lit(0))))
+            .select(key_col, "alloc"))
+
+
+def sql_temperature_alloc(grouped_cte: str, key_col: str,
+                          budget_div: int) -> str:
+    """DuckDB rendering of :func:`temperature_alloc` — identical
+    arithmetic over a CTE with (key, n_d) rows; emits the counts→alloc
+    CTE chain (names prefixed ``ta_`` to stay shadow-safe)."""
+    return f"""
+    ta_counts AS (
+      SELECT {key_col}, n_d,
+             CAST(FLOOR(SQRT(CAST(n_d AS DOUBLE))) AS BIGINT) AS w_d
+      FROM {grouped_cte}),
+    ta_tot AS (
+      SELECT SUM(w_d) AS w_sum, SUM(n_d) // {budget_div} AS budget
+      FROM ta_counts),
+    ta_quota AS (
+      SELECT {key_col}, n_d,
+             (budget * w_d) // w_sum AS base,
+             (budget * w_d) % w_sum AS rem,
+             budget - SUM((budget * w_d) // w_sum) OVER () AS leftover
+      FROM ta_counts, ta_tot),
+    ta_alloc AS (
+      SELECT {key_col},
+             LEAST(n_d, base
+                   + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                                  {key_col})
+                               <= leftover THEN 1 ELSE 0 END) AS alloc
+      FROM ta_quota)"""

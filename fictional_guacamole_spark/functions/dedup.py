@@ -378,16 +378,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str,
-                          n: int = 3) -> str:
-    sig_sql = sql_minhash_signatures(table, id_col, text_col, n)
-    band_rows = "\n      UNION ALL\n      ".join(
-        "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM sig".format(
+def sql_minhash_band_rows(sig_cte: str) -> str:
+    """The one SQL rendering of :func:`minhash_band_keys` — a UNION ALL of
+    per-band (doc, band, band_sig) selects over a signature CTE. Every
+    oracle that bands signatures MUST compose this helper (three sites
+    round 10: the LSH pair oracle, the semantic-dedup blocking CTE, the
+    incremental-ingest probe) so a LSH_BANDS/LSH_ROWS/separator change
+    cannot silently diverge between judged rows."""
+    return "\n      UNION ALL\n      ".join(
+        "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM {cte}"
+        .format(
             b=b,
             concat=" || '_' || ".join(
                 f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)),
+            cte=sig_cte,
         )
         for b in range(LSH_BANDS))
+
+
+def sql_minhash_lsh_pairs(table: str, id_col: str, text_col: str,
+                          n: int = 3) -> str:
+    sig_sql = sql_minhash_signatures(table, id_col, text_col, n)
+    band_rows = sql_minhash_band_rows("sig")
     agree = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
         for i in range(MINHASH_K))

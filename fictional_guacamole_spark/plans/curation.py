@@ -88,38 +88,22 @@ def sample_weighted_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
                "(α=0.5 multinomial, exact largest-remainder apportionment)",
     description="Quarter-corpus budget apportioned across skewed domains "
                 "with p_d ∝ sqrt(n_d), docs picked by md5 rank",
-    oracle="""
+    oracle=f"""
     WITH doms AS (
       SELECT doc_id AS doc,
              'd' || CAST(CAST(FLOOR(SQRT(CAST(substr(source, 4) AS DOUBLE)))
                               AS INT) AS VARCHAR) AS domain
       FROM documents),
-    counts AS (
-      SELECT domain, COUNT(*) AS n_d,
-             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_d
-      FROM doms GROUP BY domain),
-    tot AS (
-      SELECT SUM(w_d) AS w_sum, SUM(n_d) AS n_total,
-             SUM(n_d) // 4 AS budget
-      FROM counts),
-    quota AS (
-      SELECT domain, n_d, w_d,
-             (budget * w_d) // w_sum AS base,
-             (budget * w_d) % w_sum AS rem,
-             budget - SUM((budget * w_d) // w_sum) OVER () AS leftover
-      FROM counts, tot),
-    alloc AS (
-      SELECT domain, n_d,
-             base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, domain)
-                              <= leftover THEN 1 ELSE 0 END AS alloc
-      FROM quota),
+    dom_counts AS (
+      SELECT domain, COUNT(*) AS n_d FROM doms GROUP BY domain),
+    {C.sql_temperature_alloc('dom_counts', 'domain', budget_div=4)},
     picked AS (
       SELECT d.doc, d.domain, a.alloc,
              ROW_NUMBER() OVER (
                PARTITION BY d.domain
-               ORDER BY CAST('0x' || substr(md5(CAST(d.doc AS VARCHAR)), 1, 8)
-                             AS BIGINT), d.doc) AS pick_rank
-      FROM doms d JOIN alloc a USING (domain))
+               ORDER BY {D.sql_md5_long('CAST(d.doc AS VARCHAR)')},
+                        d.doc) AS pick_rank
+      FROM doms d JOIN ta_alloc a USING (domain))
     SELECT doc, domain, CAST(alloc AS BIGINT) AS alloc,
            CAST(pick_rank AS INTEGER) AS pick_rank
     FROM picked WHERE pick_rank <= alloc
@@ -133,10 +117,16 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-source corpora. Unlike pipeline_domain_mix (rate-based hash
     sampling — expected counts), this row apportions an EXACT budget:
     integer square roots (IEEE-correctly-rounded sqrt under FLOOR),
-    Hamilton largest-remainder rounding so per-domain quotas sum exactly
-    to the budget, and within-domain picks by md5 rank. The fixture's
-    sources are uniform, so the domain key sqrt-buckets the source index
-    into authentically skewed groups (25/75/125/175/100 at sf0.01).
+    Hamilton largest-remainder rounding, and within-domain picks by md5
+    rank. Quotas CLAMP at domain size (the shared
+    functions/curation.py::temperature_alloc — one implementation with
+    the capstone, so the clamp semantics cannot drift): a tiny
+    up-weighted domain can never be allocated more docs than it has,
+    and a clamped surplus shows as sum(alloc) < budget instead of
+    silently re-skewing the mixture. The fixture's sources are uniform,
+    so the domain key sqrt-buckets the source index into authentically
+    skewed groups (25/75/125/175/100 at sf0.01 — no clamp fires there;
+    the clamp path is unit-tested on a 1-doc domain).
 
     100 TB shape: the quota table is |domains| rows (KBs, broadcast);
     the pick is one md5 projection + one per-domain window — at scale the
@@ -148,30 +138,8 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.floor(F.sqrt(F.expr(
                      "CAST(substring(source, 4) AS DOUBLE)")))
                   .cast("int").cast("string")).alias("domain"))
-    counts = (doms.groupBy("domain")
-              .agg(F.count(F.lit(1)).alias("n_d"))
-              .withColumn("w_d", F.floor(F.sqrt(F.col("n_d")
-                                                .cast("double")))
-                          .cast("long")))
-    tot = counts.agg(F.sum("w_d").alias("w_sum"),
-                     F.sum("n_d").alias("n_total"),
-                     (F.sum("n_d") / 4).cast("long").alias("budget"))
-    quota = (counts.join(F.broadcast(tot))
-             .select("domain", "n_d", "w_d",
-                     F.expr("(budget * w_d) DIV w_sum").alias("base"),
-                     F.expr("(budget * w_d) % w_sum").alias("rem"),
-                     F.col("budget")))
-    wq = W.orderBy(F.desc("rem"), F.asc("domain"))
-    alloc = (quota
-             .withColumn("leftover",
-                         F.col("budget") - F.sum("base").over(
-                             W.partitionBy()))
-             .withColumn(
-                 "alloc",
-                 F.col("base") + F.when(
-                     F.row_number().over(wq) <= F.col("leftover"),
-                     F.lit(1)).otherwise(F.lit(0)))
-             .select("domain", "alloc"))
+    counts = doms.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    alloc = C.temperature_alloc(counts, "domain", budget_div=4)
     wp = W.partitionBy("domain").orderBy(
         D.md5_long(F.col("doc").cast("string")), F.asc("doc"))
     return (doms.join(F.broadcast(alloc), "domain")
@@ -188,10 +156,10 @@ _SEM_PAIRS_SQL = C.sql_semantic_pairs("documents", "doc_id", "text")
 @query(
     "dedup_semantic_embedding",
     survey_ref="extensions: semantic dedup (SemDeDup-shaped: embed → "
-               "bucket → exact-cosine verify → cluster → keep-one)",
-    description="Embedding-space near-dup clusters: hashed-TF vectors, "
-                "sign-band candidates, integer-exact cosine ≥ 0.95, "
-                "components labeling with cluster sizes",
+               "block → exact-cosine verify → cluster → keep-one)",
+    description="Embedding-space near-dup clusters: 256-dim hashed-TF "
+                "vectors, MinHash-band blocking, integer-exact cosine "
+                "≥ 0.95, components labeling with cluster sizes",
     oracle=f"""
     WITH comp AS ({D.sql_dedup_components(
         _SEM_PAIRS_SQL, "documents", "doc_id")})
@@ -204,22 +172,24 @@ _SEM_PAIRS_SQL = C.sql_semantic_pairs("documents", "doc_id", "text")
     """,
 )
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicates in
-    EMBEDDING space — rewordings, template variants, boilerplate — that
-    string-level MinHash misses. The judged pipeline embeds every doc as
-    a 64-dim feature-hashed token-count vector (the deterministic stand-in
-    for a neural encoder; the downstream plumbing is encoder-agnostic),
-    generates candidates by 6 band equi-joins over a 48-bit md5-derived
-    sign signature, verifies cosine ≥ 0.95 in EXACT integer arithmetic
-    (400·dot² ≥ 361·|a|²·|b|² — no float compare anywhere), labels
-    clusters with the judged components pass, and emits each doc's
-    cluster, representative flag, and cluster size.
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicate
+    CLUSTERS certified in embedding space. The judged pipeline embeds
+    every doc as a 256-dim feature-hashed token-count vector (the
+    deterministic stand-in for a neural encoder; the downstream plumbing
+    is encoder-agnostic), generates candidates with the sf10-proven
+    MinHash band equi-join (sign-LSH was MEASURED OUT — 40 % of all
+    pairs surfaced as candidates on this corpus; study in SCALE.md and
+    functions/curation.py), verifies cosine ≥ 0.95 in EXACT integer
+    arithmetic (400·dot² ≥ 361·|a|²·|b|², overflow-proof via the TF_CAP
+    count clip — no float compare anywhere), labels clusters with the
+    judged components pass, and emits each doc's cluster, representative
+    flag, and cluster size.
 
     100 TB shape: embed at scan speed (one explode + map-side-combined
-    groupBy); candidates are banded equi-joins — all-pairs never
-    materializes; verification touches only in-bucket pairs via a sparse
+    groupBy); candidates are 8 banded equi-joins — all-pairs never
+    materializes; verification touches only blocked pairs via a sparse
     dim equi-join; components is the already-sf10-proven distributed
-    labeling. State per doc beyond the scan: 6 band buckets (48 bits)."""
+    labeling. State per doc beyond the scan: K=32 signature longs."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = C.semantic_pairs(docs, "doc_id", "text")
     comp = D.dedup_components(pairs, docs.select("doc_id"))
@@ -234,13 +204,7 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_AGREE = " + ".join(
     f"(CASE WHEN sn.m{i} = sh.m{i} THEN 1 ELSE 0 END)"
     for i in range(D.MINHASH_K))
-_MH_BANDS = "\n      UNION ALL\n      ".join(
-    "SELECT doc, {b} AS band, md5({concat}) AS band_sig FROM msig".format(
-        b=b,
-        concat=" || '_' || ".join(
-            f"m{b * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)),
-    )
-    for b in range(D.LSH_BANDS))
+_MH_BANDS = D.sql_minhash_band_rows("msig")
 
 
 @query(
@@ -453,31 +417,16 @@ _CAP_MIN_TOKENS = 20
       SELECT doc, domain,
              GREATEST(1, LEAST({C.W_CAP}, n_tokens)) AS weight
       FROM kept WHERE n_tokens >= {_CAP_MIN_TOKENS}),
-    counts AS (
-      SELECT domain, COUNT(*) AS n_d,
-             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_d
-      FROM gated GROUP BY domain),
-    tot AS (
-      SELECT SUM(w_d) AS w_sum, SUM(n_d) // 2 AS budget FROM counts),
-    quota AS (
-      SELECT domain, n_d, w_d,
-             (budget * w_d) // w_sum AS base,
-             (budget * w_d) % w_sum AS rem,
-             budget - SUM((budget * w_d) // w_sum) OVER () AS leftover
-      FROM counts, tot),
-    alloc AS (
-      SELECT domain,
-             LEAST(n_d, base
-                   + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, domain)
-                               <= leftover THEN 1 ELSE 0 END) AS alloc
-      FROM quota),
+    gated_counts AS (
+      SELECT domain, COUNT(*) AS n_d FROM gated GROUP BY domain),
+    {C.sql_temperature_alloc('gated_counts', 'domain', budget_div=2)},
     picked AS (
       SELECT g.doc, g.domain, g.weight, a.alloc,
              ROW_NUMBER() OVER (
                PARTITION BY g.domain
                ORDER BY {C.sql_weighted_sample_key('g.doc', 'g.weight')},
                         g.doc) AS pick_rank
-      FROM gated g JOIN alloc a USING (domain))
+      FROM gated g JOIN ta_alloc a USING (domain))
     SELECT doc, domain, CAST(weight AS BIGINT) AS weight,
            CAST(alloc AS BIGINT) AS alloc,
            CAST(pick_rank AS INTEGER) AS pick_rank
@@ -527,31 +476,8 @@ def pipeline_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.greatest(F.lit(1),
                                 F.least(F.lit(C.W_CAP), F.col("n_tokens")))
                       .cast("long").alias("weight")))
-    counts = (gated.groupBy("domain")
-              .agg(F.count(F.lit(1)).alias("n_d"))
-              .withColumn("w_d", F.floor(F.sqrt(F.col("n_d")
-                                                .cast("double")))
-                          .cast("long")))
-    tot = counts.agg(F.sum("w_d").alias("w_sum"),
-                     (F.sum("n_d") / 2).cast("long").alias("budget"))
-    quota = (counts.join(F.broadcast(tot))
-             .select("domain", "n_d",
-                     F.expr("(budget * w_d) DIV w_sum").alias("base"),
-                     F.expr("(budget * w_d) % w_sum").alias("rem"),
-                     F.col("budget")))
-    wq = W.orderBy(F.desc("rem"), F.asc("domain"))
-    alloc = (quota
-             .withColumn("leftover",
-                         F.col("budget") - F.sum("base").over(
-                             W.partitionBy()))
-             .withColumn(
-                 "alloc",
-                 F.least(
-                     F.col("n_d"),
-                     F.col("base") + F.when(
-                         F.row_number().over(wq) <= F.col("leftover"),
-                         F.lit(1)).otherwise(F.lit(0))))
-             .select("domain", "alloc"))
+    counts = gated.groupBy("domain").agg(F.count(F.lit(1)).alias("n_d"))
+    alloc = C.temperature_alloc(counts, "domain", budget_div=2)
     wp = W.partitionBy("domain").orderBy(
         C.weighted_sample_key(F.col("doc"), F.col("weight")), F.asc("doc"))
     return (gated.join(F.broadcast(alloc), "domain")

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import hashlib
 import itertools
-import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -284,3 +283,52 @@ class TestCurationCapstone:
         selected = {r["doc"] for r in manifest}
         for p in pairs:
             assert not (p["doc_a"] in selected and p["doc_b"] in selected), p
+
+
+class TestTemperatureAllocClamp:
+    def test_tiny_domain_quota_clamps_at_size(self, spark):
+        # {1, 99} split: budget=25, sqrt weights (1, 9) — unclamped
+        # Hamilton would hand the 1-doc domain floor(25/10)+bump = 2..3;
+        # the clamp must cap it at 1 and NOT silently reassign the
+        # surplus (sum(alloc) < budget is the honest signal).
+        rows = ([("tiny", i) for i in range(1)]
+                + [("big", 100 + i) for i in range(99)])
+        df = (spark.createDataFrame(rows, "domain string, doc long")
+              .groupBy("domain").agg(F.count(F.lit(1)).alias("n_d")))
+        alloc = {r["domain"]: r["alloc"]
+                 for r in C.temperature_alloc(df, "domain",
+                                              budget_div=4).collect()}
+        assert alloc["tiny"] == 1          # clamped at domain size
+        assert alloc["big"] <= 99
+        assert sum(alloc.values()) <= 25   # never over budget
+
+    def test_no_clamp_means_exact_budget(self, spark):
+        # the judged fixture shape (no clamp fires): quotas sum exactly
+        sizes = {"a": 25, "b": 75, "c": 125, "d": 175, "e": 100}
+        rows = [(d, i) for d, n in sizes.items() for i in range(n)]
+        df = (spark.createDataFrame(rows, "domain string, doc long")
+              .groupBy("domain").agg(F.count(F.lit(1)).alias("n_d")))
+        alloc = {r["domain"]: r["alloc"]
+                 for r in C.temperature_alloc(df, "domain",
+                                              budget_div=4).collect()}
+        assert sum(alloc.values()) == 125
+
+
+class TestTfCapOverflowGuard:
+    def test_repetitive_docs_cannot_overflow_the_cosine_compare(self, spark):
+        # two docs of 40k repetitions of one word: uncapped counts give
+        # na*nb ~ 2.6e18 and 361*na*nb overflows int64 (silent wrap in
+        # non-ANSI Spark, hard error in DuckDB). The TF_CAP clip bounds
+        # na,nb <= HASH_DIM*TF_CAP^2 so the compare stays exact — and the
+        # identical pair must still verify at cos = 1.
+        big = "spark " * 40_000
+        df = spark.createDataFrame(
+            [(0, big), (1, big), (2, "totally different words here")],
+            "doc_id long, text string")
+        tf = {(r["doc"], r["dim"]): r["c"]
+              for r in C.hashed_tf(df, "doc_id", "text").collect()}
+        assert max(tf.values()) <= C.TF_CAP
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in C.semantic_pairs(df, "doc_id", "text").collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
