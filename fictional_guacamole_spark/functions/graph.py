@@ -241,3 +241,79 @@ def sql_triangle_census(edges_cte: str) -> str:
                 ELSE 0.0 END AS global_clustering
     FROM __nodes, __tri
     """
+
+
+# --- k-core decomposition (bounded peeling) ---------------------------------
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+    """k-core membership by ``rounds`` synchronized peeling iterations:
+    each round drops every node whose degree WITHIN the surviving
+    subgraph is < k (Matula & Beck 1983; the batch-synchronous variant
+    so a SQL oracle can replay it round for round). Equal to the true
+    k-core whenever peeling reaches fixpoint within ``rounds`` —
+    asserted on the fixtures in tests/test_graph_ops.py; an unconverged
+    corpus still judges identically because both engines run the SAME
+    bounded unroll.
+
+    Returns (node, in_core, core_degree) for every node of ``edges``
+    (undirected (i, j) pairs; core_degree = 0 outside the core).
+
+    100 TB shape: each round is one self-equi-join + one map-side-
+    combined degree count over the SURVIVING edge set — cost shrinks as
+    the graph peels; rounds is O(peel depth), not O(|V|). State between
+    rounds is one node list, localCheckpointed so plans stay flat."""
+    sym = (edges.select(F.col("i").alias("u"), F.col("j").alias("v"))
+           .union(edges.select(F.col("j"), F.col("i")))
+           .distinct().localCheckpoint(eager=True))
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    alive = nodes
+    for _ in range(rounds):
+        au = alive.select(F.col("node").alias("u"))
+        av = alive.select(F.col("node").alias("v"))
+        alive = (sym.join(au, "u").join(av, "v")
+                 .groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+                 .filter(F.col("deg") >= k)
+                 .select(F.col("u").alias("node"))
+                 .localCheckpoint(eager=True))
+    au = alive.select(F.col("node").alias("u"))
+    av = alive.select(F.col("node").alias("v"))
+    core_deg = (sym.join(au, "u").join(av, "v")
+                .groupBy("u").agg(F.count(F.lit(1)).alias("core_degree")))
+    return (nodes
+            .join(core_deg.select(F.col("u").alias("node"), "core_degree"),
+                  "node", "left")
+            .select("node",
+                    F.col("core_degree").isNotNull().alias("in_core"),
+                    F.coalesce("core_degree", F.lit(0)).cast("long")
+                     .alias("core_degree")))
+
+
+def sql_kcore(edges_cte: str, k: int = 3, rounds: int = 8) -> str:
+    """DuckDB rendering of :func:`kcore` — the peeling loop unrolled into
+    ``rounds`` plain CTEs (each round may reference the previous one
+    twice, which a recursive CTE cannot — the reason this is an unroll,
+    recorded here for the next reader)."""
+    parts = [f"kc_raw AS MATERIALIZED ({edges_cte})",
+             "kc_sym AS MATERIALIZED ("
+             "SELECT i AS u, j AS v FROM kc_raw "
+             "UNION SELECT j, i FROM kc_raw)",
+             "kc_r0 AS (SELECT DISTINCT u AS node FROM kc_sym)"]
+    for r in range(1, rounds + 1):
+        prev = f"kc_r{r - 1}"
+        parts.append(
+            f"kc_r{r} AS MATERIALIZED ("
+            f"SELECT e.u AS node FROM kc_sym e "
+            f"JOIN {prev} a ON e.u = a.node "
+            f"JOIN {prev} b ON e.v = b.node "
+            f"GROUP BY e.u HAVING COUNT(*) >= {k})")
+    last = f"kc_r{rounds}"
+    parts.append(
+        f"kc_deg AS (SELECT e.u AS node, COUNT(*) AS core_degree "
+        f"FROM kc_sym e JOIN {last} a ON e.u = a.node "
+        f"JOIN {last} b ON e.v = b.node GROUP BY e.u)")
+    return (",\n    ".join(parts) + f"""
+    SELECT node, in_core, core_degree FROM (
+      SELECT n.node AS node,
+             (d.node IS NOT NULL) AS in_core,
+             CAST(COALESCE(d.core_degree, 0) AS BIGINT) AS core_degree
+      FROM kc_r0 n LEFT JOIN kc_deg d ON n.node = d.node) _kc""")

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions.graph import (
-    pagerank_ppb, sql_pagerank_ppb, sql_triangle_census)
+    pagerank_ppb, sql_kcore, sql_pagerank_ppb, sql_triangle_census)
 from fictional_guacamole_spark.plans.registry import query
 from fictional_guacamole_spark.tables import load_table
 
@@ -112,6 +112,33 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SAME aggregation via a window, so the heavy pair join runs once on both
 # engines (DuckDB inlines plain CTEs; the census wrapper additionally
 # MATERIALIZEs the edge set it references four times)
+def _cosupp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The judged one-mode co-supplier projection (suppliers sharing
+    strictly more distinct customers than the supplier-pair mean) —
+    shared by the triangle census and the k-core row so the graph under
+    both statistics is identical by construction. Returned LAZY: the
+    census deliberately re-evaluates it inline (see the comment in
+    graph_triangle_census), while k-core checkpoints its symmetrized
+    form once before peeling."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .distinct())
+    a = cs.select(F.col("c"), F.col("s").alias("i"))
+    b = cs.select(F.col("c").alias("c2"), F.col("s").alias("j"))
+    w = (a.join(b, (F.col("c") == F.col("c2"))
+                & (F.col("i") < F.col("j")))
+         .groupBy("i", "j").agg(F.count(F.lit(1)).alias("shared")))
+    return (w.withColumn("mu", F.avg("shared").over(
+                 W.partitionBy(F.lit(1))))
+            .filter(F.col("shared") > F.col("mu"))
+            .select("i", "j"))
+
+
 _COSUPP_EDGES_CTE = """
       SELECT i, j FROM (
         SELECT a.s AS i, b.s AS j, COUNT(*) AS shared,
@@ -159,23 +186,7 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fictional_guacamole_spark.functions.graph import (
         orient_by_degree, triangle_census)
 
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    cs = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-          .select(F.col("o_custkey").alias("c"),
-                  F.col("l_suppkey").alias("s"))
-          .distinct())
-    a = cs.select(F.col("c"), F.col("s").alias("i"))
-    b = cs.select(F.col("c").alias("c2"), F.col("s").alias("j"))
-    from pyspark.sql import Window as W
-
-    w = (a.join(b, (F.col("c") == F.col("c2"))
-                & (F.col("i") < F.col("j")))
-         .groupBy("i", "j").agg(F.count(F.lit(1)).alias("shared")))
-    edges = (w.withColumn("mu", F.avg("shared").over(
-                 W.partitionBy(F.lit(1))))
-             .filter(F.col("shared") > F.col("mu"))
-             .select("i", "j"))
+    edges = _cosupp_edges(spark, sf_dir)
     # The census + orientation reference this edge subplan ~8 times; it
     # stays INLINE deliberately: each re-evaluation is one all-broadcast
     # whole-stage-codegen pass (~0.15 s warm at the judged SF), while a
@@ -185,3 +196,38 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reduced edge list once (it's a reduction), then census — exactly
     # what the oracle's MATERIALIZED edge CTE does.
     return triangle_census(orient_by_degree(edges))
+
+
+@query(
+    "graph_kcore_membership",
+    survey_ref="extensions: k-CORE decomposition (iterative peeling with "
+               "a FULL value oracle via bounded unroll)",
+    description="3-core membership + in-core degree of the co-supplier "
+                "graph after 8 synchronized peeling rounds",
+    oracle="WITH " + sql_kcore(_COSUPP_EDGES_CTE, k=3, rounds=8)
+    + " ORDER BY node",
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Matula & Beck 1983) — the fourth classic
+    whole-graph statistic in the judged family (PageRank / components /
+    triangle census / k-core), and the standard dense-subgraph filter a
+    link-graph pipeline runs before expensive per-node work. Each
+    peeling round drops every node with degree < 3 INSIDE the surviving
+    subgraph; the judged form runs a FIXED 8 synchronized rounds so
+    DuckDB can replay it as a plain CTE unroll — a recursive CTE cannot
+    express peeling because each round must reference the previous
+    survivor set twice (both join endpoints). Fixture peeling reaches
+    fixpoint well inside 8 rounds (asserted in tests), making the
+    judged output the true 3-core; an unconverged corpus still judges
+    identically because both engines run the same bounded unroll.
+
+    100 TB shape: per round one self-equi-join + one map-side-combined
+    degree count over the SURVIVING edges — work shrinks monotonically
+    as the graph peels; inter-round state is one node list
+    (localCheckpointed, plans stay flat). Same co-supplier projection
+    as the triangle census (_cosupp_edges) — one graph, four judged
+    statistics."""
+    from fictional_guacamole_spark.functions.graph import kcore
+
+    return (kcore(_cosupp_edges(spark, sf_dir), k=3, rounds=8)
+            .orderBy("node"))

@@ -5,6 +5,8 @@ mass-conservation bounds — the oracle-parity test covers the fixture path.
 
 from __future__ import annotations
 
+import pytest
+
 from fictional_guacamole_spark.functions.graph import (
     PR_TOTAL_PPB, pagerank_ppb)
 
@@ -192,3 +194,54 @@ class TestDegreeOrientation:
         got_twice = sorted(map(tuple, twice.collect()))
         assert got_once == got_twice
         assert len(got_once) == len(set(got_once))
+
+
+class TestKcore:
+    @pytest.fixture(scope="class")
+    def edges(self, spark):
+        from fictional_guacamole_spark.plans.graph import _cosupp_edges
+        return [(r["i"], r["j"]) for r in
+                _cosupp_edges(spark, "/root/testdata/sf0.001").collect()]
+
+    def test_matches_pure_python_peel_to_fixpoint(self, spark, edges):
+        # brute-force reference: peel to FIXPOINT (not 8 rounds) — if the
+        # bounded unroll equals it, the fixture converged inside 8 rounds
+        # and the judged output is the true 3-core
+        from fictional_guacamole_spark.plans import REGISTRY
+        adj = {}
+        for i, j in edges:
+            adj.setdefault(i, set()).add(j)
+            adj.setdefault(j, set()).add(i)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive
+                    if len(adj[n] & alive) < 3}
+            if not drop:
+                break
+            alive -= drop
+        rows = REGISTRY["graph_kcore_membership"].builder(
+            spark, "/root/testdata/sf0.001").collect()
+        got_core = {r["node"] for r in rows if r["in_core"]}
+        assert got_core == alive
+        for r in rows:
+            if r["in_core"]:
+                assert r["core_degree"] == len(adj[r["node"]] & alive)
+                assert r["core_degree"] >= 3
+            else:
+                assert r["core_degree"] == 0
+        assert {r["node"] for r in rows} == set(adj)
+
+    def test_kcore_on_hand_built_graph(self, spark):
+        from fictional_guacamole_spark.functions.graph import kcore
+        from pyspark.sql import functions as F  # noqa: F401
+        # a 4-clique (core) + a tail of degree-1/2 nodes (peeled), where
+        # peeling CASCADES: 10-11-12 chain dies over multiple rounds
+        E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(E, "i long, j long")
+        rows = {r["node"]: (r["in_core"], r["core_degree"])
+                for r in kcore(df, k=3, rounds=8).collect()}
+        assert rows[1] == (True, 3) and rows[2] == (True, 3)
+        assert rows[3] == (True, 3) and rows[4] == (True, 3)
+        for n in (10, 11, 12):
+            assert rows[n] == (False, 0)

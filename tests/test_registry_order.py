@@ -169,7 +169,7 @@ def test_every_family_has_an_inwindow_representative():
                          "dq_table_checksum", "dq_histogram_equidepth"},
         "rag_capstone": {"pipeline_rag_retrieval"},
         "graph": {"graph_pagerank_suppliers", "dedup_components",
-                  "graph_triangle_census"},
+                  "graph_triangle_census", "graph_kcore_membership"},
         "recursion": {"rcte_event_type_reachability"},
         "fuzzy_join": {"join_fuzzy_typo_pairs"},
         "subword_tokenization": {"text_bpe_subword_stats",
