@@ -486,3 +486,73 @@ def pipeline_curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc", "domain", "weight",
                     F.col("alloc").cast("long").alias("alloc"), "pick_rank")
             .orderBy("doc"))
+
+
+@query(
+    "txnlog_time_travel_stats",
+    survey_ref="extensions: TIME TRAVEL on the transactional commit-log "
+               "table (read AS OF an earlier version)",
+    description="Event stats read AS OF version 2 of a 3-commit table: "
+                "the pinned snapshot excludes the third commit and "
+                "survives a later compaction",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE event_id % 3 IN (0, 1)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def txnlog_time_travel_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TIME TRAVEL — the lakehouse read every reproducibility story
+    depends on ('train on the corpus exactly as it was at version N'):
+    the events table lands as THREE commits (event_id % 3 slices), then
+    COMPACTS (the snapshot rewrite that obsoletes the per-commit dirs),
+    and the judged read pins ``version=2`` — the pre-compaction,
+    pre-third-commit state. The value hash certifies both halves of the
+    contract: the pinned snapshot contains exactly commits 1–2 (the
+    oracle recomputes that slice from the raw fixture), and a LATER
+    compaction cannot leak into or corrupt an earlier version's view
+    (sources/txnlog.py keeps superseded entries addressable until
+    vacuum; the version-pinned read path is read(version=...) at
+    txnlog.py:410, locally tested since r6 — this row gives it a
+    driver-judged certificate).
+
+    100 TB shape: version resolution is a log-manifest walk (KBs);
+    the pinned read plans exactly the files of commits ≤ N — no data
+    copied per version, storage cost ∝ deltas, identical to the
+    snapshot-isolation design of production table formats."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"timetravel1:{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_tt_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        t = TransactionalParquetTable(build)
+        for i in range(3):
+            t.commit(events.filter(F.col("event_id") % 3 == i),
+                     f"slice-{i}")
+        t.compact(spark, "optimize-1")  # must NOT disturb pinned reads
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    pinned = TransactionalParquetTable(base).read(spark, version=2)
+    return (pinned.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 100)).cast("long")
+                  .alias("value_cents"))
+            .orderBy("event_type"))

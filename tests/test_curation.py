@@ -332,3 +332,34 @@ class TestTfCapOverflowGuard:
                  for r in C.semantic_pairs(df, "doc_id", "text").collect()}
         assert (0, 1) in pairs
         assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+class TestTimeTravel:
+    def test_pinned_version_excludes_later_commit_and_survives_compact(
+            self, spark):
+        import shutil
+        import tempfile
+
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+        base = tempfile.mkdtemp(prefix="fg_tt_test_")
+        shutil.rmtree(base)
+        try:
+            t = TransactionalParquetTable(base)
+            df = spark.range(30).select(
+                F.col("id"), (F.col("id") % 3).alias("slice"))
+            for i in range(3):
+                t.commit(df.filter(F.col("slice") == i), f"s{i}")
+            v2 = 2
+            before = sorted(r["id"] for r in
+                            t.read(spark, version=v2).collect())
+            t.compact(spark, "opt")
+            after = sorted(r["id"] for r in
+                           t.read(spark, version=v2).collect())
+            want = sorted(r["id"] for r in
+                          df.filter(F.col("slice") < 2).collect())
+            assert before == want
+            assert after == want  # compaction must not disturb the pin
+            assert t.read(spark).count() == 30
+        finally:
+            shutil.rmtree(base, ignore_errors=True)

@@ -114,6 +114,7 @@ def test_every_family_has_an_inwindow_representative():
         "basket_mining": {"basket_brand_pairs"},
         "table_format_acid": {"txnlog_roundtrip_event_stats",
                               "txnlog_skipping_event_stats",
+                              "txnlog_time_travel_stats",
                               "stream_engine_txnlog_sink"},
         "layout": {"layout_zorder_events", "layout_bucketed_join_revenue"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
