@@ -1349,3 +1349,82 @@ def stream_engine_join_then_agg(spark: SparkSession,
             .select(F.col("w.start").alias("window_start"),
                     "n_attributed", "min_view", "max_view")
             .orderBy("window_start"))
+
+
+@query(
+    "stream_engine_dedup_then_agg",
+    survey_ref="§2.5 streaming: watermarked dedup FEEDING a windowed "
+               "aggregation inside one engine query (third "
+               "multiple-stateful-operator combination: dedup state + "
+               "window state under one checkpoint)",
+    description="Exactly-once hourly stats computed from a DOUBLED event "
+                "stream: dropDuplicatesWithinWatermark chained into a "
+                "windowed aggregation, one append-mode streaming query",
+    oracle="""
+    WITH agg AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, value_cents
+    FROM agg
+    WHERE window_start + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_engine_dedup_then_agg(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The third multiple-stateful-operator composition, and the one
+    production metric pipelines need most: EXACTLY-ONCE aggregates over
+    an AT-LEAST-ONCE feed, in one query. The source replay holds every
+    event TWICE (the dedup row's doubled time-clustered copy);
+    ``dropDuplicatesWithinWatermark`` absorbs the duplicates, and its
+    output flows directly into a watermarked hourly aggregation — dedup
+    key state and window state live under the same checkpoint, so a
+    retry can neither double-count (dedup) nor re-emit (append mode).
+    Without operator chaining this takes two queries and an intermediate
+    topic; the duplicates-removed aggregate then needs its own
+    idempotent sink.
+
+    Emission semantics: unlike the join (which delays the downstream
+    watermark by its 6 h horizon — stream_engine_join_then_agg), dedup
+    passes event time through unshifted, so hourly windows finalize at
+    the plain max(ts) − 1 h cutoff — measured on the drain (3 375
+    windows, value-identical to the batch oracle over the UN-doubled
+    fixture) and encoded in the oracle.
+
+    At 100 TB: dedup state is one entry per key within the watermark
+    horizon, window state one row per (hour, type); both evict by
+    watermark — state is bounded by event-time span, not stream
+    length."""
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=lambda ev: ev.unionAll(ev), salt="dup1")
+    name = f"fg_dedupagg_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_dedupagg_ckpt_")
+    stream = _events_stream(spark, base)
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .dropDuplicatesWithinWatermark(["event_id"])
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.floor(F.col("value") * 100)).alias("value_cents")))
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return (spark.table(name)
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "value_cents")
+            .orderBy("window_start", "event_type"))

@@ -363,3 +363,20 @@ class TestTimeTravel:
             assert t.read(spark).count() == 30
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestDedupThenAgg:
+    def test_exactly_once_despite_doubled_input(self, spark):
+        # the doubled replay must aggregate to the UN-doubled truth
+        from fictional_guacamole_spark.tables import load_table
+        rows = REGISTRY["stream_engine_dedup_then_agg"].builder(
+            spark, SF_JUDGED).collect()
+        assert rows
+        total = sum(r["n_events"] for r in rows)
+        ev = load_table(spark, SF_JUDGED, "events")
+        import datetime
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        cutoff = max_ts - datetime.timedelta(hours=1)
+        batch = ev.filter(
+            F.window("ts", "1 hour")["end"] <= F.lit(cutoff)).count()
+        assert total == batch  # doubled input counted exactly once

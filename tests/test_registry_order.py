@@ -58,6 +58,7 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_append_watermark",
                       "stream_engine_chained_agg",
                       "stream_engine_join_then_agg",
+                      "stream_engine_dedup_then_agg",
                       "stream_engine_stateful_ewma",
                       "stream_engine_dedup_watermark",
                       "stream_engine_stream_join",
@@ -71,6 +72,7 @@ def test_every_family_has_an_inwindow_representative():
                                    "stream_engine_append_watermark",
                                    "stream_engine_chained_agg",
                                    "stream_engine_join_then_agg",
+                                   "stream_engine_dedup_then_agg",
                                    "stream_engine_stateful_ewma",
                                    "stream_engine_dedup_watermark",
                                    "stream_engine_stream_join",
