@@ -556,3 +556,77 @@ def txnlog_time_travel_stats(spark: SparkSession,
                  F.sum(F.floor(F.col("value") * 100)).cast("long")
                   .alias("value_cents"))
             .orderBy("event_type"))
+
+
+@query(
+    "cdc_change_feed_orders",
+    survey_ref="extensions: CHANGE DATA FEED read (row-level deltas since "
+               "a version — upserts with values, deletes as tombstones)",
+    description="The change feed of a 3-commit keyed table since version "
+                "1: commit-2 upserts with values, commit-3 delete "
+                "tombstones with null-filled non-keys",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           o_custkey AS cust,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS status,
+           'u' AS _op, CAST(2 AS INT) AS _commit_version
+    FROM orders WHERE o_orderkey % 3 = 1
+    UNION ALL
+    SELECT o_orderkey, NULL, NULL, NULL, 'd', 3
+    FROM orders WHERE o_orderkey % 12 = 0
+    ORDER BY _commit_version, okey
+    """,
+)
+def cdc_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED — the read that turns the keyed lakehouse table
+    into a replication source (Delta's table_changes / CDF): downstream
+    consumers (a derived MV, a search index, a replica) apply exactly
+    the row-level deltas committed after the version they last saw,
+    never re-diffing snapshots. The judged cycle: orders slice %3==0
+    upserted as v1, slice %3==1 as v2, keys %12==0 deleted as v3
+    (key-only tombstones — a delete ships its keys, not its rows);
+    ``changes(since_version=1)`` must return exactly the v2 upserts
+    (with values) and the v3 tombstones (non-key columns null-filled by
+    the log's schema union), each tagged with _op and _commit_version —
+    which the oracle reconstructs verbatim from the raw fixture.
+    Completes the lakehouse read triad: snapshot (merge-on-read),
+    time travel (version pin), and now the feed between versions.
+
+    100 TB shape: the feed reads ONLY the delta dirs after
+    since_version (manifest walk + targeted scans) — cost ∝ changes,
+    never table size; compaction bases never appear in the feed, so
+    OPTIMIZE between polls is invisible to consumers."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.cdc import UpsertTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"))
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"cdcfeed1:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_cdcfeed_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        t = UpsertTable(build, keys=["okey"])
+        t.upsert(rows.filter(F.col("okey") % 3 == 0), "seed")
+        t.upsert(rows.filter(F.col("okey") % 3 == 1), "wave-2")
+        t.delete_keys(rows.filter(F.col("okey") % 12 == 0)
+                      .select("okey"), "purge")
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    feed = UpsertTable(base, keys=["okey"]).changes(spark, since_version=1)
+    return (feed.select("okey", "cust", "cents", "status", "_op",
+                        F.col("_commit_version").cast("int")
+                        .alias("_commit_version"))
+            .orderBy("_commit_version", "okey"))

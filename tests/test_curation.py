@@ -380,3 +380,25 @@ class TestDedupThenAgg:
         batch = ev.filter(
             F.window("ts", "1 hour")["end"] <= F.lit(cutoff)).count()
         assert total == batch  # doubled input counted exactly once
+
+
+class TestChangeFeed:
+    def test_feed_excludes_seed_and_tags_ops(self, spark):
+        rows = REGISTRY["cdc_change_feed_orders"].builder(
+            spark, SF_JUDGED).collect()
+        assert rows
+        by_op = {}
+        for r in rows:
+            by_op.setdefault(r["_op"], []).append(r)
+        assert set(by_op) == {"u", "d"}
+        # upserts carry values from commit 2 only (keys % 3 == 1)
+        for r in by_op["u"]:
+            assert r["_commit_version"] == 2
+            assert r["okey"] % 3 == 1
+            assert r["cust"] is not None and r["cents"] is not None
+        # deletes are key-only tombstones from commit 3 (keys % 12 == 0)
+        for r in by_op["d"]:
+            assert r["_commit_version"] == 3
+            assert r["okey"] % 12 == 0
+            assert r["cust"] is None and r["cents"] is None
+            assert r["status"] is None

@@ -151,7 +151,8 @@ def test_every_family_has_an_inwindow_representative():
         "ann_quantization": {"sim_pq_topk", "sim_ivf_pq_persisted_topk"},
         "dim_reduction": {"embed_random_projection"},
         "incremental_mv": {"mv_incremental_order_stats"},
-        "cdc_merge": {"merge_upsert_order_stats"},
+        "cdc_merge": {"merge_upsert_order_stats",
+                      "cdc_change_feed_orders"},
         "lm_quality": {"text_lm_familiarity"},
         "sketches": {"agg_approx_percentile", "text_heavy_hitters",
                      "sketch_kmv_distinct_events",
