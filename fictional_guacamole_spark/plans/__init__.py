@@ -311,11 +311,12 @@ JUDGE_WINDOW: list[str] = [
     "set_intersect_repeat_customers",   # INTERSECT
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
     "scalar_variant_funcs",        # semi-structured Variant funcs
-    "stream_engine_stateful_ewma",  # applyInPandasWithState through the
-                                    # engine, exact pow-2 fold (the
-                                    # python-surface + custom-stateful
-                                    # representative, T1–T5's execution
-                                    # model)
+    "stream_engine_dedup_then_agg",  # THIRD multi-stateful combo:
+                                     # exactly-once aggregates over a
+                                     # doubled at-least-once replay (in
+                                     # for stream_engine_stateful_ewma,
+                                     # green r8; python_surfaces keeps
+                                     # arrow_map_batches in-window)
     "embed_random_projection",     # JL sign projection, exact hash
     "text_lm_familiarity",         # bigram-LM quality signal
     "pipeline_training_corpus",    # the end-to-end LLM-corpus capstone
@@ -324,12 +325,16 @@ JUDGE_WINDOW: list[str] = [
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
     "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (K4)
     "mv_incremental_order_stats",  # delta-IVM over the commit log
-    "merge_upsert_order_stats",    # CDC MERGE upsert/delete cycle
+    "cdc_change_feed_orders",      # CHANGE DATA FEED since a version
+                                   # (in for merge_upsert_order_stats,
+                                   # green r8; cdc_merge family keeps
+                                   # this feed representative)
     "scd2_order_status_history",   # SCD2 from the change feed
     "federated_tri_source_user_summary",  # 3 storage engines, 1 plan
-    "graph_triangle_census",       # exact triangles/wedges/clustering
-                                   # (pagerank green r7; graph family
-                                   # keeps a judged representative)
+    "graph_kcore_membership",      # k-core via bounded peel, full value
+                                   # oracle (in for graph_triangle_census,
+                                   # green r8; graph family keeps this
+                                   # judged representative)
     "rcte_event_type_reachability",  # WITH RECURSIVE graph traversal
     "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
     "basket_brand_pairs",          # market-basket pair-support mining
@@ -348,8 +353,11 @@ JUDGE_WINDOW: list[str] = [
     # -- NEW in round 8 ---------------------------------------------------
     "stream_engine_restart_recovery",  # checkpoint restart, exactly-once
                                        # file sink across a mid-drain kill
-    "stream_engine_txnlog_sink",   # foreachBatch→commit log, batch-id
-                                   # txn ids, deliberate replay converges
+    "txnlog_time_travel_stats",    # version-pinned read surviving a
+                                   # compaction (in for
+                                   # stream_engine_txnlog_sink, green r8;
+                                   # table_format_acid keeps this rep and
+                                   # five engine rows stay in-window)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
     "arrow_map_batches_cents",     # mapInArrow RecordBatch transform
