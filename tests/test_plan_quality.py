@@ -662,3 +662,23 @@ class TestCurationPlans:
         for marker in ("BatchEvalPython", "ArrowEvalPython",
                        "MapInPandas"):
             assert marker not in plan, marker
+
+
+class TestLateR10Plans:
+    @pytest.mark.parametrize("name", [
+        "graph_kcore_membership", "txnlog_time_travel_stats",
+        "cdc_change_feed_orders", "pipeline_curation_corpus",
+    ])
+    def test_no_cartesian_product(self, spark, name):
+        assert "CartesianProduct" not in plan_of(spark, name), name
+
+    def test_change_feed_reads_only_delta_dirs(self, spark):
+        # the feed since v1 must scan the two delta dirs, never the
+        # whole table: both scanned paths carry commit dirs > v1
+        df = REGISTRY["cdc_change_feed_orders"].builder(
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        paths = re.findall(r"fg_cdcfeed_[0-9a-f]+/([a-zA-Z0-9_\-]+)", plan)
+        assert paths, "no commit-dir scans found in the plan"
+        assert all("00001" not in p for p in paths), paths
