@@ -1,12 +1,16 @@
-"""Round-10 corpus-curation judged rows: weighted sampling, temperature
-mixing, semantic (embedding-space) dedup.
+"""Round-10 judged rows: the corpus-curation SELECTION layer (weighted
+sampling, temperature mixing, semantic dedup, DSIR importance resampling,
+incremental near-dup ingest, the capstone manifest) plus the lakehouse
+reads that make curated corpora REPRODUCIBLE (time travel, change data
+feed).
 
 These extend the LLM-data-pipeline surface (SURVEY.md §2.5) past near-dup
-removal into the SELECTION layer: which documents, from which domains, in
-what proportion, actually enter the training corpus. All three are full
-value oracles — see functions/curation.py for the integer-exactness
-engineering that makes lossy-looking operations (weighted sampling,
-temperature mixing, cosine thresholds) bit-replayable in DuckDB.
+removal into selection: which documents, from which domains, in what
+proportion, actually enter the training corpus — and how to pin or
+replicate exactly that corpus later. All rows are full value oracles —
+see functions/curation.py for the integer-exactness engineering that
+makes lossy-looking operations (weighted sampling, temperature mixing,
+cosine thresholds, log-ratio scoring) bit-replayable in DuckDB.
 """
 
 from __future__ import annotations
