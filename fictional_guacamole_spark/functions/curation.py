@@ -157,7 +157,13 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
                     F.col("y.doc").alias("doc_b"))
             .distinct())
     tf = hashed_tf(docs, id_col, text_col).localCheckpoint(eager=True)
-    x, y = tf.alias("x"), tf.alias("y")
+    # merge-join hints on the verification stage: on a dup-saturated
+    # corpus the candidate set is pair-shaped (~134 M rows at the sf10
+    # replica), and Catalyst's pre-shuffle estimate of the derived
+    # cand/nrm frames can pick a broadcast that the driver cannot build
+    # (observed OOM at sf10). SMJ costs nothing at the judged SF and
+    # shuffles-by-key at any SF.
+    x, y = tf.alias("x").hint("merge"), tf.alias("y").hint("merge")
     dots = (cand.join(x, F.col("x.doc") == F.col("doc_a"))
             .join(y, (F.col("y.doc") == F.col("doc_b"))
                   & (F.col("y.dim") == F.col("x.dim")))
@@ -166,9 +172,11 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
     nrm = tf.groupBy("doc").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
     return (dots
             .join(nrm.select(F.col("doc").alias("doc_a"),
-                             F.col("n2").alias("na")), "doc_a")
+                             F.col("n2").alias("na")).hint("merge"),
+                  "doc_a")
             .join(nrm.select(F.col("doc").alias("doc_b"),
-                             F.col("n2").alias("nb")), "doc_b")
+                             F.col("n2").alias("nb")).hint("merge"),
+                  "doc_b")
             .filter(F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
                     >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb"))
             .select("doc_a", "doc_b"))
