@@ -402,3 +402,53 @@ class TestChangeFeed:
             assert r["okey"] % 12 == 0
             assert r["cust"] is None and r["cents"] is None
             assert r["status"] is None
+
+
+class TestTemperatureAllocProperties:
+    """Hypothesis property suite for the shared Hamilton apportionment:
+    the invariants that must hold for ANY domain-size profile, not just
+    the fixtures'."""
+
+    def test_random_profiles_respect_all_invariants(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.lists(st.integers(min_value=1, max_value=400),
+                        min_size=1, max_size=8))
+        def check(sizes):
+            rows = [(f"d{i}", n) for i, n in enumerate(sizes)]
+            df = spark.createDataFrame(rows, "domain string, n_d long")
+            alloc = {r["domain"]: r["alloc"]
+                     for r in C.temperature_alloc(
+                         df, "domain", budget_div=4).collect()}
+            budget = sum(sizes) // 4
+            by_dom = dict(rows)
+            # every quota within its domain; total never over budget
+            assert all(0 <= alloc[d] <= by_dom[d] for d in alloc)
+            assert sum(alloc.values()) <= budget
+            # when no quota clamps, Hamilton fills the budget exactly
+            import math
+            w = [math.isqrt(n) for n in sizes]
+            ws = sum(w)
+            unclamped = all((budget * wi) // ws + 1 <= ni
+                            for wi, ni in zip(w, sizes))
+            if unclamped:
+                assert sum(alloc.values()) == budget
+
+        check()
+
+    def test_weighted_key_is_monotone_in_weight(self, spark):
+        # adding draws can only LOWER the min — a doc's key is
+        # non-increasing in its weight, the E-S coupling property that
+        # makes bottom-k samples nested across weight scalings
+        rows = [(i, w) for i in range(50) for w in (1, 4, 16, 64)]
+        df = spark.createDataFrame(rows, "doc long, weight long")
+        got = {(r["doc"], r["weight"]): r["k"] for r in df.select(
+            "doc", "weight",
+            C.weighted_sample_key(F.col("doc"), F.col("weight"))
+            .alias("k")).collect()}
+        for i in range(50):
+            ks = [got[(i, w)] for w in (1, 4, 16, 64)]
+            assert ks == sorted(ks, reverse=True) or \
+                all(a >= b for a, b in zip(ks, ks[1:]))
