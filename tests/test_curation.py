@@ -403,6 +403,41 @@ class TestChangeFeed:
             assert r["cust"] is None and r["cents"] is None
             assert r["status"] is None
 
+    def test_applying_the_feed_reproduces_the_new_snapshot(self, spark):
+        # the CDF consumer contract: old snapshot + feed == new snapshot
+        import shutil
+        import tempfile
+
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        base = tempfile.mkdtemp(prefix="fg_cdf_apply_")
+        shutil.rmtree(base)
+        try:
+            t = UpsertTable(base, keys=["k"])
+            df = spark.range(40).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+            t.upsert(df.filter(F.col("k") < 20), "v1")
+            v1 = 1
+            t.upsert(df.filter((F.col("k") >= 10) & (F.col("k") < 30))
+                     .withColumn("v", F.col("v") + 1), "v2")
+            t.delete_keys(df.filter(F.col("k") % 5 == 0).select("k"), "v3")
+            snap_v1 = {(r["k"], r["v"])
+                       for r in t.read(spark, version=v1).collect()}
+            snap_now = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+            # apply the feed to snap_v1: latest change per key wins
+            feed = t.changes(spark, since_version=v1).collect()
+            latest = {}
+            for r in sorted(feed, key=lambda r: r["_commit_version"]):
+                latest[r["k"]] = r
+            applied = {k: v for k, v in snap_v1}
+            for k, r in latest.items():
+                if r["_op"] == "d":
+                    applied.pop(k, None)
+                else:
+                    applied[k] = r["v"]
+            assert set(applied.items()) == snap_now
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
 
 class TestTemperatureAllocProperties:
     """Hypothesis property suite for the shared Hamilton apportionment:
@@ -452,3 +487,4 @@ class TestTemperatureAllocProperties:
             ks = [got[(i, w)] for w in (1, 4, 16, 64)]
             assert ks == sorted(ks, reverse=True) or \
                 all(a >= b for a, b in zip(ks, ks[1:]))
+
