@@ -10,7 +10,7 @@ checked by cross-multiplied squares, never by dividing doubles; the only
 floating-point op anywhere is ``sqrt``, which IEEE 754 requires to be
 correctly rounded on both engines, taken under ``FLOOR`` into integers).
 
-Reference scope note: the reference app (process_gdax.py, process_book.py)
+Reference scope note: the reference app (real_guac.py, polo_ws.py)
 has no corpus layer — these extend SURVEY.md §2.5 ("operators the reference
 does NOT have") for the LLM-data-pipeline mandate.
 
@@ -82,20 +82,27 @@ W_CAP = 64             # weighted-sampling replica cap (weights clip here)
 def weighted_sample_key(id_col: Column, weight_col: Column) -> Column:
     """Efraimidis–Spirakis sampling key, integer-exact: the min of
     ``w`` iid md5 draws ranks identically to ``Exp(w)`` (the E-S key).
-    ``weight_col`` must already be clipped to [1, W_CAP]."""
+    The weight is defensively clamped to [1, W_CAP] INSIDE the key (the
+    r10 advisor found the raw form returns NULL for w ≤ 0 — array_min of
+    an empty sequence — and NULLs sort first ascending, so an unclipped
+    zero weight would win every bottom-k slot); callers may still
+    pre-clamp, under which the inner clamp is the identity."""
+    w = F.greatest(F.lit(1), F.least(F.lit(W_CAP), weight_col.cast("int")))
     draws = F.transform(
-        F.sequence(F.lit(1), weight_col.cast("int")),
+        F.sequence(F.lit(1), w),
         lambda i: md5_long(F.concat_ws(
             ":", id_col.cast("string"), i.cast("string"))))
     return F.array_min(draws)
 
 
 def sql_weighted_sample_key(id_expr: str, weight_expr: str) -> str:
-    """DuckDB rendering of :func:`weighted_sample_key` (identical draws)."""
+    """DuckDB rendering of :func:`weighted_sample_key` (identical draws,
+    including the defensive [1, W_CAP] clamp)."""
     draw = sql_md5_long(
         f"CAST({id_expr} AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
-    return (f"list_min(list_transform("
-            f"generate_series(1, CAST({weight_expr} AS INT)), i -> {draw}))")
+    return (f"list_min(list_transform(generate_series(1, "
+            f"GREATEST(1, LEAST({W_CAP}, CAST({weight_expr} AS INT)))), "
+            f"i -> {draw}))")
 
 
 # --- feature-hashed document embedding (sparse integer TF) ------------------
@@ -238,9 +245,12 @@ def temperature_alloc(grouped: DataFrame, key_col: str,
     ``grouped``: one row per key with an ``n_d`` count column."""
     counts = grouped.withColumn(
         "w_d", F.floor(F.sqrt(F.col("n_d").cast("double"))).cast("long"))
+    # integer division (DIV), matching the oracle's `//` exactly for ANY
+    # divisor — the double-division form only agreed because current call
+    # sites pass power-of-two divisors with totals under 2^53 (r10 advice)
     tot = counts.agg(
         F.sum("w_d").alias("w_sum"),
-        (F.sum("n_d") / budget_div).cast("long").alias("budget"))
+        F.expr(f"sum(n_d) DIV {budget_div}").alias("budget"))
     quota = (counts.join(F.broadcast(tot))
              .select(key_col, "n_d",
                      F.expr("(budget * w_d) DIV w_sum").alias("base"),

@@ -245,15 +245,27 @@ def sql_triangle_census(edges_cte: str) -> str:
 
 # --- k-core decomposition (bounded peeling) ---------------------------------
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 8,
+          convergence_out: dict | None = None) -> DataFrame:
     """k-core membership by ``rounds`` synchronized peeling iterations:
     each round drops every node whose degree WITHIN the surviving
     subgraph is < k (Matula & Beck 1983; the batch-synchronous variant
     so a SQL oracle can replay it round for round). Equal to the true
     k-core whenever peeling reaches fixpoint within ``rounds`` —
-    asserted on the fixtures in tests/test_graph_ops.py; an unconverged
+    asserted on the fixtures in tests/test_graph.py; an unconverged
     corpus still judges identically because both engines run the SAME
     bounded unroll.
+
+    Peeling is monotone, so a round that removes no node IS the
+    fixpoint: the loop exits early there (bit-identical result to the
+    full unroll, and the remaining rounds' joins are skipped). Pass a
+    dict as ``convergence_out`` to receive ``{"converged": bool,
+    "rounds_run": int}`` — ``converged`` False means the bounded unroll
+    returned a SUPERSET of the true k-core (more peeling was possible
+    when the round budget ran out), the honesty flag the r10 verdict
+    asked for. The per-round alive count driving both is one ``count()``
+    on the already-checkpointed survivor list — O(rounds) tiny actions,
+    not a new shuffle.
 
     Returns (node, in_core, core_degree) for every node of ``edges``
     (undirected (i, j) pairs; core_degree = 0 outside the core).
@@ -267,6 +279,8 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
            .distinct().localCheckpoint(eager=True))
     nodes = sym.select(F.col("u").alias("node")).distinct()
     alive = nodes
+    prev_n = alive.count()
+    converged, rounds_run = False, 0
     for _ in range(rounds):
         au = alive.select(F.col("node").alias("u"))
         av = alive.select(F.col("node").alias("v"))
@@ -275,6 +289,15 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 8) -> DataFrame:
                  .filter(F.col("deg") >= k)
                  .select(F.col("u").alias("node"))
                  .localCheckpoint(eager=True))
+        rounds_run += 1
+        n = alive.count()
+        if n == prev_n:  # no node peeled: fixpoint reached, remaining
+            converged = True  # rounds would be identity — exit early
+            break
+        prev_n = n
+    if convergence_out is not None:
+        convergence_out["converged"] = converged
+        convergence_out["rounds_run"] = rounds_run
     au = alive.select(F.col("node").alias("u"))
     av = alive.select(F.col("node").alias("v"))
     core_deg = (sym.join(au, "u").join(av, "v")

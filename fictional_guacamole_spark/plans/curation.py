@@ -533,18 +533,24 @@ def txnlog_time_travel_stats(spark: SparkSession,
     import os
     import shutil
     import tempfile
+    import uuid
 
+    from fictional_guacamole_spark.sources import txnlog as _txnmod
     from fictional_guacamole_spark.sources.txnlog import (
         TransactionalParquetTable)
 
     events = load_table(spark, sf_dir, "events")
     src = os.path.join(sf_dir, "events.parquet")
+    # cache tag folds the writer-format version: a txnlog layout change
+    # invalidates stale on-disk tables automatically (r10 advice)
     tag = hashlib.md5(
-        f"timetravel1:{src}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
+        f"timetravel1:fmt{_txnmod.FORMAT_VERSION}:{src}:"
+        f"{os.path.getmtime(src)}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_tt_{tag}")
     if not os.path.exists(base):
-        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        # private build, atomic publish; uuid (not just pid) so two
+        # concurrent builders in one process cannot share a build dir
+        build = f"{base}.build.{uuid.uuid4().hex}"
         t = TransactionalParquetTable(build)
         for i in range(3):
             t.commit(events.filter(F.col("event_id") % 3 == i),
@@ -560,6 +566,94 @@ def txnlog_time_travel_stats(spark: SparkSession,
                  F.sum(F.floor(F.col("value") * 100)).cast("long")
                   .alias("value_cents"))
             .orderBy("event_type"))
+
+
+@query(
+    "txnlog_schema_evolution_stats",
+    survey_ref="K3 schema migration: SCHEMA EVOLUTION on the commit-log "
+               "table (widened schema readable across the boundary, old "
+               "rows null-filled; time travel pins the OLD schema)",
+    description="Head read of a table whose second commit ADDED a column: "
+                "pre-evolution rows null-filled, per-status stats, plus "
+                "the time-traveled v1 column list proving the old schema "
+                "is pinned",
+    oracle="""
+    WITH head AS (
+      SELECT o_orderkey AS okey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT),
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT status, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           'cents,okey' AS v1_cols
+    FROM head GROUP BY status
+    ORDER BY status
+    """,
+)
+def txnlog_schema_evolution_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION (K3) — the most-hit lakehouse feature after plain
+    reads: commit 1 lands orders slice %2==0 under schema A = (okey,
+    cents); commit 2 lands slice %2==1 under the WIDENED schema
+    A′ = (okey, cents, status). The judged head read must union by name
+    with the missing column null-filled (sources/txnlog.py read path),
+    so pre-evolution rows group under NULL status — which the oracle
+    reconstructs verbatim from the raw fixture. The row also certifies
+    the OTHER half of the evolution contract: a time travel to version 1
+    must present the PRE-evolution schema (no ``status`` column at all,
+    not a null-filled one) — the pinned v1 column list rides along as
+    the ``v1_cols`` literal the oracle states expected ('cents,okey').
+    The reference migrates its SQLite schema in place (real_guac.py's
+    CREATE TABLE IF NOT EXISTS bootstrap); the commit-log form keeps
+    every historical schema addressable instead.
+
+    100 TB shape: evolution costs ZERO data rewrite — the log records
+    each commit's schema (KB-scale JSON) and reads union by name;
+    time-traveled schemas resolve from the version-pinned entry list
+    (txnlog.py:430), never from the log head."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from fictional_guacamole_spark.sources import txnlog as _txnmod
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"))
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"schemaevo1:fmt{_txnmod.FORMAT_VERSION}:{src}:"
+        f"{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_sevo_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{uuid.uuid4().hex}"
+        t = TransactionalParquetTable(build)
+        t.commit(rows.filter(F.col("okey") % 2 == 0).select("okey", "cents"),
+                 "schema-a")
+        t.commit(rows.filter(F.col("okey") % 2 == 1), "schema-a-prime")
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    table = TransactionalParquetTable(base)
+    v1_cols = ",".join(sorted(table.read(spark, version=1).columns))
+    head = table.read(spark)
+    return (head.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").cast("long").alias("cents_sum"))
+            .withColumn("v1_cols", F.lit(v1_cols))
+            .orderBy("status"))
 
 
 @query(
@@ -605,7 +699,10 @@ def cdc_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+    import uuid
 
+    from fictional_guacamole_spark.sources import cdc as _cdcmod
+    from fictional_guacamole_spark.sources import txnlog as _txnmod
     from fictional_guacamole_spark.sources.cdc import UpsertTable
 
     orders = load_table(spark, sf_dir, "orders")
@@ -615,11 +712,15 @@ def cdc_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderstatus").alias("status"))
     src = os.path.join(sf_dir, "orders.parquet")
+    # both layer versions in the tag: txnlog layout + CDC op-tag shape
     tag = hashlib.md5(
-        f"cdcfeed1:{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+        f"cdcfeed1:fmt{_txnmod.FORMAT_VERSION}.{_cdcmod.FORMAT_VERSION}:"
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_cdcfeed_{tag}")
     if not os.path.exists(base):
-        build = f"{base}.build.{os.getpid()}"  # private build, atomic publish
+        # private build, atomic publish; uuid (not just pid) so two
+        # concurrent builders in one process cannot share a build dir
+        build = f"{base}.build.{uuid.uuid4().hex}"
         t = UpsertTable(build, keys=["okey"])
         t.upsert(rows.filter(F.col("okey") % 3 == 0), "seed")
         t.upsert(rows.filter(F.col("okey") % 3 == 1), "wave-2")

@@ -38,6 +38,11 @@ from fictional_guacamole_spark.sources.txnlog import TransactionalParquetTable
 _OP = "_op"  # 'u' upsert | 'd' delete tombstone
 _VER = "_commit_version"
 
+# Writer-format version for the CDC layer ON TOP of the commit log (the
+# _op tagging / tombstone shape). Caches of UpsertTable-built tables fold
+# in BOTH this and txnlog.FORMAT_VERSION — see txnlog.py's constant note.
+FORMAT_VERSION = 1
+
 
 class UpsertTable:
     """Keyed table with MERGE semantics (see module docstring)."""

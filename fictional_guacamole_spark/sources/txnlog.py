@@ -67,6 +67,13 @@ from pyspark.sql import types as T
 _LOG_DIR = "_txnlog"
 _DATA_DIR = "data"
 
+# On-disk layout version. Bump on ANY change to the log-entry JSON shape,
+# directory layout, or data-file encoding: cache keys derived from tables
+# of this format (e.g. the /tmp table caches in plans/curation.py) fold
+# this in, so a layout change automatically invalidates stale on-disk
+# tables built by an older writer (r10 advice).
+FORMAT_VERSION = 1
+
 
 def _stat_key(v):
     """JSON-storable, order-preserving encoding of one stats value.

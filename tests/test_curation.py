@@ -365,6 +365,26 @@ class TestTimeTravel:
             shutil.rmtree(base, ignore_errors=True)
 
 
+class TestSchemaEvolutionRow:
+    def test_head_evolves_and_time_travel_pins_old_schema(self, spark):
+        # the judged row's two contracts, checked directly on its output:
+        # the head read carries the widened schema (null-filled for
+        # pre-evolution rows → a NULL status group exists), and the
+        # time-traveled v1 column list has NO status column at all
+        from fictional_guacamole_spark.plans import REGISTRY
+        rows = REGISTRY["txnlog_schema_evolution_stats"].builder(
+            spark, "/root/testdata/sf0.001").collect()
+        assert all(r["v1_cols"] == "cents,okey" for r in rows)
+        statuses = {r["status"] for r in rows}
+        assert None in statuses  # pre-evolution rows null-filled
+        assert len(statuses) > 1  # post-evolution rows keep real values
+        # the null-status group is exactly the %2==0 slice of the fixture
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+        null_row = [r for r in rows if r["status"] is None][0]
+        assert null_row["n_rows"] == n_even
+
+
 class TestDedupThenAgg:
     def test_exactly_once_despite_doubled_input(self, spark):
         # the doubled replay must aggregate to the UN-doubled truth

@@ -245,3 +245,38 @@ class TestKcore:
         assert rows[3] == (True, 3) and rows[4] == (True, 3)
         for n in (10, 11, 12):
             assert rows[n] == (False, 0)
+
+    def test_convergence_flag_trips_when_rounds_insufficient(self, spark):
+        # r10 verdict task #6: a fixture where the 8-round budget is NOT
+        # enough — a 30-node path under k=2 peels exactly its two
+        # endpoints per round (15 rounds to empty), so after 8 rounds
+        # peeling is still in progress and the bounded unroll returns a
+        # SUPERSET of the true 2-core (which is empty). The flag must
+        # say so.
+        from fictional_guacamole_spark.functions.graph import kcore
+        E = [(n, n + 1) for n in range(1, 30)]
+        df = spark.createDataFrame(E, "i long, j long")
+        conv: dict = {}
+        rows = kcore(df, k=2, rounds=8, convergence_out=conv).collect()
+        assert conv["converged"] is False
+        assert conv["rounds_run"] == 8
+        # unconverged output is a strict superset of the (empty) 2-core
+        assert any(r["in_core"] for r in rows)
+
+    def test_convergence_flag_and_early_exit_on_converged_graph(self, spark):
+        # the clique+tail graph reaches fixpoint in 3 peel rounds (+1
+        # no-op round that detects it); the result must be bit-identical
+        # to the full 8-round unroll and the flag must report converged
+        from fictional_guacamole_spark.functions.graph import kcore
+        E = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 10), (10, 11), (11, 12)]
+        df = spark.createDataFrame(E, "i long, j long")
+        conv: dict = {}
+        rows = {r["node"]: (r["in_core"], r["core_degree"])
+                for r in kcore(df, k=3, rounds=8,
+                               convergence_out=conv).collect()}
+        assert conv["converged"] is True
+        assert conv["rounds_run"] < 8  # early exit actually fired
+        assert rows[1] == (True, 3) and rows[4] == (True, 3)
+        for n in (10, 11, 12):
+            assert rows[n] == (False, 0)
