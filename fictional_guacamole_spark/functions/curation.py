@@ -226,6 +226,204 @@ def sql_semantic_pairs(table: str, id_col: str, text_col: str,
             >= {tau_num * tau_num} * na.n2 * nb.n2) _sem_pairs"""
 
 
+# --- SemDeDup over REAL embedding vectors (pretrained-encoder shape) --------
+#
+# The r10 semantic-dedup row embeds via hashed TF (a deterministic encoder
+# stand-in) and blocks lexically because sign-LSH is scale-broken on
+# hashed-TF geometry (correlated directions — measured study above). With
+# PRETRAINED-style embeddings the geometry flips: directions are spread
+# (the fixture's embeddings.parquet vectors are ~uniform on the sphere,
+# near-dup pairs sit at cos ≥ 0.95 while random pairs sit near 0), which
+# is exactly the regime where sign random projection (SRP: Charikar 2002)
+# blocks at linear candidate volume. Measured on the fixture corpus:
+# candidates = 3.0 % of all pairs at sf0.01 and 2.9 % at sf0.1 with
+# blocking recall 100 % / 99.5 % against the exact τ ≥ 0.9 pair set —
+# vs the 40 % quadratic blow-up hashed-TF sign-LSH measured in r10.
+#
+# Exactness engineering (everything cross-engine bit-replayable):
+# - Vectors quantize to integers: q_i = FLOOR(double(x_i) · 2048).
+#   float32→double is exact, ×2^11 is exact, FLOOR is exact. Unit-norm
+#   inputs give |q|² ≈ 2048² ≈ 4.2e6, so the cross-multiplied cosine
+#   compare 100·dot² vs 81·na·nb peaks ~1e15 ≪ 2^63 (and stays safe for
+#   norms up to ~30× unit).
+# - SRP planes are md5-parity Rademacher (±1) vectors: s(p, i) =
+#   md5_long('semplane:p:i') % 2 · 2 − 1 — the same draw in Spark SQL,
+#   DuckDB, and Python hashlib (asserted in tests), so band keys are
+#   identical everywhere. Signs are integer dots (q can be negative, so
+#   the verify also guards dot ≥ 0 before squaring).
+
+SEM_SCALE = 2048       # quantization: FLOOR(x * 2^11) — exact in double
+SEM_PLANES = 48        # SRP planes; 6 bands × 8 bits
+SEM_BAND_W = 8         # planes per band (the banding knob: widen as the
+                       # corpus grows to keep candidates linear)
+SEM_DIM = 64           # fixture embedding dimensionality
+
+
+def srp_plane_sign(p: int, i: int) -> int:
+    """The ±1 Rademacher entry of SRP plane ``p`` at dim ``i`` — Python
+    rendering of the shared md5 draw (must equal the Spark/SQL forms)."""
+    import hashlib
+
+    h = hashlib.md5(f"semplane:{p}:{i}".encode()).hexdigest()[:8]
+    return int(h, 16) % 2 * 2 - 1
+
+
+def quantized_embedding_rows(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(doc, dim, q) integer rows: q = FLOOR(double(x) · SEM_SCALE).
+    One posexplode — scan-speed, map-only."""
+    return emb.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(vec_col).alias("dim", "x")
+    ).select("doc", "dim",
+             F.floor(F.col("x").cast("double") * SEM_SCALE)
+              .cast("long").alias("q"))
+
+
+def sql_quantized_embedding_rows(table: str = "embeddings",
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> str:
+    """DuckDB rendering of :func:`quantized_embedding_rows`."""
+    return f"""
+      SELECT {id_col} AS doc, i - 1 AS dim,
+             CAST(FLOOR(CAST({vec_col}[i] AS DOUBLE) * {SEM_SCALE})
+                  AS BIGINT) AS q
+      FROM {table},
+           UNNEST(generate_series(1, len({vec_col}))) AS _sq_u(i)"""
+
+
+def srp_band_keys(qv: DataFrame) -> DataFrame:
+    """(doc, band, band_sig) SRP banding of quantized (doc, dim, q) rows.
+
+    The 48 plane dots are 48 fused conditional sums in ONE map-side-
+    combined groupBy (plane entries are ±1 literals inlined via
+    element_at, no join, no plane-table shuffle); each 8-plane band packs
+    its sign bits into one integer key. Shuffle: 48 longs per vector.
+    100 TB: this is the 'assign' stage — scan-speed, output ∝ vectors."""
+    planes = [
+        F.array(*[F.lit(srp_plane_sign(p, i)) for i in range(SEM_DIM)])
+        for p in range(SEM_PLANES)
+    ]
+    dots = [
+        F.sum(F.col("q") * F.element_at(planes[p], F.col("dim") + 1))
+         .alias(f"d{p}")
+        for p in range(SEM_PLANES)
+    ]
+    sig = qv.groupBy("doc").agg(*dots)
+    n_bands = SEM_PLANES // SEM_BAND_W
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum((F.when(F.col(f"d{b * SEM_BAND_W + j}") >= 0, 1 << j)
+                 .otherwise(0)) for j in range(SEM_BAND_W))
+            .cast("long").alias("band_sig"))
+        for b in range(n_bands)
+    ]
+    return (sig.select("doc", F.explode(F.array(*band_structs)).alias("bs"))
+            .select("doc", F.col("bs.band").alias("band"),
+                    F.col("bs.band_sig").alias("band_sig")))
+
+
+def sql_srp_band_keys(qv_cte: str) -> str:
+    """DuckDB rendering of :func:`srp_band_keys` over a (doc, dim, q) CTE
+    — the oracle uses the plane-table join form (same md5 draws, same
+    band keys; join-vs-inline is a physical choice, not semantic)."""
+    sgn = sql_md5_long(
+        "'semplane:' || CAST(_sp.p AS VARCHAR) || ':' "
+        "|| CAST(_sd.i AS VARCHAR)")
+    return f"""
+      SELECT doc, p // {SEM_BAND_W} AS band,
+             SUM((CASE WHEN d >= 0 THEN 1 ELSE 0 END)
+                 * (1 << (p % {SEM_BAND_W}))) AS band_sig
+      FROM (
+        SELECT qv.doc, pl.p, SUM(qv.q * pl.s) AS d
+        FROM {qv_cte} qv
+        JOIN (SELECT _sp.p, _sd.i AS dim, {sgn} % 2 * 2 - 1 AS s
+              FROM (SELECT unnest(generate_series(0, {SEM_PLANES - 1}))
+                      AS p) _sp,
+                   (SELECT unnest(generate_series(0, {SEM_DIM - 1}))
+                      AS i) _sd) pl
+          ON qv.dim = pl.dim
+        GROUP BY qv.doc, pl.p) _srp_dots
+      GROUP BY doc, band"""
+
+
+def semantic_pairs_embeddings(qv: DataFrame, tau_num: int = 9,
+                              tau_den: int = 10) -> DataFrame:
+    """(doc_a, doc_b) pairs of quantized embedding rows with exact integer
+    cosine ≥ tau_num/tau_den, candidates from SRP banding (never
+    all-pairs). The verify guards dot ≥ 0 before the cross-multiplied
+    square compare — embedding coordinates are signed, unlike the
+    non-negative hashed-TF counts in :func:`semantic_pairs`.
+
+    100 TB shape: assign (map-side) → 6 band equi-joins → sparse dot
+    equi-join on dim over blocked pairs only → integer compare."""
+    qv = qv.localCheckpoint(eager=True)
+    bk = srp_band_keys(qv).localCheckpoint(eager=True)
+    cand = (bk.alias("x").join(
+                bk.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("x.doc") < F.col("y.doc")))
+            .select(F.col("x.doc").alias("doc_a"),
+                    F.col("y.doc").alias("doc_b"))
+            .distinct())
+    # merge-join hints, same rationale as semantic_pairs: pair-shaped
+    # candidate frames mis-estimate toward driver-breaking broadcasts at
+    # large SF (the r10 sf10 OOM); SMJ shuffles by key at any SF.
+    x, y = qv.alias("x").hint("merge"), qv.alias("y").hint("merge")
+    dots = (cand.join(x, F.col("x.doc") == F.col("doc_a"))
+            .join(y, (F.col("y.doc") == F.col("doc_b"))
+                  & (F.col("y.dim") == F.col("x.dim")))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("x.q") * F.col("y.q")).alias("dot")))
+    nrm = qv.groupBy("doc").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
+    return (dots
+            .join(nrm.select(F.col("doc").alias("doc_a"),
+                             F.col("n2").alias("na")).hint("merge"),
+                  "doc_a")
+            .join(nrm.select(F.col("doc").alias("doc_b"),
+                             F.col("n2").alias("nb")).hint("merge"),
+                  "doc_b")
+            .filter((F.col("dot") >= 0)
+                    & (F.lit(tau_den * tau_den)
+                       * F.col("dot") * F.col("dot")
+                       >= F.lit(tau_num * tau_num)
+                       * F.col("na") * F.col("nb")))
+            .select("doc_a", "doc_b"))
+
+
+def sql_semantic_pairs_embeddings(qv_sql: str, tau_num: int = 9,
+                                  tau_den: int = 10) -> str:
+    """Standalone SELECT for :func:`semantic_pairs_embeddings` over a
+    quantized-rows SELECT (CTE names prefixed ``semp_`` — shadow-safe)."""
+    return f"""
+    SELECT doc_a, doc_b FROM (
+      WITH semp_qv AS MATERIALIZED ({qv_sql}),
+      semp_bands AS MATERIALIZED (
+        {sql_srp_band_keys('semp_qv')}),
+      semp_cand AS MATERIALIZED (
+        SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        FROM semp_bands x JOIN semp_bands y
+          ON x.band = y.band AND x.band_sig = y.band_sig
+             AND x.doc < y.doc),
+      semp_nrm AS MATERIALIZED (
+        SELECT doc, SUM(q * q) AS n2 FROM semp_qv GROUP BY doc),
+      semp_dot AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b, SUM(x.q * y.q) AS dot
+        FROM semp_cand c
+        JOIN semp_qv x ON x.doc = c.doc_a
+        JOIN semp_qv y ON y.doc = c.doc_b AND y.dim = x.dim
+        GROUP BY c.doc_a, c.doc_b)
+      SELECT sd.doc_a, sd.doc_b
+      FROM semp_dot sd
+      JOIN semp_nrm na ON sd.doc_a = na.doc
+      JOIN semp_nrm nb ON sd.doc_b = nb.doc
+      WHERE sd.dot >= 0
+        AND {tau_den * tau_den} * sd.dot * sd.dot
+            >= {tau_num * tau_num} * na.n2 * nb.n2) _semp_pairs"""
+
+
 # --- sqrt-temperature Hamilton apportionment (shared by both mix rows) ------
 
 def temperature_alloc(grouped: DataFrame, key_col: str,

@@ -205,6 +205,106 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc"))
 
 
+# -- SemDeDup over the REAL embedding vectors (r10 verdict task #1) ----------
+# The corpus: every fixture vector, plus — for vec_id % 5 == 0 — one
+# deterministic NEAR-DUPLICATE replica (id + 100000) whose coordinate
+# (vec_id % 64) is doubled before quantization. The fixture vectors are
+# ~uniform unit vectors (max pairwise cos ≈ 0.5 at judged SFs), so without
+# injected near-dups a τ = 0.9 SemDeDup pass would be vacuously empty;
+# the doubled-coordinate replica lands at cos ∈ [0.956, 1) of its original
+# (measured) — the classic near-dup regime — while replica–stranger pairs
+# stay random. The SAME derivation runs in both engines, so the oracle is
+# a full value oracle (same pattern as the doubled-replay streaming rows).
+_SEMP_STRIDE = 100000
+_SEMP_QV_SQL = f"""
+      SELECT vec_id AS doc, i - 1 AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {C.SEM_SCALE})
+                  AS BIGINT) AS q
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS _sq_u(i)
+      UNION ALL
+      SELECT vec_id + {_SEMP_STRIDE}, i - 1,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {C.SEM_SCALE}
+                  * (CASE WHEN i - 1 = vec_id % {C.SEM_DIM} THEN 2 ELSE 1
+                     END)) AS BIGINT)
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS _sq_u(i)
+      WHERE vec_id % 5 = 0"""
+_SEMP_IDS_SQL = (f"(SELECT vec_id FROM embeddings UNION ALL "
+                 f"SELECT vec_id + {_SEMP_STRIDE} FROM embeddings "
+                 f"WHERE vec_id % 5 = 0) _semp_ids")
+_SEMP_PAIRS_SQL = C.sql_semantic_pairs_embeddings(_SEMP_QV_SQL)
+
+
+@query(
+    "dedup_semantic_pretrained",
+    survey_ref="extensions: semantic dedup over REAL embedding vectors "
+               "(SemDeDup production shape: pretrained-style embeddings, "
+               "SRP banding, integer-exact cosine verify, components)",
+    description="Embedding-space near-dup clusters over the fixture's "
+                "embeddings.parquet vectors + doubled-coordinate replicas: "
+                "FLOOR(x*2048) quantization, 6x8 sign-random-projection "
+                "bands, exact integer cosine >= 0.9, components labeling",
+    oracle=f"""
+    WITH comp AS ({D.sql_dedup_components(
+        _SEMP_PAIRS_SQL, _SEMP_IDS_SQL, "vec_id")})
+    SELECT doc, canonical_id AS cluster,
+           (doc = canonical_id) AS is_rep,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+             AS n_members
+    FROM comp
+    ORDER BY doc
+    """,
+)
+def dedup_semantic_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) in its PRODUCTION shape — over real
+    (pretrained-encoder-style) embedding vectors, not the r10 row's
+    hashed-TF stand-in. The pipeline: quantize each float vector to
+    integers (FLOOR(x·2048) — exact in double, so both engines see
+    bit-identical vectors), block candidates with 6×8 sign-random-
+    projection bands (md5-parity Rademacher planes — SRP works HERE
+    because neural-style embedding directions are spread; the r10 study
+    measured it quadratic on hashed-TF geometry and chose lexical
+    blocking there), verify cosine ≥ 0.9 in exact integer arithmetic
+    (dot ≥ 0 guard + 100·dot² ≥ 81·na·nb), label clusters with the
+    judged components pass. Measured on this corpus: candidates are
+    3.0 % / 2.9 % of all pairs at sf0.01 / sf0.1 with 100 % / 99.5 %
+    blocking recall vs the exact τ pair set — sub-100 % recall is
+    inherent to SemDeDup-style blocking and deterministic here (both
+    engines replay the identical banding).
+
+    100 TB shape: quantize + 48 plane dots are map-side (fused
+    conditional sums, plane literals inlined — no plane-table join);
+    candidates are 6 banded equi-joins, never all-pairs; verify touches
+    only blocked pairs via the sparse dim equi-join; components is the
+    sf10-proven distributed labeling. SEM_BAND_W is the knob that keeps
+    candidate volume linear as the corpus grows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv_orig = C.quantized_embedding_rows(emb)
+    rep = emb.filter(F.col("vec_id") % 5 == 0)
+    qv_rep = (rep.select(
+        (F.col("vec_id") + _SEMP_STRIDE).alias("doc"),
+        F.col("vec_id").alias("orig_id"),
+        F.posexplode("embedding").alias("dim", "x"))
+        .select("doc", "dim",
+                F.floor(F.col("x").cast("double") * C.SEM_SCALE
+                        * F.when(F.col("dim") == F.col("orig_id")
+                                 % C.SEM_DIM, 2).otherwise(1))
+                 .cast("long").alias("q")))
+    qv = qv_orig.unionByName(qv_rep)
+    pairs = C.semantic_pairs_embeddings(qv)
+    ids = (emb.select(F.col("vec_id"))
+           .unionByName(rep.select(
+               (F.col("vec_id") + _SEMP_STRIDE).alias("vec_id"))))
+    comp = D.dedup_components(pairs, ids)
+    wc = W.partitionBy("cluster")
+    return (comp.select("doc", F.col("canonical_id").alias("cluster"))
+            .withColumn("is_rep", F.col("doc") == F.col("cluster"))
+            .withColumn("n_members",
+                        F.count(F.lit(1)).over(wc).cast("long"))
+            .orderBy("doc"))
+
+
 _MH_AGREE = " + ".join(
     f"(CASE WHEN sn.m{i} = sh.m{i} THEN 1 ELSE 0 END)"
     for i in range(D.MINHASH_K))

@@ -152,6 +152,94 @@ class TestSemanticDedup:
             assert all(m["n_members"] == len(members) for m in members)
 
 
+class TestSemanticPretrained:
+    @pytest.fixture(scope="class")
+    def qv_and_pairs(self, spark):
+        """Quantized corpus (originals + replicas) and the judged pair
+        set, both pulled once for the class."""
+        import numpy as np
+        from fictional_guacamole_spark.tables import load_table
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        rows = emb.select("vec_id", "embedding").collect()
+        vecs = {}
+        for r in rows:
+            v = np.floor(np.array(r["embedding"], dtype=np.float32)
+                         .astype(np.float64) * C.SEM_SCALE)
+            vecs[r["vec_id"]] = v
+            if r["vec_id"] % 5 == 0:
+                w = (np.array(r["embedding"], dtype=np.float32)
+                     .astype(np.float64) * C.SEM_SCALE)
+                w[r["vec_id"] % C.SEM_DIM] *= 2
+                vecs[r["vec_id"] + 100000] = np.floor(w)
+        out = REGISTRY["dedup_semantic_pretrained"].builder(
+            spark, SF_SMALL).collect()
+        return vecs, out
+
+    def test_plane_signs_match_spark_md5(self, spark):
+        # the Python-literal Rademacher entries inlined into the Spark
+        # plan must equal the md5 draw both SQL engines compute
+        from fictional_guacamole_spark.functions.dedup import md5_long
+        df = spark.range(12).select(
+            (F.col("id") % 4).alias("p"), (F.col("id") % 3).alias("i"))
+        got = df.select(
+            "p", "i",
+            (md5_long(F.concat_ws("", F.lit("semplane:"),
+                                  F.col("p").cast("string"), F.lit(":"),
+                                  F.col("i").cast("string")))
+             % 2 * 2 - 1).alias("s")).collect()
+        for r in got:
+            assert r["s"] == C.srp_plane_sign(r["p"], r["i"])
+
+    def test_clusters_are_exactly_the_true_tau_pairs_modulo_blocking(
+            self, qv_and_pairs):
+        # exact τ≥0.9 ground truth by brute force over quantized ints;
+        # judged clusters must contain ONLY true pairs (exact verify →
+        # no false merges) and recover ≥95 % of true pairs (SRP
+        # blocking recall — deterministic for the fixed fixture+planes)
+        import numpy as np
+        vecs, out = qv_and_pairs
+        ids = sorted(vecs)
+        true_pairs = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                va, vb = vecs[a], vecs[b]
+                dot = float(va @ vb)
+                if dot >= 0 and 100 * dot * dot >= 81 * float(
+                        va @ va) * float(vb @ vb):
+                    true_pairs.add((a, b))
+        clusters = {}
+        for r in out:
+            clusters.setdefault(r["cluster"], []).append(r["doc"])
+        got_pairs = set()
+        for members in clusters.values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b in ms[i + 1:]:
+                    got_pairs.add((a, b))
+        # transitive closure can only merge true pairs' components, so
+        # every got pair must lie inside one true component — with the
+        # fixture's doubleton-only truth, got ⊆ true exactly
+        assert got_pairs <= true_pairs
+        assert true_pairs, "fixture lost its injected near-dups"
+        recall = len(got_pairs) / len(true_pairs)
+        assert recall >= 0.95, (len(got_pairs), len(true_pairs))
+
+    def test_every_doc_labeled_and_reps_canonical(self, qv_and_pairs):
+        vecs, out = qv_and_pairs
+        assert {r["doc"] for r in out} == set(vecs)
+        for r in out:
+            assert r["is_rep"] == (r["doc"] == r["cluster"])
+
+    def test_replicas_cluster_with_their_original(self, qv_and_pairs):
+        # ≥95 % of injected replicas must land in their original's
+        # cluster (the blocking-recall contract made concrete)
+        vecs, out = qv_and_pairs
+        cl = {r["doc"]: r["cluster"] for r in out}
+        reps = [d for d in vecs if d >= 100000]
+        hit = sum(1 for d in reps if cl[d] == cl[d - 100000])
+        assert reps and hit / len(reps) >= 0.95, (hit, len(reps))
+
+
 class TestPlanQuality:
     def test_weighted_sample_has_no_global_sort(self, spark):
         df = REGISTRY["sample_weighted_bottomk"].builder(spark, SF_SMALL)
