@@ -564,6 +564,34 @@ def sql_dedup_components(pairs_sql: str, table: str, id_col: str) -> str:
     """
 
 
+def sql_components_ctes(prefix: str, pairs_cte: str, nodes_cte: str,
+                        node_col: str) -> str:
+    """CTE-list fragment rendering of :func:`dedup_components` —
+    ``{prefix}_edges`` / ``{prefix}_walk`` / ``{prefix}_comp(doc,
+    canonical_id)`` over an ALREADY-DEFINED pairs CTE and node CTE.
+    Unlike :func:`sql_dedup_components` (a complete standalone query),
+    this composes MULTIPLE walks inside one outer ``WITH RECURSIVE``
+    clause — the dedup-cascade oracle runs two (minhash components over
+    exact-dedup survivors, then semantic components over near-dup
+    survivors). Same walk semantics: UNION dedupes visited
+    (node, label) states; the final aggregate keeps each node's minimum
+    reachable label."""
+    return f"""
+    {prefix}_edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM {pairs_cte}
+      UNION
+      SELECT doc_b, doc_a FROM {pairs_cte}),
+    {prefix}_walk(node, label) AS (
+      SELECT {node_col}, {node_col} FROM {nodes_cte}
+      UNION
+      SELECT e.u, w.label
+      FROM {prefix}_walk w JOIN {prefix}_edges e ON e.v = w.node
+      WHERE w.label < e.u),
+    {prefix}_comp AS (
+      SELECT node AS doc, MIN(label) AS canonical_id
+      FROM {prefix}_walk GROUP BY node)"""
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -668,6 +668,121 @@ def txnlog_time_travel_stats(spark: SparkSession,
             .orderBy("event_type"))
 
 
+# -- the dedup CASCADE (r10 verdict task #2) ---------------------------------
+# SCALE.md's production prescription for the dup-saturated corpus, as one
+# judged pipeline: EXACT dedup first (byte-identical copies die on an
+# md5-fingerprint groupBy), MinHash near-dup components over the exact
+# survivors, and the expensive semantic verify runs ONLY on the near-dup
+# survivors — the stage ordering that retired the r10 sf10 wall (naive
+# semantic verify on the full 500 K-doc replica corpus OOM'd; the cascade
+# hands it the collapsed cluster representatives instead).
+_CASC_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_CASC_MH_PAIRS = ("SELECT doc_a, doc_b FROM ("
+                  + D.sql_minhash_lsh_pairs(
+                      "casc_s1_docs", "doc_id", "text", n=3)
+                  + ") _casc_mh_est WHERE est_jaccard >= 0.5")
+_CASC_SEM_PAIRS = C.sql_semantic_pairs("casc_s2_docs", "doc_id", "text")
+
+
+@query(
+    "pipeline_dedup_cascade",
+    survey_ref="extensions: DEDUP CASCADE (exact → MinHash components → "
+               "semantic verify on survivors only — the staged production "
+               "plan for dup-saturated corpora)",
+    description="Every doc's fate through the three-stage cascade: stage "
+                "that eliminated it (exact/near_dup/semantic/kept) and its "
+                "stage-local representative",
+    oracle=f"""
+    WITH RECURSIVE casc_fp AS MATERIALIZED (
+      SELECT doc_id AS doc, md5({_CASC_NORM}) AS fp FROM documents),
+    casc_rep1 AS MATERIALIZED (
+      SELECT doc, fp, MIN(doc) OVER (PARTITION BY fp) AS exact_rep
+      FROM casc_fp),
+    casc_s1 AS MATERIALIZED (
+      SELECT doc FROM casc_rep1 WHERE doc = exact_rep),
+    casc_s1_docs AS MATERIALIZED (
+      SELECT d.* FROM documents d JOIN casc_s1 s ON d.doc_id = s.doc),
+    casc_mh_pairs AS MATERIALIZED ({_CASC_MH_PAIRS}),
+    {D.sql_components_ctes('casc_mh', 'casc_mh_pairs', 'casc_s1', 'doc')},
+    casc_s2 AS MATERIALIZED (
+      SELECT doc FROM casc_mh_comp WHERE doc = canonical_id),
+    casc_s2_docs AS MATERIALIZED (
+      SELECT d.* FROM documents d JOIN casc_s2 s ON d.doc_id = s.doc),
+    casc_sem_pairs AS MATERIALIZED ({_CASC_SEM_PAIRS}),
+    {D.sql_components_ctes('casc_sem', 'casc_sem_pairs', 'casc_s2', 'doc')}
+    SELECT r.doc,
+           CASE WHEN r.doc <> r.exact_rep THEN 'exact'
+                WHEN mh.canonical_id <> r.doc THEN 'near_dup'
+                WHEN sem.canonical_id <> r.doc THEN 'semantic'
+                ELSE 'kept' END AS stage,
+           CASE WHEN r.doc <> r.exact_rep THEN r.exact_rep
+                WHEN mh.canonical_id <> r.doc THEN mh.canonical_id
+                WHEN sem.canonical_id <> r.doc THEN sem.canonical_id
+                ELSE r.doc END AS rep
+    FROM casc_rep1 r
+    LEFT JOIN casc_mh_comp mh ON r.doc = mh.doc
+    LEFT JOIN casc_sem_comp sem ON r.doc = sem.doc
+    ORDER BY r.doc
+    """,
+)
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged dedup CASCADE — cheap-first elimination, each stage
+    feeding only its survivors forward: (1) EXACT dedup (md5 fingerprint
+    groupBy, 32-byte keys — byte-identical copies die at scan speed);
+    (2) MinHash-LSH near-dup components over exact survivors (banded
+    equi-joins + the sf10-proven distributed labeling, est_jaccard ≥
+    0.5); (3) SEMANTIC verify (hashed-TF exact-integer cosine ≥ 0.95,
+    the judged dedup_semantic_embedding machinery) over ONLY the
+    near-dup survivors. Output: one row per original doc with the stage
+    that eliminated it ('exact' | 'near_dup' | 'semantic' | 'kept') and
+    its STAGE-LOCAL representative (the doc that beat it at that stage;
+    kept docs represent themselves).
+
+    This row codifies the r10 SCALE.md prescription with judged code:
+    the naive single-stage semantic verify hit a real 128 GB wall on the
+    dup-saturated sf10 replica corpus (~134 M candidate pairs × sparse
+    dims); the cascade hands the semantic stage only collapsed cluster
+    representatives, so its verify join is priced by DISTINCT content
+    volume, not corpus volume. sf10 value-judged in SCALE.md (r11).
+
+    100 TB shape: stage 1 is one tiny-key shuffle; stage 2 is banded
+    equi-joins + components; stage 3's blocking/verify/labeling run on
+    the reduced survivor set — every stage's cost is ∝ its input's
+    distinct-content size, the defining property of a cascade."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.md5(X.normalize(F.col("text"))).alias("fp"))
+    wfp = W.partitionBy("fp")
+    rep1 = fp.withColumn("exact_rep", F.min("doc").over(wfp))
+    s1 = (rep1.filter(F.col("doc") == F.col("exact_rep"))
+          .select("doc").localCheckpoint(eager=True))
+    s1_docs = docs.join(s1.select(F.col("doc").alias("doc_id")), "doc_id")
+    mh_pairs = (D.minhash_lsh_pairs(s1_docs, "doc_id", "text", n=3)
+                .filter(F.col("est_jaccard") >= 0.5)
+                .select("doc_a", "doc_b"))
+    mh_comp = D.dedup_components(mh_pairs, s1).localCheckpoint(eager=True)
+    s2 = (mh_comp.filter(F.col("doc") == F.col("canonical_id"))
+          .select("doc"))
+    s2_docs = docs.join(s2.select(F.col("doc").alias("doc_id")), "doc_id")
+    sem_pairs = C.semantic_pairs(s2_docs, "doc_id", "text")
+    sem_comp = D.dedup_components(sem_pairs, s2)
+    mh = mh_comp.select("doc", F.col("canonical_id").alias("mh_canon"))
+    sem = sem_comp.select("doc", F.col("canonical_id").alias("sem_canon"))
+    out = (rep1.select("doc", "exact_rep")
+           .join(mh, "doc", "left").join(sem, "doc", "left"))
+    stage = (F.when(F.col("doc") != F.col("exact_rep"), F.lit("exact"))
+             .when(F.col("mh_canon") != F.col("doc"), F.lit("near_dup"))
+             .when(F.col("sem_canon") != F.col("doc"), F.lit("semantic"))
+             .otherwise(F.lit("kept")))
+    rep = (F.when(F.col("doc") != F.col("exact_rep"), F.col("exact_rep"))
+           .when(F.col("mh_canon") != F.col("doc"), F.col("mh_canon"))
+           .when(F.col("sem_canon") != F.col("doc"), F.col("sem_canon"))
+           .otherwise(F.col("doc")))
+    return (out.select("doc", stage.alias("stage"), rep.alias("rep"))
+            .orderBy("doc"))
+
+
 @query(
     "txnlog_schema_evolution_stats",
     survey_ref="K3 schema migration: SCHEMA EVOLUTION on the commit-log "
@@ -756,6 +871,171 @@ def txnlog_schema_evolution_stats(spark: SparkSession,
             .orderBy("status"))
 
 
+def _cdc_orders_feed_table(spark: SparkSession, sf_dir: str) -> str:
+    """The shared 3-commit keyed table both change-feed rows read:
+    orders slice %3==0 upserted as v1 (seed), %3==1 as v2, keys %12==0
+    deleted as v3 (key-only tombstones). Built once per fixture under
+    /tmp (md5-tagged by source mtime + both writer-format versions),
+    uuid-suffixed private build dir, atomic rename publish."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from fictional_guacamole_spark.sources import cdc as _cdcmod
+    from fictional_guacamole_spark.sources import txnlog as _txnmod
+    from fictional_guacamole_spark.sources.cdc import UpsertTable
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"))
+    src = os.path.join(sf_dir, "orders.parquet")
+    # both layer versions in the tag: txnlog layout + CDC op-tag shape
+    tag = hashlib.md5(
+        f"cdcfeed1:fmt{_txnmod.FORMAT_VERSION}.{_cdcmod.FORMAT_VERSION}:"
+        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_cdcfeed_{tag}")
+    if not os.path.exists(base):
+        # private build, atomic publish; uuid (not just pid) so two
+        # concurrent builders in one process cannot share a build dir
+        build = f"{base}.build.{uuid.uuid4().hex}"
+        t = UpsertTable(build, keys=["okey"])
+        t.upsert(rows.filter(F.col("okey") % 3 == 0), "seed")
+        t.upsert(rows.filter(F.col("okey") % 3 == 1), "wave-2")
+        t.delete_keys(rows.filter(F.col("okey") % 12 == 0)
+                      .select("okey"), "purge")
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+    return base
+
+
+@query(
+    "stream_engine_change_feed_apply",
+    survey_ref="§2.5 streaming + lakehouse: the change feed consumed as a "
+               "STREAM (file-stream over post-version delta dirs → "
+               "foreachBatch replica apply, exactly-once under a replayed "
+               "batch, latest-wins by SOURCE version)",
+    description="A replica built by STREAMING the orders table's change "
+                "feed since v1 onto its v1 snapshot: the engine drains "
+                "only the delta dirs, batch 1 is deliberately replayed, "
+                "and the resolved replica equals the source head",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           o_custkey AS cust,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus AS status
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 12 <> 0
+    ORDER BY okey
+    """,
+)
+def stream_engine_change_feed_apply(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The change feed consumed THROUGH the real Structured Streaming
+    engine — the r10 verdict's task #4, completing the CDF story: batch
+    reads proved feed-apply semantics (the a179f63 contract test and
+    cdc_change_feed_orders); this row runs the consumer as a stream. A
+    file-stream source reads ONLY the post-v1 delta directories (the
+    path is a glob alternation over exactly those dirs, resolved from
+    the commit log — compaction bases and the v1 seed are unreachable by
+    construction), one file per trigger so the drain is genuinely
+    multi-micro-batch; every micro-batch lands VERBATIM (rows + _op +
+    source version from the file path) into a replica commit log via
+    foreachBatch with batch-id txn ids, and batch 1 is committed TWICE
+    on purpose — the replayed-batch convergence check every judged sink
+    row carries. The replica's resolved state is latest-wins by SOURCE
+    commit version over (v1 snapshot ∪ accumulated feed), which makes
+    the apply independent of file-arrival order — the property a real
+    CDF consumer needs because object-store listing order is not commit
+    order. The judged output is the resolved replica, which must equal
+    the source head snapshot reconstructed by the oracle from the raw
+    fixture (upserted slices minus deleted keys).
+
+    100 TB shape: consumer cost ∝ changes (the engine lists and scans
+    only delta dirs; the file-source offset log replaces Kafka offsets);
+    the replica append is delta-proportional; resolution is one window
+    per key over base + deltas, amortized by compaction cadence."""
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources.cdc import UpsertTable
+    from fictional_guacamole_spark.sources.txnlog import (
+        TransactionalParquetTable)
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    base = _cdc_orders_feed_table(spark, sf_dir)
+    src_table = UpsertTable(base, keys=["okey"])
+    feed_entries = [e for e in src_table.history()
+                    if "base_through" not in e and e["version"] > 1]
+    dir_to_ver = {os.path.basename(e["data_dir"]): e["version"]
+                  for e in feed_entries}
+    glob = "{" + ",".join(sorted(dir_to_ver)) + "}"
+    schema = T.StructType([
+        T.StructField("okey", T.LongType()),
+        T.StructField("cust", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("_op", T.StringType()),
+    ])
+    ver_expr = F.element_at(
+        F.create_map(*[x for d, v in sorted(dir_to_ver.items())
+                       for x in (F.lit(d), F.lit(v))]),
+        F.element_at(F.split(
+            F.regexp_replace(F.input_file_name(), "/[^/]*$", ""), "/"), -1))
+
+    root = tempfile.mkdtemp(prefix="fg_cdcstream_")
+    replica = TransactionalParquetTable(os.path.join(root, "replica"))
+    ckpt = os.path.join(root, "ckpt")
+
+    def land(batch_df, batch_id):
+        replica.commit(batch_df, f"feed-apply-{batch_id}")
+        if batch_id == 1:
+            # simulated sink-failure retry: same batch, same txn id —
+            # the commit log must converge, not double-apply
+            replica.commit(batch_df, f"feed-apply-{batch_id}")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(os.path.join(base, "data", glob))
+              .withColumn("_src_ver", ver_expr))
+    q = (stream.writeStream.foreachBatch(land)
+         .option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # exactly-once evidence beyond the value hash: the replayed commit
+    # must have converged into the original (one log entry per batch)
+    txns = [e["txn_id"] for e in replica.history()]
+    assert len(txns) == len(set(txns)), "replayed batch double-landed"
+
+    v1 = (src_table.read(spark, version=1)
+          .withColumn("_op", F.lit("u"))
+          .withColumn("_src_ver", F.lit(1).cast("long")))
+    applied = replica.read(spark).select(
+        "okey", "cust", "cents", "status", "_op",
+        F.col("_src_ver").cast("long").alias("_src_ver"))
+    merged = v1.select(*applied.columns).unionByName(applied)
+    w = Window.partitionBy("okey").orderBy(F.desc("_src_ver"))
+    out = (merged.withColumn("_rn", F.row_number().over(w))
+           .filter((F.col("_rn") == 1) & (F.col("_op") != "d"))
+           .select("okey", "cust", "cents", "status")
+           .orderBy("okey")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 @query(
     "cdc_change_feed_orders",
     survey_ref="extensions: CHANGE DATA FEED read (row-level deltas since "
@@ -795,41 +1075,9 @@ def cdc_change_feed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     since_version (manifest walk + targeted scans) — cost ∝ changes,
     never table size; compaction bases never appear in the feed, so
     OPTIMIZE between polls is invisible to consumers."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from fictional_guacamole_spark.sources import cdc as _cdcmod
-    from fictional_guacamole_spark.sources import txnlog as _txnmod
     from fictional_guacamole_spark.sources.cdc import UpsertTable
 
-    orders = load_table(spark, sf_dir, "orders")
-    rows = orders.select(
-        F.col("o_orderkey").alias("okey"),
-        F.col("o_custkey").alias("cust"),
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        F.col("o_orderstatus").alias("status"))
-    src = os.path.join(sf_dir, "orders.parquet")
-    # both layer versions in the tag: txnlog layout + CDC op-tag shape
-    tag = hashlib.md5(
-        f"cdcfeed1:fmt{_txnmod.FORMAT_VERSION}.{_cdcmod.FORMAT_VERSION}:"
-        f"{src}:{os.path.getmtime(src)}".encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"fg_cdcfeed_{tag}")
-    if not os.path.exists(base):
-        # private build, atomic publish; uuid (not just pid) so two
-        # concurrent builders in one process cannot share a build dir
-        build = f"{base}.build.{uuid.uuid4().hex}"
-        t = UpsertTable(build, keys=["okey"])
-        t.upsert(rows.filter(F.col("okey") % 3 == 0), "seed")
-        t.upsert(rows.filter(F.col("okey") % 3 == 1), "wave-2")
-        t.delete_keys(rows.filter(F.col("okey") % 12 == 0)
-                      .select("okey"), "purge")
-        try:
-            os.rename(build, base)
-        except OSError:  # concurrent builder published first; ours is moot
-            shutil.rmtree(build, ignore_errors=True)
+    base = _cdc_orders_feed_table(spark, sf_dir)
     feed = UpsertTable(base, keys=["okey"]).changes(spark, since_version=1)
     return (feed.select("okey", "cust", "cents", "status", "_op",
                         F.col("_commit_version").cast("int")

@@ -353,6 +353,60 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skewed_events",
+    survey_ref="§2.5 joins (skew mitigation) — salted join judged on a "
+               "GENUINELY skewed key (one key holds 50 % of rows), with "
+               "the partition fan-out drop asserted in tests",
+    description="Per-user event rollup after a salted join where key 1 "
+                "carries half the fact side — values identical to the "
+                "plain join, distribution measured in test_skew.py",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS user_id,
+             event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT s.user_id, c.c_name AS user_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM skewed s JOIN customer c ON s.user_id = c.c_custkey
+    GROUP BY s.user_id, c.c_name
+    ORDER BY s.user_id
+    """,
+)
+def join_salted_skewed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 verdict's skew task: ``join_salted_hot_key`` is judged on
+    the near-uniform fixture, so nothing there ever actually skews. This
+    row DERIVES a genuinely hot key from the fixture (every even
+    event_id remaps to user 1 → one key carries 50 % of the fact side,
+    the classic hot-template/hot-product shape) and joins it salted with
+    8 salts. Salting is physical, not semantic: the oracle is the plain
+    join + rollup, and the judged hash proves the salted execution
+    changes values not at all. The DISTRIBUTION claim — max shuffle
+    partition share drops ~n_salts-fold vs the unsalted key — is a
+    physical property the value hash cannot see; it is measured on the
+    executed partitioning in tests/test_skew.py (r10 task #8's
+    fan-out assertion).
+
+    100 TB shape: only the declared hot keys pay dim replication
+    (|dims| × n_salts extra rows); cold keys take the normal path; the
+    hot partition shrinks from 50 % of the shuffle to ~6 %."""
+    from fictional_guacamole_spark.operators.skew import salted_join
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(1))
+         .otherwise(F.col("user_id")).alias("user_id"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("user_id"),
+                    F.col("c_name").alias("user_name")))
+    joined = salted_join(ev, cust, on="user_id", n_salts=8, hot_keys=[1])
+    return (joined.groupBy("user_id", "user_name")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("cents").cast("long").alias("cents_sum"))
+            .orderBy("user_id"))
+
+
+@query(
     "bench_book_kernel_throughput",
     survey_ref="T1–T5 kernel throughput at scale (bench)",
     # rows-only: output is the kernel's full tagged union incl. book rows

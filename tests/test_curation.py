@@ -240,6 +240,48 @@ class TestSemanticPretrained:
         assert reps and hit / len(reps) >= 0.95, (hit, len(reps))
 
 
+class TestDedupCascade:
+    @pytest.fixture(scope="class")
+    def fate(self, spark):
+        return REGISTRY["pipeline_dedup_cascade"].builder(
+            spark, SF_SMALL).collect()
+
+    def test_every_doc_has_exactly_one_fate(self, fate, spark):
+        from fictional_guacamole_spark.tables import load_table
+        docs = load_table(spark, SF_SMALL, "documents")
+        assert {r["doc"] for r in fate} == {
+            r["doc_id"] for r in docs.select("doc_id").collect()}
+        assert {r["stage"] for r in fate} <= {
+            "exact", "near_dup", "semantic", "kept"}
+
+    def test_reps_are_stage_valid(self, fate):
+        by_doc = {r["doc"]: r for r in fate}
+        kept = {r["doc"] for r in fate if r["stage"] == "kept"}
+        for r in fate:
+            if r["stage"] == "kept":
+                assert r["rep"] == r["doc"]
+            else:
+                # a representative always outranks (min-id) its loser
+                assert r["rep"] < r["doc"]
+            if r["stage"] == "exact":
+                # exact rep survived stage 1 (it may die later)
+                assert by_doc[r["rep"]]["stage"] != "exact"
+            if r["stage"] in ("near_dup", "semantic"):
+                # near-dup/semantic canonicals are stage-2/3 survivors'
+                # minimum — they were exact-stage survivors by definition
+                assert by_doc[r["rep"]]["stage"] != "exact"
+        assert kept, "cascade must keep something"
+
+    def test_stage1_agrees_with_exact_dedup_row(self, fate, spark):
+        # docs the cascade kills at stage 1 = non-canonical members of
+        # the judged exact-dedup row's fingerprint groups
+        rows = REGISTRY["dedup_exact_documents"].builder(
+            spark, SF_SMALL).collect()
+        n_exact_losers = sum(r["n_copies"] - 1 for r in rows)
+        assert sum(1 for r in fate if r["stage"] == "exact") \
+            == n_exact_losers
+
+
 class TestPlanQuality:
     def test_weighted_sample_has_no_global_sort(self, spark):
         df = REGISTRY["sample_weighted_bottomk"].builder(spark, SF_SMALL)
@@ -545,6 +587,36 @@ class TestChangeFeed:
             assert set(applied.items()) == snap_now
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestStreamChangeFeedApply:
+    def test_streamed_replica_equals_source_head(self, spark):
+        # the streamed-feed replica must equal the source table's head
+        # snapshot (merge-on-read resolution) — same table, two paths
+        from fictional_guacamole_spark.plans.curation import (
+            _cdc_orders_feed_table)
+        from fictional_guacamole_spark.sources.cdc import UpsertTable
+        sf = "/root/testdata/sf0.001"
+        got = {(r["okey"], r["cust"], r["cents"], r["status"])
+               for r in REGISTRY["stream_engine_change_feed_apply"]
+               .builder(spark, sf).collect()}
+        base = _cdc_orders_feed_table(spark, sf)
+        head = {(r["okey"], r["cust"], r["cents"], r["status"])
+                for r in UpsertTable(base, keys=["okey"])
+                .read(spark).collect()}
+        assert got == head and got
+
+    def test_deleted_keys_absent_seed_keys_present(self, spark):
+        sf = "/root/testdata/sf0.001"
+        rows = REGISTRY["stream_engine_change_feed_apply"].builder(
+            spark, sf).collect()
+        keys = {r["okey"] for r in rows}
+        assert not any(k % 12 == 0 for k in keys)  # tombstones applied
+        assert any(k % 3 == 0 for k in keys)       # v1 snapshot included
+        assert any(k % 3 == 1 for k in keys)       # v2 feed applied
+        # v2 rows carry VALUES (not null-filled) after the apply
+        v2 = [r for r in rows if r["okey"] % 3 == 1]
+        assert v2 and all(r["cents"] is not None for r in v2)
 
 
 class TestTemperatureAllocProperties:
