@@ -102,7 +102,18 @@ PAR_EFF_QUIET_REF = 0.50  # measured idle-host par_eff (see note above)
 # the gate passed a run it exists to catch. Tightened to 1.1 with one more
 # retry attempt to compensate for the stricter bar.
 PAR_LOAD_RETRY_THRESHOLD = 1.1
-PAR_LOAD_MAX_ATTEMPTS = 4
+PAR_LOAD_MAX_ATTEMPTS = 6
+# Round 11 (r10 verdict task #5): the r10 official line published on the
+# noisiest host in project history (noise_factor 1.131) and raw deltas
+# whipsawed ±30 % while normalized deltas stayed flat — single-pass
+# totals conflate host weather with plan changes even WITH the par_load
+# gate, because calibration noise is ungated. The official numbers are
+# now the PER-QUERY MEDIAN over N_PASSES full measured passes (the
+# least-contended ones when the gate forces extras): a one-pass spike on
+# any query is voted out by the other passes, and the per-query
+# raw-vs-median spread across the used passes is published so a reader
+# can see residual weather directly instead of inferring it.
+N_PASSES = 3
 
 # Round 8 (r7 verdict task #7): a SECOND bench tier for the heavy paths the
 # headline set predates — the persisted-ANN probe and an engine-executed
@@ -120,9 +131,14 @@ PAR_LOAD_MAX_ATTEMPTS = 4
 # two-stateful-operator drain and the semantic-dedup pipeline (banded
 # candidate joins + components labeling) — so their latencies are
 # median-tracked from the round they shipped.
+# Round 11: the two heaviest new rows join the tier — SemDeDup over real
+# embedding vectors (SRP banding + components) and the three-stage dedup
+# cascade — so their latencies are median-tracked from the round they
+# shipped.
 HEAVY_TIER = ["sim_ivf_persisted_topk", "stream_engine_append_watermark",
               "stream_engine_stream_join", "sim_ivf_pq_persisted_topk",
-              "stream_engine_chained_agg", "dedup_semantic_embedding"]
+              "stream_engine_chained_agg", "dedup_semantic_embedding",
+              "dedup_semantic_pretrained", "pipeline_dedup_cascade"]
 
 
 def _ncpu() -> int:
@@ -220,21 +236,48 @@ def main() -> None:
     _probe(spark)  # probe warm-up (codegen for the probe plan itself)
 
     ordered = sorted(bench_queries.items())
-    # Contention gate (see PAR_LOAD_RETRY_THRESHOLD note): measure, and if
-    # this attempt ran against a contended host, measure again — the
-    # least-contended attempt becomes the official line.
-    attempts = [_measure_set(spark, ordered)]
-    while (attempts[-1]["par_load"] is not None
-           and attempts[-1]["par_load"] > PAR_LOAD_RETRY_THRESHOLD
-           and len(attempts) < PAR_LOAD_MAX_ATTEMPTS):
-        print(json.dumps({"bench_retry": len(attempts),
-                          "par_load": attempts[-1]["par_load"],
-                          "threshold": PAR_LOAD_RETRY_THRESHOLD}),
-              file=sys.stderr)
+    # Median-of-N official numbers (r10 verdict task #5): run N_PASSES
+    # full measured passes — more when the contention gate trips on any
+    # of them (up to PAR_LOAD_MAX_ATTEMPTS) — then use the N_PASSES
+    # least-contended passes and publish each query's MEDIAN across them.
+    attempts = []
+    while len(attempts) < PAR_LOAD_MAX_ATTEMPTS:
         attempts.append(_measure_set(spark, ordered))
-    best_attempt = min(
-        attempts, key=lambda a: (a["par_load"] is None, a["par_load"] or 0))
-    timings = best_attempt["timings"]
+        clean = [a for a in attempts
+                 if a["par_load"] is None
+                 or a["par_load"] <= PAR_LOAD_RETRY_THRESHOLD]
+        if len(attempts) >= N_PASSES and (
+                len(clean) >= N_PASSES
+                or len(attempts) == PAR_LOAD_MAX_ATTEMPTS):
+            break
+        if len(attempts) >= N_PASSES:
+            print(json.dumps({"bench_retry": len(attempts),
+                              "par_load": attempts[-1]["par_load"],
+                              "threshold": PAR_LOAD_RETRY_THRESHOLD}),
+                  file=sys.stderr)
+    used = sorted(
+        attempts,
+        key=lambda a: (a["par_load"] is None, a["par_load"] or 0)
+    )[:N_PASSES]
+    timings = {qn: round(_median([a["timings"][qn] for a in used]), 4)
+               for qn, _ in ordered}
+    # residual weather, made visible: per-query (max−min)/median across
+    # the used passes; the headline carries the worst one
+    spread = {qn: round(
+        (max(a["timings"][qn] for a in used)
+         - min(a["timings"][qn] for a in used))
+        / timings[qn], 3) if timings[qn] > 0 else 0.0
+        for qn, _ in ordered}
+    best_attempt = {
+        "timings": timings,
+        "par_probes": [p for a in used for p in a["par_probes"]],
+        "calibration_s": round(
+            _median([a["calibration_s"] for a in used]), 4),
+        "par_eff": round(_median([a["par_eff"] for a in used]), 3)
+        if all(a["par_eff"] for a in used) else None,
+        "par_load": round(_median([a["par_load"] for a in used]), 3)
+        if all(a["par_load"] for a in used) else None,
+    }
     par_probes = best_attempt["par_probes"]
 
     # heavy tier: outside the calibrated set (raw seconds; min-of-2 so the
@@ -309,6 +352,11 @@ def main() -> None:
         "par_eff": par_eff,
         "par_load": par_load,
         "par_load_attempts": [a["par_load"] for a in attempts],
+        "passes": len(used),
+        "max_spread": (max(spread, key=spread.get)
+                       if spread else None),
+        "max_spread_pct": (round(100 * max(spread.values()), 1)
+                           if spread else None),
         "contended": bool(par_load is not None
                           and par_load > PAR_LOAD_RETRY_THRESHOLD),
         "heavy": heavy,
@@ -320,6 +368,8 @@ def main() -> None:
         "queries_normalized": normalized,
         "value_normalized": round(sum(normalized.values()), 4),
         "vs_history": vs_history,
+        "per_query_spread": spread,
+        "per_pass_timings": [a["timings"] for a in used],
     }
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
