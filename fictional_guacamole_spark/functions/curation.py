@@ -142,7 +142,8 @@ def sql_hashed_tf(table: str, id_col: str, text_col: str,
 # --- exact integer cosine verification over blocked candidates --------------
 
 def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
-                   tau_num: int = 19, tau_den: int = 20) -> DataFrame:
+                   tau_num: int = 19, tau_den: int = 20,
+                   shingle_n: int = 3) -> DataFrame:
     """(doc_a, doc_b) pairs with hashed-TF cosine ≥ tau_num/tau_den:
     candidates from the MinHash band store (the sf10-proven blocking
     equi-join — see the module docstring for why sign-LSH was measured
@@ -150,10 +151,19 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
     — count vectors are non-negative so the sign check is free).
     Default τ = 0.95.
 
+    ``shingle_n`` picks the blocking key's shingle width: 3 (default)
+    blocks on phrase overlap; 1 blocks on BAG-OF-WORDS overlap —
+    order-insensitive, so it surfaces reordered/paraphrase-shaped pairs
+    whose 3-gram Jaccard is low (measured at sf0.01: 48 of the 50
+    cos ≥ 0.9 pairs the 3-gram stage misses band-collide under 1-gram).
+    1-gram blocking is weakly selective on a small shared vocabulary
+    (most same-language pairs collide), so reserve it for REDUCED
+    inputs — the dedup cascade runs it over near-dup survivors only.
+
     100 TB shape: embed map-side → 8 band equi-joins (never all-pairs) →
     per-candidate sparse dot (equi-join on dim) → integer compare. Band
     width is the standard banding knob as the corpus grows."""
-    sig = _D.minhash_signatures(docs, id_col, text_col, n=3)
+    sig = _D.minhash_signatures(docs, id_col, text_col, n=shingle_n)
     bk = _D.minhash_band_keys(sig).localCheckpoint(eager=True)
     cand = (bk.alias("x").join(
                 bk.alias("y"),
@@ -190,13 +200,15 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
 
 
 def sql_semantic_pairs(table: str, id_col: str, text_col: str,
-                       tau_num: int = 19, tau_den: int = 20) -> str:
+                       tau_num: int = 19, tau_den: int = 20,
+                       shingle_n: int = 3) -> str:
     """Standalone SELECT for :func:`semantic_pairs` (composable into
     sql_dedup_components' pairs slot). CTE names are module-unique (the
     DuckDB nested-CTE shadowing bug recorded in SCALE.md); the MinHash
     band SQL is the shared dedup rendering, so blocking here and in the
     judged MinHash rows cannot silently diverge."""
-    sig_sql = _D.sql_minhash_signatures(table, id_col, text_col, n=3)
+    sig_sql = _D.sql_minhash_signatures(table, id_col, text_col,
+                                        n=shingle_n)
     band_rows = _D.sql_minhash_band_rows("semsig")
     tf = sql_hashed_tf(table, id_col, text_col)
     return f"""

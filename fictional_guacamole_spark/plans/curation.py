@@ -279,7 +279,11 @@ def dedup_semantic_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     only blocked pairs via the sparse dim equi-join; components is the
     sf10-proven distributed labeling. SEM_BAND_W is the knob that keeps
     candidate volume linear as the corpus grows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # re-split before the explode-heavy quantize + 48-sum SRP stage: the
+    # raw scan's few input splits would otherwise cap the map parallelism
+    # (same sf10 lesson as the cascade's survivor repartition)
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .repartition(F.col("vec_id")))
     qv_orig = C.quantized_embedding_rows(emb)
     rep = emb.filter(F.col("vec_id") % 5 == 0)
     qv_rep = (rep.select(
@@ -681,7 +685,15 @@ _CASC_MH_PAIRS = ("SELECT doc_a, doc_b FROM ("
                   + D.sql_minhash_lsh_pairs(
                       "casc_s1_docs", "doc_id", "text", n=3)
                   + ") _casc_mh_est WHERE est_jaccard >= 0.5")
-_CASC_SEM_PAIRS = C.sql_semantic_pairs("casc_s2_docs", "doc_id", "text")
+# Stage 3 blocks on 1-GRAM (bag-of-words) minhash bands — order-
+# insensitive, so it surfaces the reordered/bag-similar pairs whose
+# 3-gram Jaccard is low (measured: 48 of the 50 cos ≥ 0.9 pairs the
+# 3-gram stage misses at sf0.01 band-collide under 1-gram, and ZERO of
+# them under 3-gram bands at any τ). 1-gram blocking is weakly selective
+# on a shared vocabulary, which is exactly why it belongs in a cascade:
+# it only ever sees the collapsed survivor set.
+_CASC_SEM_PAIRS = C.sql_semantic_pairs("casc_s2_docs", "doc_id", "text",
+                                       tau_num=9, tau_den=10, shingle_n=1)
 
 
 @query(
@@ -731,9 +743,15 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, 32-byte keys — byte-identical copies die at scan speed);
     (2) MinHash-LSH near-dup components over exact survivors (banded
     equi-joins + the sf10-proven distributed labeling, est_jaccard ≥
-    0.5); (3) SEMANTIC verify (hashed-TF exact-integer cosine ≥ 0.95,
-    the judged dedup_semantic_embedding machinery) over ONLY the
-    near-dup survivors. Output: one row per original doc with the stage
+    0.5); (3) SEMANTIC verify over ONLY the near-dup survivors — the
+    judged dedup_semantic_embedding machinery re-aimed at what stage 2
+    CANNOT see: candidates block on 1-GRAM (bag-of-words) minhash
+    bands, order-insensitive, and verify on exact-integer hashed-TF
+    cosine ≥ 0.9. Measured at sf0.01: 50 pairs clear cos ≥ 0.9 but
+    escape the 3-gram est ≥ 0.5 stage (reordered/bag-similar docs), 48
+    of them band-collide under 1-gram, and ZERO under 3-gram bands at
+    any τ — each stage catches a failure mode the previous one is blind
+    to. Output: one row per original doc with the stage
     that eliminated it ('exact' | 'near_dup' | 'semantic' | 'kept') and
     its STAGE-LOCAL representative (the doc that beat it at that stage;
     kept docs represent themselves).
@@ -757,7 +775,16 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep1 = fp.withColumn("exact_rep", F.min("doc").over(wfp))
     s1 = (rep1.filter(F.col("doc") == F.col("exact_rep"))
           .select("doc").localCheckpoint(eager=True))
-    s1_docs = docs.join(s1.select(F.col("doc").alias("doc_id")), "doc_id")
+    # repartition BEFORE the expensive shingle/minhash/TF maps: the
+    # survivor join broadcasts (s1 keys are tiny), so without this the
+    # heavy maps inherit the RAW SCAN's partitioning — measured at sf10:
+    # documents.parquet lands as 3 input splits, so shingling 500 K docs
+    # ran 3-way parallel on a 32-core host (a >10-minute straggler
+    # stage). One cheap shuffle of the text restores full parallelism;
+    # at 100 TB this is the standard re-split between a pruned scan and
+    # a CPU-bound map stage.
+    s1_docs = (docs.join(s1.select(F.col("doc").alias("doc_id")), "doc_id")
+               .repartition(F.col("doc_id")))
     mh_pairs = (D.minhash_lsh_pairs(s1_docs, "doc_id", "text", n=3)
                 .filter(F.col("est_jaccard") >= 0.5)
                 .select("doc_a", "doc_b"))
@@ -765,7 +792,8 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = (mh_comp.filter(F.col("doc") == F.col("canonical_id"))
           .select("doc"))
     s2_docs = docs.join(s2.select(F.col("doc").alias("doc_id")), "doc_id")
-    sem_pairs = C.semantic_pairs(s2_docs, "doc_id", "text")
+    sem_pairs = C.semantic_pairs(s2_docs, "doc_id", "text",
+                                 tau_num=9, tau_den=10, shingle_n=1)
     sem_comp = D.dedup_components(sem_pairs, s2)
     mh = mh_comp.select("doc", F.col("canonical_id").alias("mh_canon"))
     sem = sem_comp.select("doc", F.col("canonical_id").alias("sem_canon"))

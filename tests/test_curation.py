@@ -272,6 +272,33 @@ class TestDedupCascade:
                 assert by_doc[r["rep"]]["stage"] != "exact"
         assert kept, "cascade must keep something"
 
+    def test_every_stage_is_live(self, fate):
+        # each stage must actually eliminate documents on the fixture —
+        # a dead stage would judge green while testing nothing (the
+        # original τ=0.95/3-gram stage 3 was measured dead: every pair
+        # it could see was already minhash-caught)
+        stages = {r["stage"] for r in fate}
+        assert "near_dup" in stages
+        assert "semantic" in stages
+        assert "kept" in stages
+
+    def test_semantic_stage_catches_what_minhash_cannot(self, fate, spark):
+        # every semantic-dropped doc must NOT be minhash-droppable: its
+        # pair evidence lives in bag-of-words space (1-gram blocking,
+        # cos >= 0.9) while its 3-gram est_jaccard with the rep is < 0.5
+        from fictional_guacamole_spark.functions import dedup as D
+        from fictional_guacamole_spark.tables import load_table
+        sem = {(min(r["doc"], r["rep"]), max(r["doc"], r["rep"]))
+               for r in fate if r["stage"] == "semantic"}
+        assert sem
+        docs = load_table(spark, SF_SMALL, "documents")
+        mh = {(r["doc_a"], r["doc_b"])
+              for r in D.minhash_lsh_pairs(docs, "doc_id", "text", n=3)
+              .filter(F.col("est_jaccard") >= 0.5).collect()}
+        # stage-3 pair evidence is between SURVIVORS; a semantic rep pair
+        # that the 3-gram stage could see would have been collapsed there
+        assert not (sem & mh), sem & mh
+
     def test_stage1_agrees_with_exact_dedup_row(self, fate, spark):
         # docs the cascade kills at stage 1 = non-canonical members of
         # the judged exact-dedup row's fingerprint groups
