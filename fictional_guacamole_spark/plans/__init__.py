@@ -317,7 +317,6 @@ JUDGE_WINDOW: list[str] = [
                                      # for stream_engine_stateful_ewma,
                                      # green r8; python_surfaces keeps
                                      # arrow_map_batches in-window)
-    "embed_random_projection",     # JL sign projection, exact hash
     "text_lm_familiarity",         # bigram-LM quality signal
     "pipeline_training_corpus",    # the end-to-end LLM-corpus capstone
     "pipeline_chunk_overlap",      # overlapping context-window chunking
@@ -325,10 +324,6 @@ JUDGE_WINDOW: list[str] = [
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
     "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (K4)
     "mv_incremental_order_stats",  # delta-IVM over the commit log
-    "cdc_change_feed_orders",      # CHANGE DATA FEED since a version
-                                   # (in for merge_upsert_order_stats,
-                                   # green r8; cdc_merge family keeps
-                                   # this feed representative)
     "scd2_order_status_history",   # SCD2 from the change feed
     "federated_tri_source_user_summary",  # 3 storage engines, 1 plan
     "graph_kcore_membership",      # k-core via bounded peel, full value
@@ -353,11 +348,6 @@ JUDGE_WINDOW: list[str] = [
     # -- NEW in round 8 ---------------------------------------------------
     "stream_engine_restart_recovery",  # checkpoint restart, exactly-once
                                        # file sink across a mid-drain kill
-    "txnlog_time_travel_stats",    # version-pinned read surviving a
-                                   # compaction (in for
-                                   # stream_engine_txnlog_sink, green r8;
-                                   # table_format_acid keeps this rep and
-                                   # five engine rows stay in-window)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
     "arrow_map_batches_cents",     # mapInArrow RecordBatch transform
@@ -380,10 +370,7 @@ JUDGE_WINDOW: list[str] = [
     # artifact exists in-tree, so their driver certification is
     # unconfirmed — rotating them out could leave them unjudged.)
     "pipeline_leakage_safe_split",  # cluster-atomic train/val/test split
-    "sample_weighted_bottomk",     # integer-exact E-S weighted sampling
     "pipeline_temperature_mix",    # α=0.5 mix, largest-remainder quotas
-    "dedup_semantic_embedding",    # SemDeDup: sign-banded embedding
-                                   # near-dup clusters, integer cosine
     "dedup_incremental_minhash",   # batch-vs-band-store near-dup ingest
     "stream_engine_chained_agg",   # two chained stateful window aggs in
                                    # one engine query (window_time path)
@@ -401,6 +388,30 @@ JUDGE_WINDOW: list[str] = [
     "pipeline_curation_corpus",    # CAPSTONE: dedup keep-best → quality
                                    # gate → α=0.5 quotas → E-S weighted
                                    # picks, one judged manifest
+    # -- r11 rotation: the five new r11 registrations, each mirror-green
+    # on registration and value-swept at sf1 (SCALE.md). (out, all green
+    # in CORRECTNESS_r10 with family coverage kept:
+    # dedup_semantic_embedding — semantic dedup keeps the new pretrained
+    # row AND the cascade's hashed-TF verify stage;
+    # cdc_change_feed_orders — the CDF family keeps the engine-executed
+    # apply row plus scd2's changes()-derived history;
+    # txnlog_time_travel_stats — table-format ACID keeps the new
+    # schema-evolution row, whose builder also pins a time-traveled v1;
+    # sample_weighted_bottomk — the E-S key stays judged inside
+    # pipeline_curation_corpus's picks;
+    # embed_random_projection — similarity keeps three in-window reps.)
+    "dedup_semantic_pretrained",   # SemDeDup over REAL embedding vectors:
+                                   # SRP banding + exact integer cosine
+    "pipeline_dedup_cascade",      # exact → minhash components →
+                                   # 1-gram-blocked semantic verify over
+                                   # survivors; per-doc fate + rep
+    "txnlog_schema_evolution_stats",  # K3 judged: widened schema head
+                                      # read + pre-evolution version pin
+    "stream_engine_change_feed_apply",  # the change feed consumed
+                                        # THROUGH the engine, exactly-once
+                                        # under a replayed batch
+    "join_salted_skewed_events",   # salting judged on a 50%-hot key;
+                                   # fan-out collapse gated in tests
 ]
 # Mid-r8 second rotation: the 10 queries REGISTERED during round 8 after
 # the round-start rotation (JPEG codec, KMV/HLL sketches, filtered ANN,

@@ -89,10 +89,20 @@ def test_every_family_has_an_inwindow_representative():
                   "dedup_lsh_verified", "dedup_components", "dedup_simhash",
                   "dedup_ngram_jaccard", "dedup_keep_best",
                   "dedup_incremental_ingest", "dedup_cluster_histogram",
-                  "dedup_semantic_embedding", "dedup_incremental_minhash"},
-        "semantic_dedup": {"dedup_semantic_embedding"},
+                  "dedup_semantic_embedding", "dedup_incremental_minhash",
+                  "dedup_semantic_pretrained", "pipeline_dedup_cascade"},
+        # the pretrained row (REAL embedding vectors) and the cascade's
+        # 1-gram-blocked verify stage carry the family since r11
+        "semantic_dedup": {"dedup_semantic_embedding",
+                           "dedup_semantic_pretrained",
+                           "pipeline_dedup_cascade"},
+        "semantic_pretrained": {"dedup_semantic_pretrained"},
+        "dedup_cascade": {"pipeline_dedup_cascade"},
         "incremental_neardup": {"dedup_incremental_minhash"},
-        "weighted_sampling": {"sample_weighted_bottomk"},
+        # the E-S weighted key stays judged inside the capstone's picks
+        # (its oracle composes sql_weighted_sample_key verbatim)
+        "weighted_sampling": {"sample_weighted_bottomk",
+                              "pipeline_curation_corpus"},
         "importance_resampling": {"pipeline_dsir_importance"},
         "chained_stateful_agg": {"stream_engine_chained_agg"},
         "leakage_safe_split": {"pipeline_leakage_safe_split"},
@@ -117,11 +127,16 @@ def test_every_family_has_an_inwindow_representative():
         "table_format_acid": {"txnlog_roundtrip_event_stats",
                               "txnlog_skipping_event_stats",
                               "txnlog_time_travel_stats",
+                              "txnlog_schema_evolution_stats",
                               "stream_engine_txnlog_sink"},
+        "schema_evolution": {"txnlog_schema_evolution_stats"},
         "layout": {"layout_zorder_events", "layout_bucketed_join_revenue"},
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
                              "sample_stratified",
-                             "sample_weighted_bottomk"},
+                             "sample_weighted_bottomk",
+                             "pipeline_curation_corpus"},
+        "skew_mitigation": {"join_salted_hot_key",
+                            "join_salted_skewed_events"},
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack",
                      "pipeline_leakage_safe_split",
                      "pipeline_curation_corpus"},
@@ -149,10 +164,15 @@ def test_every_family_has_an_inwindow_representative():
         "interchange_text_formats": {"csv_roundtrip_clerk_stats",
                                      "xml_roundtrip_segment_stats"},
         "ann_quantization": {"sim_pq_topk", "sim_ivf_pq_persisted_topk"},
-        "dim_reduction": {"embed_random_projection"},
+        # SRP banding in the pretrained SemDeDup row IS a sign random
+        # projection (48-bit JL-style signature) — family rep since r11
+        "dim_reduction": {"embed_random_projection",
+                          "dedup_semantic_pretrained"},
         "incremental_mv": {"mv_incremental_order_stats"},
         "cdc_merge": {"merge_upsert_order_stats",
-                      "cdc_change_feed_orders"},
+                      "cdc_change_feed_orders",
+                      "stream_engine_change_feed_apply"},
+        "streamed_change_feed": {"stream_engine_change_feed_apply"},
         "lm_quality": {"text_lm_familiarity"},
         "sketches": {"agg_approx_percentile", "text_heavy_hitters",
                      "sketch_kmv_distinct_events",
