@@ -506,3 +506,104 @@ def sql_temperature_alloc(grouped_cte: str, key_col: str,
                                                   {key_col})
                                <= leftover THEN 1 ELSE 0 END) AS alloc
       FROM ta_quota)"""
+
+
+# --- UniMax: epoch-capped uniform mixing (water-filling) --------------------
+#
+# Chung et al. 2023, "UniMax: Fairer and More Effective Language Sampling
+# for Large-Scale Multilingual Pretraining": share the training budget as
+# uniformly as possible across domains, but never sample any domain for
+# more than N epochs. The allocation is the classic water-filling: raise a
+# common level until each domain either reaches the level or saturates at
+# its epoch cap. Sorting domains by capacity makes the saturated set a
+# PREFIX of the ordering, so the whole allocation is two window passes —
+# no iteration, no driver-side loop — and exactly integer-reproducible in
+# both engines (DIV/% on int64).
+
+
+def unimax_alloc(grouped: DataFrame, key_col: str, epoch_cap: int,
+                 budget_div: int) -> DataFrame:
+    """(key, n_d, cap_docs, alloc) UniMax quotas over (key, n_d) rows.
+
+    ``budget = total_docs DIV budget_div``; ``cap_docs = epoch_cap * n_d``.
+    Saturation test for the j-th domain in (cap, key) order: giving every
+    not-yet-processed domain this domain's capacity still fits the
+    remaining budget (``cap_j * (D - j + 1) <= budget - prefix_{j-1}``) —
+    monotone in j, so saturated domains are exactly the first k rows.
+    Uncapped domains split the remainder evenly (base = DIV, first
+    ``rem`` of them by the same ordering get +1; the +1 can never exceed
+    a capacity because every uncapped capacity strictly exceeds the real
+    water level). ``sum(alloc) = min(budget, sum(cap_docs))`` exactly.
+    """
+    counts = grouped.select(
+        key_col, "n_d", (F.col("n_d") * epoch_cap).alias("cap_docs"))
+    tot = counts.agg(
+        F.count(F.lit(1)).alias("n_dom"),
+        F.expr(f"sum(n_d) DIV {budget_div}").alias("budget"))
+    wo = W.orderBy("cap_docs", key_col)
+    staged = (counts.join(F.broadcast(tot))
+              .select(key_col, "n_d", "cap_docs", "n_dom", "budget",
+                      F.row_number().over(wo).alias("j"),
+                      F.coalesce(
+                          F.sum("cap_docs").over(
+                              wo.rowsBetween(W.unboundedPreceding, -1)),
+                          F.lit(0)).alias("prefix")))
+    flagged = staged.select(
+        "*",
+        (F.col("cap_docs") * (F.col("n_dom") - F.col("j") + 1)
+         <= F.col("budget") - F.col("prefix")).cast("int").alias("sat"))
+    wall = W.partitionBy()
+    leveled = flagged.select(
+        "*",
+        F.sum("sat").over(wall).alias("k_sat"),
+        F.coalesce(F.sum(F.when(F.col("sat") == 1, F.col("cap_docs")))
+                    .over(wall), F.lit(0)).alias("s_sat"))
+    n_unc = F.greatest(F.col("n_dom") - F.col("k_sat"), F.lit(1))
+    base = F.expr("(budget - s_sat) DIV greatest(n_dom - k_sat, 1)")
+    rem = F.expr("(budget - s_sat) % greatest(n_dom - k_sat, 1)")
+    return (leveled.select(
+        key_col, "n_d", "cap_docs",
+        F.when(F.col("sat") == 1, F.col("cap_docs"))
+         .otherwise(base + F.when(F.col("j") - F.col("k_sat") <= rem,
+                                  F.lit(1)).otherwise(F.lit(0)))
+         .cast("long").alias("alloc")))
+
+
+def sql_unimax_alloc(grouped_cte: str, key_col: str, epoch_cap: int,
+                     budget_div: int) -> str:
+    """DuckDB rendering of :func:`unimax_alloc` — identical window-pass
+    arithmetic over a (key, n_d) CTE; emits a ``ux_``-prefixed CTE chain
+    ending in ``ux_alloc`` with (key, n_d, cap_docs, alloc)."""
+    return f"""
+    ux_counts AS (
+      SELECT {key_col}, n_d, n_d * {epoch_cap} AS cap_docs
+      FROM {grouped_cte}),
+    ux_tot AS (
+      SELECT COUNT(*) AS n_dom, SUM(n_d) // {budget_div} AS budget
+      FROM ux_counts),
+    ux_staged AS (
+      SELECT {key_col}, n_d, cap_docs, n_dom, budget,
+             ROW_NUMBER() OVER (ORDER BY cap_docs, {key_col}) AS j,
+             COALESCE(SUM(cap_docs) OVER (
+               ORDER BY cap_docs, {key_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM ux_counts, ux_tot),
+    ux_flagged AS (
+      SELECT *, CASE WHEN cap_docs * (n_dom - j + 1) <= budget - prefix
+                     THEN 1 ELSE 0 END AS sat
+      FROM ux_staged),
+    ux_leveled AS (
+      SELECT *, SUM(sat) OVER () AS k_sat,
+             COALESCE(SUM(CASE WHEN sat = 1 THEN cap_docs END) OVER (), 0)
+               AS s_sat
+      FROM ux_flagged),
+    ux_alloc AS (
+      SELECT {key_col}, n_d, cap_docs,
+             CAST(CASE WHEN sat = 1 THEN cap_docs
+                  ELSE (budget - s_sat) // GREATEST(n_dom - k_sat, 1)
+                       + CASE WHEN j - k_sat <=
+                                (budget - s_sat) % GREATEST(n_dom - k_sat, 1)
+                              THEN 1 ELSE 0 END
+                  END AS BIGINT) AS alloc
+      FROM ux_leveled)"""

@@ -26,7 +26,7 @@ from __future__ import annotations
 import random
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions.text import normalize
@@ -850,4 +850,176 @@ def sql_line_dedup_summary(table: str, id_col: str, text_col: str) -> str:
            CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
            CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped
     FROM per_doc LEFT JOIN dropped ON per_doc.doc = dropped.doc
+    """
+
+
+# --- exact-substring dedup (cross-doc repeated spans) -----------------------
+#
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better" (ExactSubstr): remove every text span that occurs verbatim in
+# more than one training document. Their single-node tool builds a suffix
+# array over the whole corpus; the Spark-first equivalent is fingerprint
+# grouping — hash every word k-gram WITH its position, group by the hash to
+# find grams seen in ≥ 2 distinct documents, then merge each document's
+# matched positions into maximal spans (gaps-and-islands). Any duplicated
+# span of ≥ k words is covered by at least one shared k-gram at every
+# offset inside it, so the merged islands reconstruct the full span extent
+# exactly — no suffix array needed, and every stage is a shuffle-friendly
+# groupBy/equi-join instead of a global sort.
+
+SUBSTR_K = 6  # minimum duplicated-span length, in words
+
+
+def gram_position_rows(df: DataFrame, id_col: str, text_col: str,
+                       k: int = SUBSTR_K) -> DataFrame:
+    """(doc, pos, gh, n_words) rows: every word ``k``-gram of the
+    normalized text as (1-based start position, 60-bit md5 hash).
+
+    The gram string itself never leaves the map stage — only the 8-byte
+    hash shuffles, so the grouping stage moves ~n_tokens × 16 bytes
+    regardless of gram width. 60 bits keeps chance collisions negligible
+    to ~10^8 grams; a 100 TB run would key on the full 128-bit digest as
+    two longs (same plan shape, double the key width).
+    """
+    from fictional_guacamole_spark.tables import fan_out
+    staged = fan_out(df.select(F.col(id_col).alias("doc"),
+                               F.col(text_col).alias("__raw"))) \
+        .select("doc", F.split(normalize(F.col("__raw")), " ").alias("__w"))
+    staged = staged.select("doc", "__w", F.size("__w").alias("n_words"))
+    # stage the gram structs as a named column (the measured 20x HOF
+    # pitfall); sequence(1, stop) descends when stop < 1, so gate short docs
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_words") - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long(F.concat_ws(" ", F.slice("__w", i, k)), 15).alias("gh")))
+    exploded = staged.select(
+        "doc", "n_words",
+        F.explode(F.when(F.col("n_words") >= k, grams)
+                  .otherwise(F.array().cast(
+                      "array<struct<pos:int,gh:long>>"))).alias("g"))
+    return exploded.select("doc", "n_words",
+                           F.col("g.pos").alias("pos"),
+                           F.col("g.gh").alias("gh"))
+
+
+def sql_gram_position_rows(table: str, id_col: str, text_col: str,
+                           k: int = SUBSTR_K) -> str:
+    """DuckDB replay of :func:`gram_position_rows` (1-based inclusive
+    list slicing; identical 15-hex-char md5 hash)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    gh = sql_md5_long(f"array_to_string(__w[i:i + {k - 1}], ' ')", 15)
+    return f"""
+    SELECT doc, n_words, i AS pos, {gh} AS gh
+    FROM (
+      SELECT doc, __w, len(__w) AS n_words,
+             unnest(generate_series(1, greatest(len(__w) - {k - 1}, 0))) AS i
+      FROM (SELECT {id_col} AS doc, string_split({norm}, ' ') AS __w
+            FROM {table}) s1) s2
+    """
+
+
+def exact_substring_summary(df: DataFrame, id_col: str, text_col: str,
+                            k: int = SUBSTR_K) -> DataFrame:
+    """Per-document summary of cross-document duplicated spans: every
+    maximal run of words covered by word ``k``-grams that also occur in
+    at least one OTHER document.
+
+    Columns: ``doc, n_words, n_dup_spans, dup_words, max_span`` —
+    ``dup_words`` is exactly the number of words ExactSubstr removal
+    would cut from the document (adjacent/overlapping matched grams
+    coalesce into one span). Documents with no duplicated span report
+    zeros, so the output is a total function of the corpus.
+
+    Plan shape (scale story): one groupBy on the 60-bit gram hash finds
+    shared grams with map-side partial aggregation (no distinct-doc set
+    materializes — ``min(doc) <> max(doc)`` decides "≥ 2 distinct docs"
+    in constant state); one equi-join brings the shared flag back to the
+    matched positions; one per-doc window merges islands. Never all-pairs,
+    never a global sort over the corpus — the suffix array's job is done
+    by hash grouping.
+    """
+    grams = gram_position_rows(df, id_col, text_col, k)
+    shared = (grams.groupBy("gh")
+              .agg(F.min("doc").alias("d_min"), F.max("doc").alias("d_max"))
+              .filter(F.col("d_min") != F.col("d_max"))
+              .select("gh"))
+    matched = grams.join(shared, "gh").select("doc", "pos")
+    w_prev = (W.partitionBy("doc").orderBy("pos")
+              .rowsBetween(W.unboundedPreceding, -1))
+    w_run = (W.partitionBy("doc").orderBy("pos")
+             .rowsBetween(W.unboundedPreceding, 0))
+    flagged = matched.select(
+        "doc", "pos",
+        F.max(F.col("pos") + (k - 1)).over(w_prev).alias("prev_end"))
+    flagged = flagged.select(
+        "doc", "pos",
+        F.when(F.col("prev_end").isNull()
+               | (F.col("pos") > F.col("prev_end") + 1), 1)
+         .otherwise(0).alias("is_new"))
+    islands = flagged.select(
+        "doc", "pos", F.sum("is_new").over(w_run).alias("island"))
+    spans = (islands.groupBy("doc", "island")
+             .agg((F.max("pos") - F.min("pos") + k).alias("span_len")))
+    per_doc = (spans.groupBy("doc")
+               .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                    F.sum("span_len").cast("long").alias("dup_words"),
+                    F.max("span_len").cast("long").alias("max_span")))
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.size(F.split(normalize(F.col(text_col)), " "))
+                      .cast("long").alias("n_words"))
+    return (base.join(per_doc, "doc", "left")
+            .select("doc", "n_words",
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+                     .alias("dup_words"),
+                    F.coalesce(F.col("max_span"), F.lit(0)).cast("long")
+                     .alias("max_span")))
+
+
+def sql_exact_substring_summary(table: str, id_col: str, text_col: str,
+                                k: int = SUBSTR_K) -> str:
+    """DuckDB replay of :func:`exact_substring_summary` (same hash, same
+    min<>max shared test, same gaps-and-islands merge)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    grams = sql_gram_position_rows(table, id_col, text_col, k)
+    return f"""
+    WITH grams AS ({grams}),
+    shared AS (
+      SELECT gh FROM grams GROUP BY gh HAVING MIN(doc) <> MAX(doc)),
+    matched AS (
+      SELECT doc, pos FROM grams JOIN shared USING (gh)),
+    flagged AS (
+      SELECT doc, pos,
+             CASE WHEN MAX(pos + {k - 1}) OVER (
+                    PARTITION BY doc ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR pos > MAX(pos + {k - 1}) OVER (
+                    PARTITION BY doc ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS is_new
+      FROM matched),
+    islands AS (
+      SELECT doc, pos, SUM(is_new) OVER (
+               PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc, island, MAX(pos) - MIN(pos) + {k} AS span_len
+      FROM islands GROUP BY doc, island),
+    per_doc AS (
+      SELECT doc, COUNT(*) AS n_dup_spans, SUM(span_len) AS dup_words,
+             MAX(span_len) AS max_span
+      FROM spans GROUP BY doc)
+    SELECT b.doc, b.n_words,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(COALESCE(max_span, 0) AS BIGINT) AS max_span
+    FROM (SELECT {id_col} AS doc,
+                 CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_words
+          FROM {table}) b
+    LEFT JOIN per_doc ON b.doc = per_doc.doc
+    ORDER BY b.doc
     """

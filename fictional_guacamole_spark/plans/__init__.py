@@ -279,6 +279,7 @@ from fictional_guacamole_spark.plans import (  # noqa: F401
     timeseries,
     graph,
     curation,
+    corpus,
 )
 
 # The 50 driver-judged queries, in judged order: ≥1 per operator family.
