@@ -607,3 +607,94 @@ def sql_unimax_alloc(grouped_cte: str, key_col: str, epoch_cap: int,
                               THEN 1 ELSE 0 END
                   END AS BIGINT) AS alloc
       FROM ux_leveled)"""
+
+
+# --- distributed Lloyd k-means over quantized embeddings --------------------
+#
+# The cluster-then-verify family (SemDeDup clusters embeddings before its
+# pairwise stage; corpus balancing buckets by centroid) needs k-means run
+# over the WHOLE corpus, not the 4096-row driver-side sample the IVF
+# trainer uses (similarity.py — fine for codebook training, not for
+# full-corpus assignment studies). This is the fully-distributed form:
+# centroids broadcast, assignment is a map-side expand x k + one groupBy,
+# the update one more groupBy — per round, two shuffles whose width is
+# vectors x k and k x dims. All arithmetic is int64 over the shared
+# FLOOR(x*2048) quantization, with truncating integer division (Spark DIV
+# == DuckDB //, verified for negatives), so every round is bit-exact in
+# both engines and the oracle replays the identical unrolled iteration.
+
+KMEANS_K = 8
+
+
+def kmeans_assign(qv: DataFrame, cent: DataFrame) -> DataFrame:
+    """(doc, cid, dist) nearest-centroid assignment of quantized (doc,
+    dim, q) rows to broadcast (cid, dim, cq) centroids; ties break to the
+    smallest cid. dist is the exact int64 squared L2 distance."""
+    j = qv.join(F.broadcast(cent), "dim")
+    d = (j.groupBy("doc", "cid")
+         .agg(F.sum((F.col("q") - F.col("cq")) * (F.col("q") - F.col("cq")))
+              .cast("long").alias("dist")))
+    wmin = W.partitionBy("doc").orderBy("dist", "cid")
+    return (d.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1).drop("rn"))
+
+
+def kmeans_update(qv: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cid, dim, cq) centroid update: truncating integer mean of member
+    coordinates (empty clusters simply vanish — deterministic in both
+    engines)."""
+    return (qv.join(assign.select("doc", "cid"), "doc")
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(q) DIV count(1)").alias("cq")))
+
+
+def kmeans_rounds(qv: DataFrame, k: int = KMEANS_K,
+                  rounds: int = 2) -> DataFrame:
+    """Final (doc, cid, dist) after ``rounds`` Lloyd iterations seeded
+    from the ``k`` smallest doc ids' vectors (deterministic init — the
+    quantized fixture vectors are ~uniform on the sphere, so low ids are
+    as unbiased a seed as any, and both engines agree on it exactly)."""
+    seed_ids = (qv.select("doc").distinct().orderBy("doc").limit(k)
+                .withColumn("cid", F.row_number().over(W.orderBy("doc")) - 1))
+    cent = (qv.join(F.broadcast(seed_ids), "doc")
+            .select("cid", "dim", F.col("q").alias("cq")))
+    assign = kmeans_assign(qv, cent)
+    for _ in range(rounds - 1):
+        cent = kmeans_update(qv, assign)
+        assign = kmeans_assign(qv, cent)
+    return assign
+
+
+def sql_kmeans_rounds(qv_cte: str, k: int = KMEANS_K,
+                      rounds: int = 2) -> str:
+    """DuckDB rendering of :func:`kmeans_rounds`: the identical unrolled
+    iteration as a ``km_``-prefixed CTE chain ending in ``km_assign``
+    with (doc, cid, dist)."""
+    parts = [f"""
+    km_seed AS (
+      SELECT doc, ROW_NUMBER() OVER (ORDER BY doc) - 1 AS cid
+      FROM (SELECT DISTINCT doc FROM {qv_cte} ORDER BY doc LIMIT {k})),
+    km_cent_0 AS (
+      SELECT cid, dim, q AS cq
+      FROM {qv_cte} JOIN km_seed USING (doc))"""]
+    for r in range(rounds):
+        parts.append(f"""
+    km_dist_{r} AS (
+      SELECT doc, cid, SUM((q - cq) * (q - cq)) AS dist
+      FROM {qv_cte} JOIN km_cent_{r} USING (dim)
+      GROUP BY doc, cid),
+    km_assign_{r} AS (
+      SELECT doc, cid, CAST(dist AS BIGINT) AS dist
+      FROM (SELECT doc, cid, dist, ROW_NUMBER() OVER (
+              PARTITION BY doc ORDER BY dist, cid) AS rn
+            FROM km_dist_{r})
+      WHERE rn = 1)""")
+        if r < rounds - 1:
+            parts.append(f"""
+    km_cent_{r + 1} AS (
+      SELECT cid, dim, SUM(q) // COUNT(*) AS cq
+      FROM {qv_cte} JOIN km_assign_{r} USING (doc)
+      GROUP BY cid, dim)""")
+    parts.append(f"""
+    km_assign AS (SELECT * FROM km_assign_{rounds - 1})""")
+    return ",".join(parts)

@@ -200,3 +200,105 @@ def pipeline_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alloc",
         F.expr("(10000 * alloc) DIV n_d").cast("long").alias("epochs_bp"))
         .orderBy("domain"))
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards
+# ---------------------------------------------------------------------------
+
+_TAR_SHARDS = 8
+
+
+@query(
+    "tar_shard_roundtrip_doc_stats",
+    survey_ref="S4/K4 source formats: WebDataset-style tar-shard "
+               "round-trip (applyInPandas shard writer, binaryFile + "
+               "mapInPandas member reader)",
+    description="Documents written as deterministic tar shards and read "
+                "back member-by-member; per-shard stats prove byte-exact "
+                "content round-trip",
+    oracle=f"""
+    SELECT CAST(doc_id % {_TAR_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def tar_shard_roundtrip_doc_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The multimodal-corpus interchange format: documents land as 8
+    WebDataset-style tar shards (one applyInPandas writer task per
+    shard, members sorted, headers pinned for determinism), then the
+    shards are scanned back via binaryFile + a mapInPandas tarfile
+    reader. The judged stats hash the ROUND-TRIPPED text (md5 of what
+    came out of the tar), so a single corrupted byte anywhere in the
+    write/read path breaks the value hash. At 100 TB the same plan
+    writes ~100k shards of ~1 GB: shard assignment is one hash shuffle,
+    and the reader's parallelism is the shard count."""
+    import hashlib
+    import os
+    import tempfile
+
+    from fictional_guacamole_spark.sources import tar_shards as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"tar_shards1:{src}:{os.path.getmtime(src)}:{_TAR_SHARDS}"
+        .encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_tar_shards_{tag}")
+    T.write_tar_shards(docs, base, _TAR_SHARDS)
+    members = T.read_tar_shards(spark, base)
+    return (members.groupBy(
+        (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").cast("long").alias("text_bytes"),
+             F.sum(D.md5_long(F.col("text"))).cast("long")
+              .alias("content_sum"))
+        .orderBy("shard"))
+
+
+# ---------------------------------------------------------------------------
+# Fully-distributed Lloyd k-means over the real embedding vectors
+# ---------------------------------------------------------------------------
+
+@query(
+    "cluster_kmeans_embeddings",
+    survey_ref="extensions: distributed Lloyd k-means over the embeddings "
+               "table (cluster-then-verify family; full-corpus assignment, "
+               "no driver-side sample)",
+    description="Two exact integer Lloyd rounds over quantized embedding "
+                "vectors: per-cluster size, membership checksum, inertia",
+    oracle=f"""
+    WITH qv AS MATERIALIZED ({C.sql_quantized_embedding_rows()}),
+    {C.sql_kmeans_rounds("qv")}
+    SELECT cid, COUNT(*) AS n_members,
+           CAST(SUM(doc) AS BIGINT) AS member_id_sum,
+           CAST(SUM(dist) AS BIGINT) AS inertia
+    FROM km_assign
+    GROUP BY cid
+    ORDER BY cid
+    """,
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means the way you run it at 100 TB: centroids BROADCAST
+    (k x dims rows), assignment a map-side expand x k followed by one
+    groupBy, the update one more groupBy — never a driver-side loop over
+    collected vectors (contrast: the IVF codebook trainer deliberately
+    samples 4096 rows; this row certifies the full-corpus path the
+    cluster-then-dedup/balance pipelines need). Integer quantization
+    (FLOOR(x*2048)) + truncating DIV centroids make both Lloyd rounds
+    bit-exact in both engines; the oracle replays the identical unrolled
+    iteration, so sizes, membership AND inertia are value-judged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = C.quantized_embedding_rows(emb)
+    assign = C.kmeans_rounds(qv)
+    return (assign.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum("doc").cast("long").alias("member_id_sum"),
+                 F.sum("dist").cast("long").alias("inertia"))
+            .orderBy("cid"))

@@ -152,3 +152,81 @@ class TestRecallAudit:
         for r in out.values():
             assert 0 <= r["n_caught"] <= r["n_pairs"]
             assert r["rate_bp"] == (10000 * r["n_caught"]) // r["n_pairs"]
+
+
+class TestTarShards:
+    def _roundtrip(self, spark, tmp_path, rows, n_shards=3):
+        from fictional_guacamole_spark.sources import tar_shards as T
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = str(tmp_path / "shards")
+        T.write_tar_shards(df, base, n_shards)
+        back = T.read_tar_shards(spark, base)
+        return base, {r["member_id"]: (r["n_bytes"], r["text"])
+                      for r in back.collect()}
+
+    def test_content_roundtrips_bytes_exact(self, spark, tmp_path):
+        rows = [(0, "plain ascii"), (1, "unicode é中文 text"),
+                (2, ""), (3, "x" * 5000), (10, "sparse ids fine")]
+        _, got = self._roundtrip(spark, tmp_path, rows)
+        assert len(got) == len(rows)
+        for doc_id, text in rows:
+            n_bytes, back = got[doc_id]
+            assert back == text
+            assert n_bytes == len(text.encode("utf-8"))
+
+    def test_shard_bytes_deterministic(self, spark, tmp_path):
+        import hashlib
+        import pathlib
+        rows = [(i, f"document number {i} body") for i in range(20)]
+        b1, _ = self._roundtrip(spark, tmp_path / "a", rows)
+        b2, _ = self._roundtrip(spark, tmp_path / "b", rows)
+        digest = lambda base: sorted(
+            (p.name, hashlib.md5(p.read_bytes()).hexdigest())
+            for p in pathlib.Path(base).glob("*.tar"))
+        d1, d2 = digest(b1), digest(b2)
+        assert d1 == d2
+        assert len(d1) == 3
+
+    def test_judged_row_covers_all_docs(self, spark):
+        out = REGISTRY["tar_shard_roundtrip_doc_stats"].builder(
+            spark, SF_JUDGED).collect()
+        assert sum(r["n_docs"] for r in out) == 500
+        assert len(out) == 8
+
+
+class TestKmeans:
+    def test_separated_clusters_recovered(self, spark):
+        # two tight blobs far apart in 4-d quantized space; seeds are the
+        # two smallest ids (one in each blob by construction)
+        rows = []
+        for i in range(6):          # blob A around (1000, 0, 0, 0)
+            for d, q in enumerate([1000 + i, i, 0, 0]):
+                rows.append((i * 2, d, q))          # even ids
+        for i in range(6):          # blob B around (-1000, 500, 0, 0)
+            for d, q in enumerate([-1000 - i, 500, i, 0]):
+                rows.append((i * 2 + 1, d, q))      # odd ids
+        qv = spark.createDataFrame(rows, "doc long, dim int, q long")
+        assign = C.kmeans_rounds(qv, k=2, rounds=2).collect()
+        by_cid = {}
+        for r in assign:
+            by_cid.setdefault(r["cid"], set()).add(r["doc"])
+        assert len(by_cid) == 2
+        parities = [{d % 2 for d in docs} for docs in by_cid.values()]
+        assert sorted(parities, key=len) == [{0}, {1}] or \
+            sorted(parities, key=min) == [{0}, {1}]
+
+    def test_seed_vector_has_zero_distance_round1(self, spark):
+        rows = [(d, dim, (d + 1) * (dim + 7)) for d in range(4)
+                for dim in range(3)]
+        qv = spark.createDataFrame(rows, "doc long, dim int, q long")
+        assign = {r["doc"]: r for r in
+                  C.kmeans_rounds(qv, k=4, rounds=1).collect()}
+        for d in range(4):   # every doc IS a seed here -> dist 0 to itself
+            assert assign[d]["dist"] == 0 and assign[d]["cid"] == d
+
+    def test_judged_row_partitions_the_corpus(self, spark):
+        out = REGISTRY["cluster_kmeans_embeddings"].builder(
+            spark, SF_JUDGED).collect()
+        assert sum(r["n_members"] for r in out) == 500
+        assert all(r["inertia"] >= 0 for r in out)
+        assert len(out) <= 8
