@@ -919,26 +919,13 @@ def sql_gram_position_rows(table: str, id_col: str, text_col: str,
     """
 
 
-def exact_substring_summary(df: DataFrame, id_col: str, text_col: str,
-                            k: int = SUBSTR_K) -> DataFrame:
-    """Per-document summary of cross-document duplicated spans: every
-    maximal run of words covered by word ``k``-grams that also occur in
-    at least one OTHER document.
-
-    Columns: ``doc, n_words, n_dup_spans, dup_words, max_span`` —
-    ``dup_words`` is exactly the number of words ExactSubstr removal
-    would cut from the document (adjacent/overlapping matched grams
-    coalesce into one span). Documents with no duplicated span report
-    zeros, so the output is a total function of the corpus.
-
-    Plan shape (scale story): one groupBy on the 60-bit gram hash finds
-    shared grams with map-side partial aggregation (no distinct-doc set
-    materializes — ``min(doc) <> max(doc)`` decides "≥ 2 distinct docs"
-    in constant state); one equi-join brings the shared flag back to the
-    matched positions; one per-doc window merges islands. Never all-pairs,
-    never a global sort over the corpus — the suffix array's job is done
-    by hash grouping.
-    """
+def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
+                          k: int = SUBSTR_K) -> DataFrame:
+    """(doc, s, e) maximal cross-document duplicated spans (1-based word
+    positions, inclusive): gaps-and-islands merge of every position whose
+    ``k``-gram also occurs in another document. The shared stage of the
+    summary (audit) and apply (removal) forms — one implementation, so
+    the two judged rows cannot drift."""
     grams = gram_position_rows(df, id_col, text_col, k)
     shared = (grams.groupBy("gh")
               .agg(F.min("doc").alias("d_min"), F.max("doc").alias("d_max"))
@@ -959,33 +946,20 @@ def exact_substring_summary(df: DataFrame, id_col: str, text_col: str,
          .otherwise(0).alias("is_new"))
     islands = flagged.select(
         "doc", "pos", F.sum("is_new").over(w_run).alias("island"))
-    spans = (islands.groupBy("doc", "island")
-             .agg((F.max("pos") - F.min("pos") + k).alias("span_len")))
-    per_doc = (spans.groupBy("doc")
-               .agg(F.count(F.lit(1)).alias("n_dup_spans"),
-                    F.sum("span_len").cast("long").alias("dup_words"),
-                    F.max("span_len").cast("long").alias("max_span")))
-    base = df.select(F.col(id_col).alias("doc"),
-                     F.size(F.split(normalize(F.col(text_col)), " "))
-                      .cast("long").alias("n_words"))
-    return (base.join(per_doc, "doc", "left")
-            .select("doc", "n_words",
-                    F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
-                     .alias("n_dup_spans"),
-                    F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
-                     .alias("dup_words"),
-                    F.coalesce(F.col("max_span"), F.lit(0)).cast("long")
-                     .alias("max_span")))
+    return (islands.groupBy("doc", "island")
+            .agg(F.min("pos").alias("s"),
+                 (F.max("pos") + (k - 1)).alias("e"))
+            .select("doc", "s", "e"))
 
 
-def sql_exact_substring_summary(table: str, id_col: str, text_col: str,
-                                k: int = SUBSTR_K) -> str:
-    """DuckDB replay of :func:`exact_substring_summary` (same hash, same
-    min<>max shared test, same gaps-and-islands merge)."""
-    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+def sql_exact_substring_spans(table: str, id_col: str, text_col: str,
+                              k: int = SUBSTR_K) -> str:
+    """DuckDB rendering of :func:`exact_substring_spans` as a CTE chain
+    (grams → shared → matched → flagged → islands → spans); embed after
+    ``WITH`` and consume the terminal ``spans`` CTE with (doc, s, e)."""
     grams = sql_gram_position_rows(table, id_col, text_col, k)
     return f"""
-    WITH grams AS ({grams}),
+    grams AS ({grams}),
     shared AS (
       SELECT gh FROM grams GROUP BY gh HAVING MIN(doc) <> MAX(doc)),
     matched AS (
@@ -1007,11 +981,60 @@ def sql_exact_substring_summary(table: str, id_col: str, text_col: str,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged),
     spans AS (
-      SELECT doc, island, MAX(pos) - MIN(pos) + {k} AS span_len
-      FROM islands GROUP BY doc, island),
+      SELECT doc, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+      FROM islands GROUP BY doc, island)"""
+
+
+def exact_substring_summary(df: DataFrame, id_col: str, text_col: str,
+                            k: int = SUBSTR_K) -> DataFrame:
+    """Per-document summary of cross-document duplicated spans: every
+    maximal run of words covered by word ``k``-grams that also occur in
+    at least one OTHER document.
+
+    Columns: ``doc, n_words, n_dup_spans, dup_words, max_span`` —
+    ``dup_words`` is exactly the number of words ExactSubstr removal
+    would cut from the document (adjacent/overlapping matched grams
+    coalesce into one span). Documents with no duplicated span report
+    zeros, so the output is a total function of the corpus.
+
+    Plan shape (scale story): one groupBy on the 60-bit gram hash finds
+    shared grams with map-side partial aggregation (no distinct-doc set
+    materializes — ``min(doc) <> max(doc)`` decides "≥ 2 distinct docs"
+    in constant state); one equi-join brings the shared flag back to the
+    matched positions; one per-doc window merges islands. Never all-pairs,
+    never a global sort over the corpus — the suffix array's job is done
+    by hash grouping.
+    """
+    spans = exact_substring_spans(df, id_col, text_col, k)
+    per_doc = (spans.groupBy("doc")
+               .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+                    F.sum(F.col("e") - F.col("s") + 1).cast("long")
+                     .alias("dup_words"),
+                    F.max(F.col("e") - F.col("s") + 1).cast("long")
+                     .alias("max_span")))
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.size(F.split(normalize(F.col(text_col)), " "))
+                      .cast("long").alias("n_words"))
+    return (base.join(per_doc, "doc", "left")
+            .select("doc", "n_words",
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long")
+                     .alias("n_dup_spans"),
+                    F.coalesce(F.col("dup_words"), F.lit(0)).cast("long")
+                     .alias("dup_words"),
+                    F.coalesce(F.col("max_span"), F.lit(0)).cast("long")
+                     .alias("max_span")))
+
+
+def sql_exact_substring_summary(table: str, id_col: str, text_col: str,
+                                k: int = SUBSTR_K) -> str:
+    """DuckDB replay of :func:`exact_substring_summary` (same hash, same
+    min<>max shared test, same gaps-and-islands merge)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH {sql_exact_substring_spans(table, id_col, text_col, k)},
     per_doc AS (
-      SELECT doc, COUNT(*) AS n_dup_spans, SUM(span_len) AS dup_words,
-             MAX(span_len) AS max_span
+      SELECT doc, COUNT(*) AS n_dup_spans, SUM(e - s + 1) AS dup_words,
+             MAX(e - s + 1) AS max_span
       FROM spans GROUP BY doc)
     SELECT b.doc, b.n_words,
            CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
@@ -1021,5 +1044,80 @@ def sql_exact_substring_summary(table: str, id_col: str, text_col: str,
                  CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_words
           FROM {table}) b
     LEFT JOIN per_doc ON b.doc = per_doc.doc
+    ORDER BY b.doc
+    """
+
+
+def exact_substring_apply(df: DataFrame, id_col: str, text_col: str,
+                          k: int = SUBSTR_K) -> DataFrame:
+    """The removal TRANSFORM: each document with its cross-document
+    duplicated spans cut out. Columns: ``doc, n_words, kept_words,
+    clean_fp`` — ``clean_fp`` is the md5 of the words that survive,
+    re-joined by single spaces in position order, so the judged hash pins
+    the exact cleaned text of every document (a fully-duplicated doc
+    keeps md5('') — the empty document, which a downstream length filter
+    drops).
+
+    Plan shape: the span stage is :func:`exact_substring_spans` verbatim;
+    removal is one explode of span ranges (output ∝ duplicated words, not
+    corpus size), one left-anti equi-join on (doc, pos), and one per-doc
+    aggregation that rebuilds the text with an in-group sort — all hash-
+    partitioned by doc, no new scan of the corpus."""
+    spans = exact_substring_spans(df, id_col, text_col, k)
+    staged = df.select(F.col(id_col).alias("doc"),
+                       F.split(normalize(F.col(text_col)), " ").alias("__w"))
+    words = staged.select(
+        "doc", F.posexplode("__w").alias("pos0", "w")
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "w")
+    dup_pos = spans.select(
+        "doc", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos"))
+    kept = words.join(dup_pos, ["doc", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc")
+               .agg(F.count(F.lit(1)).alias("kept_words"),
+                    F.md5(F.concat_ws(" ", F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "w"))),
+                        lambda x: x["w"]))).alias("clean_fp")))
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.size(F.split(normalize(F.col(text_col)), " "))
+                      .cast("long").alias("n_words"))
+    return (base.join(rebuilt, "doc", "left")
+            .select("doc", "n_words",
+                    F.coalesce(F.col("kept_words"), F.lit(0)).cast("long")
+                     .alias("kept_words"),
+                    F.coalesce(F.col("clean_fp"), F.md5(F.lit("")))
+                     .alias("clean_fp")))
+
+
+def sql_exact_substring_apply(table: str, id_col: str, text_col: str,
+                              k: int = SUBSTR_K) -> str:
+    """DuckDB replay of :func:`exact_substring_apply` (same spans, same
+    position anti-join, same space-rejoined md5)."""
+    norm = f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH {sql_exact_substring_spans(table, id_col, text_col, k)},
+    words AS (
+      SELECT doc, i AS pos, __w[i] AS w
+      FROM (SELECT {id_col} AS doc, string_split({norm}, ' ') AS __w
+            FROM {table}) s1,
+           UNNEST(generate_series(1, len(__w))) AS _u(i)),
+    dup_pos AS (
+      SELECT doc, unnest(generate_series(s, e)) AS pos FROM spans),
+    kept AS (
+      SELECT w.doc, w.pos, w.w
+      FROM words w LEFT JOIN dup_pos d
+        ON w.doc = d.doc AND w.pos = d.pos
+      WHERE d.doc IS NULL),
+    rebuilt AS (
+      SELECT doc, COUNT(*) AS kept_words,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS clean_fp
+      FROM kept GROUP BY doc)
+    SELECT b.doc, b.n_words,
+           CAST(COALESCE(kept_words, 0) AS BIGINT) AS kept_words,
+           COALESCE(clean_fp, md5('')) AS clean_fp
+    FROM (SELECT {id_col} AS doc,
+                 CAST(len(string_split({norm}, ' ')) AS BIGINT) AS n_words
+          FROM {table}) b
+    LEFT JOIN rebuilt ON b.doc = rebuilt.doc
     ORDER BY b.doc
     """

@@ -302,3 +302,25 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("doc").cast("long").alias("member_id_sum"),
                  F.sum("dist").cast("long").alias("inertia"))
             .orderBy("cid"))
+
+
+@query(
+    "dedup_exact_substring_apply",
+    survey_ref="extensions: exact-substring dedup APPLIED — the removal "
+               "transform (cleaned-text fingerprints judged per doc)",
+    description="Documents with cross-doc duplicated spans removed: "
+                "surviving word count and md5 of the exact cleaned text",
+    oracle=D.sql_exact_substring_apply("documents", "doc_id", "text"),
+)
+def dedup_exact_substring_apply(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The companion transform to ``dedup_exact_substring``: not just an
+    audit of duplicated spans but the ExactSubstr removal itself. The
+    value hash pins the md5 of every document's CLEANED text (position-
+    ordered rejoin of surviving words), so the judged row certifies the
+    edit, word for word, across all 500 docs. Removal cost scales with
+    duplicated words, not corpus size: span ranges explode to (doc, pos)
+    keys and a left-anti join drops them — no second corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (D.exact_substring_apply(docs, "doc_id", "text")
+            .orderBy("doc"))

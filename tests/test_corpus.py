@@ -230,3 +230,43 @@ class TestKmeans:
         assert sum(r["n_members"] for r in out) == 500
         assert all(r["inertia"] >= 0 for r in out)
         assert len(out) <= 8
+
+
+class TestExactSubstringApply:
+    def test_cleaned_text_fingerprint_exact(self, spark):
+        import hashlib
+        span = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, span + " tail one two three"),
+             (2, "lead in words " + span)],
+            "doc_id long, text string")
+        got = {r["doc"]: r for r in
+               D.exact_substring_apply(df, "doc_id", "text").collect()}
+        assert got[1]["kept_words"] == 4
+        assert got[1]["clean_fp"] == hashlib.md5(
+            b"tail one two three").hexdigest()
+        assert got[2]["kept_words"] == 3
+        assert got[2]["clean_fp"] == hashlib.md5(
+            b"lead in words").hexdigest()
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        import hashlib
+        same = "one two three four five six seven"
+        df = spark.createDataFrame(
+            [(1, same), (2, same)], "doc_id long, text string")
+        out = D.exact_substring_apply(df, "doc_id", "text").collect()
+        for r in out:
+            assert r["kept_words"] == 0
+            assert r["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+    def test_apply_consistent_with_summary_on_fixture(self, spark):
+        summ = {r["doc"]: r for r in
+                REGISTRY["dedup_exact_substring"].builder(
+                    spark, SF_JUDGED).collect()}
+        appl = {r["doc"]: r for r in
+                REGISTRY["dedup_exact_substring_apply"].builder(
+                    spark, SF_JUDGED).collect()}
+        assert summ.keys() == appl.keys()
+        for doc, s in summ.items():
+            a = appl[doc]
+            assert a["kept_words"] == s["n_words"] - s["dup_words"]
