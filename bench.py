@@ -135,10 +135,14 @@ N_PASSES = 3
 # embedding vectors (SRP banding + components) and the three-stage dedup
 # cascade — so their latencies are median-tracked from the round they
 # shipped.
+# Round 11 second wave: the ExactSubstr removal transform (positional
+# fingerprint grouping + span merge + anti-join rebuild — the heaviest
+# new corpus path) and the fully-distributed Lloyd k-means join the tier.
 HEAVY_TIER = ["sim_ivf_persisted_topk", "stream_engine_append_watermark",
               "stream_engine_stream_join", "sim_ivf_pq_persisted_topk",
               "stream_engine_chained_agg", "dedup_semantic_embedding",
-              "dedup_semantic_pretrained", "pipeline_dedup_cascade"]
+              "dedup_semantic_pretrained", "pipeline_dedup_cascade",
+              "dedup_exact_substring_apply", "cluster_kmeans_embeddings"]
 
 
 def _ncpu() -> int:

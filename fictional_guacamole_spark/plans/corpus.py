@@ -324,3 +324,160 @@ def dedup_exact_substring_apply(spark: SparkSession,
     docs = load_table(spark, sf_dir, "documents")
     return (D.exact_substring_apply(docs, "doc_id", "text")
             .orderBy("doc"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (the third decon mode: set, Bloom, embedding)
+# ---------------------------------------------------------------------------
+
+_DECON_PROBE_MOD = 10   # every 10th vector spawns a perturbed eval probe
+
+
+def _probe_qv(emb):
+    """Quantized rows of the synthetic eval suite: every
+    ``_DECON_PROBE_MOD``-th train vector with ONE doubled coordinate —
+    a near-duplicate paraphrase of its origin (cos ~0.99), nothing else
+    (the fixture vectors are near-orthogonal). Deterministic, so the
+    oracle replays it bit-for-bit."""
+    return (emb.filter(F.col("vec_id") % _DECON_PROBE_MOD == 0)
+            .select(F.col("vec_id").alias("probe"),
+                    F.posexplode("embedding").alias("dim", "x"))
+            .select("probe", "dim",
+                    F.floor(F.col("x").cast("double") * C.SEM_SCALE
+                            * F.when(F.col("dim") == F.col("probe")
+                                     % C.SEM_DIM, 2).otherwise(1))
+                     .cast("long").alias("pq")))
+
+
+_DECON_PROBE_SQL = f"""
+      SELECT vec_id AS probe, i - 1 AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {C.SEM_SCALE}
+                  * CASE WHEN i - 1 = vec_id % {C.SEM_DIM}
+                         THEN 2 ELSE 1 END) AS BIGINT) AS pq
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS _pu(i)
+      WHERE vec_id % {_DECON_PROBE_MOD} = 0"""
+
+
+@query(
+    "pipeline_decontaminate_semantic",
+    survey_ref="extensions: SEMANTIC decontamination — train vectors vs a "
+               "broadcast eval-probe suite, exact integer cosine (the "
+               "third decon mode after set and Bloom)",
+    description="Per-train-doc contamination flags against a perturbed "
+                "eval-probe suite: exact integer cosine >= 0.9, probe "
+                "side broadcast",
+    oracle=f"""
+    WITH tqv AS MATERIALIZED ({C.sql_quantized_embedding_rows()}),
+    pqv AS MATERIALIZED ({_DECON_PROBE_SQL}),
+    tn AS (SELECT doc, SUM(q * q) AS n2 FROM tqv GROUP BY doc),
+    pn AS (SELECT probe, SUM(pq * pq) AS p2 FROM pqv GROUP BY probe),
+    dots AS (
+      SELECT t.doc, p.probe, SUM(t.q * p.pq) AS dot
+      FROM tqv t JOIN pqv p USING (dim)
+      GROUP BY t.doc, p.probe),
+    hits AS (
+      SELECT d.doc, d.probe
+      FROM dots d JOIN tn ON d.doc = tn.doc
+                  JOIN pn ON d.probe = pn.probe
+      WHERE d.dot >= 0 AND 100 * d.dot * d.dot >= 81 * tn.n2 * pn.p2),
+    per_doc AS (
+      SELECT doc, COUNT(*) AS n_probe_hits FROM hits GROUP BY doc)
+    SELECT b.vec_id AS doc,
+           CAST(COALESCE(n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
+           COALESCE(n_probe_hits, 0) > 0 AS contaminated
+    FROM embeddings b LEFT JOIN per_doc ON b.vec_id = per_doc.doc
+    ORDER BY doc
+    """,
+)
+def pipeline_decontaminate_semantic(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination, completing the decon triad
+    (exact-shingle set, Bloom bit-array, and now SEMANTIC): flag every
+    training vector whose cosine to ANY eval-suite probe reaches 0.9 —
+    the leakage n-gram matching can't see (paraphrases). The production
+    shape exploits the asymmetry of the problem: eval suites are tiny
+    relative to the corpus, so the probe side BROADCASTS and the train
+    side never shuffles — assignment is a map-side expand x |probes|
+    with partial aggregation, exactly like the set/Bloom siblings. The
+    integer verify (dot >= 0, 100 dot^2 >= 81 na nb over FLOOR(x*2048)
+    quantization) is the SemDeDup arithmetic, bit-identical in both
+    engines. Probes here are deterministic one-doubled-coordinate
+    perturbations of every 10th vector — near-dup 'paraphrases' of
+    their origins and of nothing else, so negatives are certified too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tqv = C.quantized_embedding_rows(emb)
+    pqv = _probe_qv(emb)
+    tn = tqv.groupBy("doc").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2"))
+    pn = pqv.groupBy("probe").agg(
+        F.sum(F.col("pq") * F.col("pq")).alias("p2"))
+    dots = (tqv.join(F.broadcast(pqv), "dim")
+            .groupBy("doc", "probe")
+            .agg(F.sum(F.col("q") * F.col("pq")).alias("dot")))
+    hits = (dots.join(tn, "doc").join(F.broadcast(pn), "probe")
+            .filter((F.col("dot") >= 0)
+                    & (F.lit(100) * F.col("dot") * F.col("dot")
+                       >= F.lit(81) * F.col("n2") * F.col("p2")))
+            .select("doc", "probe"))
+    per_doc = hits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_probe_hits"))
+    return (emb.select(F.col("vec_id").alias("doc"))
+            .join(per_doc, "doc", "left")
+            .select("doc",
+                    F.coalesce(F.col("n_probe_hits"), F.lit(0))
+                     .cast("long").alias("n_probe_hits"),
+                    (F.coalesce(F.col("n_probe_hits"), F.lit(0)) > 0)
+                     .alias("contaminated"))
+            .orderBy("doc"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversification sample (the D4 diversify stage)
+# ---------------------------------------------------------------------------
+
+_CBS_PER_CLUSTER = 10
+
+
+@query(
+    "pipeline_cluster_balanced_sample",
+    survey_ref="extensions: cluster-balanced diversification sampling "
+               "(the D4 diversify stage, Tirumala et al. 2023) — uniform "
+               "per-cluster quotas over the k-means partition",
+    description="A diversity sample: k-means over quantized embeddings, "
+                "then a deterministic md5 bottom-k quota per cluster",
+    oracle=f"""
+    WITH qv AS MATERIALIZED ({C.sql_quantized_embedding_rows()}),
+    {C.sql_kmeans_rounds("qv")},
+    ranked AS (
+      SELECT doc, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY {D.sql_md5_long("'cbs:' || CAST(doc AS VARCHAR)")},
+                        doc) AS rank
+      FROM km_assign)
+    SELECT doc, cid, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {_CBS_PER_CLUSTER}
+    ORDER BY cid, rank
+    """,
+)
+def pipeline_cluster_balanced_sample(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The diversify stage of D4 (Tirumala et al. 2023: SemDeDup +
+    cluster-based diversification beats either alone): partition the
+    corpus with the judged distributed k-means, then draw a UNIFORM
+    per-cluster quota so dense regions of embedding space cannot
+    dominate the training mix. The draw is the engine's standard
+    deterministic device — bottom-k by a salted md5 key — so both
+    engines pick the identical sample. One extra shuffle over the
+    k-means assignment (partition by cluster); the quota is a
+    row_number cutoff, never a per-cluster collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = C.quantized_embedding_rows(emb)
+    assign = C.kmeans_rounds(qv)
+    wr = W.partitionBy("cid").orderBy(
+        D.md5_long(F.concat(F.lit("cbs:"), F.col("doc").cast("string"))),
+        "doc")
+    return (assign.select("doc", "cid",
+                          F.row_number().over(wr).cast("long").alias("rank"))
+            .filter(F.col("rank") <= _CBS_PER_CLUSTER)
+            .orderBy("cid", "rank"))

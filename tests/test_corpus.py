@@ -270,3 +270,36 @@ class TestExactSubstringApply:
         for doc, s in summ.items():
             a = appl[doc]
             assert a["kept_words"] == s["n_words"] - s["dup_words"]
+
+
+class TestSemanticDecon:
+    def test_exactly_the_probe_origins_flagged(self, spark):
+        out = REGISTRY["pipeline_decontaminate_semantic"].builder(
+            spark, SF_JUDGED).collect()
+        assert len(out) == 500
+        flagged = {r["doc"] for r in out if r["contaminated"]}
+        # every 10th vector spawned a perturbed probe (cos ~0.99 with its
+        # origin, near-orthogonal to everything else)
+        assert flagged == {d for d in range(0, 5000)
+                           if d % 10 == 0 and any(
+                               r["doc"] == d for r in out)}
+        for r in out:
+            if r["contaminated"]:
+                assert r["n_probe_hits"] == 1
+
+
+class TestClusterBalancedSample:
+    def test_quota_and_determinism(self, spark):
+        rows1 = REGISTRY["pipeline_cluster_balanced_sample"].builder(
+            spark, SF_JUDGED).collect()
+        rows2 = REGISTRY["pipeline_cluster_balanced_sample"].builder(
+            spark, SF_JUDGED).collect()
+        assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+        by_cid = {}
+        for r in rows1:
+            by_cid.setdefault(r["cid"], []).append(r["rank"])
+        for cid, ranks in by_cid.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 10
+        docs = [r["doc"] for r in rows1]
+        assert len(docs) == len(set(docs))
