@@ -254,8 +254,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     rather than globally.
     """
     # the shingle frame feeds three subtrees (sizes + both join sides);
-    # cache so the explode/normalize pipeline runs once
-    sh = shingle_rows(df, id_col, text_col, n).cache()
+    # cache so the explode/normalize pipeline runs once. merge hints on
+    # the self-join: Catalyst's size estimate for an exploded frame is
+    # the INPUT relation's size, so at large SF it happily broadcasts a
+    # ~1 GB shingle side (observed: driver broadcast OOM at sf10 on the
+    # dup-saturated replica corpus, the same failure mode as the r10
+    # semantic verify); SMJ shuffles by shingle at any SF, and this
+    # verifier path is not in the bench headline set.
+    sh = shingle_rows(df, id_col, text_col, n).hint("merge").cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -312,14 +312,29 @@ JUDGE_WINDOW: list[str] = [
     "set_intersect_repeat_customers",   # INTERSECT
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
     "scalar_variant_funcs",        # semi-structured Variant funcs
-    "stream_engine_dedup_then_agg",  # THIRD multi-stateful combo:
-                                     # exactly-once aggregates over a
-                                     # doubled at-least-once replay (in
-                                     # for stream_engine_stateful_ewma,
-                                     # green r8; python_surfaces keeps
-                                     # arrow_map_batches in-window)
+    # -- r11 second-wave rotation: the three highest-novelty new rows, in
+    # for three anchors green in CORRECTNESS_r10 whose families keep
+    # in-window representatives (stream_engine_dedup_then_agg — five
+    # engine-executed rows remain, incl. the chained/join_then/change-feed
+    # multi-stateful forms; pipeline_training_corpus — the capstone family
+    # keeps leakage_safe_split + curation_corpus; dedup_incremental_ingest
+    # — dedup keeps incremental_minhash, the pretrained SemDeDup row, the
+    # cascade, and gains the two ExactSubstr forms' apply row). The five
+    # other second-wave registrations (dedup_exact_substring,
+    # dedup_recall_audit, pipeline_unimax_mix,
+    # tar_shard_roundtrip_doc_stats, pipeline_cluster_balanced_sample)
+    # are r12 fodder by the standing protocol: each mirror-green on
+    # registration with the driver's exact comparator AND value-hash
+    # green at the sf1 sweep (SCALE.md).
+    "dedup_exact_substring_apply",  # ExactSubstr REMOVAL: cleaned-text
+                                    # md5 per doc (kept_words also pins
+                                    # the summary row's span arithmetic)
+    "cluster_kmeans_embeddings",   # fully-distributed Lloyd k-means,
+                                   # sizes/membership/inertia value-judged
+    "pipeline_decontaminate_semantic",  # third decon mode: embedding-
+                                        # space leakage vs broadcast
+                                        # eval probes, integer cosine
     "text_lm_familiarity",         # bigram-LM quality signal
-    "pipeline_training_corpus",    # the end-to-end LLM-corpus capstone
     "pipeline_chunk_overlap",      # overlapping context-window chunking
     "pipeline_rag_retrieval",      # chunk→embed→rank capstone
     "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
@@ -335,7 +350,6 @@ JUDGE_WINDOW: list[str] = [
     "join_fuzzy_typo_pairs",       # SymSpell deletion-neighborhood join
     "basket_brand_pairs",          # market-basket pair-support mining
     "cohort_weekly_retention",     # weekly signup-cohort retention grid
-    "dedup_incremental_ingest",    # fingerprint-store incremental dedup
     "sim_ivf_filtered_topk",       # attribute-filtered ANN, persisted
     "dq_profile_orders",           # per-column null/distinct/minmax profile
     "retrieval_hybrid_rrf",        # BM25 + vector RRF fusion ranker

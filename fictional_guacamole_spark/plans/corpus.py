@@ -118,10 +118,27 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
              .select("doc_a", "doc_b", "jaccard",
                      F.expr(_AUDIT_BUCKET).alias("bucket")))
-    cand = (D.minhash_lsh_pairs(docs, "doc_id", "text", 3)
-            .select("doc_a", "doc_b").cache())
-    hits = (truth.join(cand.withColumn("__hit", F.lit(1)),
-                       ["doc_a", "doc_b"], "left")
+    # candidates = distinct band collisions, composed directly from the
+    # shared banding machinery. The audit never reads est_jaccard, and
+    # skipping minhash_lsh_pairs' signature re-join removes a join whose
+    # pair-shaped input Catalyst mis-estimates toward driver-breaking
+    # broadcasts (observed: 1 GB broadcast OOM at sf10 on the
+    # dup-saturated replica corpus — the same failure mode the r10
+    # semantic verify hit). The remaining pair joins carry merge hints:
+    # SMJ shuffles by key at any SF.
+    bk = D.minhash_band_keys(
+        D.minhash_signatures(docs, "doc_id", "text", 3))
+    cand = (bk.alias("x").join(
+                bk.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("x.doc") < F.col("y.doc")))
+            .select(F.col("x.doc").alias("doc_a"),
+                    F.col("y.doc").alias("doc_b"))
+            .distinct().hint("merge").cache())
+    hits = (truth.hint("merge")
+            .join(cand.withColumn("__hit", F.lit(1)),
+                  ["doc_a", "doc_b"], "left")
             .select("bucket",
                     F.coalesce(F.col("__hit"), F.lit(0)).alias("hit")))
     by_bucket = (hits.groupBy("bucket")
@@ -132,7 +149,7 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("hit").alias("n_caught"))
     precision = (cand.join(truth.select("doc_a", "doc_b")
-                           .withColumn("__true", F.lit(1)),
+                           .withColumn("__true", F.lit(1)).hint("merge"),
                            ["doc_a", "doc_b"], "left")
                  .agg(F.lit("candidates").alias("bucket"),
                       F.count(F.lit(1)).alias("n_pairs"),
@@ -330,16 +347,22 @@ def dedup_exact_substring_apply(spark: SparkSession,
 # Semantic decontamination (the third decon mode: set, Bloom, embedding)
 # ---------------------------------------------------------------------------
 
-_DECON_PROBE_MOD = 10   # every 10th vector spawns a perturbed eval probe
+_DECON_PROBE_MOD = 10      # every 10th BASE vector spawns an eval probe
+_DECON_PROBE_CEIL = 10_000_000   # probes come from the base id universe
+# only (scale replicas stride ids by 1e8), so the eval suite is a FIXED
+# set at every SF — the realistic shape: corpora grow, eval suites don't.
+# The first sf10 attempt let the probe set scale with the corpus (50k
+# probes) and the map-side expand went quadratic; this pin is the fix.
 
 
 def _probe_qv(emb):
     """Quantized rows of the synthetic eval suite: every
-    ``_DECON_PROBE_MOD``-th train vector with ONE doubled coordinate —
-    a near-duplicate paraphrase of its origin (cos ~0.99), nothing else
-    (the fixture vectors are near-orthogonal). Deterministic, so the
-    oracle replays it bit-for-bit."""
-    return (emb.filter(F.col("vec_id") % _DECON_PROBE_MOD == 0)
+    ``_DECON_PROBE_MOD``-th base-universe train vector with ONE doubled
+    coordinate — a near-duplicate paraphrase of its origin (cos ~0.99),
+    nothing else (the fixture vectors are near-orthogonal).
+    Deterministic, so the oracle replays it bit-for-bit."""
+    return (emb.filter((F.col("vec_id") % _DECON_PROBE_MOD == 0)
+                       & (F.col("vec_id") < _DECON_PROBE_CEIL))
             .select(F.col("vec_id").alias("probe"),
                     F.posexplode("embedding").alias("dim", "x"))
             .select("probe", "dim",
@@ -355,7 +378,8 @@ _DECON_PROBE_SQL = f"""
                   * CASE WHEN i - 1 = vec_id % {C.SEM_DIM}
                          THEN 2 ELSE 1 END) AS BIGINT) AS pq
       FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS _pu(i)
-      WHERE vec_id % {_DECON_PROBE_MOD} = 0"""
+      WHERE vec_id % {_DECON_PROBE_MOD} = 0
+        AND vec_id < {_DECON_PROBE_CEIL}"""
 
 
 @query(

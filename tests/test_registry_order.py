@@ -90,7 +90,17 @@ def test_every_family_has_an_inwindow_representative():
                   "dedup_ngram_jaccard", "dedup_keep_best",
                   "dedup_incremental_ingest", "dedup_cluster_histogram",
                   "dedup_semantic_embedding", "dedup_incremental_minhash",
-                  "dedup_semantic_pretrained", "pipeline_dedup_cascade"},
+                  "dedup_semantic_pretrained", "pipeline_dedup_cascade",
+                  "dedup_exact_substring", "dedup_exact_substring_apply"},
+        # the APPLY form's kept_words = n_words - dup_words pins the
+        # summary row's span arithmetic too (shared span stage)
+        "exact_substring": {"dedup_exact_substring",
+                            "dedup_exact_substring_apply"},
+        "distributed_clustering": {"cluster_kmeans_embeddings",
+                                   "pipeline_cluster_balanced_sample"},
+        "decontamination": {"pipeline_decontaminate",
+                            "pipeline_decontaminate_bloom",
+                            "pipeline_decontaminate_semantic"},
         # the pretrained row (REAL embedding vectors) and the cascade's
         # 1-gram-blocked verify stage carry the family since r11
         "semantic_dedup": {"dedup_semantic_embedding",
