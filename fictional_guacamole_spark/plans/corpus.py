@@ -381,17 +381,10 @@ _DECON_PROBE_SQL = f"""
       WHERE vec_id % {_DECON_PROBE_MOD} = 0
         AND vec_id < {_DECON_PROBE_CEIL}"""
 
-
-@query(
-    "pipeline_decontaminate_semantic",
-    survey_ref="extensions: SEMANTIC decontamination — train vectors vs a "
-               "broadcast eval-probe suite, exact integer cosine (the "
-               "third decon mode after set and Bloom)",
-    description="Per-train-doc contamination flags against a perturbed "
-                "eval-probe suite: exact integer cosine >= 0.9, probe "
-                "side broadcast",
-    oracle=f"""
-    WITH tqv AS MATERIALIZED ({C.sql_quantized_embedding_rows()}),
+# the tqv → hits → per_doc chain, shared verbatim by the decon row's
+# oracle and the v2 capstone's (one rendering, no drift)
+_DECON_HITS_CTES = f"""
+    tqv AS MATERIALIZED ({C.sql_quantized_embedding_rows()}),
     pqv AS MATERIALIZED ({_DECON_PROBE_SQL}),
     tn AS (SELECT doc, SUM(q * q) AS n2 FROM tqv GROUP BY doc),
     pn AS (SELECT probe, SUM(pq * pq) AS p2 FROM pqv GROUP BY probe),
@@ -405,7 +398,40 @@ _DECON_PROBE_SQL = f"""
                   JOIN pn ON d.probe = pn.probe
       WHERE d.dot >= 0 AND 100 * d.dot * d.dot >= 81 * tn.n2 * pn.p2),
     per_doc AS (
-      SELECT doc, COUNT(*) AS n_probe_hits FROM hits GROUP BY doc)
+      SELECT doc, COUNT(*) AS n_probe_hits FROM hits GROUP BY doc)"""
+
+
+def _decon_hit_counts(emb: DataFrame) -> DataFrame:
+    """(doc, n_probe_hits) for every train vector with >= 1 eval-probe
+    hit — the shared Spark core of the decon row and the v2 capstone."""
+    tqv = C.quantized_embedding_rows(emb)
+    pqv = _probe_qv(emb)
+    tn = tqv.groupBy("doc").agg(
+        F.sum(F.col("q") * F.col("q")).alias("n2"))
+    pn = pqv.groupBy("probe").agg(
+        F.sum(F.col("pq") * F.col("pq")).alias("p2"))
+    dots = (tqv.join(F.broadcast(pqv), "dim")
+            .groupBy("doc", "probe")
+            .agg(F.sum(F.col("q") * F.col("pq")).alias("dot")))
+    hits = (dots.join(tn, "doc").join(F.broadcast(pn), "probe")
+            .filter((F.col("dot") >= 0)
+                    & (F.lit(100) * F.col("dot") * F.col("dot")
+                       >= F.lit(81) * F.col("n2") * F.col("p2")))
+            .select("doc", "probe"))
+    return hits.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_probe_hits"))
+
+
+@query(
+    "pipeline_decontaminate_semantic",
+    survey_ref="extensions: SEMANTIC decontamination — train vectors vs a "
+               "broadcast eval-probe suite, exact integer cosine (the "
+               "third decon mode after set and Bloom)",
+    description="Per-train-doc contamination flags against a perturbed "
+                "eval-probe suite: exact integer cosine >= 0.9, probe "
+                "side broadcast",
+    oracle=f"""
+    WITH {_DECON_HITS_CTES}
     SELECT b.vec_id AS doc,
            CAST(COALESCE(n_probe_hits, 0) AS BIGINT) AS n_probe_hits,
            COALESCE(n_probe_hits, 0) > 0 AS contaminated
@@ -429,22 +455,7 @@ def pipeline_decontaminate_semantic(spark: SparkSession,
     perturbations of every 10th vector — near-dup 'paraphrases' of
     their origins and of nothing else, so negatives are certified too."""
     emb = load_table(spark, sf_dir, "embeddings")
-    tqv = C.quantized_embedding_rows(emb)
-    pqv = _probe_qv(emb)
-    tn = tqv.groupBy("doc").agg(
-        F.sum(F.col("q") * F.col("q")).alias("n2"))
-    pn = pqv.groupBy("probe").agg(
-        F.sum(F.col("pq") * F.col("pq")).alias("p2"))
-    dots = (tqv.join(F.broadcast(pqv), "dim")
-            .groupBy("doc", "probe")
-            .agg(F.sum(F.col("q") * F.col("pq")).alias("dot")))
-    hits = (dots.join(tn, "doc").join(F.broadcast(pn), "probe")
-            .filter((F.col("dot") >= 0)
-                    & (F.lit(100) * F.col("dot") * F.col("dot")
-                       >= F.lit(81) * F.col("n2") * F.col("p2")))
-            .select("doc", "probe"))
-    per_doc = hits.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_probe_hits"))
+    per_doc = _decon_hit_counts(emb)
     return (emb.select(F.col("vec_id").alias("doc"))
             .join(per_doc, "doc", "left")
             .select("doc",
@@ -505,3 +516,95 @@ def pipeline_cluster_balanced_sample(spark: SparkSession,
                           F.row_number().over(wr).cast("long").alias("rank"))
             .filter(F.col("rank") <= _CBS_PER_CLUSTER)
             .orderBy("cid", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Capstone v2: the second-wave layer composed into one judged manifest
+# ---------------------------------------------------------------------------
+
+_V2_MIN_KEPT = 20      # drop docs hollowed out by span removal
+_V2_EPOCHS = 1
+_V2_BUDGET_DIV = 2
+
+
+@query(
+    "pipeline_curation_corpus_v2",
+    survey_ref="extensions: CAPSTONE v2 — ExactSubstr removal -> semantic "
+               "decon gate -> UniMax quotas -> quality-weighted picks, one "
+               "judged manifest",
+    description="The second-wave curation pipeline end-to-end: span-"
+                "cleaned docs, embedding-decontaminated, UniMax-allocated "
+                "per language, picked by kept-words-weighted E-S keys",
+    oracle=f"""
+    WITH essa AS ({D.sql_exact_substring_apply("documents", "doc_id",
+                                               "text")}),
+    clean AS (
+      SELECT doc, kept_words FROM essa
+      WHERE kept_words >= {_V2_MIN_KEPT}),
+    {_DECON_HITS_CTES},
+    surv AS (
+      SELECT c.doc, c.kept_words, d.lang
+      FROM clean c JOIN documents d ON c.doc = d.doc_id
+      WHERE c.doc NOT IN (SELECT doc FROM per_doc WHERE n_probe_hits > 0)),
+    grouped AS (SELECT lang, COUNT(*) AS n_d FROM surv GROUP BY lang),
+    {C.sql_unimax_alloc("grouped", "lang", _V2_EPOCHS, _V2_BUDGET_DIV)},
+    ranked AS (
+      SELECT s.doc, s.lang, s.kept_words,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.lang
+               ORDER BY {C.sql_weighted_sample_key(
+                   "s.doc",
+                   "GREATEST(1, LEAST(64, s.kept_words // 4))")},
+                        s.doc) AS rank
+      FROM surv s)
+    SELECT r.doc, r.lang, CAST(r.kept_words AS BIGINT) AS kept_words,
+           CAST(r.rank AS BIGINT) AS rank
+    FROM ranked r JOIN ux_alloc a ON r.lang = a.lang
+    WHERE r.rank <= a.alloc
+    ORDER BY r.lang, r.rank
+    """,
+)
+def pipeline_curation_corpus_v2(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The round-11 second wave composed into ONE Catalyst plan and one
+    judged manifest — the pipeline a production pretraining-data run
+    would execute with these operators: (1) ExactSubstr removal cleans
+    every document and drops the ones hollowed below _V2_MIN_KEPT
+    surviving words; (2) the semantic decon gate removes documents whose
+    embedding matches an eval probe (docs without an embedding pass
+    through — at the larger fixtures only a prefix of the corpus is
+    embedded, which is realistic: you decontaminate what you can
+    embed); (3) UniMax water-filling allocates the halved budget across
+    languages under a 1-epoch cap; (4) each language's quota is filled
+    by Efraimidis-Spirakis bottom-k keys weighted by CLEANED length
+    (kept_words DIV 4, clamped to the replica cap) — quality-weighted
+    where the v1 capstone weighted raw length. Every stage reuses its
+    judged sibling's implementation verbatim (exact_substring_apply,
+    the decon hit chain, unimax_alloc, weighted_sample_key), so the
+    capstone certifies the COMPOSITION, not re-implementations."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    clean = (D.exact_substring_apply(docs, "doc_id", "text")
+             .filter(F.col("kept_words") >= _V2_MIN_KEPT)
+             .select("doc", "kept_words"))
+    flagged = (_decon_hit_counts(emb)
+               .filter(F.col("n_probe_hits") > 0).select("doc"))
+    surv = (clean.join(flagged, "doc", "left_anti")
+            .join(docs.select(F.col("doc_id").alias("doc"), "lang"),
+                  "doc"))
+    grouped = surv.groupBy("lang").agg(F.count(F.lit(1)).alias("n_d"))
+    alloc = C.unimax_alloc(grouped, "lang", _V2_EPOCHS, _V2_BUDGET_DIV) \
+        .select("lang", "alloc")
+    weight = F.greatest(
+        F.lit(1), F.least(F.lit(64), F.expr("kept_words DIV 4")))
+    wr = W.partitionBy("lang").orderBy(
+        C.weighted_sample_key(F.col("doc"), weight), "doc")
+    ranked = surv.select(
+        "doc", "lang", "kept_words",
+        F.row_number().over(wr).cast("long").alias("rank"))
+    return (ranked.join(F.broadcast(alloc), "lang")
+            .filter(F.col("rank") <= F.col("alloc"))
+            .select("doc", "lang",
+                    F.col("kept_words").cast("long").alias("kept_words"),
+                    "rank")
+            .orderBy("lang", "rank"))

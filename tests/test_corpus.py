@@ -303,3 +303,28 @@ class TestClusterBalancedSample:
             assert len(ranks) <= 10
         docs = [r["doc"] for r in rows1]
         assert len(docs) == len(set(docs))
+
+
+class TestCurationV2:
+    def test_manifest_contract(self, spark):
+        out = REGISTRY["pipeline_curation_corpus_v2"].builder(
+            spark, SF_JUDGED).collect()
+        assert len(out) > 0
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+            assert r["kept_words"] >= 20
+        for lang, rows in by_lang.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(ranks) + 1))
+        # no contaminated doc may appear (decon gate), and every pick is
+        # a doc the span cleaner kept
+        decon = {r["doc"] for r in
+                 REGISTRY["pipeline_decontaminate_semantic"].builder(
+                     spark, SF_JUDGED).collect() if r["contaminated"]}
+        appl = {r["doc"]: r["kept_words"] for r in
+                REGISTRY["dedup_exact_substring_apply"].builder(
+                    spark, SF_JUDGED).collect()}
+        for r in out:
+            assert r["doc"] not in decon
+            assert appl[r["doc"]] == r["kept_words"]
