@@ -608,3 +608,58 @@ def pipeline_curation_corpus_v2(spark: SparkSession,
                     F.col("kept_words").cast("long").alias("kept_words"),
                     "rank")
             .orderBy("lang", "rank"))
+
+
+@query(
+    "python_datasource_tar_stats",
+    survey_ref="S4 source formats: Spark 4 Python DataSource API "
+               "(pyspark.sql.datasource) — custom fg_tarshard format, one "
+               "InputPartition per shard",
+    description="The tar shards read through a registered custom Python "
+                "DataSource (spark.read.format('fg_tarshard')) instead of "
+                "binaryFile+mapInPandas; identical judged stats",
+    oracle=f"""
+    SELECT CAST(doc_id % {_TAR_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def python_datasource_tar_stats(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The same shard corpus as ``tar_shard_roundtrip_doc_stats``, read
+    through Spark 4's Python DataSource API (SPARK-44076) — the
+    sanctioned extension point for formats Spark lacks, and the repo's
+    first judged row on it. ``partitions()`` emits one InputPartition
+    per shard on the driver; each executor task opens exactly its own
+    tar and streams members as tuples. The judged stats hash the
+    ROUND-TRIPPED text again, so both the custom source's partition
+    planning AND its member decoding are value-certified against the
+    raw fixture. (binaryFile+mapInPandas remains the sibling path; two
+    implementations, one oracle, zero drift.)"""
+    import hashlib
+    import os
+    import tempfile
+
+    from fictional_guacamole_spark.sources import tar_shards as T
+    from fictional_guacamole_spark.sources.pyds import read_tar_shards_pyds
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"tar_shards1:{src}:{os.path.getmtime(src)}:{_TAR_SHARDS}"
+        .encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_tar_shards_{tag}")
+    T.write_tar_shards(docs, base, _TAR_SHARDS)
+    members = read_tar_shards_pyds(spark, base)
+    return (members.groupBy(
+        (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").cast("long").alias("text_bytes"),
+             F.sum(D.md5_long(F.col("text"))).cast("long")
+              .alias("content_sum"))
+        .orderBy("shard"))

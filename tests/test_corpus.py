@@ -328,3 +328,31 @@ class TestCurationV2:
         for r in out:
             assert r["doc"] not in decon
             assert appl[r["doc"]] == r["kept_words"]
+
+
+class TestPythonDataSource:
+    def test_one_partition_per_shard_and_path_equality(self, spark, tmp_path):
+        from fictional_guacamole_spark.sources import tar_shards as T
+        from fictional_guacamole_spark.sources.pyds import (
+            read_tar_shards_pyds)
+        rows = [(i, f"doc {i} says unicode é {i*7}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = str(tmp_path / "shards")
+        T.write_tar_shards(df, base, 4)
+        pyds = read_tar_shards_pyds(spark, base)
+        assert pyds.rdd.getNumPartitions() == 4   # one task per shard
+        got_pyds = sorted(tuple(r) for r in pyds.collect())
+        got_bf = sorted(tuple(r) for r in
+                        T.read_tar_shards(spark, base).collect())
+        assert got_pyds == got_bf                 # two paths, same rows
+        assert len(got_pyds) == 40
+        assert got_pyds[0][2].startswith("doc 0 says unicode é")
+
+    def test_judged_row_matches_binaryfile_sibling(self, spark):
+        a = sorted(tuple(r) for r in
+                   REGISTRY["python_datasource_tar_stats"].builder(
+                       spark, SF_JUDGED).collect())
+        b = sorted(tuple(r) for r in
+                   REGISTRY["tar_shard_roundtrip_doc_stats"].builder(
+                       spark, SF_JUDGED).collect())
+        assert a == b
