@@ -663,3 +663,83 @@ def python_datasource_tar_stats(spark: SparkSession,
              F.sum(D.md5_long(F.col("text"))).cast("long")
               .alias("content_sum"))
         .orderBy("shard"))
+
+
+@query(
+    "stream_engine_pyds_tar_source",
+    survey_ref="§2.5 streaming + S4: a CUSTOM Python streaming source "
+               "(DataSourceStreamReader) executed through the micro-batch "
+               "engine — source-owned offsets, one shard per trigger",
+    description="The tar shards replayed through a custom Python "
+                "DataSourceStreamReader (one shard per micro-batch) into "
+                "a streaming aggregation; drained state judged against "
+                "the raw fixture",
+    oracle=f"""
+    SELECT CAST(doc_id % {_TAR_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def stream_engine_pyds_tar_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The first judged row on a CUSTOM Python streaming source: Spark
+    4's DataSourceStreamReader hands the engine source-owned offsets
+    ({"shard": i} dicts the checkpoint persists), plans one shard per
+    micro-batch (latestOffset advances one step per poll — the
+    maxFilesPerTrigger idea implemented inside the source), and streams
+    members from executor-side tarfile reads. The drain therefore
+    crosses >= 8 triggers of genuinely incremental state before the
+    complete-mode aggregation is judged against the raw fixture — and
+    the stats hash the round-tripped text, so offset planning, member
+    decode AND state accumulation are all value-certified. This is the
+    production shape for 'my corpus format has no Spark reader': own
+    the offsets, let the engine own recovery."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from fictional_guacamole_spark.plans.windows_streaming import (
+        _stream_state_partitions)
+    from fictional_guacamole_spark.sources import tar_shards as T
+    from fictional_guacamole_spark.sources.pyds import (
+        read_tar_shards_stream)
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"tar_shards1:{src}:{os.path.getmtime(src)}:{_TAR_SHARDS}"
+        .encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_tar_shards_{tag}")
+    T.write_tar_shards(docs, base, _TAR_SHARDS)
+
+    stream = read_tar_shards_stream(spark, base)
+    agg = (stream.groupBy(
+        (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").cast("long").alias("text_bytes"),
+             F.sum(D.md5_long(F.col("text"))).cast("long")
+              .alias("content_sum")))
+    name = f"fg_pyds_stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="fg_pyds_ckpt_")
+    with _stream_state_partitions(spark):
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .start())
+        try:
+            q.processAllAvailable()
+            n_batches = len(q.recentProgress)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+    assert n_batches >= _TAR_SHARDS, (
+        f"expected >= {_TAR_SHARDS} micro-batches (one per shard), "
+        f"saw {n_batches}")
+    return spark.table(name).orderBy("shard")

@@ -356,3 +356,12 @@ class TestPythonDataSource:
                    REGISTRY["tar_shard_roundtrip_doc_stats"].builder(
                        spark, SF_JUDGED).collect())
         assert a == b
+
+    def test_streaming_source_matches_batch_sibling(self, spark):
+        a = sorted(tuple(r) for r in
+                   REGISTRY["stream_engine_pyds_tar_source"].builder(
+                       spark, SF_JUDGED).collect())
+        b = sorted(tuple(r) for r in
+                   REGISTRY["python_datasource_tar_stats"].builder(
+                       spark, SF_JUDGED).collect())
+        assert a == b
