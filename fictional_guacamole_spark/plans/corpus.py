@@ -743,3 +743,94 @@ def stream_engine_pyds_tar_source(spark: SparkSession,
         f"expected >= {_TAR_SHARDS} micro-batches (one per shard), "
         f"saw {n_batches}")
     return spark.table(name).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# TIFF: the eighth from-the-spec stdlib codec (baseline multi-strip RGB)
+# ---------------------------------------------------------------------------
+
+_TIFF_W, _TIFF_H, _TIFF_RPS = 8, 8, 4   # 2 strips of 4 rows: external
+_TIFF_N = _TIFF_W * _TIFF_H * 3         # offset/count arrays exercised
+
+
+@query(
+    "multimodal_tiff_decode",
+    survey_ref="extensions: REAL image decode (baseline TIFF 6.0 — IFD "
+               "tag walk, external value blocks, multi-strip assembly)",
+    description="Documents rendered as real 2-strip baseline TIFFs and "
+                "decoded by the actual IFD parser; per-strip and "
+                "per-channel sums judged bit-exact",
+    oracle=f"""
+    WITH cyc AS (
+      SELECT doc_id AS asset_id,
+             substr(repeat(atext, CAST(({_TIFF_N} / length(atext))
+                                       AS INT) + 1),
+                    1, {_TIFF_N}) AS px
+      FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS atext
+            FROM documents)
+      WHERE length(atext) > 0)
+    SELECT asset_id,
+           CAST({_TIFF_W} AS INTEGER) AS width,
+           CAST({_TIFF_H} AS INTEGER) AS height,
+           CAST(2 AS INTEGER) AS n_strips,
+           CAST(list_sum(list_transform(range(1, {_TIFF_N // 2} + 1),
+               p -> unicode(substr(px, CAST(p AS INT), 1))))
+             AS BIGINT) AS strip0_sum,
+           CAST(list_sum(list_transform(range({_TIFF_N // 2} + 1,
+                                              {_TIFF_N} + 1),
+               p -> unicode(substr(px, CAST(p AS INT), 1))))
+             AS BIGINT) AS strip1_sum,
+           CAST(list_sum(list_transform(range(0, {_TIFF_N // 3}),
+               i -> unicode(substr(px, CAST(i * 3 + 1 AS INT), 1))))
+             AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, {_TIFF_N // 3}),
+               i -> unicode(substr(px, CAST(i * 3 + 2 AS INT), 1))))
+             AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, {_TIFF_N // 3}),
+               i -> unicode(substr(px, CAST(i * 3 + 3 AS INT), 1))))
+             AS BIGINT) AS sum_b
+    FROM cyc ORDER BY asset_id
+    """,
+)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eighth real from-the-spec codec (after WAV/BMP/AVI/PNG/GIF/
+    JPEG/JPEG-4:2:0), and the container scanned-document corpora
+    actually ship: baseline TIFF 6.0. The encoder writes a little-endian
+    IFD with EXTERNAL value blocks (BitsPerSample, StripOffsets,
+    StripByteCounts — arrays wider than the 4-byte inline field, the
+    part naive parsers get wrong) and splits the raster across 2 strips;
+    the REAL parser walks the IFD, resolves inline-vs-external values by
+    the spec's size rule, bounds-checks and reassembles the strips. The
+    judged stats include PER-STRIP byte sums, so a parser that got strip
+    boundaries wrong but totals right still fails. TIFF stores RGB
+    top-down — the opposite layout of the judged BMP row's bottom-up BGR
+    — so the two rows certify the two raster conventions independently.
+    One map-only mapInPandas stage; no shuffle."""
+    import pandas as pd
+
+    from fictional_guacamole_spark.functions import codecs as CODECS
+
+    docs = load_table(spark, sf_dir, "documents")
+    ascii_col = F.regexp_replace("text", r"[^ -~]", "")
+
+    def encode_decode(it):
+        import re
+        for pdf in it:
+            out = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                raw = re.sub(r"[^ -~]", "", str(t)).encode()
+                px = (raw * (_TIFF_N // len(raw) + 1))[:_TIFF_N]
+                payload = CODECS.encode_tiff_rgb(
+                    _TIFF_W, _TIFF_H, px, _TIFF_RPS)
+                out.append({"asset_id": doc_id,
+                            **CODECS.tiff_stats(payload)})
+            yield pd.DataFrame(out)
+
+    return (docs.select("doc_id", "text")
+            .filter(F.length(ascii_col) > 0)
+            .mapInPandas(encode_decode,
+                         schema="asset_id long, width int, height int, "
+                                "n_strips int, strip0_sum long, "
+                                "strip1_sum long, sum_r long, sum_g long, "
+                                "sum_b long")
+            .orderBy("asset_id"))

@@ -832,3 +832,51 @@ class TestJpeg420Subsampling:
         # greyscale ignores the layout knob: single full-res component
         assert C.encode_jpeg(8, 8, grey.tobytes(), 1, subsampling="420") \
             == C.encode_jpeg(8, 8, grey.tobytes(), 1)
+
+
+class TestTiff:
+    def _buf(self, n=8 * 8 * 3):
+        return bytes((i * 7 + 3) % 256 for i in range(n))
+
+    def test_roundtrip_two_strips(self):
+        buf = self._buf()
+        s = C.tiff_stats(C.encode_tiff_rgb(8, 8, buf, 4))
+        assert (s["width"], s["height"], s["n_strips"]) == (8, 8, 2)
+        assert s["strip0_sum"] == sum(buf[:96])
+        assert s["strip1_sum"] == sum(buf[96:])
+        assert s["sum_r"] == sum(buf[0::3])
+        assert s["sum_g"] == sum(buf[1::3])
+        assert s["sum_b"] == sum(buf[2::3])
+
+    def test_single_strip_inlines_offset(self):
+        # n=1: StripOffsets/ByteCounts fit the 4-byte field -> the INLINE
+        # branch of the spec's size rule is exercised
+        buf = self._buf()
+        s = C.tiff_stats(C.encode_tiff_rgb(8, 8, buf, 8))
+        assert s["n_strips"] == 1 and s["strip1_sum"] == 0
+        assert s["strip0_sum"] == sum(buf)
+
+    def test_hostile_payloads_reject(self):
+        import struct
+        import pytest
+        good = bytearray(C.encode_tiff_rgb(8, 8, self._buf(), 4))
+        with pytest.raises(ValueError):
+            C.decode_tiff(b"MM\x00\x2a" + bytes(good[4:]))  # big-endian
+        evil = bytearray(good)
+        # point the first strip offset block's first entry out of bounds
+        (ifd_off,) = struct.unpack_from("<I", evil, 4)
+        n = struct.unpack_from("<H", evil, ifd_off)[0]
+        for i in range(n):
+            tag = struct.unpack_from("<H", evil, ifd_off + 2 + 12 * i)[0]
+            if tag == 273:
+                (blk,) = struct.unpack_from(
+                    "<I", evil, ifd_off + 2 + 12 * i + 8)
+                struct.pack_into("<I", evil, blk, 1 << 30)
+        with pytest.raises(ValueError):
+            C.decode_tiff(bytes(evil))
+
+    def test_truncated_raster_rejects(self):
+        import pytest
+        buf = self._buf(8 * 7 * 3)   # one row short
+        with pytest.raises(ValueError):
+            C.encode_tiff_rgb(8, 8, buf, 4)
