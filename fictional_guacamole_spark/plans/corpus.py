@@ -834,3 +834,64 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "strip1_sum long, sum_r long, sum_g long, "
                                 "sum_b long")
             .orderBy("asset_id"))
+
+
+@query(
+    "python_datasource_tar_write_stats",
+    survey_ref="K4 sinks + S4: the Python DataSource WRITE path "
+               "(DataSourceWriter two-phase commit) — save through the "
+               "registered format, read back through its own reader",
+    description="Documents written through df.write.format('fg_tarshard') "
+                "(per-task temp shards, driver-side atomic commit) and "
+                "read back through the same registered source",
+    oracle=f"""
+    SELECT CAST(doc_id % {_TAR_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def python_datasource_tar_write_stats(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python DataSource API, completing the
+    read/stream/write triad on the registered format: each task streams
+    its partition into a hidden temp shard and returns a
+    WriterCommitMessage; the DRIVER publishes every temp atomically in
+    commit() only after all tasks succeed (abort() removes them
+    otherwise) — the engine's no-torn-output file-sink contract,
+    implemented at the source level. The frame is repartitioned on the
+    shard key before save, so member placement is the one hash shuffle;
+    the read-back goes through the SAME registered reader and the
+    judged stats hash the round-tripped text — a torn commit, a lost
+    member, or a mis-decoded byte all break the value hash."""
+    import hashlib
+    import os
+    import tempfile
+
+    from fictional_guacamole_spark.sources.pyds import (
+        TarShardDataSource, read_tar_shards_pyds)
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"pydsw1:{src}:{os.path.getmtime(src)}:{_TAR_SHARDS}"
+        .encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_pydsw_{tag}")
+    spark.dataSource.register(TarShardDataSource)
+    if not os.path.exists(base):
+        (docs.select(F.col("doc_id").alias("member_id"), "text")
+         .repartition(_TAR_SHARDS, F.col("member_id") % _TAR_SHARDS)
+         .write.format("fg_tarshard").option("path", base)
+         .mode("append").save())
+    members = read_tar_shards_pyds(spark, base)
+    return (members.groupBy(
+        (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").cast("long").alias("text_bytes"),
+             F.sum(D.md5_long(F.col("text"))).cast("long")
+              .alias("content_sum"))
+        .orderBy("shard"))

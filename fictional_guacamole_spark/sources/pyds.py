@@ -35,7 +35,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 TAR_MEMBER_SCHEMA = "member_id long, n_bytes long, text string"
@@ -70,7 +72,9 @@ class TarShardReader(DataSourceReader):
 
 
 class TarShardDataSource(DataSource):
-    """``spark.read.format("fg_tarshard").option("path", dir).load()``."""
+    """``spark.read.format("fg_tarshard").option("path", dir).load()``
+    and, for (member_id, text) frames,
+    ``df.write.format("fg_tarshard").option("path", dir).save()``."""
 
     @classmethod
     def name(cls) -> str:
@@ -81,6 +85,13 @@ class TarShardDataSource(DataSource):
 
     def reader(self, schema) -> TarShardReader:
         return TarShardReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "TarShardWriter":
+        names = [f.name for f in schema.fields]
+        if names != ["member_id", "text"]:
+            raise ValueError("fg_tarshard writer expects (member_id, "
+                             f"text), got {names}")
+        return TarShardWriter(self.options, overwrite)
 
 
 def read_tar_shards_pyds(spark: SparkSession, base: str) -> DataFrame:
@@ -163,3 +174,58 @@ def read_tar_shards_stream(spark: SparkSession, base: str) -> DataFrame:
     spark.dataSource.register(TarShardStreamDataSource)
     return (spark.readStream.format("fg_tarshard_stream")
             .option("path", base).load())
+
+
+# --- the WRITE half: a custom Python DataSourceWriter ----------------------
+#
+# The API's write path is a real two-phase commit: each task streams its
+# partition into a hidden temp shard and returns a WriterCommitMessage;
+# the DRIVER publishes every temp atomically in commit() only after all
+# tasks succeeded, and abort() removes the temps on any failure — the
+# same no-torn-output contract the engine's file sinks give, implemented
+# at the source level. Input schema: (member_id long, text string);
+# partitioning is the caller's (repartition before save to choose shard
+# count and member placement).
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, final: str, n: int):
+        self.tmp, self.final, self.n = tmp, final, n
+
+
+class TarShardWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.base = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _ShardCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.base, exist_ok=True)
+        tmp = os.path.join(self.base, f".tmp-{uuid.uuid4().hex}.tar")
+        members = sorted((int(r.member_id), str(r.text)) for r in rows)
+        with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for mid, text in members:
+                data = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{mid:012d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+        return _ShardCommit(
+            tmp, os.path.join(self.base, f"shard-{pid:05d}.tar"),
+            len(members))
+
+    def commit(self, messages) -> None:  # driver side: atomic publish
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)

@@ -365,3 +365,33 @@ class TestPythonDataSource:
                    REGISTRY["python_datasource_tar_stats"].builder(
                        spark, SF_JUDGED).collect())
         assert a == b
+
+    def test_writer_two_phase_commit_roundtrip(self, spark, tmp_path):
+        import pathlib
+        from fictional_guacamole_spark.sources.pyds import (
+            TarShardDataSource, read_tar_shards_pyds)
+        spark.dataSource.register(TarShardDataSource)
+        rows = [(i, f"member {i} body é") for i in range(30)]
+        df = spark.createDataFrame(rows, "member_id long, text string")
+        base = str(tmp_path / "written")
+        (df.repartition(3, df.member_id % 3)
+         .write.format("fg_tarshard").option("path", base)
+         .mode("append").save())
+        files = sorted(p.name for p in pathlib.Path(base).iterdir())
+        assert len(files) == 3                      # one shard per task
+        assert all(f.startswith("shard-") for f in files)  # no temps left
+        back = {r["member_id"]: r["text"] for r in
+                read_tar_shards_pyds(spark, base).collect()}
+        assert back == dict(rows)
+
+    def test_writer_rejects_wrong_schema(self, spark, tmp_path):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+        from fictional_guacamole_spark.sources.pyds import (
+            TarShardDataSource)
+        spark.dataSource.register(TarShardDataSource)
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises((Py4JJavaError, PythonException, Exception)):
+            (df.write.format("fg_tarshard")
+             .option("path", str(tmp_path / "bad")).mode("append").save())
