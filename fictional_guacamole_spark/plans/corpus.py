@@ -873,7 +873,7 @@ def python_datasource_tar_write_stats(spark: SparkSession,
     import tempfile
 
     from fictional_guacamole_spark.sources.pyds import (
-        TarShardDataSource, read_tar_shards_pyds)
+        TarShardDataSource, _register_by_value, read_tar_shards_pyds)
 
     docs = load_table(spark, sf_dir, "documents")
     src = os.path.join(sf_dir, "documents.parquet")
@@ -881,7 +881,7 @@ def python_datasource_tar_write_stats(spark: SparkSession,
         f"pydsw1:{src}:{os.path.getmtime(src)}:{_TAR_SHARDS}"
         .encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_pydsw_{tag}")
-    spark.dataSource.register(TarShardDataSource)
+    _register_by_value(spark, TarShardDataSource)
     if not os.path.exists(base):
         (docs.select(F.col("doc_id").alias("member_id"), "text")
          .repartition(_TAR_SHARDS, F.col("member_id") % _TAR_SHARDS)

@@ -43,6 +43,25 @@ from pyspark.sql.datasource import (
 TAR_MEMBER_SCHEMA = "member_id long, n_bytes long, text string"
 
 
+def _register_by_value(spark: SparkSession, cls) -> None:
+    """Register a DataSource class pickled BY VALUE, not by module
+    reference. The engine unpickles DataSources in python workers that
+    the driver spawns — and the STREAMING source runner
+    (python_streaming_source_runner) is a driver-side process that does
+    NOT inherit the addPyFile zip batch executors get, so a by-reference
+    pickle dies with ModuleNotFoundError whenever the driver's cwd isn't
+    the repo (exactly how the round driver runs us; caught by the
+    bare-session /verify recipe). cloudpickle's documented fix:
+    register this module for by-value pickling so the class definitions
+    travel inside the pickle itself."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(cls)
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -97,7 +116,7 @@ class TarShardDataSource(DataSource):
 def read_tar_shards_pyds(spark: SparkSession, base: str) -> DataFrame:
     """Register (idempotently) and read the tar shards through the
     Python DataSource API — one Spark task per shard."""
-    spark.dataSource.register(TarShardDataSource)
+    _register_by_value(spark, TarShardDataSource)
     return spark.read.format("fg_tarshard").option("path", base).load()
 
 
@@ -171,7 +190,7 @@ class TarShardStreamDataSource(DataSource):
 def read_tar_shards_stream(spark: SparkSession, base: str) -> DataFrame:
     """Register (idempotently) and open the tar shards as a STREAM —
     one shard per micro-batch."""
-    spark.dataSource.register(TarShardStreamDataSource)
+    _register_by_value(spark, TarShardStreamDataSource)
     return (spark.readStream.format("fg_tarshard_stream")
             .option("path", base).load())
 

@@ -369,8 +369,8 @@ class TestPythonDataSource:
     def test_writer_two_phase_commit_roundtrip(self, spark, tmp_path):
         import pathlib
         from fictional_guacamole_spark.sources.pyds import (
-            TarShardDataSource, read_tar_shards_pyds)
-        spark.dataSource.register(TarShardDataSource)
+            TarShardDataSource, _register_by_value, read_tar_shards_pyds)
+        _register_by_value(spark, TarShardDataSource)
         rows = [(i, f"member {i} body é") for i in range(30)]
         df = spark.createDataFrame(rows, "member_id long, text string")
         base = str(tmp_path / "written")
@@ -389,8 +389,8 @@ class TestPythonDataSource:
         from py4j.protocol import Py4JJavaError
         from pyspark.errors import PythonException
         from fictional_guacamole_spark.sources.pyds import (
-            TarShardDataSource)
-        spark.dataSource.register(TarShardDataSource)
+            TarShardDataSource, _register_by_value)
+        _register_by_value(spark, TarShardDataSource)
         df = spark.createDataFrame([(1, 2)], "a long, b long")
         with pytest.raises((Py4JJavaError, PythonException, Exception)):
             (df.write.format("fg_tarshard")
