@@ -94,6 +94,14 @@ class ReplayDataSource(DataSource):
 
 
 def register(spark: SparkSession) -> None:
+    # by-VALUE registration: the streaming source runner is a driver-side
+    # python process without the addPyFile zip — a by-reference pickle
+    # dies outside the repo cwd (see sources/pyds.py::_register_by_value)
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
     spark.dataSource.register(ReplayDataSource)
 
 
