@@ -895,3 +895,84 @@ def python_datasource_tar_write_stats(spark: SparkSession,
              F.sum(D.md5_long(F.col("text"))).cast("long")
               .alias("content_sum"))
         .orderBy("shard"))
+
+
+@query(
+    "stream_engine_pyds_tar_sink",
+    survey_ref="K1/K4 + §2.5 streaming: a CUSTOM Python STREAMING SINK "
+               "(DataSourceStreamWriter) — per-epoch two-phase commit, "
+               "idempotent (batchId, taskId) shard names",
+    description="Custom Python stream source feeding a custom Python "
+                "stream sink through the engine; the sink's epoch shards "
+                "read back and judged against the raw fixture",
+    oracle=f"""
+    SELECT CAST(doc_id % {_TAR_SHARDS} AS INTEGER) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS text_bytes,
+           CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+                AS BIGINT) AS content_sum
+    FROM documents
+    GROUP BY 1
+    ORDER BY shard
+    """,
+)
+def stream_engine_pyds_tar_sink(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The fourth and last Python DataSource surface, judged: a custom
+    STREAMING SINK with per-epoch two-phase commit. The pipeline is
+    entirely custom-source → engine → custom-sink: the tar shards
+    stream in one-per-micro-batch, and every epoch's tasks write temp
+    shards that the DRIVER publishes under deterministic
+    (batchId, taskId) names via os.replace — so a replayed epoch
+    OVERWRITES its own previous output instead of duplicating it
+    (sink-side idempotence, the file-sink/txn-log contract at the
+    source level; re-run determinism is asserted byte-for-byte in
+    tests). The judged read-back of the sink's own output against the
+    raw fixture certifies offset planning, epoch commit AND member
+    round-trip in one value hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.plans.windows_streaming import (
+        _stream_state_partitions)
+    from fictional_guacamole_spark.sources import tar_shards as T
+    from fictional_guacamole_spark.sources.pyds import (
+        TarShardSinkDataSource, _register_by_value, read_tar_shards_pyds,
+        read_tar_shards_stream)
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.md5(
+        f"tar_shards1:{src}:{os.path.getmtime(src)}:{_TAR_SHARDS}"
+        .encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_tar_shards_{tag}")
+    T.write_tar_shards(docs, base, _TAR_SHARDS)
+
+    out = os.path.join(tempfile.gettempdir(), f"fg_pyds_sink_{tag}")
+    if not os.path.exists(os.path.join(out, "_DRAINED")):
+        shutil.rmtree(out, ignore_errors=True)
+        _register_by_value(spark, TarShardSinkDataSource)
+        stream = read_tar_shards_stream(spark, base) \
+            .select("member_id", "text")
+        ckpt = tempfile.mkdtemp(prefix="fg_pyds_sink_ckpt_")
+        with _stream_state_partitions(spark):
+            q = (stream.writeStream.format("fg_tarshard_sink")
+                 .option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                shutil.rmtree(ckpt, ignore_errors=True)
+        open(os.path.join(out, "_DRAINED"), "w").close()
+    members = read_tar_shards_pyds(spark, out)
+    return (members.groupBy(
+        (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bytes").cast("long").alias("text_bytes"),
+             F.sum(D.md5_long(F.col("text"))).cast("long")
+              .alias("content_sum"))
+        .orderBy("shard"))

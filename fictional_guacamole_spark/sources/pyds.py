@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -248,3 +249,72 @@ class TarShardWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.tmp):
                 os.remove(m.tmp)
+
+
+# --- the STREAMING SINK: a custom Python DataSourceStreamWriter ------------
+#
+# The fourth and last surface of the API: a streaming sink with per-epoch
+# two-phase commit. write() runs per task per micro-batch into a hidden
+# temp; commit(messages, batchId) publishes on the driver under names
+# keyed by (batchId, taskId) via os.replace — so a REPLAYED micro-batch
+# (at-least-once upstream) overwrites its own previous output instead of
+# duplicating it: sink-side idempotence, the same contract the engine's
+# file sinks and the foreachBatch txn-log sink give.
+
+
+class TarShardStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.base = options["path"]
+
+    def write(self, rows) -> _ShardCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.base, exist_ok=True)
+        tmp = os.path.join(self.base, f".tmp-{uuid.uuid4().hex}.tar")
+        members = sorted((int(r.member_id), str(r.text)) for r in rows)
+        with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for mid, text in members:
+                data = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{mid:012d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, io.BytesIO(data))
+        if not members:            # empty task: no shard file published
+            os.remove(tmp)
+            return _ShardCommit("", "", 0)
+        return _ShardCommit(tmp, f"{pid:05d}", len(members))
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.n:
+                os.replace(m.tmp, os.path.join(
+                    self.base, f"epoch-{batchId:06d}-{m.final}.tar"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class TarShardSinkDataSource(DataSource):
+    """``writeStream.format("fg_tarshard_sink")`` — per-epoch two-phase
+    commit into (batchId, taskId)-named shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fg_tarshard_sink"
+
+    def schema(self) -> str:
+        return "member_id long, text string"
+
+    def streamWriter(self, schema, overwrite: bool) -> TarShardStreamWriter:
+        names = [f.name for f in schema.fields]
+        if names != ["member_id", "text"]:
+            raise ValueError("fg_tarshard_sink expects (member_id, "
+                             f"text), got {names}")
+        return TarShardStreamWriter(self.options)
