@@ -558,7 +558,6 @@ def unimax_alloc(grouped: DataFrame, key_col: str, epoch_cap: int,
         F.sum("sat").over(wall).alias("k_sat"),
         F.coalesce(F.sum(F.when(F.col("sat") == 1, F.col("cap_docs")))
                     .over(wall), F.lit(0)).alias("s_sat"))
-    n_unc = F.greatest(F.col("n_dom") - F.col("k_sat"), F.lit(1))
     base = F.expr("(budget - s_sat) DIV greatest(n_dom - k_sat, 1)")
     rem = F.expr("(budget - s_sat) % greatest(n_dom - k_sat, 1)")
     return (leveled.select(

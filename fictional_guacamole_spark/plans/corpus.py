@@ -883,10 +883,25 @@ def python_datasource_tar_write_stats(spark: SparkSession,
     base = os.path.join(tempfile.gettempdir(), f"fg_pydsw_{tag}")
     _register_by_value(spark, TarShardDataSource)
     if not os.path.exists(base):
+        # write into a private uuid build dir and publish with one atomic
+        # rename (the repo's fixture pattern, tar_shards.write_tar_shards):
+        # the executor tasks create the dir before the driver commits, so
+        # gating on the FINAL path's existence alone would let a crashed
+        # prior write poison the cache (r11 advisor, ADVICE.md corpus:885)
+        import uuid
+
+        build = f"{base}.build.{uuid.uuid4().hex}"
         (docs.select(F.col("doc_id").alias("member_id"), "text")
          .repartition(_TAR_SHARDS, F.col("member_id") % _TAR_SHARDS)
-         .write.format("fg_tarshard").option("path", base)
+         .write.format("fg_tarshard").option("path", build)
          .mode("append").save())
+        try:
+            os.rename(build, base)
+        except OSError:
+            if not os.path.exists(base):   # lost a benign publish race
+                raise
+            import shutil
+            shutil.rmtree(build, ignore_errors=True)
     members = read_tar_shards_pyds(spark, base)
     return (members.groupBy(
         (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))
@@ -952,14 +967,20 @@ def stream_engine_pyds_tar_sink(spark: SparkSession,
 
     out = os.path.join(tempfile.gettempdir(), f"fg_pyds_sink_{tag}")
     if not os.path.exists(os.path.join(out, "_DRAINED")):
-        shutil.rmtree(out, ignore_errors=True)
+        # drain into a private uuid build dir, mark it _DRAINED, then
+        # publish with one atomic rename — a crashed or concurrent drain
+        # can never leave a half-filled ``out`` that later runs trust
+        # (r11 advisor/verdict: match the repo's build-dir pattern)
+        import uuid
+
+        build = f"{out}.build.{uuid.uuid4().hex}"
         _register_by_value(spark, TarShardSinkDataSource)
         stream = read_tar_shards_stream(spark, base) \
             .select("member_id", "text")
         ckpt = tempfile.mkdtemp(prefix="fg_pyds_sink_ckpt_")
         with _stream_state_partitions(spark):
             q = (stream.writeStream.format("fg_tarshard_sink")
-                 .option("path", out)
+                 .option("path", build)
                  .option("checkpointLocation", ckpt)
                  .start())
             try:
@@ -967,7 +988,14 @@ def stream_engine_pyds_tar_sink(spark: SparkSession,
             finally:
                 q.stop()
                 shutil.rmtree(ckpt, ignore_errors=True)
-        open(os.path.join(out, "_DRAINED"), "w").close()
+        open(os.path.join(build, "_DRAINED"), "w").close()
+        try:
+            shutil.rmtree(out, ignore_errors=True)  # stale marker-less dir
+            os.rename(build, out)
+        except OSError:
+            if not os.path.exists(os.path.join(out, "_DRAINED")):
+                raise
+            shutil.rmtree(build, ignore_errors=True)
     members = read_tar_shards_pyds(spark, out)
     return (members.groupBy(
         (F.col("member_id") % _TAR_SHARDS).cast("int").alias("shard"))

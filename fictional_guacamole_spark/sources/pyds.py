@@ -148,15 +148,28 @@ class TarShardStreamReader(DataSourceStreamReader):
         return {"shard": 0}
 
     def latestOffset(self) -> dict:
-        # one shard per micro-batch until the directory is drained
+        # One shard per micro-batch until the directory is drained.
+        # ``_polled`` is in-memory only, so after a restart-from-checkpoint
+        # it re-starts at 0 while the engine's committed start offset may
+        # already be ahead — returning a latestOffset BELOW the committed
+        # start would make offsets regress and re-plan already-committed
+        # shards (duplicate rows on recovery). ``_floor`` records the
+        # highest start offset the engine has shown us (partitions()/
+        # commit()) and clamps the poll counter monotonic w.r.t. recovery
+        # (r11 advisor, ADVICE.md pyds.py:150).
         if not hasattr(self, "_polled"):
             self._polled = 0
-        self._polled = min(self._polled + 1, len(self.paths))
+        self._polled = min(max(self._polled + 1, getattr(self, "_floor", 0)),
+                           len(self.paths))
         return {"shard": self._polled}
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(getattr(self, "_floor", 0), start["shard"])
+        # belt-and-braces: never slice a backwards range even if a stale
+        # latestOffset slipped through
         return [_ShardPartition(p)
-                for p in self.paths[start["shard"]:end["shard"]]]
+                for p in self.paths[start["shard"]:max(start["shard"],
+                                                       end["shard"])]]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         with open(partition.path, "rb") as fh:
@@ -168,7 +181,10 @@ class TarShardStreamReader(DataSourceStreamReader):
                        blob.decode("utf-8"))
 
     def commit(self, end: dict) -> None:
-        pass  # shards are immutable files; nothing to release
+        # shards are immutable files; nothing to release — but remember
+        # the committed watermark so a restarted reader's latestOffset
+        # can never fall behind it
+        self._floor = max(getattr(self, "_floor", 0), end["shard"])
 
 
 class TarShardStreamDataSource(DataSource):
@@ -241,6 +257,17 @@ class TarShardWriter(DataSourceWriter):
             len(members))
 
     def commit(self, messages) -> None:  # driver side: atomic publish
+        import glob
+
+        if self.overwrite:
+            # mode("overwrite") must not leave stale shards from a prior,
+            # larger run mixed into the new output (r11 advisor,
+            # ADVICE.md pyds.py:219): clear every shard the new commit
+            # does not replace before publishing.
+            finals = {m.final for m in messages if m is not None}
+            for old in glob.glob(os.path.join(self.base, "shard-*.tar")):
+                if old not in finals:
+                    os.remove(old)
         for m in messages:
             if m is not None:
                 os.replace(m.tmp, m.final)

@@ -384,6 +384,60 @@ class TestPythonDataSource:
                 read_tar_shards_pyds(spark, base).collect()}
         assert back == dict(rows)
 
+    def test_stream_reader_offsets_survive_restart(self, tmp_path, spark):
+        # A query restart re-instantiates the reader with _polled back at
+        # 0 while the engine's committed start offset is ahead; the r11
+        # advisor's regression: latestOffset must never fall below the
+        # start offsets the engine has shown the reader.
+        from fictional_guacamole_spark.sources import tar_shards as T
+        from fictional_guacamole_spark.sources.pyds import (
+            TarShardStreamReader)
+        rows = [(i, f"m {i}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = str(tmp_path / "restart_src")
+        T.write_tar_shards(df, base, 4)
+        fresh = TarShardStreamReader({"path": base})
+        # engine restarts from a checkpoint at shard 3: it re-plans the
+        # uncommitted batch first...
+        parts = fresh.partitions({"shard": 3}, {"shard": 3})
+        assert parts == []              # nothing uncommitted — empty plan
+        # ...then polls. A naive counter would answer 1 (< 3, offsets
+        # regress, shards 1-2 replayed as duplicates); the clamp answers 3.
+        assert fresh.latestOffset()["shard"] >= 3
+        # commit() also raises the floor
+        fresh2 = TarShardStreamReader({"path": base})
+        fresh2.commit({"shard": 4})
+        assert fresh2.latestOffset()["shard"] == 4
+        # and a backwards range can never slice negatively
+        assert fresh2.partitions({"shard": 4}, {"shard": 2}) == []
+
+    def test_writer_overwrite_clears_stale_shards(self, spark, tmp_path):
+        # mode("overwrite") with fewer tasks than a prior run must not
+        # leave the prior run's extra shards mixed into the output
+        # (r11 advisor, ADVICE.md pyds.py:219).
+        import pathlib
+        from fictional_guacamole_spark.sources.pyds import (
+            TarShardDataSource, _register_by_value, read_tar_shards_pyds)
+        _register_by_value(spark, TarShardDataSource)
+        base = str(tmp_path / "ow")
+        big = spark.createDataFrame(
+            [(i, f"old {i}") for i in range(40)],
+            "member_id long, text string")
+        (big.repartition(4, big.member_id % 4)
+         .write.format("fg_tarshard").option("path", base)
+         .mode("append").save())
+        assert len(list(pathlib.Path(base).glob("shard-*.tar"))) == 4
+        small = spark.createDataFrame(
+            [(i, f"new {i}") for i in range(10)],
+            "member_id long, text string")
+        (small.repartition(2, small.member_id % 2)
+         .write.format("fg_tarshard").option("path", base)
+         .mode("overwrite").save())
+        assert len(list(pathlib.Path(base).glob("shard-*.tar"))) == 2
+        back = {r["member_id"]: r["text"] for r in
+                read_tar_shards_pyds(spark, base).collect()}
+        assert back == {i: f"new {i}" for i in range(10)}
+
     def test_writer_rejects_wrong_schema(self, spark, tmp_path):
         import pytest
         from py4j.protocol import Py4JJavaError
