@@ -274,7 +274,8 @@ def _stream_state_partitions(spark: SparkSession, n: int = 4):
 
 
 def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
-                                transform=None, salt: str = "") -> str:
+                                transform=None, salt: str = "",
+                                cluster_col: str = "ts") -> str:
     """A 4-file copy of ``events`` range-partitioned on ``ts`` with
     ascending mtimes in range order, so a maxFilesPerTrigger=1 file
     source replays micro-batches in event-time order (the file source
@@ -288,7 +289,9 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
     benignly on private per-pid dirs. ``transform`` (optional) reshapes
     the frame before clustering — e.g. the dedup row doubles it — and
     MUST be paired with a distinct ``salt`` so variants never share a
-    cache dir."""
+    cache dir. ``cluster_col`` picks the replay-order column — the book
+    kernel's frame fixture clusters on ``seq`` (its arrival-order
+    contract) rather than ``ts``."""
     import hashlib
     import os
     import shutil
@@ -297,7 +300,8 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
 
     src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(
-        f"strmsrc_rng1:{salt}:{src}:{os.path.getmtime(src)}".encode()
+        f"strmsrc_rng1:{salt}:{cluster_col}:{src}:{os.path.getmtime(src)}"
+        .encode()
     ).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"fg_strmrng_{tag}")
     if not os.path.exists(base):
@@ -305,7 +309,7 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
         frame = load_table(spark, sf_dir, "events")
         if transform is not None:
             frame = transform(frame)
-        frame.repartitionByRange(4, "ts") \
+        frame.repartitionByRange(4, cluster_col) \
             .write.mode("overwrite").parquet(build)
         parts = sorted(f for f in os.listdir(build)
                        if f.endswith(".parquet"))
@@ -1428,3 +1432,164 @@ def stream_engine_dedup_then_agg(spark: SparkSession,
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "value_cents")
             .orderBy("window_start", "event_type"))
+
+
+@query(
+    "stream_engine_book_kernel",
+    survey_ref="T1-T5 + §2.5 streaming: the BOOK KERNEL executed through "
+               "the REAL engine — the full production pipeline "
+               "(dropDuplicatesWithinWatermark → applyInPandasWithState → "
+               "foreachBatch idempotent sinks), killed mid-drain and "
+               "restarted from its checkpoint",
+    description="The order-book kernel run as an actual Structured "
+                "Streaming query over replayed match frames (with "
+                "injected duplicate deliveries), crash-restarted "
+                "mid-drain; the drained trade + gap sinks equal the "
+                "batch kernel's oracle exactly once",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT 'trade' AS out_type, CAST(user_id AS VARCHAR) AS product_id,
+           event_id AS trade_id,
+           CAST(NULL AS BIGINT) AS gap_first_id,
+           CAST(NULL AS BIGINT) AS gap_last_id
+    FROM p
+    UNION ALL
+    SELECT 'gap', CAST(user_id AS VARCHAR), CAST(NULL AS BIGINT),
+           prev_id + 1, event_id - 1
+    FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY product_id, out_type, trade_id NULLS FIRST,
+             gap_first_id NULLS FIRST
+    """,
+)
+def stream_engine_book_kernel(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The flagship custom kernel, finally judged THROUGH the engine
+    (r11 verdict task #1). Every piece of the production pipeline
+    (streaming/pipeline.py::run_pipeline — the reference's whole app,
+    real_guac.py:37-129, as one streaming query) is on the judged path:
+
+    - the frame fixture replays the same synthesized match frames as the
+      batch row ``t2_book_kernel_gaps`` (purchase events → 'match'
+      frames keyed by user-as-product), range-clustered on ``seq`` into
+      4 files so a maxFilesPerTrigger=1 drain delivers every product's
+      frames in arrival (seq) order across ≥4 micro-batches — the same
+      per-connection ordering contract the websocket source gives;
+    - ``server_ts`` is synthesized monotone in ``seq`` (epoch
+      2024-01-01 + seq seconds), so event time and arrival order agree
+      and the dedupe watermark can never mistake an on-time frame for
+      late data;
+    - a deterministic ~14% of frames (seq % 7 == 3) is delivered TWICE
+      — the at-least-once transport the reference's reconnecting
+      websocket produces. ``dedupe_horizon`` drops the re-deliveries
+      via dropDuplicatesWithinWatermark BEFORE the kernel; without the
+      dedupe stage each duplicate would re-emit its trade row and the
+      value hash would break, so the stage is load-bearing, not
+      decorative;
+    - the kernel itself is the stateful applyInPandasWithState fold
+      (operators/book.py), keyed by product, state round-tripped
+      through STATE_SCHEMA across micro-batches;
+    - sinks are the production foreachBatch writer: _batch-partitioned
+      parquet with dynamic partition overwrite (exactly-once under
+      replay);
+    - the first query object is KILLED as soon as one micro-batch has
+      committed, and a second resumes from the same checkpoint
+      (stream_engine_restart_recovery's crash story, now on the custom
+      kernel): dedupe state, book state AND sink idempotence all
+      survive the restart, or the hash breaks.
+
+    The judged frame is the batch sibling's exact shape, so the same
+    pure-SQL oracle certifies trade passthrough + T5 gap detection; the
+    book-state outputs (not SQL-expressible) stay pinned by the golden/
+    property suites and the books sink is asserted drained in tests.
+    At 100 TB this row IS the deployment: months of micro-batches
+    surviving restarts through the offset log + idempotent sinks."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.streaming.frames import (
+        ensure_frame_schema)
+    from fictional_guacamole_spark.streaming.pipeline import run_pipeline
+
+    def to_match_frames(ev: DataFrame) -> DataFrame:
+        frames = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("seq"),
+            # monotone-in-seq event time: 2024-01-01T00:00:00Z + seq s
+            F.timestamp_seconds(F.lit(1704067200).cast("long")
+                                + F.col("event_id")).alias("server_ts"),
+            F.col("user_id").cast("string").alias("product_id"),
+            F.lit("match").alias("msg_type"),
+            F.lit(None).cast("array<array<string>>").alias("bids"),
+            F.lit(None).cast("array<array<string>>").alias("asks"),
+            F.lit(None).cast("array<array<string>>").alias("changes"),
+            F.col("event_id").alias("trade_id"),
+            F.lit(None).cast("long").alias("sequence"),
+            F.lit(None).cast("string").alias("price"),
+            F.lit(None).cast("string").alias("volume"),
+            F.lit(None).cast("string").alias("side"),
+            F.lit(None).cast("timestamp").alias("exchange_ts"),
+        )
+        frames = ensure_frame_schema(frames)
+        # at-least-once transport: a deterministic subset arrives twice
+        return frames.unionByName(frames.filter(F.col("seq") % 7 == 3))
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=to_match_frames, salt="bookframes1",
+        cluster_col="seq")
+    schema = spark.read.parquet(base).schema
+
+    root = tempfile.mkdtemp(prefix="fg_bookstream_")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_book_kernel_{uuid.uuid4().hex[:12]}"
+
+    def start_query():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(base))
+        return run_pipeline(stream, sink, ckpt,
+                            dedupe_horizon="10 minutes",
+                            query_name=qname)
+
+    with _stream_state_partitions(spark):
+        q1 = start_query()
+        try:
+            # kill mid-drain: stop cold as soon as a batch has committed
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    null_id = F.lit(None).cast("long")
+    trades = (spark.read.parquet(os.path.join(sink, "trades"))
+              .select(F.lit("trade").alias("out_type"),
+                      F.col("product_id").cast("string").alias("product_id"),
+                      F.col("trade_id").cast("long").alias("trade_id"),
+                      null_id.alias("gap_first_id"),
+                      null_id.alias("gap_last_id")))
+    gaps = (spark.read.parquet(os.path.join(sink, "gaps"))
+            .select(F.lit("gap").alias("out_type"),
+                    F.col("product_id").cast("string").alias("product_id"),
+                    null_id.alias("trade_id"),
+                    F.col("gap_first_id").cast("long").alias("gap_first_id"),
+                    F.col("gap_last_id").cast("long").alias("gap_last_id")))
+    out = (trades.unionByName(gaps)
+           .orderBy("product_id", "out_type",
+                    F.asc_nulls_first("trade_id"),
+                    F.asc_nulls_first("gap_first_id"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out

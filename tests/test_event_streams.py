@@ -773,3 +773,29 @@ class TestStreamJoinStateEconomics:
         assert s["final_rows"] < 0.35 * s["cum_updated"], s
         assert s["evicted"] > 0.65 * s["cum_updated"], s
         assert s["max_rows"] < 0.35 * s["cum_updated"], s
+
+
+class TestJudgedBookKernelEngineRow:
+    """Backs stream_engine_book_kernel: the engine-executed kernel drain
+    (dedupe → applyInPandasWithState → foreachBatch sinks, restarted
+    mid-drain) equals the batch kernel replay exactly — duplicates
+    dropped, gap arithmetic identical, sinks exactly-once."""
+
+    def test_engine_drain_equals_batch_kernel(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.marketdata import (
+            t2_book_kernel_gaps)
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_book_kernel)
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = stream_engine_book_kernel(spark, sf_dir).collect()
+        exp = t2_book_kernel_gaps(spark, sf_dir).collect()
+        assert len(got) > 0
+        assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in exp)
+        # the duplicate injection is real: the raw fixture carries ~14%
+        # re-deliveries, none of which may surface as duplicate trades
+        trades = [tuple(r) for r in got if r["out_type"] == "trade"]
+        assert len(trades) == len(set(trades))
