@@ -1593,3 +1593,140 @@ def stream_engine_book_kernel(spark: SparkSession,
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_engine_gap_alarm_timer",
+    survey_ref="T5/T6 + §2.5 streaming: EVENT-TIME TIMERS via Spark 4's "
+               "arbitrary-state API (transformWithStateInPandas) — "
+               "gap-unrepaired-after-T alarms, crash-restarted mid-drain",
+    description="Per-product trade-id gaps alarm if no repair arrives "
+                "within 600s of detection: ValueState + MapState + "
+                "registered event-time timers through the real engine, "
+                "killed mid-drain and resumed from its checkpoint",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase'),
+    g AS (
+      SELECT user_id, prev_id + 1 AS gap_first_id,
+             event_id - 1 AS gap_last_id, event_id AS det_s
+      FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1),
+    mx AS (
+      SELECT GREATEST(
+        (SELECT MAX(event_id) FROM p),
+        COALESCE((SELECT MAX(det_s + 120) FROM g
+                  WHERE gap_first_id % 3 = 0), 0)) AS max_s)
+    SELECT CAST(user_id AS VARCHAR) AS product_id, gap_first_id,
+           gap_last_id,
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (det_s + 600) * INTERVAL 1 SECOND AS alarm_ts
+    FROM g, mx
+    WHERE gap_first_id % 3 <> 0 AND det_s + 600 <= mx.max_s
+    ORDER BY product_id, gap_first_id
+    """,
+)
+def stream_engine_gap_alarm_timer(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The repo's first ``transformWithState`` row, with a real TIMER
+    (r11 verdict task #2). The reference detects a trade-id gap and
+    fires a backfill request (real_guac_async.py:123-132); the
+    time-bounded follow-up a production consumer needs — "alarm if the
+    gap is still unrepaired T after detection" — requires an EVENT-TIME
+    timer, which Spark 4's arbitrary-state API has and the older
+    applyInPandasWithState (the book kernel's API) does not.
+
+    Fixture: purchase events become per-product trades (ts monotone in
+    trade_id: epoch 2024-01-01 + id seconds); every T5 gap whose first
+    missing id is ≡0 (mod 3) gets a ``repair`` row 120 s after
+    detection — inside the 600 s alarm horizon, so exactly the ≢0
+    (mod 3) gaps may alarm. The drained alarm set is deterministic:
+    a timer fires iff its deadline is ≤ the final watermark (global max
+    event time, 0 s delay), so the oracle is closed-form SQL. Repairs
+    always precede their gap's deadline in event time, and the engine
+    processes a batch's input rows before its expired timers — a repair
+    can never race its own alarm.
+
+    The run is killed as soon as one micro-batch commits and resumed
+    from the checkpoint: ValueState, MapState, REGISTERED TIMERS and
+    the file sink's exactly-once log all survive the restart or the
+    hash breaks. State: one long + outstanding-gap map per product in
+    the RocksDB store; alarms are bounded by gap volume, not stream
+    volume."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.operators.gap_alarm import (
+        apply_gap_alarm)
+
+    def to_alarm_frames(ev: DataFrame) -> DataFrame:
+        epoch = F.lit(1704067200).cast("long")
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").cast("string").alias("product_id"),
+                     F.col("event_id").alias("trade_id"))
+             .withColumn("prev_id", F.lag("trade_id").over(
+                 W.partitionBy("product_id").orderBy("trade_id"))))
+        trades = p.select(
+            "product_id", F.lit("trade").alias("kind"), "trade_id",
+            F.lit(None).cast("long").alias("gap_first_id"),
+            F.timestamp_seconds(epoch + F.col("trade_id"))
+             .alias("server_ts"))
+        repairs = (p.filter(F.col("prev_id").isNotNull()
+                            & (F.col("trade_id") - F.col("prev_id") > 1)
+                            & ((F.col("prev_id") + 1) % 3 == 0))
+                   .select("product_id", F.lit("repair").alias("kind"),
+                           F.lit(None).cast("long").alias("trade_id"),
+                           (F.col("prev_id") + 1).alias("gap_first_id"),
+                           F.timestamp_seconds(
+                               epoch + F.col("trade_id") + 120)
+                           .alias("server_ts")))
+        return trades.unionByName(repairs)
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=to_alarm_frames, salt="gapalarm1",
+        cluster_col="server_ts")
+    schema = spark.read.parquet(base).schema
+
+    root = tempfile.mkdtemp(prefix="fg_gapalarm_")
+    outdir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_gap_alarm_{uuid.uuid4().hex[:12]}"
+
+    def start_query():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(base)
+                  .withWatermark("server_ts", "0 seconds"))
+        alarms = apply_gap_alarm(stream, alarm_after_s=600)
+        return (alarms.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .queryName(qname)
+                .start())
+
+    with _stream_state_partitions(spark):
+        q1 = start_query()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    out = (spark.read.parquet(outdir)
+           .orderBy("product_id", "gap_first_id")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -799,3 +799,52 @@ class TestJudgedBookKernelEngineRow:
         # re-deliveries, none of which may surface as duplicate trades
         trades = [tuple(r) for r in got if r["out_type"] == "trade"]
         assert len(trades) == len(set(trades))
+
+
+class TestJudgedGapAlarmTimerRow:
+    """Backs stream_engine_gap_alarm_timer: the transformWithState
+    event-time-timer row. The drained alarm set equals the closed-form
+    batch computation; repaired gaps never alarm; the mid-drain restart
+    is part of the judged builder itself."""
+
+    def test_alarms_equal_batch_truth_and_repairs_cancel(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_gap_alarm_timer)
+        from fictional_guacamole_spark.tables import load_table
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        got = stream_engine_gap_alarm_timer(spark, sf_dir).collect()
+
+        from pyspark.sql import Window as W
+
+        ev = load_table(spark, sf_dir, "events")
+        w = W.partitionBy("user_id").orderBy("event_id")
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "event_id",
+                     F.lag("event_id").over(w).alias("prev_id")))
+        g = (p.filter(F.col("prev_id").isNotNull()
+                      & (F.col("event_id") - F.col("prev_id") > 1))
+             .select("user_id",
+                     (F.col("prev_id") + 1).alias("gap_first_id"),
+                     (F.col("event_id") - 1).alias("gap_last_id"),
+                     F.col("event_id").alias("det_s")))
+        g.cache()
+        max_s = g.sparkSession.createDataFrame([(0,)], "z long").select(
+            F.greatest(
+                F.lit(p.agg(F.max("event_id")).collect()[0][0]),
+                F.lit((g.filter(F.col("gap_first_id") % 3 == 0)
+                       .agg(F.max(F.col("det_s") + 120))
+                       .collect()[0][0]) or 0)).alias("m")
+        ).collect()[0]["m"]
+        exp = sorted(
+            (str(r["user_id"]), r["gap_first_id"], r["gap_last_id"])
+            for r in g.collect()
+            if r["gap_first_id"] % 3 != 0 and r["det_s"] + 600 <= max_s)
+        assert len(got) > 0
+        assert sorted((r["product_id"], r["gap_first_id"],
+                       r["gap_last_id"]) for r in got) == exp
+        # no repaired gap (gap_first % 3 == 0) may ever alarm
+        assert all(r["gap_first_id"] % 3 != 0 for r in got)
