@@ -58,24 +58,30 @@ _AUDIT_BUCKET = ("CASE WHEN jaccard >= 0.9 THEN 'j90_100' "
                  "WHEN jaccard >= 0.7 THEN 'j70_90' "
                  "ELSE 'j50_70' END")
 
+# deterministic doc sample for the scale-safe audit protocol: bottom-K of
+# md5(doc_id) — a uniform pseudo-random subset both engines select
+# identically at any SF, over which the quadratic exact truth is O(K²)
+# FLAT regardless of corpus size
+_AUDIT_SAMPLE_K = 250
+_SQL_AUDIT_SAMPLE = (
+    "SELECT doc_id, text FROM documents "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id "
+    f"LIMIT {_AUDIT_SAMPLE_K}")
 
-@query(
-    "dedup_recall_audit",
-    survey_ref="extensions: LSH blocking recall/precision audit vs exact "
-               "n-gram Jaccard ground truth (the dedup analogue of "
-               "sim_recall_audit)",
-    description="Recall of MinHash-LSH candidate pairs against exact "
-                "3-gram-Jaccard ground truth, by similarity bucket, plus "
-                "candidate precision",
-    oracle=f"""
-    WITH truth AS (
+
+def _sql_blocking_recall(table: str, prelude: str = "") -> str:
+    """DuckDB rendering of the blocking audit over ``table`` (optionally
+    preceded by extra CTEs in ``prelude`` — the sampled protocol injects
+    its deterministic sample here)."""
+    return f"""
+    WITH {prelude}truth AS (
       SELECT doc_a, doc_b, jaccard,
              {_AUDIT_BUCKET} AS bucket
-      FROM ({D.sql_ngram_jaccard_pairs("documents", "doc_id", "text",
+      FROM ({D.sql_ngram_jaccard_pairs(table, "doc_id", "text",
                                        3, 0.5)}) tj),
     cand AS (
       SELECT doc_a, doc_b
-      FROM ({D.sql_minhash_lsh_pairs("documents", "doc_id", "text", 3)}) cj),
+      FROM ({D.sql_minhash_lsh_pairs(table, "doc_id", "text", 3)}) cj),
     hits AS (
       SELECT t.bucket, t.doc_a, t.doc_b,
              CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
@@ -103,7 +109,18 @@ _AUDIT_BUCKET = ("CASE WHEN jaccard >= 0.9 THEN 'j90_100' "
              AS rate_bp
     FROM unioned
     ORDER BY bucket
-    """,
+    """
+
+
+@query(
+    "dedup_recall_audit",
+    survey_ref="extensions: LSH blocking recall/precision audit vs exact "
+               "n-gram Jaccard ground truth (the dedup analogue of "
+               "sim_recall_audit)",
+    description="Recall of MinHash-LSH candidate pairs against exact "
+                "3-gram-Jaccard ground truth, by similarity bucket, plus "
+                "candidate precision",
+    oracle=_sql_blocking_recall("documents"),
 )
 def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Certifies the MinHash-LSH blocking stage the way sim_recall_audit
@@ -115,6 +132,49 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate is the PRECISION of the blocking stage. rate_bp is integer
     basis points (DIV), bit-identical cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
+    return _blocking_recall_frame(docs)
+
+
+@query(
+    "dedup_recall_audit_sampled",
+    survey_ref="extensions: the SCALE-SAFE blocking audit protocol — "
+               "deterministic md5 bottom-K doc sample, exact Jaccard "
+               "truth on the sample only (O(K²) flat at any SF)",
+    description="The LSH blocking recall/precision audit run on a "
+                "deterministic 250-doc md5 sample: the production "
+                "protocol whose exact-truth cost is constant in corpus "
+                "size",
+    oracle=_sql_blocking_recall(
+        "sample_docs", prelude=f"sample_docs AS ({_SQL_AUDIT_SAMPLE}),\n"),
+)
+def dedup_recall_audit_sampled(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The sampled audit protocol, now the REGISTERED row (r11 verdict
+    task #3 — the exhaustive form above is quadratic in replica
+    multiplicity by construction and exceeded the sf10 budget;
+    SCALE.md's 'run it on a sampled slice at production scale' is here
+    made executable and judged). Sample = bottom-``_AUDIT_SAMPLE_K``
+    docs by md5(doc_id) — deterministic, uniform, engine-agnostic; the
+    exact 3-gram-Jaccard ground truth runs over sample pairs only, so
+    its cost is O(K²) FLAT regardless of corpus size, while sample
+    selection is one top-K pass. Band collisions depend only on the two
+    docs' own signatures, so sample-restricted candidates equal the
+    full-corpus blocking stage restricted to sample pairs — the recall
+    measured here IS the production blocking recall, estimated on K
+    docs. At the judged SF the oracle runs the identical sampled
+    protocol, so the two engines coincide on the full sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (docs.select("doc_id", "text")
+              .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+              .limit(_AUDIT_SAMPLE_K))
+    return _blocking_recall_frame(sample)
+
+
+def _blocking_recall_frame(docs: DataFrame) -> DataFrame:
+    """Shared audit body: exact 3-gram-Jaccard truth vs banded candidates
+    over whatever doc frame the caller passes (the full corpus for the
+    exhaustive diagnostic, the deterministic sample for the scale-safe
+    judged protocol)."""
     truth = (D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
              .select("doc_a", "doc_b", "jaccard",
                      F.expr(_AUDIT_BUCKET).alias("bucket")))
