@@ -2531,6 +2531,138 @@ def avro_roundtrip_nation_stats(spark: SparkSession,
 
 
 @query(
+    "avro_nested_roundtrip_order_stats",
+    survey_ref="S4/K4 source formats: NESTED Avro round-trip — records in "
+               "records, arrays, maps, and the decimal / timestamp-micros "
+               "/ date logical types (r11 verdict task #4)",
+    description="orders x lineitem as one nested Avro document per order "
+                "(struct meta + array-of-line-structs + returnflag count "
+                "map, deflate), read back and re-aggregated per priority",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(CAST(l_quantity * 100 AS BIGINT)) AS qty_cents,
+             SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS null_flags,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_lines
+      FROM lineitem GROUP BY 1)
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 19 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_status,
+           CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(COALESCE(lc.n_lines, 0)) AS BIGINT) AS n_lines,
+           CAST(SUM(COALESCE(lc.qty_cents, 0)) AS BIGINT) AS qty_cents,
+           CAST(SUM(COALESCE(lc.null_flags, 0)) AS BIGINT) AS null_flags,
+           CAST(SUM(COALESCE(lc.r_lines, 0)) AS BIGINT) AS r_lines,
+           MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_ts,
+           MAX(o_orderdate) AS last_date
+    FROM orders LEFT JOIN lc ON o_orderkey = lc.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def avro_nested_roundtrip_order_stats(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Closes the 'Avro is flat-records only' gap (r11 verdict missing
+    #3): the recursive codec (sources/avro_codec.py nested half) writes
+    one Avro document PER ORDER — a record holding a nested ``meta``
+    record (string + decimal(12,2) + timestamp-micros + date logical
+    types, status NULLed for o_orderkey ≡ 0 mod 19 to exercise the
+    nested union branch), an ARRAY of per-line records (int + decimal +
+    nullable string: returnflag 'N' maps to null), and a returnflag
+    count MAP — then reads it back and re-aggregates per priority. Every
+    judged column funnels through a different nested/logical encoding
+    (decimal cents through the unscaled-bytes form, timestamps through
+    epoch-micros, dates through epoch-days, array lengths through the
+    blocked array framing, map lookups through the map framing), so one
+    mis-encoded byte anywhere in the recursion breaks the hash. The
+    flat sibling row's bytes and hash are untouched."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources import avro_codec as A
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    line_struct = F.when(
+        F.col("l_orderkey").isNotNull(),
+        F.struct(F.col("l_linenumber").cast("int").alias("ln"),
+                 F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+                 F.nullif(F.col("l_returnflag"), F.lit("N"))
+                 .alias("flag")))
+    flag_counts = (li.groupBy("l_orderkey", "l_returnflag")
+                   .agg(F.count(F.lit(1)).alias("cnt"))
+                   .groupBy("l_orderkey")
+                   .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                       F.struct(F.col("l_returnflag").alias("k"),
+                                F.col("cnt").alias("v")))))
+                        .alias("flags")))
+    lines = (orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+             .groupBy("o_orderkey")
+             .agg(F.sort_array(F.collect_list(line_struct))
+                  .alias("lines")))
+    nested = (orders
+              .join(lines, "o_orderkey", "left")
+              .join(flag_counts,
+                    orders.o_orderkey == flag_counts.l_orderkey, "left")
+              .select(
+                  "o_orderkey",
+                  F.struct(
+                      F.when(F.col("o_orderkey") % 19 != 0,
+                             F.col("o_orderstatus")).alias("status"),
+                      F.col("o_orderpriority").alias("priority"),
+                      F.col("o_totalprice").cast("decimal(12,2)")
+                      .alias("total"),
+                      F.col("o_orderdate").cast("timestamp").alias("ots"),
+                      F.col("o_orderdate").alias("od")).alias("meta"),
+                  F.coalesce("lines", F.array()).alias("lines"),
+                  F.col("flags")))
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"avro_nested1:{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_avro_nested_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        A.write_avro_nested(nested, build, codec="deflate")
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    back = A.read_avro_nested(spark, base, nested.schema)
+    zero = F.lit(0).cast("long")
+    return (back.groupBy(F.col("meta.priority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.when(F.col("meta.status").isNull(), 1)
+                      .otherwise(0)).cast("long").alias("null_status"),
+                F.sum((F.col("meta.total") * 100).cast("long"))
+                .cast("long").alias("total_cents"),
+                F.sum(F.size("lines")).cast("long").alias("n_lines"),
+                F.sum(F.aggregate(
+                    "lines", zero,
+                    lambda acc, x: acc + F.coalesce(
+                        (x["qty"] * 100).cast("long"), F.lit(0))))
+                .cast("long").alias("qty_cents"),
+                F.sum(F.aggregate(
+                    "lines", zero,
+                    lambda acc, x: acc + F.when(x["flag"].isNull(), 1)
+                    .otherwise(0)))
+                .cast("long").alias("null_flags"),
+                F.sum(F.coalesce(F.element_at("flags", "R"), F.lit(0)))
+                .cast("long").alias("r_lines"),
+                F.min("meta.ots").alias("first_ts"),
+                F.max("meta.od").alias("last_date"))
+            .orderBy("priority"))
+
+
+@query(
     "xml_roundtrip_segment_stats",
     survey_ref="S4/K4 source formats: Spark 4 native XML round-trip",
     description="Per-segment customer stats through a write→explicit-schema-"

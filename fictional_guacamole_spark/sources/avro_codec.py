@@ -439,3 +439,413 @@ def read_avro(spark: SparkSession, in_dir: str, schema: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(in_dir)
     return files.select("content").mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Nested records / arrays / maps + logical types (r11 verdict task #4)
+# ---------------------------------------------------------------------------
+#
+# The flat encoder above covers relational interchange; real Avro corpora
+# lean on nested records, arrays, maps and the decimal / timestamp-micros /
+# date logical types (Avro spec §"Logical Types", §"Complex Types"). The
+# recursive codec below maps Spark's nested types onto the spec:
+#
+#   struct<...>        -> record (unique path-derived names)
+#   array<T>           -> array with blocked (count ... 0) encoding
+#   map<string,T>      -> map with blocked (count, key, value ... 0)
+#   decimal(p,s)       -> bytes + {"logicalType":"decimal"} (two's-
+#                         complement big-endian unscaled int)
+#   timestamp          -> long + {"logicalType":"timestamp-micros"}
+#   date               -> int + {"logicalType":"date"} (epoch days)
+#
+# Every record field, array item and map value is the nullable union
+# ["null", T] — Spark's nested fields are nullable by default, and the
+# uniform rule keeps writer and reader in lockstep. Readers accept both
+# the positive-count and negative-count(+byte size) block forms the spec
+# allows for arrays/maps; the writer emits the positive form.
+
+import datetime as _dt
+from decimal import Decimal as _Dec
+
+from pyspark.sql import types as _T
+
+
+def _avro_type(dt, path: str) -> dict | str:
+    """Avro schema fragment for one Spark DataType (non-null branch)."""
+    if isinstance(dt, _T.LongType):
+        return "long"
+    if isinstance(dt, _T.IntegerType):
+        return "int"
+    if isinstance(dt, _T.DoubleType):
+        return "double"
+    if isinstance(dt, _T.FloatType):
+        return "float"
+    if isinstance(dt, _T.StringType):
+        return "string"
+    if isinstance(dt, _T.BooleanType):
+        return "boolean"
+    if isinstance(dt, _T.BinaryType):
+        return "bytes"
+    if isinstance(dt, _T.DecimalType):
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale}
+    if isinstance(dt, _T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, _T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, _T.ArrayType):
+        return {"type": "array",
+                "items": ["null", _avro_type(dt.elementType,
+                                             path + "_item")]}
+    if isinstance(dt, _T.MapType):
+        if not isinstance(dt.keyType, _T.StringType):
+            raise ValueError("Avro maps require string keys")
+        return {"type": "map",
+                "values": ["null", _avro_type(dt.valueType,
+                                              path + "_value")]}
+    if isinstance(dt, _T.StructType):
+        return {"type": "record", "name": path or "Record",
+                "fields": [
+                    {"name": f.name,
+                     "type": ["null", _avro_type(f.dataType,
+                                                 f"{path}_{f.name}")]}
+                    for f in dt.fields]}
+    raise ValueError(f"unsupported Spark type for Avro: {dt}")
+
+
+def avro_schema_nested(schema: "_T.StructType",
+                       name: str = "Record") -> str:
+    """Top-level record schema JSON for a (possibly nested) Spark
+    StructType."""
+    return json.dumps(_avro_type(schema, name))
+
+
+def _is_null_scalar(v) -> bool:
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return True
+    if isinstance(v, (list, tuple, dict, np.ndarray, bytes, str)):
+        return False
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _encode_value(dt, v, out: bytearray) -> None:
+    """Encode one NON-NULL value of Spark type ``dt`` (recursive)."""
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(dt, (_T.LongType, _T.IntegerType)):
+        _write_long(out, int(v))
+    elif isinstance(dt, _T.DoubleType):
+        out.extend(struct.pack("<d", float(v)))
+    elif isinstance(dt, _T.FloatType):
+        out.extend(struct.pack("<f", float(v)))
+    elif isinstance(dt, _T.StringType):
+        raw = str(v).encode("utf-8")
+        _write_long(out, len(raw)); out.extend(raw)
+    elif isinstance(dt, _T.BinaryType):
+        raw = bytes(v)
+        _write_long(out, len(raw)); out.extend(raw)
+    elif isinstance(dt, _T.BooleanType):
+        out.append(1 if v else 0)
+    elif isinstance(dt, _T.DecimalType):
+        d = v if isinstance(v, _Dec) else _Dec(str(v))
+        unscaled = d.scaleb(dt.scale)
+        if unscaled != unscaled.to_integral_value():
+            raise ValueError(f"decimal {v} does not fit scale {dt.scale}")
+        n = int(unscaled)
+        raw = n.to_bytes((n.bit_length() + 8) // 8 or 1, "big",
+                         signed=True)
+        _write_long(out, len(raw)); out.extend(raw)
+    elif isinstance(dt, _T.TimestampType):
+        ts = pd.Timestamp(v)
+        _write_long(out, ts.value // 1_000)   # ns -> micros since epoch
+    elif isinstance(dt, _T.DateType):
+        d = v if isinstance(v, _dt.date) else pd.Timestamp(v).date()
+        _write_long(out, (d - _dt.date(1970, 1, 1)).days)
+    elif isinstance(dt, _T.ArrayType):
+        items = list(v) if isinstance(v, (np.ndarray, tuple)) else v
+        if items:
+            _write_long(out, len(items))
+            for item in items:
+                _encode_union(dt.elementType, item, out)
+        _write_long(out, 0)
+    elif isinstance(dt, _T.MapType):
+        entries = (list(v.items()) if isinstance(v, dict)
+                   else [(k, val) for k, val in v])
+        if entries:
+            _write_long(out, len(entries))
+            for k, val in entries:
+                raw = str(k).encode("utf-8")
+                _write_long(out, len(raw)); out.extend(raw)
+                _encode_union(dt.valueType, val, out)
+        _write_long(out, 0)
+    elif isinstance(dt, _T.StructType):
+        get = (v.get if isinstance(v, dict)
+               else lambda name: getattr(v, name))
+        for f in dt.fields:
+            _encode_union(f.dataType, get(f.name), out)
+    else:
+        raise ValueError(f"unsupported Spark type for Avro: {dt}")
+
+
+def _encode_union(dt, v, out: bytearray) -> None:
+    if _is_null_scalar(v):
+        _write_long(out, 0)      # branch 0: null
+    else:
+        _write_long(out, 1)      # branch 1: the value
+        _encode_value(dt, v, out)
+
+
+def _decode_value(dt, rec: memoryview, rp: int):
+    import pandas as pd
+
+    if isinstance(dt, (_T.LongType, _T.IntegerType)):
+        return _read_long(rec, rp)
+    if isinstance(dt, _T.DoubleType):
+        return struct.unpack_from("<d", rec, rp)[0], rp + 8
+    if isinstance(dt, _T.FloatType):
+        return struct.unpack_from("<f", rec, rp)[0], rp + 4
+    if isinstance(dt, _T.StringType):
+        ln, rp = _read_long(rec, rp)
+        return bytes(rec[rp:rp + ln]).decode("utf-8"), rp + ln
+    if isinstance(dt, _T.BinaryType):
+        ln, rp = _read_long(rec, rp)
+        return bytes(rec[rp:rp + ln]), rp + ln
+    if isinstance(dt, _T.BooleanType):
+        return rec[rp] != 0, rp + 1
+    if isinstance(dt, _T.DecimalType):
+        ln, rp = _read_long(rec, rp)
+        n = int.from_bytes(bytes(rec[rp:rp + ln]), "big", signed=True)
+        return _Dec(n).scaleb(-dt.scale), rp + ln
+    if isinstance(dt, _T.TimestampType):
+        us, rp = _read_long(rec, rp)
+        return pd.Timestamp(us, unit="us"), rp
+    if isinstance(dt, _T.DateType):
+        days, rp = _read_long(rec, rp)
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), rp
+    if isinstance(dt, _T.ArrayType):
+        items = []
+        while True:
+            n, rp = _read_long(rec, rp)
+            if n == 0:
+                return items, rp
+            if n < 0:      # spec: negative count prefixes a byte size
+                n, rp = -n, _read_long(rec, rp)[1]
+            for _ in range(n):
+                v, rp = _decode_union(dt.elementType, rec, rp)
+                items.append(v)
+    if isinstance(dt, _T.MapType):
+        entries = {}
+        while True:
+            n, rp = _read_long(rec, rp)
+            if n == 0:
+                return entries, rp
+            if n < 0:
+                n, rp = -n, _read_long(rec, rp)[1]
+            for _ in range(n):
+                ln, rp = _read_long(rec, rp)
+                k = bytes(rec[rp:rp + ln]).decode("utf-8"); rp += ln
+                v, rp = _decode_union(dt.valueType, rec, rp)
+                entries[k] = v
+    if isinstance(dt, _T.StructType):
+        row = {}
+        for f in dt.fields:
+            row[f.name], rp = _decode_union(f.dataType, rec, rp)
+        return row, rp
+    raise ValueError(f"unsupported Spark type for Avro: {dt}")
+
+
+def _decode_union(dt, rec: memoryview, rp: int):
+    branch, rp = _read_long(rec, rp)
+    if branch == 0:
+        return None, rp
+    if branch != 1:
+        raise ValueError(f"bad union branch {branch}")
+    return _decode_value(dt, rec, rp)
+
+
+def encode_container_nested(schema: "_T.StructType", rows,
+                            records_per_block: int = 4096,
+                            codec: str = "null") -> bytes:
+    """Encode dict-like rows as a container file under a NESTED record
+    schema (logical types included). Same container framing, codecs and
+    deterministic sync-marker rule as the flat encoder."""
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec}")
+    schema_json = avro_schema_nested(schema)
+    body_blocks: list[tuple[int, bytes]] = []
+    block = bytearray()
+    count = 0
+    for row in rows:
+        _encode_value(schema, row, block)
+        count += 1
+        if count >= records_per_block:
+            body_blocks.append((count, bytes(block)))
+            block, count = bytearray(), 0
+    if count:
+        body_blocks.append((count, bytes(block)))
+
+    first = body_blocks[0][1] if body_blocks else b""
+    sync = hashlib.md5(schema_json.encode() + first).digest()
+
+    if codec == "deflate":
+        def _pack(b: bytes) -> bytes:
+            c = zlib.compressobj(9, zlib.DEFLATED, -15)
+            return c.compress(b) + c.flush()
+        body_blocks = [(n, _pack(b)) for n, b in body_blocks]
+
+    out = bytearray(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(),
+            "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb)); out.extend(kb)
+        _write_long(out, len(v)); out.extend(v)
+    _write_long(out, 0)
+    out.extend(sync)
+    for n, payload in body_blocks:
+        _write_long(out, n)
+        _write_long(out, len(payload))
+        out.extend(payload)
+        out.extend(sync)
+    return bytes(out)
+
+
+def decode_container_nested(payload: bytes,
+                            schema: "_T.StructType") -> list[dict]:
+    """Decode a nested container written by any conforming writer whose
+    schema matches ``schema`` (verified: the embedded writer schema must
+    equal this reader's rendering — reader/writer skew fails loudly).
+    Returns one dict per record."""
+    import zlib
+
+    buf = memoryview(payload)
+    if bytes(buf[:4]) != _MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n, pos = -n, _read_long(buf, pos)[1]
+        for _ in range(n):
+            klen, pos = _read_long(buf, pos)
+            k = bytes(buf[pos:pos + klen]).decode(); pos += klen
+            vlen, pos = _read_long(buf, pos)
+            meta[k] = bytes(buf[pos:pos + vlen]); pos += vlen
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec!r}")
+    expect = json.loads(avro_schema_nested(schema))
+    got = json.loads(meta["avro.schema"].decode())
+    if got != expect:
+        raise ValueError(
+            f"Avro nested schema mismatch: file has {got}, "
+            f"reader expects {expect}")
+
+    sync = bytes(buf[pos:pos + 16]); pos += 16
+    rows: list[dict] = []
+    while pos < len(buf):
+        n_records, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        end = pos + size
+        if end + 16 > len(buf):
+            raise ValueError("Avro block truncated")
+        if codec == b"deflate":
+            rec = memoryview(zlib.decompress(bytes(buf[pos:end]),
+                                             wbits=-15))
+        else:
+            rec = buf[pos:end]
+        rp = 0
+        for _ in range(n_records):
+            row, rp = _decode_value(schema, rec, rp)
+            rows.append(row)
+        if rp != len(rec):
+            raise ValueError("Avro block size mismatch")
+        pos = end
+        if bytes(buf[pos:pos + 16]) != sync:
+            raise ValueError("Avro sync marker mismatch")
+        pos += 16
+    return rows
+
+
+def write_avro_nested(df: DataFrame, out_dir: str,
+                      codec: str = "null") -> int:
+    """Write a NESTED frame as real Avro container files, one per task
+    (map-only; same idempotent partition-named + os.replace commit as
+    the flat writer). Nested cells cross the Arrow boundary as Python
+    dicts/lists/Decimals/Timestamps — object cells, so none of the flat
+    path's int-to-float64 coercion hazards apply."""
+    import os
+
+    import pandas as pd
+
+    schema = df.schema
+    os.makedirs(out_dir, exist_ok=True)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pdfs = [p for p in it if len(p)]
+        if not pdfs:
+            yield pd.DataFrame({"path": pd.Series([], dtype=object),
+                                "n_records": pd.Series([], dtype="int64")})
+            return
+
+        def rows():
+            for p in pdfs:
+                cols = [p[f.name] for f in schema.fields]
+                for i in range(len(p)):
+                    yield {f.name: col.iloc[i]
+                           for f, col in zip(schema.fields, cols)}
+
+        payload = encode_container_nested(schema, rows(), codec=codec)
+        pid = TaskContext.get().partitionId()
+        path = _os.path.join(out_dir, f"part-{pid:05d}.avro")
+        tmp = f"{path}.{_os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        _os.replace(tmp, path)
+        n = sum(len(p) for p in pdfs)
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    written = df.mapInPandas(batches,
+                             schema="path string, n_records long").collect()
+    return len([r for r in written if r.n_records])
+
+
+def read_avro_nested(spark: SparkSession, in_dir: str,
+                     schema) -> DataFrame:
+    """Read nested containers: ``binaryFile`` scan (one task per file) →
+    mapInPandas recursive decode, verified against ``schema`` (DDL
+    string or StructType)."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for payload in pdf["content"]:
+                rows = decode_container_nested(bytes(payload), schema)
+                yield pd.DataFrame(
+                    {f.name: pd.Series([r[f.name] for r in rows],
+                                       dtype=object)
+                     for f in schema.fields})
+
+    files = spark.read.format("binaryFile").load(in_dir)
+    return files.select("content").mapInPandas(batches, schema=schema)

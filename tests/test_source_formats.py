@@ -1580,3 +1580,146 @@ class TestAvroWriterExactness:
         for ddl in ("k long, s string", "k  BIGINT,  s STRING",
                     "k bigint,s string"):
             assert read_avro(spark, out, ddl).count() == 5
+
+
+class TestAvroNestedCodec:
+    """Nested records / arrays / maps + decimal / timestamp-micros / date
+    logical types (sources/avro_codec.py nested half, r11 verdict #4)."""
+
+    def _schema(self):
+        from pyspark.sql.types import (
+            ArrayType, DateType, DecimalType, IntegerType, LongType,
+            MapType, StringType, StructField, StructType, TimestampType)
+        return StructType([
+            StructField("k", LongType()),
+            StructField("meta", StructType([
+                StructField("s", StringType()),
+                StructField("total", DecimalType(12, 2)),
+                StructField("ts", TimestampType()),
+                StructField("od", DateType())])),
+            StructField("lines", ArrayType(StructType([
+                StructField("ln", IntegerType()),
+                StructField("qty", DecimalType(12, 2)),
+                StructField("flag", StringType())]))),
+            StructField("flags", MapType(StringType(), LongType())),
+        ])
+
+    def _rows(self):
+        import datetime as dt
+        from decimal import Decimal
+
+        import pandas as pd
+        return [
+            {"k": 1,
+             "meta": {"s": "c1", "total": Decimal("123.45"),
+                      "ts": pd.Timestamp("2024-01-02 03:04:05.123456"),
+                      "od": dt.date(2024, 1, 2)},
+             "lines": [{"ln": 1, "qty": Decimal("-7.25"), "flag": None},
+                       {"ln": None, "qty": None, "flag": "R"}],
+             "flags": {"R": 2, "N": 0}},
+            {"k": 2, "meta": None, "lines": [], "flags": None},
+        ]
+
+    def test_roundtrip_both_codecs(self):
+        import datetime as dt
+        from decimal import Decimal
+
+        import pandas as pd
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            decode_container_nested, encode_container_nested)
+        schema, rows = self._schema(), self._rows()
+        for codec in ("null", "deflate"):
+            back = decode_container_nested(
+                encode_container_nested(schema, iter(rows), codec=codec),
+                schema)
+            assert back[0]["meta"]["total"] == Decimal("123.45")
+            assert back[0]["meta"]["ts"] == pd.Timestamp(
+                "2024-01-02 03:04:05.123456")   # micros survive exactly
+            assert back[0]["meta"]["od"] == dt.date(2024, 1, 2)
+            assert back[0]["lines"][0]["qty"] == Decimal("-7.25")
+            assert back[0]["lines"][1]["ln"] is None   # nested unions
+            assert back[0]["flags"] == {"R": 2, "N": 0}
+            assert back[1]["meta"] is None
+            assert back[1]["lines"] == []
+            assert back[1]["flags"] is None
+
+    def test_schema_logical_types_and_mismatch_raises(self):
+        import json
+
+        import pytest
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            avro_schema_nested, decode_container_nested,
+            encode_container_nested)
+        schema = self._schema()
+        js = json.loads(avro_schema_nested(schema))
+        by_name = {f["name"]: f["type"] for f in js["fields"]}
+        total = by_name["meta"][1]["fields"][1]["type"][1]
+        assert total == {"type": "bytes", "logicalType": "decimal",
+                         "precision": 12, "scale": 2}
+        ts = by_name["meta"][1]["fields"][2]["type"][1]
+        assert ts == {"type": "long", "logicalType": "timestamp-micros"}
+        od = by_name["meta"][1]["fields"][3]["type"][1]
+        assert od == {"type": "int", "logicalType": "date"}
+        payload = encode_container_nested(schema, iter(self._rows()))
+        other = self._schema()
+        other.fields[0].name = "renamed"
+        with pytest.raises(ValueError, match="schema mismatch"):
+            decode_container_nested(payload, other)
+
+    def test_negative_decimal_bytes_layout(self):
+        # -7.25 at scale 2 -> unscaled -725 -> two's complement big-endian
+        from decimal import Decimal
+
+        from pyspark.sql.types import DecimalType
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            _decode_value, _encode_value)
+        out = bytearray()
+        _encode_value(DecimalType(12, 2), Decimal("-7.25"), out)
+        # varint length 2 (zigzag(2)=4), then 0xFD 0x2B = -725
+        assert bytes(out) == bytes([0x04, 0xFD, 0x2B])
+        v, pos = _decode_value(DecimalType(12, 2), memoryview(bytes(out)), 0)
+        assert v == Decimal("-7.25") and pos == 3
+
+    def test_spark_roundtrip_nested(self, spark, tmp_path):
+        from decimal import Decimal
+
+        from pyspark.sql import functions as F
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            read_avro_nested, write_avro_nested)
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            F.struct(
+                F.when(F.col("id") % 5 != 0,
+                       F.concat(F.lit("s"), F.col("id"))).alias("s"),
+                (F.col("id") * 7 / 4).cast("decimal(12,2)").alias("total"),
+                F.timestamp_seconds(F.lit(1700000000) + F.col("id"))
+                .alias("ts"),
+                F.date_add(F.lit("2024-01-01").cast("date"),
+                           F.col("id").cast("int")).alias("od"))
+            .alias("meta"),
+            F.transform(
+                F.sequence(F.lit(1), (F.col("id") % 3 + 1).cast("int")),
+                lambda i: F.struct(
+                    i.cast("int").alias("ln"),
+                    (i * 3 / 2).cast("decimal(12,2)").alias("qty"),
+                    F.when(i % 2 == 0, F.lit("R")).alias("flag")))
+            .alias("lines"),
+            F.create_map(F.lit("n"), F.col("id")).alias("flags"))
+        base = str(tmp_path / "nested_avro")
+        n = write_avro_nested(df, base, codec="deflate")
+        assert n >= 1
+        back = read_avro_nested(spark, base, df.schema)
+        got = sorted((r["k"], tuple(r["meta"]),
+                      tuple(tuple(x) for x in r["lines"]),
+                      tuple(sorted(r["flags"].items())))
+                     for r in back.collect())
+        exp = sorted((r["k"], tuple(r["meta"]),
+                      tuple(tuple(x) for x in r["lines"]),
+                      tuple(sorted(r["flags"].items())))
+                     for r in df.collect())
+        assert got == exp
+        assert got[1][1][1] == Decimal("1.75")  # decimal survived exactly
