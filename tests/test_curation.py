@@ -695,3 +695,78 @@ class TestTemperatureAllocProperties:
             assert ks == sorted(ks, reverse=True) or \
                 all(a >= b for a, b in zip(ks, ks[1:]))
 
+
+
+class TestCascadeStage3VolumeInvariant:
+    """r11 verdict task #6: 1-gram blocking collides ~63% of pairs by
+    design (weakly selective on a shared vocabulary) — SAFE only because
+    stage 3 sees the collapsed survivor set, never the corpus. Pin the
+    assumption on a dup-saturated replica fixture so a future reordering
+    of the cascade (or a survivor-set regression) fails loudly here
+    rather than as an sf10 OOM."""
+
+    def test_stage3_candidates_bounded_by_survivors(self, spark):
+        from pyspark.sql import Window as W
+
+        from fictional_guacamole_spark.functions import dedup as D
+        from fictional_guacamole_spark.functions import text as X
+        from fictional_guacamole_spark.tables import load_table
+
+        base = (load_table(spark, "/root/testdata/sf0.001", "documents")
+                .select("doc_id", "text"))
+        # 10x replica corpus, the sf-sweep shape: odd replicas verbatim
+        # (exact-stage food), even replicas tail-tagged (near-dup food)
+        reps = [base]
+        for r in range(1, 10):
+            rid = (F.col("doc_id") + 100000 * r).alias("doc_id")
+            if r % 2 == 1:
+                reps.append(base.select(rid, "text"))
+            else:
+                reps.append(base.select(
+                    rid, F.concat(F.col("text"),
+                                  F.lit(f" replica tag {r}")).alias("text")))
+        docs = reps[0]
+        for rdf in reps[1:]:
+            docs = docs.unionByName(rdf)
+        docs = docs.localCheckpoint(eager=True)
+        n_docs = docs.count()
+
+        # stages 1-2 exactly as the cascade builder wires them
+        fp = docs.select(F.col("doc_id").alias("doc"),
+                         F.md5(X.normalize(F.col("text"))).alias("fp"))
+        rep1 = fp.withColumn("exact_rep",
+                             F.min("doc").over(W.partitionBy("fp")))
+        s1 = (rep1.filter(F.col("doc") == F.col("exact_rep"))
+              .select("doc"))
+        s1_docs = docs.join(s1.select(F.col("doc").alias("doc_id")),
+                            "doc_id")
+        mh_pairs = (D.minhash_lsh_pairs(s1_docs, "doc_id", "text", n=3)
+                    .filter(F.col("est_jaccard") >= 0.5)
+                    .select("doc_a", "doc_b"))
+        mh_comp = (D.dedup_components(mh_pairs, s1)
+                   .localCheckpoint(eager=True))
+        s2 = (mh_comp.filter(F.col("doc") == F.col("canonical_id"))
+              .select("doc"))
+        s2_docs = docs.join(s2.select(F.col("doc").alias("doc_id")),
+                            "doc_id")
+
+        def band_candidates(d) -> int:
+            bk = D.minhash_band_keys(
+                D.minhash_signatures(d, "doc_id", "text", n=1))
+            return (bk.alias("x").join(
+                        bk.alias("y"),
+                        (F.col("x.band") == F.col("y.band"))
+                        & (F.col("x.band_sig") == F.col("y.band_sig"))
+                        & (F.col("x.doc") < F.col("y.doc")))
+                    .select("x.doc", "y.doc").distinct().count())
+
+        n_s2 = s2.count()
+        cand3 = band_candidates(s2_docs)
+        cand3_naive = band_candidates(docs)
+
+        # measured at pin time: n=5000, s2=403 (8.1%), cand3=50 819
+        # (126x s2, 63% of survivor pairs), naive=8 444 300 (166x more)
+        assert n_s2 <= 0.10 * n_docs          # the collapse is real
+        assert cand3 <= 150 * n_s2            # per-survivor fan-out const
+        assert cand3 <= 0.75 * n_s2 * (n_s2 - 1) / 2   # ~63% collision
+        assert cand3 * 50 <= cand3_naive      # >=50x cheaper than naive
