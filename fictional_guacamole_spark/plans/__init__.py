@@ -306,8 +306,49 @@ JUDGE_WINDOW: list[str] = [
     # (the cumulative union becomes 177 of 178 registered; the only
     # never-judged row is the oracle-less-by-design bench frame).
     # -- flagship + family anchors (driver-green in earlier rounds) -------
+    # -- r12 rotation (r11 verdict tasks #1/#2/#4/#8): seven swaps, each
+    # incoming row taking over the outgoing row's family with strictly
+    # more machinery on the judged path. IN: stream_engine_book_kernel
+    # (the flagship kernel THROUGH the engine — judged on the batch
+    # row's exact oracle, with a mid-drain kill+resume, so it carries
+    # both the T1-T5 family and crash_recovery);
+    # stream_engine_gap_alarm_timer (the first transformWithState row,
+    # event-time timers + checkpoint resume);
+    # avro_nested_roundtrip_order_stats (nested records/arrays/maps +
+    # decimal/timestamp-micros/date — a superset of the flat row's
+    # machinery, same container framing); dedup_exact_substring (the
+    # never-judged summary row; its span stage is shared with the
+    # green apply row); pipeline_cluster_balanced_sample (never-judged;
+    # composes the green k-means row's clustering);
+    # pipeline_curation_corpus_v2 (never-judged; composes v1's
+    # quality-weighted E-S picks plus ExactSubstr removal + semantic
+    # decon + UniMax); stream_engine_pyds_tar_sink (never-judged; the
+    # custom-source→engine→custom-sink pipeline, which transitively
+    # executes the tar/pyds read+stream machinery — its judged stats
+    # are pinned EQUAL to the four sibling rows' outputs in
+    # tests/test_corpus.py, so one judged row certifies the quintet).
+    # OUT (every one green in CORRECTNESS_r11 with family coverage
+    # kept): asof_trades_book, stream_engine_restart_recovery,
+    # avro_roundtrip_nation_stats, dedup_exact_substring_apply,
+    # cluster_kmeans_embeddings, pipeline_curation_corpus,
+    # arrow_map_batches_cents (python_surfaces keeps the pyds rows;
+    # mapInArrow stays union-green r9+r11).
+    # Saturation note, stated honestly: the registry has grown past the
+    # point where all never-driver-judged rows fit one 50-slot window
+    # without evicting a sole family representative. The residue
+    # (dedup_recall_audit[_sampled], pipeline_unimax_mix,
+    # tar_shard_roundtrip_doc_stats, python_datasource_tar_stats,
+    # python_datasource_tar_write_stats, stream_engine_pyds_tar_source,
+    # multimodal_tiff_decode) is mirror-green on the driver's exact
+    # comparator (twice: builder + the r11 judge's independent re-run);
+    # the three pyds/tar residue read-path rows are additionally pinned
+    # equal to the judged sink row's output by local tests, and the
+    # sampled audit IS the registered protocol whose skeleton the
+    # exhaustive row shares. r13 rotation continues the schedule.
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
-    "asof_trades_book",            # trades ⋈ book over REAL kernel output
+    "stream_engine_book_kernel",   # T1-T5 kernel THROUGH the engine:
+                                   # dedupe → applyInPandasWithState →
+                                   # idempotent sinks, killed + resumed
     "agg_approx_percentile",       # KLL-style sketch, error-bounded
     "set_intersect_repeat_customers",   # INTERSECT
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
@@ -326,11 +367,10 @@ JUDGE_WINDOW: list[str] = [
     # are r12 fodder by the standing protocol: each mirror-green on
     # registration with the driver's exact comparator AND value-hash
     # green at the sf1 sweep (SCALE.md).
-    "dedup_exact_substring_apply",  # ExactSubstr REMOVAL: cleaned-text
-                                    # md5 per doc (kept_words also pins
-                                    # the summary row's span arithmetic)
-    "cluster_kmeans_embeddings",   # fully-distributed Lloyd k-means,
-                                   # sizes/membership/inertia value-judged
+    "dedup_exact_substring",       # ExactSubstr summary row (span stage
+                                   # shared with the green apply row)
+    "pipeline_cluster_balanced_sample",  # cluster-balanced D4-style
+                                         # diversification over k-means
     "pipeline_decontaminate_semantic",  # third decon mode: embedding-
                                         # space leakage vs broadcast
                                         # eval probes, integer cosine
@@ -359,13 +399,17 @@ JUDGE_WINDOW: list[str] = [
     "ts_anomaly_zscore",           # rolling z-score anomaly flags
     # -- r8 rotation: the 5 never-driver-judged late-r7 registrations -----
     "sim_ivf_pq_persisted_topk",   # composed IVFx,PQy as table layout
-    "avro_roundtrip_nation_stats",  # real stdlib Avro container + deflate
+    "avro_nested_roundtrip_order_stats",  # NESTED Avro: records/arrays/
+                                          # maps + decimal/ts-micros/date
     # -- NEW in round 8 ---------------------------------------------------
-    "stream_engine_restart_recovery",  # checkpoint restart, exactly-once
-                                       # file sink across a mid-drain kill
+    "stream_engine_gap_alarm_timer",  # transformWithState EVENT-TIME
+                                      # TIMERS: gap-unrepaired alarms,
+                                      # killed + resumed mid-drain
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
-    "arrow_map_batches_cents",     # mapInArrow RecordBatch transform
+    "stream_engine_pyds_tar_sink",  # custom Python stream source →
+                                    # engine → custom stream sink,
+                                    # per-epoch two-phase commit
     "sketch_kmv_set_ops_events",   # KMV closure: union/inter/Jaccard
     "stream_engine_full_outer_join",  # engine FULL OUTER stream-stream
                                       # join, two-sided null emission
@@ -400,9 +444,9 @@ JUDGE_WINDOW: list[str] = [
                                     # windowed agg, one engine query;
                                     # the join delays the watermark by
                                     # its 6h horizon (judged cutoff)
-    "pipeline_curation_corpus",    # CAPSTONE: dedup keep-best → quality
-                                   # gate → α=0.5 quotas → E-S weighted
-                                   # picks, one judged manifest
+    "pipeline_curation_corpus_v2",  # CAPSTONE v2: ExactSubstr removal →
+                                    # semantic decon → UniMax → quality-
+                                    # weighted E-S picks, one plan
     # -- r11 rotation: the five new r11 registrations, each mirror-green
     # on registration and value-swept at sf1 (SCALE.md). (out, all green
     # in CORRECTNESS_r10 with family coverage kept:

@@ -48,13 +48,27 @@ def test_every_family_has_an_inwindow_representative():
         "topk": {"topk_global_orders", "lateral_top2_orders_per_customer"},
         "book_kernel_T1_T5": {"t2_book_kernel_gaps", "t3_topk_book_format",
                               "t4_consecutive_change_dedup", "t5_gap_audit",
-                              "asof_trades_book"},
+                              "asof_trades_book",
+                              # the kernel THROUGH the engine, judged on
+                              # the batch row's exact oracle (r12)
+                              "stream_engine_book_kernel"},
         "python_surfaces": {"cogroup_event_order_align", "udtf_gap_expand",
                             "udaf_cents_returnflag",
                             "arrow_map_batches_cents",
-                            "stream_engine_stateful_ewma"},
+                            "stream_engine_stateful_ewma",
+                            # the Python DataSource API surfaces (r12)
+                            "python_datasource_tar_stats",
+                            "python_datasource_tar_write_stats",
+                            "stream_engine_pyds_tar_source",
+                            "stream_engine_pyds_tar_sink",
+                            # arbitrary-state API (transformWithState)
+                            "stream_engine_gap_alarm_timer"},
         "streaming": {"stream_tumbling_window", "stream_session_window",
                       "stream_engine_hourly_counts",
+                      "stream_engine_book_kernel",
+                      "stream_engine_gap_alarm_timer",
+                      "stream_engine_pyds_tar_source",
+                      "stream_engine_pyds_tar_sink",
                       "stream_engine_append_watermark",
                       "stream_engine_chained_agg",
                       "stream_engine_join_then_agg",
@@ -69,6 +83,10 @@ def test_every_family_has_an_inwindow_representative():
                       "stream_engine_full_outer_join",
                       "stream_engine_session_window"},
         "stream_engine_executed": {"stream_engine_hourly_counts",
+                      "stream_engine_book_kernel",
+                      "stream_engine_gap_alarm_timer",
+                      "stream_engine_pyds_tar_source",
+                      "stream_engine_pyds_tar_sink",
                                    "stream_engine_append_watermark",
                                    "stream_engine_chained_agg",
                                    "stream_engine_join_then_agg",
@@ -112,7 +130,10 @@ def test_every_family_has_an_inwindow_representative():
         # the E-S weighted key stays judged inside the capstone's picks
         # (its oracle composes sql_weighted_sample_key verbatim)
         "weighted_sampling": {"sample_weighted_bottomk",
-                              "pipeline_curation_corpus"},
+                              "pipeline_curation_corpus",
+                              # v2 composes the same quality-weighted E-S
+                              # pick key (oracle shares the CTE verbatim)
+                              "pipeline_curation_corpus_v2"},
         "importance_resampling": {"pipeline_dsir_importance"},
         "chained_stateful_agg": {"stream_engine_chained_agg"},
         "leakage_safe_split": {"pipeline_leakage_safe_split"},
@@ -144,13 +165,16 @@ def test_every_family_has_an_inwindow_representative():
         "sampling_quality": {"sample_deterministic", "text_quality_filter",
                              "sample_stratified",
                              "sample_weighted_bottomk",
-                             "pipeline_curation_corpus"},
+                             "pipeline_curation_corpus",
+                             "pipeline_curation_corpus_v2"},
         "skew_mitigation": {"join_salted_hot_key",
                             "join_salted_skewed_events"},
         "capstone": {"pipeline_training_corpus", "pipeline_sequence_pack",
                      "pipeline_leakage_safe_split",
-                     "pipeline_curation_corpus"},
-        "curation_capstone": {"pipeline_curation_corpus"},
+                     "pipeline_curation_corpus",
+                     "pipeline_curation_corpus_v2"},
+        "curation_capstone": {"pipeline_curation_corpus",
+                              "pipeline_curation_corpus_v2"},
         "join_then_agg": {"stream_engine_join_then_agg"},
         "multimodal": {"multimodal_binary_meta", "multimodal_feature_extract",
                        "multimodal_decode_meta", "multimodal_png_decode",
@@ -170,7 +194,10 @@ def test_every_family_has_an_inwindow_representative():
         "chunking": {"pipeline_chunk_overlap"},
         "columnar_formats": {"orc_roundtrip_brand_stats",
                              "jsonl_roundtrip_priority_stats",
-                             "avro_roundtrip_nation_stats"},
+                             "avro_roundtrip_nation_stats",
+                             # strict superset of the flat Avro machinery:
+                             # same container framing + nested/logical types
+                             "avro_nested_roundtrip_order_stats"},
         "interchange_text_formats": {"csv_roundtrip_clerk_stats",
                                      "xml_roundtrip_segment_stats"},
         "ann_quantization": {"sim_pq_topk", "sim_ivf_pq_persisted_topk"},
@@ -208,7 +235,24 @@ def test_every_family_has_an_inwindow_representative():
         "fuzzy_join": {"join_fuzzy_typo_pairs"},
         "subword_tokenization": {"text_bpe_subword_stats",
                                  "text_bpe_merge_table"},
-        "crash_recovery": {"stream_engine_restart_recovery"},
+        "engine_book_kernel": {"stream_engine_book_kernel"},
+        "arbitrary_state_timers": {"stream_engine_gap_alarm_timer"},
+        "nested_avro": {"avro_nested_roundtrip_order_stats"},
+        "python_datasource": {"python_datasource_tar_stats",
+                              "python_datasource_tar_write_stats",
+                              "stream_engine_pyds_tar_source",
+                              "stream_engine_pyds_tar_sink"},
+        "blocking_audit": {"dedup_recall_audit",
+                           "dedup_recall_audit_sampled",
+                           # the cascade's 1-gram stage-3 verify
+                           # runs the same blocking machinery
+                           "pipeline_dedup_cascade"},
+        "crash_recovery": {"stream_engine_restart_recovery",
+                           # both kill the query after the first committed
+                           # micro-batch and resume from the checkpoint on
+                           # the judged path (r12)
+                           "stream_engine_book_kernel",
+                           "stream_engine_gap_alarm_timer"},
     }
     for family, names in families.items():
         assert names & window, f"family {family} has no judged representative"
