@@ -1730,3 +1730,116 @@ def stream_engine_gap_alarm_timer(spark: SparkSession,
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_engine_tws_session_timeout",
+    survey_ref="§2.5 streaming: SESSIONIZATION on the arbitrary-state API "
+               "— ListState + event-time timers + deleteTimer; sessions "
+               "close by successor event OR by the clock, exactly once",
+    description="Per-user 6h-inactivity sessions via "
+                "transformWithStateInPandas: inline closure when a later "
+                "event breaks the gap, timer closure at the watermark "
+                "otherwise; drained sessions equal the gaps-and-islands "
+                "oracle",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ts) AS session_end, COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS value_cents,
+             CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM s GROUP BY 1, 2)
+    SELECT user_id, session_start, session_end, n_events, value_cents,
+           id_sum
+    FROM agg
+    WHERE session_end + INTERVAL 6 HOUR <= (SELECT MAX(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_engine_tws_session_timeout(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The second arbitrary-state row (operators/session_state.py),
+    exercising the API surfaces gap_alarm does not: ``ListState``
+    (the open session's event ids, drained at closure), ``deleteTimer``
+    (cancelling the superseded deadline on every session extension),
+    and BOTH closure paths of the canonical sessionization pattern —
+    inline (a successor event past the gap closes the session from
+    handleInputRows) and timer-driven (the watermark runs out the clock
+    on sessions with no successor). The drained result is deterministic
+    — a session emits iff its end + gap ≤ the final watermark — so the
+    classic gaps-and-islands SQL judges the stream; the trailing
+    still-open session per user is correctly withheld by both engines.
+    Unlike the session_window sibling (engine-native session windows),
+    this row certifies the USER-state implementation of the same
+    semantics, the shape real pipelines need the moment session closure
+    has side conditions the built-in cannot express."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.operators.session_state import (
+        apply_session_timeout)
+
+    def to_session_frames(ev: DataFrame) -> DataFrame:
+        return ev.select(
+            "user_id", "event_id", F.col("ts").alias("server_ts"),
+            F.floor(F.col("value") * 100).cast("long")
+            .alias("value_cents"))
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=to_session_frames, salt="twssess1",
+        cluster_col="server_ts")
+    schema = spark.read.parquet(base).schema
+
+    root = tempfile.mkdtemp(prefix="fg_twssess_")
+    outdir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_tws_session_{uuid.uuid4().hex[:12]}"
+
+    def start_query():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(base)
+                  .withWatermark("server_ts", "0 seconds"))
+        sessions = apply_session_timeout(stream, gap_s=6 * 3600)
+        return (sessions.writeStream.format("parquet")
+                .option("path", outdir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .queryName(qname)
+                .start())
+
+    with _stream_state_partitions(spark):
+        q1 = start_query()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    out = (spark.read.parquet(outdir)
+           .orderBy("user_id", "session_start")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
