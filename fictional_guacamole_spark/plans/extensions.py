@@ -2530,6 +2530,34 @@ def avro_roundtrip_nation_stats(spark: SparkSession,
             .orderBy("c_nationkey"))
 
 
+def _publish_nested_avro_fixture(spark, sf_dir, nested) -> str:
+    """Build-once cache of the nested Avro corpus (one document per
+    order, deflate) under the repo's uuid-build-dir + atomic-rename
+    pattern; shared by the roundtrip row and the evolved-reader row so
+    the evolution row reads files written under the V1 writer schema."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from fictional_guacamole_spark.sources import avro_codec as A
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"avro_nested1:{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_avro_nested_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        A.write_avro_nested(nested, build, codec="deflate")
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return base
+
+
 @query(
     "avro_nested_roundtrip_order_stats",
     survey_ref="S4/K4 source formats: NESTED Avro round-trip — records in "
@@ -2578,13 +2606,40 @@ def avro_nested_roundtrip_order_stats(spark: SparkSession,
     blocked array framing, map lookups through the map framing), so one
     mis-encoded byte anywhere in the recursion breaks the hash. The
     flat sibling row's bytes and hash are untouched."""
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
     from fictional_guacamole_spark.sources import avro_codec as A
 
+    nested = _nested_order_docs(spark, sf_dir)
+    base = _publish_nested_avro_fixture(spark, sf_dir, nested)
+    back = A.read_avro_nested(spark, base, nested.schema)
+    zero = F.lit(0).cast("long")
+    return (back.groupBy(F.col("meta.priority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.when(F.col("meta.status").isNull(), 1)
+                      .otherwise(0)).cast("long").alias("null_status"),
+                F.sum((F.col("meta.total") * 100).cast("long"))
+                .cast("long").alias("total_cents"),
+                F.sum(F.size("lines")).cast("long").alias("n_lines"),
+                F.sum(F.aggregate(
+                    "lines", zero,
+                    lambda acc, x: acc + F.coalesce(
+                        (x["qty"] * 100).cast("long"), F.lit(0))))
+                .cast("long").alias("qty_cents"),
+                F.sum(F.aggregate(
+                    "lines", zero,
+                    lambda acc, x: acc + F.when(x["flag"].isNull(), 1)
+                    .otherwise(0)))
+                .cast("long").alias("null_flags"),
+                F.sum(F.coalesce(F.element_at("flags", "R"), F.lit(0)))
+                .cast("long").alias("r_lines"),
+                F.min("meta.ots").alias("first_ts"),
+                F.max("meta.od").alias("last_date"))
+            .orderBy("priority"))
+
+
+def _nested_order_docs(spark, sf_dir):
+    """The V1 nested document frame (one doc per order) both Avro rows
+    share: meta record + line-struct array + returnflag count map."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -2621,45 +2676,7 @@ def avro_nested_roundtrip_order_stats(spark: SparkSession,
                       F.col("o_orderdate").alias("od")).alias("meta"),
                   F.coalesce("lines", F.array()).alias("lines"),
                   F.col("flags")))
-
-    src = os.path.join(sf_dir, "orders.parquet")
-    tag = hashlib.md5(
-        f"avro_nested1:{src}:{os.path.getmtime(src)}".encode()
-    ).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"fg_avro_nested_{tag}")
-    if not os.path.exists(base):
-        build = f"{base}.build.{os.getpid()}"
-        shutil.rmtree(build, ignore_errors=True)
-        A.write_avro_nested(nested, build, codec="deflate")
-        try:
-            os.rename(build, base)
-        except OSError:
-            shutil.rmtree(build, ignore_errors=True)
-    back = A.read_avro_nested(spark, base, nested.schema)
-    zero = F.lit(0).cast("long")
-    return (back.groupBy(F.col("meta.priority").alias("priority"))
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.when(F.col("meta.status").isNull(), 1)
-                      .otherwise(0)).cast("long").alias("null_status"),
-                F.sum((F.col("meta.total") * 100).cast("long"))
-                .cast("long").alias("total_cents"),
-                F.sum(F.size("lines")).cast("long").alias("n_lines"),
-                F.sum(F.aggregate(
-                    "lines", zero,
-                    lambda acc, x: acc + F.coalesce(
-                        (x["qty"] * 100).cast("long"), F.lit(0))))
-                .cast("long").alias("qty_cents"),
-                F.sum(F.aggregate(
-                    "lines", zero,
-                    lambda acc, x: acc + F.when(x["flag"].isNull(), 1)
-                    .otherwise(0)))
-                .cast("long").alias("null_flags"),
-                F.sum(F.coalesce(F.element_at("flags", "R"), F.lit(0)))
-                .cast("long").alias("r_lines"),
-                F.min("meta.ots").alias("first_ts"),
-                F.max("meta.od").alias("last_date"))
-            .orderBy("priority"))
+    return nested
 
 
 @query(
@@ -4419,3 +4436,80 @@ def arrow_map_batches_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("cents").alias("revenue_cents"),
                  F.count(F.lit(1)).alias("n_items"))
             .orderBy("l_returnflag"))
+
+
+@query(
+    "avro_evolved_read_order_stats",
+    survey_ref="S4/K3 source formats: Avro SCHEMA RESOLUTION — evolved "
+               "reader schema vs the files' embedded V1 writer schema "
+               "(field drop, field add with default, int→long promotion)",
+    description="The V1 nested Avro corpus read under an EVOLVED reader "
+                "schema: meta.od and the flags map dropped, meta.region "
+                "added (defaults null), line numbers promoted int→long; "
+                "re-aggregated per priority",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             SUM(l_linenumber) AS ln_sum,
+             SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+               AS null_flags
+      FROM lineitem GROUP BY 1)
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS null_regions,
+           CAST(SUM(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(SUM(COALESCE(lc.n_lines, 0)) AS BIGINT) AS n_lines,
+           CAST(SUM(COALESCE(lc.ln_sum, 0)) AS BIGINT) AS ln_sum,
+           CAST(SUM(COALESCE(lc.null_flags, 0)) AS BIGINT) AS null_flags,
+           MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_ts
+    FROM orders LEFT JOIN lc ON o_orderkey = lc.l_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def avro_evolved_read_order_stats(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Avro spec §Schema Resolution, judged: the SAME container files
+    the roundtrip row writes (V1 writer schema, embedded per file) are
+    read under an evolved reader schema — ``meta.od`` and the top-level
+    ``flags`` map are writer-only (decoded, then DISCARDED), the new
+    ``meta.region`` is reader-only (null default — its judged count
+    must equal n_orders exactly), and ``lines.ln`` promotes int→long
+    (its SUM funnels through the promotion). This is the capability
+    that lets a 100 TB Avro corpus be consumed across producer
+    versions without rewrite — the interchange-format counterpart of
+    the commit-log table's judged schema-evolution row
+    (txnlog_schema_evolution_stats): same contract, storage-format
+    side. The lakehouse row pins time-traveled OLD reads; this row
+    pins NEW-reader-over-old-files."""
+    from fictional_guacamole_spark.sources import avro_codec as A
+
+    nested = _nested_order_docs(spark, sf_dir)
+    base = _publish_nested_avro_fixture(spark, sf_dir, nested)
+    reader_schema = (
+        "o_orderkey bigint, "
+        "meta struct<status: string, priority: string, "
+        "total: decimal(12,2), ots: timestamp, region: string>, "
+        "lines array<struct<ln: bigint, qty: decimal(12,2), "
+        "flag: string>>")
+    back = A.read_avro_evolved(spark, base, reader_schema)
+    zero = F.lit(0).cast("long")
+    return (back.groupBy(F.col("meta.priority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.when(F.col("meta.region").isNull(), 1)
+                      .otherwise(0)).cast("long").alias("null_regions"),
+                F.sum((F.col("meta.total") * 100).cast("long"))
+                .cast("long").alias("total_cents"),
+                F.sum(F.size("lines")).cast("long").alias("n_lines"),
+                F.sum(F.aggregate(
+                    "lines", zero,
+                    lambda acc, x: acc + F.coalesce(x["ln"], F.lit(0))))
+                .cast("long").alias("ln_sum"),
+                F.sum(F.aggregate(
+                    "lines", zero,
+                    lambda acc, x: acc + F.when(x["flag"].isNull(), 1)
+                    .otherwise(0)))
+                .cast("long").alias("null_flags"),
+                F.min("meta.ots").alias("first_ts"))
+            .orderBy("priority"))

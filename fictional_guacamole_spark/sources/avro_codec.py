@@ -849,3 +849,146 @@ def read_avro_nested(spark: SparkSession, in_dir: str,
 
     files = spark.read.format("binaryFile").load(in_dir)
     return files.select("content").mapInPandas(batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution: evolved reader schema vs embedded writer schema
+# ---------------------------------------------------------------------------
+#
+# Avro spec §"Schema Resolution": a reader may use a DIFFERENT schema from
+# the writer's — writer fields absent from the reader are decoded and
+# DISCARDED, reader fields absent from the writer take their default (our
+# generated fields are ["null", T] unions, so the default is null), and
+# primitives promote (int→long, float→double). This is the capability that
+# makes long-lived Avro corpora consumable across producer versions — the
+# same contract the commit-log table's schema evolution row certifies for
+# the lakehouse side (plans/curation.py txnlog_schema_evolution_stats).
+
+
+def _spark_type_from_avro(avro):
+    """Inverse of :func:`_avro_type`: Spark DataType for one Avro schema
+    fragment (the non-null union branch)."""
+    if isinstance(avro, list):      # ["null", T]
+        branches = [b for b in avro if b != "null"]
+        if len(branches) != 1 or len(avro) != 2:
+            raise ValueError(f"unsupported union: {avro}")
+        return _spark_type_from_avro(branches[0])
+    if isinstance(avro, str):
+        prim = {"long": _T.LongType(), "int": _T.IntegerType(),
+                "double": _T.DoubleType(), "float": _T.FloatType(),
+                "string": _T.StringType(), "boolean": _T.BooleanType(),
+                "bytes": _T.BinaryType()}
+        if avro not in prim:
+            raise ValueError(f"unsupported Avro type: {avro}")
+        return prim[avro]
+    t = avro.get("type")
+    lt = avro.get("logicalType")
+    if lt == "decimal":
+        return _T.DecimalType(avro["precision"], avro["scale"])
+    if lt == "timestamp-micros":
+        return _T.TimestampType()
+    if lt == "date":
+        return _T.DateType()
+    if t == "array":
+        return _T.ArrayType(_spark_type_from_avro(avro["items"]))
+    if t == "map":
+        return _T.MapType(_T.StringType(),
+                          _spark_type_from_avro(avro["values"]))
+    if t == "record":
+        return _T.StructType([
+            _T.StructField(f["name"], _spark_type_from_avro(f["type"]))
+            for f in avro["fields"]])
+    return _spark_type_from_avro(t)  # {"type": "long"} wrapper form
+
+
+def _resolve_value(reader_dt, writer_dt, v):
+    """Adapt one decoded (writer-typed) value onto the reader's type,
+    applying the spec's resolution rules recursively."""
+    if v is None:
+        return None
+    if isinstance(reader_dt, _T.StructType):
+        if not isinstance(writer_dt, _T.StructType):
+            raise ValueError("record/non-record resolution mismatch")
+        writer_fields = {f.name: f.dataType for f in writer_dt.fields}
+        out = {}
+        for f in reader_dt.fields:
+            if f.name in writer_fields:   # matched by name
+                out[f.name] = _resolve_value(f.dataType,
+                                             writer_fields[f.name],
+                                             v.get(f.name))
+            else:                         # reader-only: union default
+                out[f.name] = None
+        return out                        # writer-only fields discarded
+    if isinstance(reader_dt, _T.ArrayType):
+        return [_resolve_value(reader_dt.elementType,
+                               writer_dt.elementType, x) for x in v]
+    if isinstance(reader_dt, _T.MapType):
+        return {k: _resolve_value(reader_dt.valueType,
+                                  writer_dt.valueType, x)
+                for k, x in v.items()}
+    # primitive promotions the spec allows
+    if isinstance(reader_dt, _T.LongType) and \
+            isinstance(writer_dt, _T.IntegerType):
+        return int(v)
+    if isinstance(reader_dt, _T.DoubleType) and \
+            isinstance(writer_dt, _T.FloatType):
+        return float(v)
+    if type(reader_dt) is not type(writer_dt):
+        raise ValueError(
+            f"unresolvable Avro promotion: {writer_dt} -> {reader_dt}")
+    return v
+
+
+def decode_container_evolved(payload: bytes,
+                             reader_schema: "_T.StructType") -> list[dict]:
+    """Decode a nested container under the spec's schema-resolution
+    rules: records decode with the file's EMBEDDED writer schema, then
+    adapt onto ``reader_schema`` (writer-only fields discarded,
+    reader-only fields null-defaulted, int→long / float→double
+    promoted)."""
+    buf = memoryview(payload)
+    if bytes(buf[:4]) != _MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n, pos = -n, _read_long(buf, pos)[1]
+        for _ in range(n):
+            klen, pos = _read_long(buf, pos)
+            k = bytes(buf[pos:pos + klen]).decode(); pos += klen
+            vlen, pos = _read_long(buf, pos)
+            meta[k] = bytes(buf[pos:pos + vlen]); pos += vlen
+    writer_schema = _spark_type_from_avro(
+        json.loads(meta["avro.schema"].decode()))
+    rows = decode_container_nested(payload, writer_schema)
+    return [_resolve_value(reader_schema, writer_schema, r) for r in rows]
+
+
+def read_avro_evolved(spark: SparkSession, in_dir: str,
+                      reader_schema) -> DataFrame:
+    """Read nested containers written under ANY compatible writer schema
+    with an EVOLVED reader schema (spec schema resolution): binaryFile
+    scan → decode with each file's embedded writer schema → adapt."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(reader_schema, str):
+        reader_schema = _parse_datatype_string(reader_schema)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for payload in pdf["content"]:
+                rows = decode_container_evolved(bytes(payload),
+                                                reader_schema)
+                yield pd.DataFrame(
+                    {f.name: pd.Series([r[f.name] for r in rows],
+                                       dtype=object)
+                     for f in reader_schema.fields})
+
+    files = spark.read.format("binaryFile").load(in_dir)
+    return files.select("content").mapInPandas(batches,
+                                               schema=reader_schema)

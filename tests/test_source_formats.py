@@ -1723,3 +1723,73 @@ class TestAvroNestedCodec:
                      for r in df.collect())
         assert got == exp
         assert got[1][1][1] == Decimal("1.75")  # decimal survived exactly
+
+
+class TestAvroSchemaResolution:
+    """Spec §Schema Resolution: evolved reader vs embedded writer schema
+    (decode_container_evolved / read_avro_evolved)."""
+
+    def test_drop_add_promote(self):
+        from decimal import Decimal
+
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, FloatType, IntegerType, LongType,
+            StringType, StructField, StructType)
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            decode_container_evolved, encode_container_nested)
+        writer = StructType([
+            StructField("k", IntegerType()),
+            StructField("gone", StringType()),
+            StructField("vals", ArrayType(FloatType())),
+        ])
+        rows = [{"k": 7, "gone": "x", "vals": [1.5, None, 2.5]},
+                {"k": None, "gone": None, "vals": []}]
+        payload = encode_container_nested(writer, iter(rows))
+        reader = StructType([
+            StructField("k", LongType()),            # int -> long
+            StructField("added", StringType()),      # reader-only: null
+            StructField("vals", ArrayType(DoubleType())),  # float->double
+        ])
+        back = decode_container_evolved(payload, reader)
+        assert back[0] == {"k": 7, "added": None,
+                           "vals": [1.5, None, 2.5]}
+        assert isinstance(back[0]["k"], int)
+        assert back[1] == {"k": None, "added": None, "vals": []}
+        assert "gone" not in back[0]                 # writer-only dropped
+        _ = Decimal  # silence unused in case of edit drift
+
+    def test_unresolvable_promotion_raises(self):
+        import pytest
+        from pyspark.sql.types import (LongType, StringType, StructField,
+                                       StructType)
+
+        from fictional_guacamole_spark.sources.avro_codec import (
+            decode_container_evolved, encode_container_nested)
+        writer = StructType([StructField("k", StringType())])
+        payload = encode_container_nested(writer, iter([{"k": "s"}]))
+        reader = StructType([StructField("k", LongType())])
+        with pytest.raises(ValueError, match="promotion"):
+            decode_container_evolved(payload, reader)
+
+    def test_evolved_row_consistent_with_roundtrip_row(self, spark):
+        # shared-fixture coherence: both rows read the SAME v1 files;
+        # columns they both compute must agree
+        from fictional_guacamole_spark.plans import REGISTRY
+
+        sf = "/root/testdata/sf0.001"
+        a = {r["priority"]: (r["n_orders"], r["total_cents"],
+                             r["n_lines"], r["null_flags"], r["first_ts"])
+             for r in REGISTRY["avro_nested_roundtrip_order_stats"]
+             .builder(spark, sf).collect()}
+        b = {r["priority"]: (r["n_orders"], r["total_cents"],
+                             r["n_lines"], r["null_flags"], r["first_ts"])
+             for r in REGISTRY["avro_evolved_read_order_stats"]
+             .builder(spark, sf).collect()}
+        assert a == b
+        evolved = {r["priority"]: r for r in
+                   REGISTRY["avro_evolved_read_order_stats"]
+                   .builder(spark, sf).collect()}
+        # the reader-only field defaulted to null on EVERY row
+        assert all(r["null_regions"] == r["n_orders"]
+                   for r in evolved.values())
