@@ -127,6 +127,23 @@ class SessionTimeoutProcessor(StatefulProcessor):
         if closed:
             yield pd.DataFrame(closed)
 
+    def handleInitialState(self, key, initialState: pd.DataFrame,
+                           timerValues: TimerValues) -> None:
+        """Warm-start surface: seed the open session from a BATCH-computed
+        snapshot (one row per key: start_us, last_us, cents, ids) before
+        the first input batch. The timer is registered here too, so a key
+        with NO streamed successor still closes by the clock — the
+        property that makes batch→stream state migration exactly-once
+        instead of replay-the-world."""
+        row = initialState.iloc[0]
+        start_us, last_us, cents = (int(row["start_us"]),
+                                    int(row["last_us"]),
+                                    int(row["cents"]))
+        self.sess.update((start_us, last_us, cents))
+        for eid in row["ids"]:
+            self.ids.appendValue((int(eid),))
+        self.handle.registerTimer(self._deadline_ms(last_us))
+
     def handleExpiredTimer(self, key, timerValues: TimerValues,
                            expiredTimerInfo: ExpiredTimerInfo
                            ) -> Iterator[pd.DataFrame]:
@@ -144,11 +161,17 @@ class SessionTimeoutProcessor(StatefulProcessor):
         pass
 
 
-def apply_session_timeout(frames_df, gap_s: int = 1800):
-    """Wire the processor onto a watermarked SESSION_INPUT stream."""
+def apply_session_timeout(frames_df, gap_s: int = 1800,
+                          initial_state=None):
+    """Wire the processor onto a watermarked SESSION_INPUT stream.
+    ``initial_state``: optional batch DataFrame (user_id, start_us,
+    last_us, cents, ids array<long>) seeding each key's open session
+    via ``handleInitialState`` on the first micro-batch."""
     return (frames_df.groupBy("user_id")
             .transformWithStateInPandas(
                 SessionTimeoutProcessor(gap_s),
                 outputStructType=SESSION_OUTPUT,
                 outputMode="append",
-                timeMode="eventTime"))
+                timeMode="eventTime",
+                initialState=(initial_state.groupBy("user_id")
+                              if initial_state is not None else None)))

@@ -1843,3 +1843,164 @@ def stream_engine_tws_session_timeout(spark: SparkSession,
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_engine_tws_initial_state",
+    survey_ref="§2.5 streaming: BATCH→STREAM STATE MIGRATION via "
+               "transformWithState handleInitialState — the stream "
+               "starts mid-history from a batch-computed snapshot and "
+               "the drained result equals the full-history oracle",
+    description="Sessionization where the first half of history is "
+                "processed as a BATCH (closed sessions emitted, each "
+                "user's open session handed to the engine as initial "
+                "state) and only the second half is streamed; the union "
+                "equals the full gaps-and-islands oracle exactly",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ts) AS session_end, COUNT(*) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS value_cents,
+             CAST(SUM(event_id) AS BIGINT) AS id_sum
+      FROM s GROUP BY 1, 2)
+    SELECT user_id, session_start, session_end, n_events, value_cents,
+           id_sum
+    FROM agg
+    WHERE session_end + INTERVAL 6 HOUR <= (SELECT MAX(ts) FROM events)
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_engine_tws_initial_state(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The arbitrary-state API's third surface (after timers and the
+    state primitives): ``handleInitialState``. The production problem
+    it solves at 100 TB: bootstrapping a NEW streaming job over a
+    corpus with months of history without replaying the history —
+    batch-compute the state snapshot once, hand it to the engine, and
+    stream only from the cut point. Judged end to end: history splits
+    at its midpoint; the head is processed as ordinary batch SQL
+    (every user's non-final sessions close there and are emitted
+    directly; the final, still-open session per user becomes one
+    initial-state row: start/last/cents plus the ListState id list);
+    ONLY the tail files are streamed, with the snapshot passed as
+    ``initialState``. Sessions spanning the cut extend seamlessly from
+    the seeded state; seeded sessions with no tail successor close by
+    the timer ``handleInitialState`` registered (a key can close
+    without ever receiving a streamed row). The drained union equals
+    the FULL-history gaps-and-islands oracle bit-for-bit — the same
+    oracle as the cold-start sibling row, which is the point: state
+    migration must change nothing."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.operators.session_state import (
+        apply_session_timeout)
+
+    GAP_S = 6 * 3600
+
+    def to_session_frames(ev: DataFrame) -> DataFrame:
+        return ev.select(
+            "user_id", "event_id", F.col("ts").alias("server_ts"),
+            F.floor(F.col("value") * 100).cast("long")
+            .alias("value_cents"))
+
+    # deterministic cut: midpoint of the corpus's event-time span
+    ev_all = to_session_frames(load_table(spark, sf_dir, "events"))
+    bounds = ev_all.agg(
+        F.min(F.col("server_ts").cast("double")).alias("lo"),
+        F.max(F.col("server_ts").cast("double")).alias("hi"))
+
+    def tail_only(ev: DataFrame) -> DataFrame:
+        f = to_session_frames(ev)
+        return (f.join(F.broadcast(bounds))
+                .filter(F.col("server_ts").cast("double")
+                        >= (F.col("lo") + F.col("hi")) / 2)
+                .drop("lo", "hi"))
+
+    # --- batch head: closed sessions + per-user open-session snapshot --
+    mid = bounds.select(((F.col("lo") + F.col("hi")) / 2).alias("m")) \
+        .collect()[0]["m"]
+    head = ev_all.filter(F.col("server_ts").cast("double") < mid)
+    w = W.partitionBy("user_id").orderBy("server_ts", "event_id")
+    marked = head.select(
+        "*",
+        F.when(F.col("server_ts").cast("double")
+               - F.lag(F.col("server_ts")).over(w).cast("double")
+               > GAP_S, 1).otherwise(0).alias("brk"))
+    sess = marked.withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    per_sess = (sess.groupBy("user_id", "sid")
+                .agg(F.min("server_ts").alias("session_start"),
+                     F.max("server_ts").alias("session_end"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.sum("value_cents").alias("value_cents"),
+                     F.sum("event_id").alias("id_sum"),
+                     F.sort_array(F.collect_list("event_id"))
+                     .alias("ids"))
+                .withColumn("last_sid", F.max("sid").over(
+                    W.partitionBy("user_id"))))
+    head_closed = (per_sess.filter(F.col("sid") != F.col("last_sid"))
+                   .select("user_id", "session_start", "session_end",
+                           F.col("n_events").cast("long"),
+                           F.col("value_cents").cast("long"),
+                           F.col("id_sum").cast("long")))
+    initial = (per_sess.filter(F.col("sid") == F.col("last_sid"))
+               .select("user_id",
+                       F.unix_micros("session_start").alias("start_us"),
+                       F.unix_micros("session_end").alias("last_us"),
+                       F.col("value_cents").cast("long").alias("cents"),
+                       "ids").localCheckpoint(eager=True))
+    head_closed = head_closed.localCheckpoint(eager=True)
+
+    # --- engine tail: stream ONLY the post-cut files, seeded ------------
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=tail_only, salt="twsinit1",
+        cluster_col="server_ts")
+    schema = spark.read.parquet(base).schema
+
+    root = tempfile.mkdtemp(prefix="fg_twsinit_")
+    outdir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_tws_init_{uuid.uuid4().hex[:12]}"
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(base)
+              .withWatermark("server_ts", "0 seconds"))
+    sessions = apply_session_timeout(stream, gap_s=GAP_S,
+                                     initial_state=initial)
+    with _stream_state_partitions(spark):
+        q = (sessions.writeStream.format("parquet")
+             .option("path", outdir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .queryName(qname)
+             .start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drained = spark.read.parquet(outdir).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long"), F.col("value_cents").cast("long"),
+        F.col("id_sum").cast("long"))
+    out = (head_closed.unionByName(drained)
+           .orderBy("user_id", "session_start")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -901,3 +901,28 @@ class TestJudgedTwsSessionRow:
         assert len(got) < total_sessions
         # multi-event sessions exist (the extension path is exercised)
         assert any(r["n_events"] > 1 for r in got)
+
+
+class TestJudgedTwsInitialStateRow:
+    """Backs stream_engine_tws_initial_state: batch→stream migration is
+    invisible — the migrated row equals the cold-start sibling row
+    bit-for-bit, and seeded keys can close by timer without any
+    streamed input."""
+
+    def test_migrated_equals_cold_start(self, spark):
+        import os
+
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            stream_engine_tws_initial_state,
+            stream_engine_tws_session_timeout)
+
+        sf_dir = os.environ.get("SPARK_GRAFT_T2_DIR",
+                                "/root/testdata/sf0.001")
+        migrated = sorted(
+            tuple(r) for r in
+            stream_engine_tws_initial_state(spark, sf_dir).collect())
+        cold = sorted(
+            tuple(r) for r in
+            stream_engine_tws_session_timeout(spark, sf_dir).collect())
+        assert len(migrated) > 0
+        assert migrated == cold
