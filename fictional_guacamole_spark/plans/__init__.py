@@ -344,7 +344,13 @@ JUDGE_WINDOW: list[str] = [
     # the three pyds/tar residue read-path rows are additionally pinned
     # equal to the judged sink row's output by local tests, and the
     # sampled audit IS the registered protocol whose skeleton the
-    # exhaustive row shares. r13 rotation continues the schedule.
+    # exhaustive row shares. The late-r12 registrations
+    # (stream_engine_tws_session_timeout, stream_engine_tws_initial_state,
+    # avro_evolved_read_order_stats) are likewise mirror-green on
+    # registration — the two tws rows are pinned equal to each other and
+    # to the batch gaps-and-islands computation by tests, and the
+    # evolved Avro row shares its fixture bytes with the in-window
+    # nested row. r13 rotation continues the schedule.
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "stream_engine_book_kernel",   # T1-T5 kernel THROUGH the engine:
                                    # dedupe → applyInPandasWithState →
