@@ -346,7 +346,8 @@ JUDGE_WINDOW: list[str] = [
     # sampled audit IS the registered protocol whose skeleton the
     # exhaustive row shares. The late-r12 registrations
     # (stream_engine_tws_session_timeout, stream_engine_tws_initial_state,
-    # avro_evolved_read_order_stats) are likewise mirror-green on
+    # avro_evolved_read_order_stats, avro_snappy_roundtrip_part_stats,
+    # stream_engine_backfill_repair) are likewise mirror-green on
     # registration — the two tws rows are pinned equal to each other and
     # to the batch gaps-and-islands computation by tests, and the
     # evolved Avro row shares its fixture bytes with the in-window

@@ -1434,6 +1434,37 @@ def stream_engine_dedup_then_agg(spark: SparkSession,
             .orderBy("window_start", "event_type"))
 
 
+def _match_frames_with_dups(ev: DataFrame) -> DataFrame:
+    """The shared book-kernel frame fixture: purchase events as 'match'
+    frames (seq = trade_id = event_id, server_ts monotone in seq), with
+    a deterministic ~14% of frames delivered TWICE (the at-least-once
+    transport a reconnecting websocket produces — run_pipeline's dedupe
+    stage must drop the re-deliveries or the value hash breaks)."""
+    from fictional_guacamole_spark.streaming.frames import (
+        ensure_frame_schema)
+
+    frames = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("seq"),
+        # monotone-in-seq event time: 2024-01-01T00:00:00Z + seq s
+        F.timestamp_seconds(F.lit(1704067200).cast("long")
+                            + F.col("event_id")).alias("server_ts"),
+        F.col("user_id").cast("string").alias("product_id"),
+        F.lit("match").alias("msg_type"),
+        F.lit(None).cast("array<array<string>>").alias("bids"),
+        F.lit(None).cast("array<array<string>>").alias("asks"),
+        F.lit(None).cast("array<array<string>>").alias("changes"),
+        F.col("event_id").alias("trade_id"),
+        F.lit(None).cast("long").alias("sequence"),
+        F.lit(None).cast("string").alias("price"),
+        F.lit(None).cast("string").alias("volume"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("timestamp").alias("exchange_ts"),
+    )
+    frames = ensure_frame_schema(frames)
+    # at-least-once transport: a deterministic subset arrives twice
+    return frames.unionByName(frames.filter(F.col("seq") % 7 == 3))
+
+
 @query(
     "stream_engine_book_kernel",
     survey_ref="T1-T5 + §2.5 streaming: the BOOK KERNEL executed through "
@@ -1513,35 +1544,11 @@ def stream_engine_book_kernel(spark: SparkSession,
     import time
     import uuid
 
-    from fictional_guacamole_spark.streaming.frames import (
-        ensure_frame_schema)
     from fictional_guacamole_spark.streaming.pipeline import run_pipeline
 
-    def to_match_frames(ev: DataFrame) -> DataFrame:
-        frames = ev.filter(F.col("event_type") == "purchase").select(
-            F.col("event_id").alias("seq"),
-            # monotone-in-seq event time: 2024-01-01T00:00:00Z + seq s
-            F.timestamp_seconds(F.lit(1704067200).cast("long")
-                                + F.col("event_id")).alias("server_ts"),
-            F.col("user_id").cast("string").alias("product_id"),
-            F.lit("match").alias("msg_type"),
-            F.lit(None).cast("array<array<string>>").alias("bids"),
-            F.lit(None).cast("array<array<string>>").alias("asks"),
-            F.lit(None).cast("array<array<string>>").alias("changes"),
-            F.col("event_id").alias("trade_id"),
-            F.lit(None).cast("long").alias("sequence"),
-            F.lit(None).cast("string").alias("price"),
-            F.lit(None).cast("string").alias("volume"),
-            F.lit(None).cast("string").alias("side"),
-            F.lit(None).cast("timestamp").alias("exchange_ts"),
-        )
-        frames = ensure_frame_schema(frames)
-        # at-least-once transport: a deterministic subset arrives twice
-        return frames.unionByName(frames.filter(F.col("seq") % 7 == 3))
-
     base = _time_clustered_events_copy(
-        spark, sf_dir, transform=to_match_frames, salt="bookframes1",
-        cluster_col="seq")
+        spark, sf_dir, transform=_match_frames_with_dups,
+        salt="bookframes1", cluster_col="seq")
     schema = spark.read.parquet(base).schema
 
     root = tempfile.mkdtemp(prefix="fg_bookstream_")
@@ -2001,6 +2008,133 @@ def stream_engine_tws_initial_state(spark: SparkSession,
         F.col("id_sum").cast("long"))
     out = (head_closed.unionByName(drained)
            .orderBy("user_id", "session_start")
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_engine_backfill_repair",
+    survey_ref="S3/T6 + §2.5 streaming: the REST trade-backfill repair "
+               "judged through the engine — gaps detected by the kernel, "
+               "fetched via the pluggable Fetcher inside foreachBatch, "
+               "landed idempotently WITH the live trades",
+    description="The book-kernel pipeline run with a deterministic REST "
+                "fetcher: every sequence gap is repaired in-batch, and "
+                "the drained trades sink equals live + all missing ids "
+                "with backfilled=true, exactly once across a mid-drain "
+                "restart",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase'),
+    live AS (
+      SELECT CAST(user_id AS VARCHAR) AS product_id,
+             event_id AS trade_id, FALSE AS backfilled,
+             CAST(NULL AS VARCHAR) AS price,
+             CAST(NULL AS VARCHAR) AS volume,
+             CAST(NULL AS VARCHAR) AS side
+      FROM p),
+    g AS (
+      SELECT user_id, prev_id + 1 AS f, event_id - 1 AS l
+      FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1),
+    back AS (
+      SELECT CAST(user_id AS VARCHAR) AS product_id,
+             unnest(generate_series(f, l)) AS trade_id
+      FROM g)
+    SELECT product_id, trade_id, backfilled, price, volume, side
+    FROM live
+    UNION ALL
+    SELECT product_id, trade_id, TRUE,
+           CAST((trade_id * 7) % 1000 AS VARCHAR),
+           CAST(trade_id % 5 + 1 AS VARCHAR),
+           CASE WHEN trade_id % 2 = 1 THEN 'buy' ELSE 'sell' END
+    FROM back
+    ORDER BY product_id, trade_id, backfilled
+    """,
+)
+def stream_engine_backfill_repair(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """T6 — the reference's async REST backfiller (redis_worker.py:42-94)
+    — upgraded from local-test evidence to a VALUE-JUDGED engine row.
+    The full production pipeline runs with a Fetcher plugged in: the
+    kernel detects every per-product sequence gap (T5), foreachBatch
+    collects the batch's gap RANGES (bounded — ranges, never rows),
+    pages the fetcher backwards with an ``after`` cursor exactly like
+    the reference (100/page, bounded request count), and lands repaired
+    trades IN THE SAME idempotent write as the batch's live trades —
+    so a replayed micro-batch after the mid-drain kill overwrites its
+    own output, repairs included, instead of duplicating them. The
+    fetcher here is the deterministic stand-in for the exchange REST
+    API (price/volume/side are pure functions of trade_id), which is
+    what makes the drained sink SQL-judgeable: live trades carry the
+    frames' NULL price fields; every missing id between consecutive
+    purchases lands exactly once with backfilled=true and the fetcher's
+    values. At 100 TB the same shape holds: gap ranges are driver-tiny,
+    the repair lands executor-side in the batch's own write."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.streaming.pipeline import run_pipeline
+
+    def fetcher(product_id: str, after: int) -> list[dict]:
+        # deterministic REST stand-in: up to 100 trades strictly below
+        # the cursor, descending — the exchange pagination contract
+        page = []
+        for tid in range(int(after) - 1, max(int(after) - 101, -1), -1):
+            page.append({
+                "trade_id": tid,
+                "price": str((tid * 7) % 1000),
+                "volume": str(tid % 5 + 1),
+                "side": "buy" if tid % 2 == 1 else "sell",
+                "server_ts": None,
+                "exchange_ts": None,
+            })
+        return page
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=_match_frames_with_dups,
+        salt="bookframes1", cluster_col="seq")
+    schema = spark.read.parquet(base).schema
+
+    root = tempfile.mkdtemp(prefix="fg_backfill_")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_backfill_{uuid.uuid4().hex[:12]}"
+
+    def start_query():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(base))
+        return run_pipeline(stream, sink, ckpt, fetcher=fetcher,
+                            dedupe_horizon="10 minutes",
+                            query_name=qname)
+
+    with _stream_state_partitions(spark):
+        q1 = start_query()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    out = (spark.read.parquet(os.path.join(sink, "trades"))
+           .select(F.col("product_id").cast("string").alias("product_id"),
+                   F.col("trade_id").cast("long").alias("trade_id"),
+                   "backfilled", "price", "volume", "side")
+           .orderBy("product_id", "trade_id", "backfilled")
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out
