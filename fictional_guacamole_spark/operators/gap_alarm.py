@@ -137,7 +137,8 @@ class GapAlarmProcessor(StatefulProcessor):
                 self.handle.registerTimer(deadline)
             if last is None or tid > last:
                 last = tid
-        self.max_tid.update((last,))
+        if last is not None:   # a repairs-only first batch leaves no
+            self.max_tid.update((last,))   # watermark to record
         return iter(())  # alarms are emitted only by expired timers
 
     def handleExpiredTimer(self, key, timerValues: TimerValues,
