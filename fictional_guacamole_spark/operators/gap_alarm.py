@@ -87,6 +87,25 @@ def _ensure_protobuf() -> None:
 
 _ensure_protobuf()
 
+
+def _register_by_value() -> None:
+    """Register this module for cloudpickle BY-VALUE pickling (driver
+    side, before the stream starts). transformWithState unpickles the
+    processor in TWO kinds of python workers: executors (which get the
+    addPyFile zip) and the driver-side transform_with_state_driver_worker
+    used for state-schema validation — which, like the streaming source
+    runner that bit the r11 pyds rows, does NOT inherit the zip. A
+    by-reference pickle dies there with ModuleNotFoundError whenever the
+    driver's cwd isn't the repo (exactly how the round driver runs us;
+    caught by the /verify foreign-cwd recipe). By-value pickling ships
+    the class definitions inside the pickle itself."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     ExpiredTimerInfo,
     StatefulProcessor,
@@ -105,6 +124,13 @@ class GapAlarmProcessor(StatefulProcessor):
 
     def __init__(self, alarm_after_s: int = 600):
         self.alarm_after_ms = alarm_after_s * 1000
+
+    def __setstate__(self, state):
+        # Runs at UNPICKLE time in every worker — with by-value pickling
+        # the module-level _ensure_protobuf() call never re-executes
+        # there, so the protobuf fallback must ride on the instance.
+        _ensure_protobuf()
+        self.__dict__.update(state)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.handle = handle
@@ -168,6 +194,7 @@ def apply_gap_alarm(frames_df, alarm_after_s: int = 600):
     """Wire the processor onto a watermarked (product_id, kind, trade_id,
     gap_first_id, server_ts) stream. Event-time mode: timers fire as the
     watermark passes their deadline."""
+    _register_by_value()
     return (frames_df.groupBy("product_id")
             .transformWithStateInPandas(
                 GapAlarmProcessor(alarm_after_s),

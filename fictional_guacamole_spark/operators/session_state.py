@@ -41,9 +41,23 @@ from typing import Iterator
 
 import pandas as pd
 
+from fictional_guacamole_spark.operators import gap_alarm as _ga
 from fictional_guacamole_spark.operators.gap_alarm import _ensure_protobuf
 
 _ensure_protobuf()
+
+
+def _register_by_value() -> None:
+    """By-value pickling for THIS module and gap_alarm (whose
+    _ensure_protobuf this module references) — see
+    gap_alarm._register_by_value for why the driver-side
+    transform_with_state_driver_worker needs it."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[_ga.__name__])
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     ExpiredTimerInfo,
@@ -72,6 +86,12 @@ class SessionTimeoutProcessor(StatefulProcessor):
         # deleteTimer call both derive the SAME ceil value, so register/
         # delete/guard stay consistent)
         self.gap_us = gap_s * 1_000_000
+
+    def __setstate__(self, state):
+        # unpickle-time hook: the protobuf fallback must run in every
+        # worker even though by-value pickling skips the module import
+        _ensure_protobuf()
+        self.__dict__.update(state)
 
     def _deadline_ms(self, last_us: int) -> int:
         return -(-(last_us + self.gap_us) // 1000)  # ceil division
@@ -167,6 +187,7 @@ def apply_session_timeout(frames_df, gap_s: int = 1800,
     ``initial_state``: optional batch DataFrame (user_id, start_us,
     last_us, cents, ids array<long>) seeding each key's open session
     via ``handleInitialState`` on the first micro-batch."""
+    _register_by_value()
     return (frames_df.groupBy("user_id")
             .transformWithStateInPandas(
                 SessionTimeoutProcessor(gap_s),

@@ -9,6 +9,8 @@ execution.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -271,6 +273,33 @@ def _stream_state_partitions(spark: SparkSession, n: int = 4):
     count × cores once, when the checkpoint is first created. Restored
     after the drain so surrounding batch plans are untouched."""
     return scoped_shuffle_partitions(spark, n)
+
+
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Scope the RocksDB state store provider for one transformWithState
+    drain. The repo's own session (session.py) sets it globally, but the
+    round driver runs a BARE session whose default HDFSBacked provider
+    cannot host the API's multiple column families
+    (UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES — caught
+    by the /verify foreign-cwd bare-session recipe). The conf is read at
+    query start, so a scoped runtime set is sufficient and is restored
+    for surrounding plans."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = ("org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, rocks)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
@@ -1716,7 +1745,7 @@ def stream_engine_gap_alarm_timer(spark: SparkSession,
                 .queryName(qname)
                 .start())
 
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark), _rocksdb_state_store(spark):
         q1 = start_query()
         try:
             deadline = time.time() + 120
@@ -1829,7 +1858,7 @@ def stream_engine_tws_session_timeout(spark: SparkSession,
                 .queryName(qname)
                 .start())
 
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark), _rocksdb_state_store(spark):
         q1 = start_query()
         try:
             deadline = time.time() + 120
@@ -1990,7 +2019,7 @@ def stream_engine_tws_initial_state(spark: SparkSession,
               .withWatermark("server_ts", "0 seconds"))
     sessions = apply_session_timeout(stream, gap_s=GAP_S,
                                      initial_state=initial)
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark), _rocksdb_state_store(spark):
         q = (sessions.writeStream.format("parquet")
              .option("path", outdir)
              .option("checkpointLocation", ckpt)
