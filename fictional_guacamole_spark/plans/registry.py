@@ -40,8 +40,27 @@ def query(name: str, *, oracle: str | None, survey_ref: str = "",
     def deco(fn: Builder) -> Builder:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def prepped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Session prep must not depend on which code paths a builder
+            # happens to exercise: a builder whose fixture cache is WARM
+            # can skip every load_table call, leaving a caller-provided
+            # bare session without the addPyFile zip — and any
+            # by-reference UDF (the book kernel) then dies on executors
+            # with ModuleNotFoundError when the driver's cwd isn't the
+            # repo (found by the /verify foreign-cwd recipe with warm
+            # /tmp caches, exactly the round driver's environment).
+            from fictional_guacamole_spark.tables import (
+                _ensure_session_conf)
+
+            _ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        prepped.__name__ = fn.__name__
+        prepped.__doc__ = fn.__doc__
+        prepped.__wrapped__ = fn
         REGISTRY[name] = Query(
-            name=name, builder=fn, oracle=oracle, survey_ref=survey_ref,
+            name=name, builder=prepped, oracle=oracle, survey_ref=survey_ref,
             description=description or (fn.__doc__ or "").strip().splitlines()[0]
             if (description or fn.__doc__) else "",
             bench=bench, tags=tags or [],
