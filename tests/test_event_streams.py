@@ -926,3 +926,43 @@ class TestJudgedTwsInitialStateRow:
             stream_engine_tws_session_timeout(spark, sf_dir).collect())
         assert len(migrated) > 0
         assert migrated == cold
+
+
+class TestProcessorPicklesByValue:
+    """Pins the r12 foreign-worker fix: after _register_by_value, the
+    arbitrary-state processors must unpickle in a python process that
+    can NOT import fictional_guacamole_spark (the driver-side
+    transform_with_state_driver_worker's environment)."""
+
+    def test_unpickles_without_repo_on_path(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        from pyspark import cloudpickle
+
+        from fictional_guacamole_spark.operators import gap_alarm as ga
+        from fictional_guacamole_spark.operators import (
+            session_state as ss)
+        ga._register_by_value()
+        ss._register_by_value()
+        blobs = {
+            "gap": cloudpickle.dumps(ga.GapAlarmProcessor(600)),
+            "sess": cloudpickle.dumps(ss.SessionTimeoutProcessor(60)),
+        }
+        for name, blob in blobs.items():
+            f = tmp_path / f"{name}.pkl"
+            f.write_bytes(blob)
+            env = dict(os.environ)
+            env.pop("PYTHONPATH", None)   # no repo on the worker's path
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import pickle,sys;"
+                 f"o=pickle.load(open({str(f)!r},'rb'));"
+                 "assert 'fictional_guacamole_spark' not in sys.modules;"
+                 "print(type(o).__name__)"],
+                cwd=str(tmp_path), env=env, capture_output=True,
+                text=True, timeout=120)
+            assert out.returncode == 0, out.stderr[-1500:]
+            assert out.stdout.strip() in ("GapAlarmProcessor",
+                                          "SessionTimeoutProcessor")
