@@ -145,6 +145,10 @@ class TarShardStreamReader(DataSourceStreamReader):
             raise FileNotFoundError(f"no *.tar shards under {self.base}")
 
     def initialOffset(self) -> dict:
+        # only called on a FRESH start (no checkpoint); its absence before
+        # the first latestOffset() is how a recovered reader knows it is
+        # recovering (see below)
+        self._fresh_start = True
         return {"shard": 0}
 
     def latestOffset(self) -> dict:
@@ -157,8 +161,23 @@ class TarShardStreamReader(DataSourceStreamReader):
         # highest start offset the engine has shown us (partitions()/
         # commit()) and clamps the poll counter monotonic w.r.t. recovery
         # (r11 advisor, ADVICE.md pyds.py:150).
+        #
+        # Recovery after a CLEAN shutdown is the subtle case (r12 advisor):
+        # when the last batch was fully committed, the engine's first call
+        # on the fresh reader is latestOffset() — partitions()/commit()
+        # never ran, so _floor is unknown and the paced counter would
+        # REGRESS below the committed offset. If latestOffset() is reached
+        # without initialOffset() having been called on this instance
+        # (i.e. we are recovering) and no floor is known yet, return the
+        # directory end: the engine supplies the committed start from its
+        # own log, so only genuinely unread shards are planned and the
+        # offset can never regress.
         if not hasattr(self, "_polled"):
             self._polled = 0
+        if (not getattr(self, "_fresh_start", False)
+                and not hasattr(self, "_floor")):
+            self._polled = len(self.paths)
+            return {"shard": self._polled}
         self._polled = min(max(self._polled + 1, getattr(self, "_floor", 0)),
                            len(self.paths))
         return {"shard": self._polled}

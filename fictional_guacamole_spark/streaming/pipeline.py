@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.operators.book import (
     BOOK_DEPTH, apply_book_kernel)
-from fictional_guacamole_spark.streaming.backfill import Fetcher, backfill_gaps
+from fictional_guacamole_spark.streaming.backfill import Fetcher, repair_frame
 
 TRADE_SINK_SCHEMA = ("product_id string, server_ts timestamp, "
                      "exchange_ts timestamp, sequence long, trade_id long, "
@@ -46,11 +46,13 @@ def demux_outputs(out: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return books, trades, gaps
 
 
-# Bound on gap ranges collected to the driver per micro-batch. Backfill is
-# inherently a driver/REST side effect (SURVEY §2.1 S3) and gaps arrive as
-# coalesced ranges, so in normal operation this is single digits — but an
-# exchange outage can emit an outage-sized burst, and an unbounded collect
-# would eat the driver. Ranges past the cap are NOT repaired in-batch; they
+# Bound on gap RANGES repaired per micro-batch. Gaps arrive as coalesced
+# ranges (SURVEY §2.1 S3), so in normal operation this is single digits —
+# but an exchange outage can emit an outage-sized burst, and repairing an
+# unbounded burst in one batch would stall the trigger behind REST paging.
+# The repair itself is executor-side (backfill.repair_frame maps the
+# fetcher over the ranges frame), so the cap bounds trigger LATENCY, not
+# driver memory. Ranges past the cap are NOT repaired in-batch; they
 # remain durably recorded in the gaps sink, and a later repair pass can
 # find them by anti-joining the gaps sink against backfilled trades.
 MAX_BACKFILL_RANGES_PER_BATCH = int(
@@ -77,24 +79,19 @@ def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         books, trades, gaps = demux_outputs(batch_df)
         write_idempotent(books, "books", batch_id)
-        # bounded driver collect (see MAX_BACKFILL_RANGES_PER_BATCH above)
-        gap_rows = [r.asDict()
-                    for r in gaps.limit(max_backfill_ranges + 1).collect()]
-        have_gaps = bool(gap_rows)
-        if len(gap_rows) > max_backfill_ranges:
-            gap_rows = gap_rows[:max_backfill_ranges]
         # backfill BEFORE the trades write so live + repaired rows land in
         # one idempotent write (a second write into the same _batch
-        # partition would overwrite the first)
-        if gap_rows and fetcher is not None:
-            repaired = backfill_gaps(gap_rows, fetcher)
-            if repaired:
-                spark = batch_df.sparkSession
-                rows = [{k: r.get(k) for k in TRADE_COLS} for r in repaired]
-                trades = trades.unionByName(
-                    spark.createDataFrame(rows, schema=TRADE_SINK_SCHEMA))
+        # partition would overwrite the first). The repair is fully
+        # executor-side: the bounded RANGES frame (never rows — see
+        # MAX_BACKFILL_RANGES_PER_BATCH above) maps through the fetcher
+        # with mapInPandas, so an outage-sized gap expands to its id width
+        # inside executor tasks, and the driver never holds a repaired row
+        # (r12 verdict weak-row fix).
+        if fetcher is not None:
+            repaired = repair_frame(gaps.limit(max_backfill_ranges), fetcher)
+            trades = trades.unionByName(repaired.select(*TRADE_COLS))
         write_idempotent(trades, "trades", batch_id)
-        if have_gaps:
+        if not gaps.isEmpty():
             # the FULL distributed gaps frame — including any ranges past
             # the in-batch repair cap — lands in the audit sink
             write_idempotent(gaps, "gaps", batch_id)

@@ -411,6 +411,30 @@ class TestPythonDataSource:
         # and a backwards range can never slice negatively
         assert fresh2.partitions({"shard": 4}, {"shard": 2}) == []
 
+    def test_stream_reader_clean_shutdown_recovery(self, tmp_path, spark):
+        # r12 advisor: after a CLEAN shutdown (last batch fully committed)
+        # the engine's FIRST call on the recovered reader is latestOffset()
+        # — partitions()/commit() never ran, so the floor clamp alone can't
+        # help and a paced counter would answer 1 (< committed), regressing
+        # the offset and re-planning committed shards as duplicates. A
+        # reader that reaches latestOffset() without initialOffset() must
+        # answer the directory end; the engine's own log supplies the
+        # committed start, so only unread shards are ever planned.
+        from fictional_guacamole_spark.sources import tar_shards as T
+        from fictional_guacamole_spark.sources.pyds import (
+            TarShardStreamReader)
+        rows = [(i, f"m {i}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        base = str(tmp_path / "clean_restart_src")
+        T.write_tar_shards(df, base, 4)
+        recovered = TarShardStreamReader({"path": base})
+        assert recovered.latestOffset()["shard"] == 4   # not 1
+        # a genuinely FRESH query (initialOffset called) keeps the
+        # one-shard-per-micro-batch pacing
+        fresh = TarShardStreamReader({"path": base})
+        assert fresh.initialOffset() == {"shard": 0}
+        assert fresh.latestOffset()["shard"] == 1
+
     def test_writer_overwrite_clears_stale_shards(self, spark, tmp_path):
         # mode("overwrite") with fewer tasks than a prior run must not
         # leave the prior run's extra shards mixed into the output

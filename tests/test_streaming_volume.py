@@ -198,37 +198,41 @@ def test_source_dedup_within_watermark(spark, tmp_path):
     assert trades.select("trade_id").distinct().count() == trades.count()
 
 
-def test_gap_burst_bounds_driver_collect(spark, tmp_path):
+def test_gap_burst_bounds_in_batch_repair(spark, tmp_path):
     """Outage-sized gap burst: an exchange outage can emit far more gap
-    ranges in one micro-batch than the driver should ever collect. The
-    batch writer must (a) attempt in-batch repair for at most the cap,
-    and (b) still record EVERY range in the gaps sink so a later repair
-    pass can finish the job."""
+    ranges in one micro-batch than one trigger should repair. The batch
+    writer must (a) repair at most the RANGE cap in-batch — executor-side,
+    the driver never holds a repaired row — and (b) still record EVERY
+    range in the gaps sink so a later repair pass can finish the job."""
     from datetime import datetime, timezone
 
     from fictional_guacamole_spark.operators.book import OUTPUT_SCHEMA
     from fictional_guacamole_spark.streaming.pipeline import make_batch_writer
 
-    n_gaps, cap = 500, 100
+    n_gaps, cap, width = 500, 100, 3
     ts = datetime(2024, 2, 1, tzinfo=timezone.utc)
     rows = [{"out_type": "gap", "product_id": "ETH-USD", "server_ts": ts,
-             "gap_first_id": i * 10, "gap_last_id": i * 10 + 2}
+             "gap_first_id": i * 10, "gap_last_id": i * 10 + width - 1}
             for i in range(n_gaps)]
     batch = spark.createDataFrame(rows, OUTPUT_SCHEMA)
 
-    calls: list[tuple] = []
+    def recovered_fetcher(product_id: str, after_id: int) -> list[dict]:
+        # exchange back up: pages of trades strictly below the cursor
+        return [{"trade_id": t, "price": "1", "volume": "1", "side": "buy",
+                 "server_ts": None, "exchange_ts": None}
+                for t in range(int(after_id) - 1,
+                               max(int(after_id) - 101, -1), -1)]
 
-    def outage_fetcher(product_id: str, after_id: int) -> list[dict]:
-        calls.append((product_id, after_id))
-        return []  # exchange still down — nothing recoverable yet
-
-    writer = make_batch_writer(str(tmp_path / "sink"), outage_fetcher,
+    writer = make_batch_writer(str(tmp_path / "sink"), recovered_fetcher,
                                max_backfill_ranges=cap)
     writer(batch, 0)
 
-    # repair attempts bounded by the cap (driver memory stays bounded)
-    attempted = {c[1] for c in calls}
-    assert 0 < len(attempted) <= cap
+    # in-batch repair bounded by the RANGE cap: exactly cap ranges (of
+    # width ids each) landed, no duplicates
+    trades = spark.read.parquet(str(tmp_path / "sink" / "trades"))
+    assert trades.count() == cap * width
+    assert trades.filter("backfilled").count() == cap * width
+    assert trades.select("trade_id").distinct().count() == cap * width
     # ...but the durable audit sink holds the full burst
     gaps = spark.read.parquet(str(tmp_path / "sink" / "gaps"))
     assert gaps.count() == n_gaps
