@@ -187,6 +187,7 @@ def apply_session_timeout(frames_df, gap_s: int = 1800,
     ``initial_state``: optional batch DataFrame (user_id, start_us,
     last_us, cents, ids array<long>) seeding each key's open session
     via ``handleInitialState`` on the first micro-batch."""
+    _ensure_protobuf(required=True)
     _register_by_value()
     return (frames_df.groupBy("user_id")
             .transformWithStateInPandas(

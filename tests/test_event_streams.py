@@ -966,3 +966,55 @@ class TestProcessorPicklesByValue:
             assert out.returncode == 0, out.stderr[-1500:]
             assert out.stdout.strip() in ("GapAlarmProcessor",
                                           "SessionTimeoutProcessor")
+
+
+class TestProtobufDependency:
+    """Pins the r13 de-coupling (r12 verdict defect #2): the protobuf
+    fallback is a candidate search (env var first), absence is a LOUD
+    documented error at wiring time, and the gencode-version bypass is
+    scoped to pyspark's state-protocol modules only."""
+
+    def test_missing_runtime_raises_documented_error(self, monkeypatch):
+        import pytest
+
+        from fictional_guacamole_spark.operators import gap_alarm as ga
+        monkeypatch.setattr(ga, "_PROTOBUF_FALLBACK_DIRS", ())
+        monkeypatch.delenv(ga._PROTOBUF_DIR_ENV, raising=False)
+        monkeypatch.setattr(ga, "_protobuf_available", lambda: False)
+        with pytest.raises(RuntimeError, match=ga._PROTOBUF_DIR_ENV):
+            ga._ensure_protobuf(required=True)
+        # non-required form (module import, __setstate__) stays silent
+        assert ga._ensure_protobuf() is False
+
+    def test_env_var_wins_over_builtin_candidates(self, monkeypatch,
+                                                  tmp_path):
+        from fictional_guacamole_spark.operators import gap_alarm as ga
+        probe_dirs = []
+        real_isdir = ga.os.path.isdir
+
+        def spy_isdir(p):
+            probe_dirs.append(p)
+            return real_isdir(p)
+
+        monkeypatch.setattr(ga, "_protobuf_available", lambda: False)
+        monkeypatch.setenv(ga._PROTOBUF_DIR_ENV, str(tmp_path))
+        monkeypatch.setattr(ga.os.path, "isdir", spy_isdir)
+        assert ga._ensure_protobuf() is False
+        assert probe_dirs[0].startswith(str(tmp_path))
+
+    def test_version_bypass_is_scoped_to_state_protocol(self):
+        from fictional_guacamole_spark.operators import gap_alarm as ga
+        if not ga._ensure_protobuf():
+            import pytest
+            pytest.skip("no protobuf runtime on this host")
+        from google.protobuf import runtime_version as rv
+        validate = rv.ValidateProtobufRuntimeVersion
+        assert getattr(validate, "_fg_scoped", False)
+        # pyspark's state-protocol gencode skips validation outright
+        assert validate("", 99, 0, 0, "", "pyspark/sql/streaming/"
+                        "proto/StateMessage_pb2.py") is None
+        # any other gencode keeps the original check (absurd major
+        # version must still be rejected)
+        import pytest
+        with pytest.raises(Exception):
+            validate(rv.DOMAIN, 99, 0, 0, "", "somebody_else.proto")
