@@ -1660,6 +1660,11 @@ def stream_engine_book_kernel(spark: SparkSession,
            TIMESTAMP '2024-01-01 00:00:00'
              + (det_s + 600) * INTERVAL 1 SECOND AS alarm_ts
     FROM g, mx
+    -- integer-SECOND timestamps by construction (epoch + id seconds), so
+    -- the engine's ms timer clock (ceil deadlines, truncate watermark) is
+    -- lossless here at every SF and plain <= IS the engine's gate (the
+    -- session rows, whose fixture has sub-ms ts, encode ceil/floor
+    -- explicitly — r12 advisor)
     WHERE gap_first_id % 3 <> 0 AND det_s + 600 <= mx.max_s
     ORDER BY product_id, gap_first_id
     """,
@@ -1800,7 +1805,13 @@ def stream_engine_gap_alarm_timer(spark: SparkSession,
     SELECT user_id, session_start, session_end, n_events, value_cents,
            id_sum
     FROM agg
-    WHERE session_end + INTERVAL 6 HOUR <= (SELECT MAX(ts) FROM events)
+    -- the engine's EXACT timer gate, in integer arithmetic (r12 advisor):
+    -- deadlines ceil to the ms timer clock, the watermark truncates to ms,
+    -- and a timer fires iff ceil_ms(deadline) <= floor_ms(max event time).
+    -- A µs-exact <= would disagree whenever a deadline lands inside the
+    -- final watermark's partial millisecond (data-dependent at other SFs).
+    WHERE (epoch_us(session_end + INTERVAL 6 HOUR) + 999) // 1000
+          <= (SELECT epoch_us(MAX(ts)) // 1000 FROM events)
     ORDER BY user_id, session_start
     """,
 )
@@ -1914,7 +1925,13 @@ def stream_engine_tws_session_timeout(spark: SparkSession,
     SELECT user_id, session_start, session_end, n_events, value_cents,
            id_sum
     FROM agg
-    WHERE session_end + INTERVAL 6 HOUR <= (SELECT MAX(ts) FROM events)
+    -- the engine's EXACT timer gate, in integer arithmetic (r12 advisor):
+    -- deadlines ceil to the ms timer clock, the watermark truncates to ms,
+    -- and a timer fires iff ceil_ms(deadline) <= floor_ms(max event time).
+    -- A µs-exact <= would disagree whenever a deadline lands inside the
+    -- final watermark's partial millisecond (data-dependent at other SFs).
+    WHERE (epoch_us(session_end + INTERVAL 6 HOUR) + 999) // 1000
+          <= (SELECT epoch_us(MAX(ts)) // 1000 FROM events)
     ORDER BY user_id, session_start
     """,
 )
