@@ -2184,3 +2184,158 @@ def stream_engine_backfill_repair(spark: SparkSession,
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_engine_book_kernel_tws",
+    survey_ref="T1-T5 + §2.5 streaming: the flagship kernel PORTED to "
+               "Spark 4's arbitrary-state API (transformWithStateInPandas) "
+               "— ValueState book + a stale-book event-time TIMER + "
+               "kill/resume; drained sinks hash-EQUAL to the "
+               "applyInPandasWithState row",
+    description="The order-book kernel through the engine on the NEW "
+                "stateful API: same replayed duplicate-delivery frames, "
+                "same idempotent sinks, killed mid-drain and resumed; "
+                "additionally arms a per-product stale-book alarm timer "
+                "whose drained sink is hard-checked in-row",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT 'trade' AS out_type, CAST(user_id AS VARCHAR) AS product_id,
+           event_id AS trade_id,
+           CAST(NULL AS BIGINT) AS gap_first_id,
+           CAST(NULL AS BIGINT) AS gap_last_id
+    FROM p
+    UNION ALL
+    SELECT 'gap', CAST(user_id AS VARCHAR), CAST(NULL AS BIGINT),
+           prev_id + 1, event_id - 1
+    FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY product_id, out_type, trade_id NULLS FIRST,
+             gap_first_id NULLS FIRST
+    """,
+)
+def stream_engine_book_kernel_tws(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The flagship kernel on ``transformWithState`` (r12 verdict task
+    #3) — the API migration the 100 TB deployment would make, judged on
+    the SAME fixture and oracle as ``stream_engine_book_kernel`` so the
+    two rows must hash EQUAL: any cross-API semantic drift in T1–T5
+    breaks one of them. Same production pipeline (dedupe →
+    stateful kernel → foreachBatch idempotent sinks), same mid-drain
+    kill+resume; the kernel is operators/book_tws.py's
+    ``BookKernelProcessor`` — the book in a per-product ValueState, the
+    pure ``process_batch`` fold reused VERBATIM from the classic kernel.
+
+    What the new API buys is ALSO on this row's executed path: a
+    STALE-BOOK event-time timer (the monitoring question the reference's
+    reconnect story implies, real_guac_async.py:43-57). ``stale_after_s``
+    is derived from the data as (max intra-product frame gap + 1s), so no
+    mid-stream episode can race a batch boundary: the only alarms are
+    end-of-stream staleness — product P alarms iff
+    ``last_frame(P) + stale_after <= final watermark`` (integer-second
+    fixture, so the engine's ms timer clock is lossless) — and the
+    drained stale sink is hard-checked against that closed form in-row
+    (a mismatch raises, failing the row). The judged frame stays the
+    classic row's trades+gaps union, certified by the same SQL oracle.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.streaming.pipeline import run_pipeline
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=_match_frames_with_dups,
+        salt="bookframes1", cluster_col="seq")
+    schema = spark.read.parquet(base).schema
+
+    # stale_after = (largest gap between consecutive frames of one
+    # product) + 1s: every mid-stream gap re-arms its timer before the
+    # watermark can reach the old deadline, so alarms are exactly the
+    # end-of-stream-stale products — a batch-boundary-free closed form.
+    frames = spark.read.parquet(base).select(
+        "product_id", F.col("seq").cast("long").alias("s"))
+    gap_s = (frames.withColumn(
+        "d", F.col("s") - F.lag("s").over(
+            W.partitionBy("product_id").orderBy("s")))
+        .agg(F.max("d")).collect()[0][0]) or 0
+    stale_after_s = int(gap_s) + 1
+    wm_delay_s = 600  # dedupe_horizon below
+
+    root = tempfile.mkdtemp(prefix="fg_booktws_")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_book_tws_{uuid.uuid4().hex[:12]}"
+
+    def start_query():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(base))
+        return run_pipeline(stream, sink, ckpt,
+                            dedupe_horizon="10 minutes",
+                            kernel="tws", stale_after_s=stale_after_s,
+                            query_name=qname)
+
+    with _stream_state_partitions(spark), _rocksdb_state_store(spark):
+        q1 = start_query()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    # in-row hard check: the stale sink equals the closed form
+    # {(P, last+stale_after) : last(P) + stale_after <= max(s) - delay}
+    last = frames.groupBy("product_id").agg(F.max("s").alias("last_s"))
+    max_s = frames.agg(F.max("s")).collect()[0][0]
+    expect = (last.filter(
+        F.col("last_s") + stale_after_s <= F.lit(max_s - wm_delay_s))
+        .select("product_id",
+                F.timestamp_seconds(F.lit(1704067200).cast("long")
+                                    + F.col("last_s") + stale_after_s)
+                .alias("server_ts")))
+    stale_dir = os.path.join(sink, "stale")
+    if os.path.isdir(stale_dir):
+        got = (spark.read.parquet(stale_dir)
+               .select("product_id", "server_ts"))
+    else:   # no product went stale at this SF: sink never materialized
+        got = expect.limit(0)
+    extra = got.exceptAll(expect).count()
+    missing = expect.exceptAll(got).count()
+    if extra or missing:
+        raise RuntimeError(
+            f"stale-book alarm sink mismatch: {extra} unexpected, "
+            f"{missing} missing (stale_after={stale_after_s}s)")
+
+    null_id = F.lit(None).cast("long")
+    trades = (spark.read.parquet(os.path.join(sink, "trades"))
+              .select(F.lit("trade").alias("out_type"),
+                      F.col("product_id").cast("string").alias("product_id"),
+                      F.col("trade_id").cast("long").alias("trade_id"),
+                      null_id.alias("gap_first_id"),
+                      null_id.alias("gap_last_id")))
+    gaps = (spark.read.parquet(os.path.join(sink, "gaps"))
+            .select(F.lit("gap").alias("out_type"),
+                    F.col("product_id").cast("string").alias("product_id"),
+                    null_id.alias("trade_id"),
+                    F.col("gap_first_id").cast("long").alias("gap_first_id"),
+                    F.col("gap_last_id").cast("long").alias("gap_last_id")))
+    out = (trades.unionByName(gaps)
+           .orderBy("product_id", "out_type",
+                    F.asc_nulls_first("trade_id"),
+                    F.asc_nulls_first("gap_first_id"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -38,6 +38,9 @@ TRADE_COLS = ["product_id", "server_ts", "exchange_ts", "sequence",
 GAP_COLS = ["product_id", "server_ts", "gap_first_id", "gap_last_id"]
 
 
+STALE_COLS = ["product_id", "server_ts"]
+
+
 def demux_outputs(out: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Split the kernel's tagged union into (books, trades, gaps)."""
     books = out.filter(F.col("out_type") == "book").select(*BOOK_COLS)
@@ -60,9 +63,12 @@ MAX_BACKFILL_RANGES_PER_BATCH = int(
 
 
 def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
-                      max_backfill_ranges: int = MAX_BACKFILL_RANGES_PER_BATCH):
+                      max_backfill_ranges: int = MAX_BACKFILL_RANGES_PER_BATCH,
+                      stale_sink: bool = False):
     """Build the foreachBatch callable (factored out so the overflow path
-    is testable without a live stream)."""
+    is testable without a live stream). ``stale_sink``: also demux
+    ``out_type="stale"`` alarm rows (the tws kernel's stale-book timer)
+    into their own parquet sink."""
 
     def write_idempotent(df: DataFrame, sub: str, batch_id: int) -> None:
         """Exactly-once append: each write lands in a `_batch=<id>`
@@ -95,6 +101,11 @@ def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
             # the FULL distributed gaps frame — including any ranges past
             # the in-batch repair cap — lands in the audit sink
             write_idempotent(gaps, "gaps", batch_id)
+        if stale_sink:
+            stale = (batch_df.filter(F.col("out_type") == "stale")
+                     .select(*STALE_COLS))
+            if not stale.isEmpty():
+                write_idempotent(stale, "stale", batch_id)
 
     return write_batch
 
@@ -106,11 +117,14 @@ def run_pipeline(
     fetcher: Fetcher | None = None,
     query_name: str = "exchange_pipeline",
     dedupe_horizon: str | None = None,
+    kernel: str = "classic",
+    stale_after_s: int | None = None,
 ):
     """Start the streaming query over an already-parsed FRAME_SCHEMA stream.
 
     Returns the StreamingQuery. Sinks are parquet directories under
-    ``sink_dir``: books/, trades/, gaps/.
+    ``sink_dir``: books/, trades/, gaps/ (+ stale/ with the tws kernel's
+    stale-book alarm armed).
 
     ``dedupe_horizon`` (e.g. ``"10 minutes"``): drop re-delivered frames by
     (product_id, seq) within an event-time watermark BEFORE the stateful
@@ -119,14 +133,26 @@ def run_pipeline(
     kernel would double-apply book deltas and re-emit trades.
     ``dropDuplicatesWithinWatermark`` keeps dedup state bounded by the
     horizon instead of growing with the stream (SURVEY §2.5 streaming row)
-    — Spark 4 supports chaining it ahead of applyInPandasWithState.
+    — Spark 4 supports chaining it ahead of the stateful kernel.
+
+    ``kernel``: ``"classic"`` = applyInPandasWithState (operators/book.py);
+    ``"tws"`` = the transformWithState port (operators/book_tws.py), same
+    T1–T5 outputs (hash-pinned by the judged sibling rows), plus the
+    stale-book alarm when ``stale_after_s`` is set (requires a watermark —
+    pass ``dedupe_horizon``).
     """
     if dedupe_horizon is not None:
         frames = (frames.withWatermark("server_ts", dedupe_horizon)
                   .dropDuplicatesWithinWatermark(["product_id", "seq"]))
-    out = apply_book_kernel(frames)
+    if kernel == "tws":
+        from fictional_guacamole_spark.operators.book_tws import (
+            apply_book_kernel_tws)
+        out = apply_book_kernel_tws(frames, stale_after_s=stale_after_s)
+    else:
+        out = apply_book_kernel(frames)
     return (out.writeStream
-            .foreachBatch(make_batch_writer(sink_dir, fetcher))
+            .foreachBatch(make_batch_writer(
+                sink_dir, fetcher, stale_sink=stale_after_s is not None))
             .outputMode("append")
             .option("checkpointLocation", checkpoint_dir)
             .queryName(query_name)

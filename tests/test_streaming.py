@@ -293,6 +293,114 @@ class TestStreamingEndToEnd:
         assert trades.count() == 2  # not doubled
 
 
+class TestTwsBookKernel:
+    """The transformWithState port of the flagship kernel
+    (operators/book_tws.py): cross-API output equality, the stale-book
+    alarm timer, and batch→stream initial-state bootstrap."""
+
+    def _drain(self, spark, frames, sink, ckpt, **kw):
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            _rocksdb_state_store)
+        with _rocksdb_state_store(spark):
+            q = run_pipeline(frames, sink, ckpt, **kw)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+    def test_tws_outputs_equal_classic(self, spark, gdax_capture, tmp_path):
+        outs = {}
+        for kernel in ("classic", "tws"):
+            frames = ensure_frame_schema(
+                parse_gdax_frames(read_frames_stream(spark, gdax_capture,
+                                                     frames_per_batch=3)))
+            sink = str(tmp_path / f"sink_{kernel}")
+            self._drain(spark, frames, sink, str(tmp_path / f"ck_{kernel}"),
+                        kernel=kernel, query_name=f"tws_eq_{kernel}")
+            outs[kernel] = {
+                sub: sorted(
+                    tuple(r) for r in spark.read.parquet(f"{sink}/{sub}")
+                    .drop("_batch").collect())
+                for sub in ("books", "trades", "gaps")}
+        assert outs["classic"] == outs["tws"]
+
+    def test_stale_book_alarm_fires_on_idle_product(self, spark, tmp_path):
+        """Event-time staleness: product A's last frame is >1h before the
+        final watermark → one stale alarm at last_frame + T; product B's
+        last frame IS the watermark → no alarm (its re-armed timer sits
+        past the final watermark forever)."""
+        base = "2024-01-05T10:00:00.000000Z"
+        frames = [
+            json.dumps({"type": "snapshot", "product_id": "A",
+                        "bids": [["100", "1"]], "asks": [["101", "1"]],
+                        "time": base}),
+            json.dumps({"type": "snapshot", "product_id": "B",
+                        "bids": [["200", "1"]], "asks": [["201", "1"]],
+                        "time": base}),
+            json.dumps({"type": "l2update", "product_id": "A",
+                        "changes": [["buy", "100", "2"]],
+                        "time": "2024-01-05T10:00:10.000000Z"}),
+            json.dumps({"type": "l2update", "product_id": "B",
+                        "changes": [["buy", "200", "2"]],
+                        "time": "2024-01-05T12:00:10.000000Z"}),
+        ]
+        cap = write_capture(str(tmp_path / "stale.jsonl"), frames)
+        parsed = ensure_frame_schema(
+            parse_gdax_frames(read_frames_stream(spark, cap,
+                                                 frames_per_batch=2)))
+        sink = str(tmp_path / "stale_sink")
+        self._drain(spark, parsed, sink, str(tmp_path / "stale_ckpt"),
+                    kernel="tws", stale_after_s=3600,
+                    dedupe_horizon="0 seconds", query_name="tws_stale")
+        stale = spark.read.parquet(f"{sink}/stale").collect()
+        assert [(r["product_id"], str(r["server_ts"])) for r in stale] == [
+            ("A", "2024-01-05 11:00:10")]
+        # the alarm never perturbs the judged sinks
+        assert spark.read.parquet(f"{sink}/books").count() == 4
+
+    def test_initial_state_bootstraps_book(self, spark, tmp_path):
+        """Batch→stream migration: the book seeds from a batch-computed
+        STATE_SCHEMA snapshot; a streamed delta lands on the SEEDED book
+        (no snapshot frame ever streams)."""
+        from fictional_guacamole_spark.operators.book import OrderBook
+        from fictional_guacamole_spark.operators.book_tws import (
+            apply_book_kernel_tws)
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            _rocksdb_state_store)
+
+        seeded = OrderBook()
+        seeded.install_snapshot([["100", "1"], ["99", "5"]],
+                                [["101", "2"]])
+        b, a, le, mt = seeded.to_state()
+        init = spark.createDataFrame(
+            [("ETH-USD", b, a, le, mt)],
+            "product_id string, bids_json string, asks_json string, "
+            "last_emitted_json string, max_trade_id long")
+        frames = [json.dumps({"type": "l2update", "product_id": "ETH-USD",
+                              "changes": [["buy", "100", "3"]],
+                              "time": "2024-01-05T10:00:01.000000Z"})]
+        cap = write_capture(str(tmp_path / "init.jsonl"), frames)
+        parsed = ensure_frame_schema(
+            parse_gdax_frames(read_frames_stream(spark, cap,
+                                                 frames_per_batch=1)))
+        out = apply_book_kernel_tws(parsed, initial_state=init)
+        sink = str(tmp_path / "init_sink")
+        with _rocksdb_state_store(spark):
+            q = (out.writeStream.format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", str(tmp_path / "init_ckpt"))
+                 .outputMode("append").queryName("tws_init").start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        books = (spark.read.parquet(sink)
+                 .filter(F.col("out_type") == "book").collect())
+        assert len(books) == 1
+        assert books[0]["bids"] == ["3@100", "5@99"]   # seeded + delta
+        assert books[0]["asks"] == ["2@101"]           # seeded only
+
+
 class TestStateTtl:
     def test_ttl_stream_produces_same_active_output(self, spark,
                                                     gdax_capture, tmp_path):
