@@ -352,6 +352,53 @@ def _time_clustered_events_copy(spark: SparkSession, sf_dir: str,
     return base
 
 
+def _ntile_bucketed_events_copy(spark: SparkSession, sf_dir: str,
+                                n_buckets: int = 4) -> str:
+    """A copy of ``events`` reduced to (user_id, bucket, event_id) with
+    ``bucket = NTILE(n) OVER (ORDER BY ts, event_id)`` and exactly ONE
+    parquet file per bucket, mtime-ascending in bucket order — so a
+    maxFilesPerTrigger=1 replay makes micro-batch i ≡ bucket i, a batch
+    boundary both Spark and the DuckDB oracle can name in closed form
+    (``_time_clustered_events_copy``'s range split is sampling-derived
+    and deliberately NOT oracle-addressable). The single-partition NTILE
+    window is fixture construction, not a judged plan shape. Cached per
+    (sf_dir, mtime) under an atomic rename like its range sibling."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(
+        f"ntilesrc1:{n_buckets}:{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_ntile_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{os.getpid()}"
+        os.makedirs(build, exist_ok=True)
+        frame = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id",
+            F.ntile(n_buckets).over(
+                W.orderBy("ts", "event_id")).alias("bucket"))
+        t0 = time.time() - n_buckets
+        for b in range(1, n_buckets + 1):
+            part_dir = os.path.join(build, f"_b{b}")
+            (frame.filter(F.col("bucket") == b).coalesce(1)
+             .write.mode("overwrite").parquet(part_dir))
+            part = next(f for f in os.listdir(part_dir)
+                        if f.endswith(".parquet"))
+            dst = os.path.join(build, f"part-{b:05d}.parquet")
+            os.rename(os.path.join(part_dir, part), dst)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            os.utime(dst, (t0 + b, t0 + b))
+        try:
+            os.rename(build, base)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    return base
+
+
 _EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp, user_id long, "
                          "event_type string, value double, props string")
 
@@ -2336,6 +2383,115 @@ def stream_engine_book_kernel_tws(spark: SparkSession,
            .orderBy("product_id", "out_type",
                     F.asc_nulls_first("trade_id"),
                     F.asc_nulls_first("gap_first_id"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "stream_engine_tws_ttl_counter",
+    survey_ref="§2.5 streaming: state TTL on the arbitrary-state API "
+               "(transformWithState TTLConfig) — per-key state expires "
+               "between paced micro-batches and the key is reborn, while "
+               "an un-TTL'd sibling state persists, both judged",
+    description="Per-user counters through the engine with "
+                "getValueState(ttlDurationMs=...): the TTL counter resets "
+                "every micro-batch (expiry is load-bearing — without it "
+                "the column would accumulate), the no-TTL counter "
+                "accumulates (persistence is load-bearing); batch "
+                "boundaries are explicit NTILE buckets the oracle names",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id,
+             NTILE(4) OVER (ORDER BY ts, event_id) AS bucket
+      FROM events),
+    a AS (
+      SELECT user_id, bucket, COUNT(*) AS n_batch
+      FROM b GROUP BY 1, 2)
+    SELECT user_id, CAST(bucket AS INTEGER) AS bucket, n_batch,
+           CAST(SUM(n_batch) OVER (PARTITION BY user_id ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_total
+    FROM a ORDER BY user_id, bucket
+    """,
+)
+def stream_engine_tws_ttl_counter(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """State TTL judged end-to-end (r12 verdict task #4). The processor
+    (operators/ttl_counter.py) keeps two per-user counters; the one
+    behind ``ttlDurationMs=10`` must read as ABSENT every micro-batch
+    (the foreachBatch sink sleeps 200 ms per commit, so consecutive
+    batch timestamps always sit far past the TTL), the one without a
+    TTL must survive the whole drain. The fixture gives every
+    micro-batch a name the oracle can reproduce: one parquet file per
+    NTILE(4) bucket of (ts, event_id), replayed one file per trigger —
+    so the drained frame is exactly {user × bucket → (count in bucket,
+    running count ≤ bucket)}. TTL expiry and state persistence are each
+    load-bearing: a TTL that failed to expire inflates ``n_batch``; a
+    persistence break deflates ``n_total``. At 100 TB this is the state
+    bound for key-churn workloads — idle keys cost nothing after the
+    TTL, with no watermark or timer bookkeeping."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.operators.ttl_counter import (
+        TTL_COUNTER_INPUT, apply_ttl_counter)
+
+    base = _ntile_bucketed_events_copy(spark, sf_dir, n_buckets=4)
+
+    root = tempfile.mkdtemp(prefix="fg_ttl_")
+    outdir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_ttl_counter_{uuid.uuid4().hex[:12]}"
+
+    ttl_ms = 10
+    pace_s = 0.2  # >> ttl: the next batch's timestamp clears every TTL
+
+    n_files = 4
+    landed = {"n": 0}
+
+    def land(batch_df, batch_id):
+        if batch_df.isEmpty():   # processing-time no-data housekeeping
+            return               # batches carry nothing to land
+        batch_df.write.mode("append").parquet(outdir)
+        landed["n"] += 1
+        time.sleep(pace_s)
+
+    def start_query():
+        stream = (spark.readStream.schema(TTL_COUNTER_INPUT)
+                  .option("maxFilesPerTrigger", "1").parquet(base))
+        counted = apply_ttl_counter(stream, ttl_ms=ttl_ms)
+        return (counted.writeStream
+                .foreachBatch(land)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .queryName(qname)
+                .start())
+
+    with _stream_state_partitions(spark), _rocksdb_state_store(spark):
+        q = start_query()
+        try:
+            # a processing-time-mode stateful query NEVER quiesces: the
+            # engine schedules no-data batches indefinitely for TTL
+            # housekeeping, so processAllAvailable()/availableNow would
+            # wait forever (observed: 400+ empty commits). The drain is
+            # done when all n_files one-file data batches have landed.
+            deadline = time.time() + 300
+            while landed["n"] < n_files and time.time() < deadline:
+                time.sleep(0.1)
+            if landed["n"] < n_files:
+                raise RuntimeError(
+                    f"ttl drain landed {landed['n']}/{n_files} batches "
+                    "within 300s")
+        finally:
+            q.stop()
+
+    out = (spark.read.parquet(outdir)
+           .select("user_id", "bucket", "n_batch", "n_total")
+           .orderBy("user_id", "bucket")
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out

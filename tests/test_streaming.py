@@ -428,6 +428,65 @@ class TestStateTtl:
         assert rows.filter(F.col("out_type") == "trade").count() == 2
         assert rows.filter(F.col("out_type") == "gap").count() == 1
 
+    def test_tws_value_state_ttl_expires_between_batches(self, spark,
+                                                         tmp_path):
+        """transformWithState TTLConfig: a ValueState behind a 10ms TTL
+        reads as ABSENT in the next paced micro-batch (the key is reborn)
+        while its no-TTL sibling persists — per-batch vs cumulative
+        counts diverge from batch 2 on."""
+        import time
+
+        from fictional_guacamole_spark.operators.ttl_counter import (
+            TTL_COUNTER_INPUT, apply_ttl_counter)
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            _rocksdb_state_store)
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows1 = [(7, 1, i) for i in range(3)]       # batch 1: 3 events
+        rows2 = [(7, 2, i) for i in range(3, 5)]    # batch 2: 2 events
+        for b, rows in ((1, rows1), (2, rows2)):
+            spark.createDataFrame(rows, TTL_COUNTER_INPUT).coalesce(1) \
+                .write.parquet(str(src / f"b{b}"))
+        files = sorted(str(p) for b in (1, 2)
+                       for p in (src / f"b{b}").glob("*.parquet"))
+        base = tmp_path / "stream"
+        base.mkdir()
+        for i, f in enumerate(files):
+            dst = base / f"part-{i:05d}.parquet"
+            dst.write_bytes(open(f, "rb").read())
+            import os
+            os.utime(dst, (1000 + i, 1000 + i))
+
+        landed = {"n": 0}
+        outdir = str(tmp_path / "out")
+
+        def land(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            batch_df.write.mode("append").parquet(outdir)
+            landed["n"] += 1
+            time.sleep(0.2)   # >> ttl: next batch timestamp clears it
+
+        stream = (spark.readStream.schema(TTL_COUNTER_INPUT)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(base)))
+        with _rocksdb_state_store(spark):
+            q = (apply_ttl_counter(stream, ttl_ms=10).writeStream
+                 .foreachBatch(land).outputMode("append")
+                 .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+                 .queryName("tws_ttl").start())
+            try:
+                deadline = time.time() + 120
+                while landed["n"] < 2 and time.time() < deadline:
+                    time.sleep(0.1)
+            finally:
+                q.stop()
+        got = {r["bucket"]: (r["n_batch"], r["n_total"])
+               for r in spark.read.parquet(outdir).collect()}
+        # TTL state reborn in batch 2 (3→2, not 3→5); no-TTL accumulates
+        assert got == {1: (3, 3), 2: (2, 5)}
+
 
 class TestMetricsListener:
     def test_progress_metrics_recorded(self, spark, gdax_capture, tmp_path):
