@@ -661,3 +661,151 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                        value_cols=["last_purchase_value", "last_purchase_event_id"],
                        strict=True)
     return joined.orderBy("user_id", "event_id")
+
+
+@query(
+    "compat_book_trades_shape",
+    survey_ref="K3/K4 reference-schema parity: book_compat_view + "
+               "trades_compat_view (gdax_schema.sql:8-53's 34-col / 9-col "
+               "all-TEXT shapes) judged byte-exact against a DuckDB oracle",
+    description="Synthesized snapshot+match frames run through the REAL "
+                "book kernel, then the reference-schema compat views; "
+                "every formatted TEXT row (volume@price packing, 'None' "
+                "sequence, 'True'/'False' booleans, "
+                "%Y-%m-%dT%H:%M:%S.%f timestamps) is packed into one "
+                "pipe-joined line so any byte deviation breaks the hash",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    lv AS (SELECT user_id, i
+           FROM u, UNNEST(generate_series(1, 15)) AS t(i)),
+    entries AS (
+      SELECT user_id, i,
+             CAST((user_id + i) % 9 + 1 AS VARCHAR) || '@'
+               || CAST(user_id * 1000 + 500 - i AS VARCHAR) AS bid_e,
+             CAST((user_id + i) % 9 + 1 AS VARCHAR) || '@'
+               || CAST(user_id * 1000 + 500 + i AS VARCHAR) AS ask_e
+      FROM lv),
+    booklines AS (
+      SELECT 'book' AS kind,
+             '2024-01-01T00:00:00.000000' || '|'
+               || CAST(user_id AS VARCHAR) || '|'
+               || STRING_AGG(bid_e, '|' ORDER BY i) || '|'
+               || STRING_AGG(ask_e, '|' ORDER BY i) AS line
+      FROM entries GROUP BY user_id),
+    tr AS (SELECT user_id, event_id, value
+           FROM events WHERE event_type = 'purchase'),
+    tradelines AS (
+      SELECT 'trade' AS kind,
+             strftime(make_timestamp((1704067200 + event_id) * 1000000),
+                      '%Y-%m-%dT%H:%M:%S.%f') || '|'
+               || strftime(make_timestamp(
+                    (1704067200 + event_id) * 1000000 + 250000),
+                    '%Y-%m-%dT%H:%M:%S.%f') || '|'
+               || CASE WHEN event_id % 7 = 0 THEN 'None'
+                       ELSE CAST(event_id AS VARCHAR) END || '|'
+               || CAST(event_id AS VARCHAR) || '|'
+               || CAST(user_id AS VARCHAR) || '|'
+               || CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)
+               || '|' || CAST(event_id % 5 + 1 AS VARCHAR) || '|'
+               || CASE WHEN event_id % 2 = 1 THEN 'buy' ELSE 'sell' END
+               || '|' || 'False' AS line
+      FROM tr)
+    SELECT kind, line FROM booklines
+    UNION ALL SELECT kind, line FROM tradelines
+    ORDER BY kind, line
+    """,
+)
+def compat_book_trades_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last reference-parity artifact with only local evidence (r12
+    verdict task #5): the compat views' byte-exact TEXT formatting —
+    ``"{volume}@{price}"`` level packing (real_guac.py:73-74), ``'None'``
+    for a backfilled/absent sequence (redis_worker.py:67),
+    ``'True'/'False'`` booleans (real_guac.py:101,129), naive
+    ``%Y-%m-%dT%H:%M:%S.%f`` timestamps — judged against a DuckDB oracle
+    that rebuilds every byte independently.
+
+    The judged path is the REAL production chain, not a formatting
+    shortcut: synthesized frames (one 20-level snapshot per product with
+    integer-arithmetic level sizes/prices, one 'match' per purchase
+    event with string price/volume/side and a +250ms exchange_ts) run
+    through the stateful book kernel (operators/book.py — snapshot
+    install, top-15 truncation, trade passthrough), are demuxed by the
+    production splitter, formatted by ``book_compat_view`` /
+    ``trades_compat_view`` (streaming/pipeline.py — the reference's
+    gdax_schema.sql:8-53 shapes), and each TEXT row is pipe-joined into
+    one line so the value hash covers all 34 + 9 columns byte-for-byte.
+    The 20→15 truncation makes the kernel's depth cut load-bearing; a
+    sequence is withheld on every 7th trade to exercise the 'None' arm.
+    """
+    from fictional_guacamole_spark.streaming.pipeline import (
+        book_compat_view, demux_outputs, trades_compat_view)
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit(1704067200).cast("long")
+    uid = F.col("user_id")
+
+    def null_as(ddl: str, name: str):
+        # fresh literal per call site: sharing one aliased Column object
+        # between the two union branches trips the resolver the same way
+        # the captured-lambda column did (key not found: user_id#N)
+        return F.lit(None).cast(ddl).alias(name)
+
+    def levels(sign: int):
+        # exchange snapshot rows are [price, size]; 20 levels so the
+        # kernel's top-15 cut is exercised, sizes/prices pure integer
+        # functions of (user, level) both engines can rebuild. Static
+        # expressions, deliberately no transform() lambda: a lambda
+        # capturing the outer user_id column (python Column or SQL expr
+        # alike) loses its outer reference when the full projection is
+        # materialized (runtime "key not found: user_id#N"; count()
+        # alone, which prunes the arrays, succeeds).
+        return F.array(*[
+            F.array((uid * 1000 + 500 + sign * i).cast("string"),
+                    ((uid + i) % 9 + 1).cast("string"))
+            for i in range(1, 21)])
+
+    snaps = ev.select("user_id").distinct().select(
+        F.lit(-1).alias("seq"),   # sorts before every trade's event_id
+        F.timestamp_seconds(epoch).alias("server_ts"),
+        uid.cast("string").alias("product_id"),
+        F.lit("snapshot").alias("msg_type"),
+        levels(-1).alias("bids"), levels(+1).alias("asks"),
+        null_as("array<array<string>>", "changes"),
+        F.lit(None).cast("long").alias("trade_id"),
+        F.lit(None).cast("long").alias("sequence"),
+        F.lit(None).cast("string").alias("price"),
+        F.lit(None).cast("string").alias("volume"),
+        F.lit(None).cast("string").alias("side"),
+        null_as("timestamp", "exchange_ts"),
+    )
+    eid = F.col("event_id")
+    matches = ev.filter(F.col("event_type") == "purchase").select(
+        eid.alias("seq"),
+        F.timestamp_seconds(epoch + eid).alias("server_ts"),
+        uid.cast("string").alias("product_id"),
+        F.lit("match").alias("msg_type"),
+        F.lit(None).cast("array<array<string>>").alias("bids"),
+        F.lit(None).cast("array<array<string>>").alias("asks"),
+        null_as("array<array<string>>", "changes"),
+        eid.alias("trade_id"),
+        F.when(eid % 7 != 0, eid).cast("long").alias("sequence"),
+        F.floor(F.col("value") * 100).cast("long").cast("string")
+         .alias("price"),
+        (eid % 5 + 1).cast("string").alias("volume"),
+        F.when(eid % 2 == 1, "buy").otherwise("sell").alias("side"),
+        (F.timestamp_seconds(epoch + eid)
+         + F.expr("INTERVAL 250 MILLISECOND")).alias("exchange_ts"),
+    )
+
+    out = apply_book_kernel(ensure_frame_schema(
+        snaps.unionByName(matches)))
+    books, trades, _gaps = demux_outputs(out)
+
+    def packed(view: DataFrame, kind: str) -> DataFrame:
+        line = F.concat_ws(
+            "|", *[F.coalesce(F.col(c), F.lit("")) for c in view.columns])
+        return view.select(F.lit(kind).alias("kind"), line.alias("line"))
+
+    return (packed(book_compat_view(books), "book")
+            .unionByName(packed(trades_compat_view(trades), "trade"))
+            .orderBy("kind", "line"))
