@@ -2495,3 +2495,164 @@ def stream_engine_tws_ttl_counter(spark: SparkSession,
            .localCheckpoint(eager=True))
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_engine_polo_dialect",
+    survey_ref="S2/P1-P7 + §2.5 streaming: the Poloniex positional-array "
+               "dialect parsed end-to-end THROUGH the engine — channel-map "
+               "resolution, 'i' snapshot install, 'o' deltas, multi-message "
+               "P3 flatten, 't' value decoding — into the stateful kernel, "
+               "killed mid-drain and resumed",
+    description="Synthesized Poloniex wire frames ([channel, seq, "
+                "[messages...]] with price-map snapshots and positional "
+                "trades) replayed as a streaming text column through "
+                "parse_polo_frames and the production pipeline; the "
+                "drained trade sink pins every decoded field (trade_id, "
+                "sequence, price, volume, side) plus T5 gaps",
+    oracle="""
+    WITH p AS (
+      SELECT user_id % 64 AS prod, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id % 64
+                                 ORDER BY event_id) AS prev_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT 'trade' AS out_type, CAST(prod AS VARCHAR) AS product_id,
+           event_id AS trade_id, event_id AS sequence,
+           CAST((event_id * 7) % 1000 AS VARCHAR) AS price,
+           CAST(event_id % 5 + 1 AS VARCHAR) AS volume,
+           CASE WHEN event_id % 2 = 1 THEN 'buy' ELSE 'sell' END AS side,
+           CAST(NULL AS BIGINT) AS gap_first_id,
+           CAST(NULL AS BIGINT) AS gap_last_id
+    FROM p
+    UNION ALL
+    SELECT 'gap', CAST(prod AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           prev_id + 1, event_id - 1
+    FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+    ORDER BY product_id, out_type, trade_id NULLS FIRST,
+             gap_first_id NULLS FIRST
+    """,
+)
+def stream_engine_polo_dialect(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The Poloniex parser judged through the engine (r12 verdict task
+    #7 — until now the polo dialect was parse-tested only; every
+    engine-judged streaming row replayed GDAX-shaped frames). The
+    fixture is the RAW WIRE SHAPE (polo_ws.py:143-165): one
+    ``[channel_id, proto_seq, [messages...]]`` JSON text per frame,
+    where purchases become positional ``'t'`` trades (trade_id, side
+    code, price, size, epoch seconds — every value re-derived by the
+    oracle), each product's first frame is an ``'i'`` snapshot carrying
+    the price→size map orderBook (asks-first), and every 5th trade
+    frame ALSO carries an ``'o'`` delta in front of its trade — the
+    multi-message P3 flatten exercised where it matters, inside one
+    micro-batch of the real pipeline. Products are user_id % 64, so the
+    subscriber's literal channel map stays bounded at any SF (the
+    reference's map is per subscribed pair, polo_ws.py:121-128, not per
+    user). The pipeline is run_pipeline unchanged — posexplode flatten →
+    channel-map resolve → stateful kernel → idempotent sinks — with the
+    standard mid-drain kill+resume; the drained trades pin the polo
+    VALUE DECODING (side code 1=buy/0=sell, string price/volume,
+    epoch-seconds exchange_ts feeding server_ts) field by field."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fictional_guacamole_spark.streaming.frames import (
+        ensure_frame_schema, parse_polo_frames)
+    from fictional_guacamole_spark.streaming.pipeline import run_pipeline
+
+    def to_polo_frames(ev: DataFrame) -> DataFrame:
+        eid = F.col("event_id")
+        prod = F.col("user_id") % 64
+        pur = ev.filter(F.col("event_type") == "purchase")
+        t_msg = F.concat(
+            F.lit('["t","'), eid.cast("string"), F.lit('",'),
+            (eid % 2).cast("string"), F.lit(',"'),
+            ((eid * 7) % 1000).cast("string"), F.lit('","'),
+            (eid % 5 + 1).cast("string"), F.lit('",'),
+            (F.lit(1704067200).cast("long") + eid).cast("string"),
+            F.lit("]"))
+        o_msg = F.concat(
+            F.lit('["o",'), (eid % 2).cast("string"), F.lit(',"'),
+            ((eid * 3) % 1000).cast("string"), F.lit('","'),
+            (eid % 7 + 1).cast("string"), F.lit('"]'))
+        msgs = F.when(eid % 5 == 0,
+                      F.concat(o_msg, F.lit(","), t_msg)).otherwise(t_msg)
+        trades = pur.select(
+            eid.alias("seq"),
+            F.concat(F.lit("["), (prod + 1000).cast("string"), F.lit(","),
+                     eid.cast("string"), F.lit(",["), msgs,
+                     F.lit("]]")).alias("value"))
+        pcol = F.col("prod")
+        snaps = (pur.select(prod.alias("prod")).distinct().select(
+            (pcol - 64).cast("long").alias("seq"),   # before every trade
+            F.concat(
+                F.lit("["), (pcol + 1000).cast("string"),
+                F.lit(',1,[["i",{"currencyPair":"'), pcol.cast("string"),
+                F.lit('","orderBook":[{"'), (pcol + 901).cast("string"),
+                F.lit('":"2"},{"'), (pcol + 899).cast("string"),
+                F.lit('":"3"}]}]]]')).alias("value")))
+        return snaps.unionByName(trades)
+
+    base = _time_clustered_events_copy(
+        spark, sf_dir, transform=to_polo_frames, salt="poloframes1",
+        cluster_col="seq")
+
+    root = tempfile.mkdtemp(prefix="fg_polo_")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    qname = f"fg_polo_{uuid.uuid4().hex[:12]}"
+    channel_map = {str(1000 + c): str(c) for c in range(64)}
+
+    def start_query():
+        raw = (spark.readStream.schema("seq long, value string")
+               .option("maxFilesPerTrigger", "1").parquet(base))
+        frames = ensure_frame_schema(
+            parse_polo_frames(raw, channel_map=channel_map))
+        return run_pipeline(frames, sink, ckpt, query_name=qname)
+
+    with _stream_state_partitions(spark):
+        q1 = start_query()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if q1.lastProgress is not None:
+                    break
+                time.sleep(0.05)
+        finally:
+            q1.stop()
+        q2 = start_query()  # same checkpoint: resume, don't restart
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+
+    null_l = F.lit(None).cast("long")
+    null_s = F.lit(None).cast("string")
+    trades = (spark.read.parquet(os.path.join(sink, "trades"))
+              .select(F.lit("trade").alias("out_type"),
+                      F.col("product_id").cast("string").alias("product_id"),
+                      F.col("trade_id").cast("long").alias("trade_id"),
+                      F.col("sequence").cast("long").alias("sequence"),
+                      "price", "volume", "side",
+                      null_l.alias("gap_first_id"),
+                      null_l.alias("gap_last_id")))
+    gaps = (spark.read.parquet(os.path.join(sink, "gaps"))
+            .select(F.lit("gap").alias("out_type"),
+                    F.col("product_id").cast("string").alias("product_id"),
+                    null_l.alias("trade_id"), null_l.alias("sequence"),
+                    null_s.alias("price"), null_s.alias("volume"),
+                    null_s.alias("side"),
+                    F.col("gap_first_id").cast("long").alias("gap_first_id"),
+                    F.col("gap_last_id").cast("long").alias("gap_last_id")))
+    out = (trades.unionByName(gaps)
+           .orderBy("product_id", "out_type",
+                    F.asc_nulls_first("trade_id"),
+                    F.asc_nulls_first("gap_first_id"))
+           .localCheckpoint(eager=True))
+    shutil.rmtree(root, ignore_errors=True)
+    return out
