@@ -351,13 +351,66 @@ JUDGE_WINDOW: list[str] = [
     # registration — the two tws rows are pinned equal to each other and
     # to the batch gaps-and-islands computation by tests, and the
     # evolved Avro row shares its fixture bytes with the in-window
-    # nested row. r13 rotation continues the schedule.
+    # nested row.
+    # -- r13 rotation (r12 verdict task #1): THIRTEEN family-map
+    # takeovers — 9 of the 13-row mirror-green residue plus the 4 new
+    # r13 rows come in; every displaced row is green in CORRECTNESS_r12
+    # and its families keep an in-window representative, several via
+    # explicit family-map edits in tests/test_registry_order.py (the
+    # takeover pattern the r12 verdict names). IN↔OUT, with the carried
+    # family: stream_engine_book_kernel_tws ← stream_engine_book_kernel
+    # (same fixture AND same oracle, so r12-green classic + r13-green
+    # tws = the hash-equality proof; tws also takes crash_recovery and,
+    # via its stale-book timer, arbitrary_state_timers);
+    # avro_evolved_read_order_stats ← avro_nested_roundtrip_order_stats
+    # (same fixture bytes, schema-resolution superset);
+    # avro_snappy_roundtrip_part_stats ← csv_roundtrip_clerk_stats
+    # (container roundtrip; the TEXT interchange family moves to the new
+    # compat row); compat_book_trades_shape ← the K4 text-shape slot
+    # (byte-exact reference TEXT formatting, a superset of the CSV
+    # export's content contract); stream_engine_tws_session_timeout +
+    # stream_engine_tws_initial_state ← stream_engine_gap_alarm_timer +
+    # stream_engine_full_outer_join (timers stay double-covered by the
+    # session row + the tws kernel's stale timer; stream-stream joins
+    # keep stream_engine_join_then_agg, whose plan embeds one);
+    # stream_engine_backfill_repair ← stream_engine_change_feed... no —
+    # change_feed_apply STAYS (sole streamed-change-feed rep);
+    # backfill_repair takes the slot of sqlite_roundtrip_user_stats,
+    # whose SQLite READ machinery stays judged inside
+    # federated_tri_source_user_summary's plan (the write path keeps
+    # its r12-green union row + local tests);
+    # python_datasource_tar_stats ← stream_engine_pyds_tar_sink (the
+    # pyds family's judged rep flips from the sink to the batch read;
+    # the sink stays r12-green and the quartet stays test-pinned equal);
+    # multimodal_tiff_decode ← multimodal_jpeg420_decode (real-codec
+    # family; 4:2:0 JPEG stays r12-green, its machinery a superset-
+    # tested sibling of the in-window TIFF row's decode surface);
+    # dedup_recall_audit_sampled ← dedup_exact_substring (the audit
+    # family's registered protocol; ExactSubstr stays judged inside
+    # pipeline_curation_corpus_v2's removal stage);
+    # pipeline_unimax_mix ← pipeline_temperature_mix (the closed-form
+    # mixing-quota family, water-filling ← temperature quotas);
+    # stream_engine_tws_ttl_counter ← pipeline_decontaminate_semantic
+    # (decon stays judged inside v2's decon stage);
+    # stream_engine_polo_dialect ← set_intersect_repeat_customers
+    # (set ops keep the judged KMV set-ops row);
+    # + agg_approx_percentile yields to the flagship q1 (itself the
+    # aggregations rep; sketches keep kmv_set_ops in-window).
+    # Residue after this rotation: FOUR mirror-green rows
+    # (dedup_recall_audit — the explicitly-diagnostic exhaustive form
+    # whose registered protocol is the in-window sampled row;
+    # tar_shard_roundtrip_doc_stats + python_datasource_tar_write_stats
+    # + stream_engine_pyds_tar_source — each test-pinned EQUAL to the
+    # r12-judged sink row and to the in-window batch-read row).
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
-    "stream_engine_book_kernel",   # T1-T5 kernel THROUGH the engine:
-                                   # dedupe → applyInPandasWithState →
-                                   # idempotent sinks, killed + resumed
-    "agg_approx_percentile",       # KLL-style sketch, error-bounded
-    "set_intersect_repeat_customers",   # INTERSECT
+    "stream_engine_book_kernel_tws",  # the flagship kernel on
+                                      # transformWithState: ValueState book
+                                      # + stale-book TIMER + kill/resume,
+                                      # hash-EQUAL oracle to the classic row
+    "stream_engine_tws_ttl_counter",  # state TTL judged: expiring counter
+                                      # vs persistent sibling, per-batch
+                                      # buckets the oracle can name
+    "compat_book_trades_shape",    # reference-schema TEXT shapes byte-exact
     "unpivot_lineitem_measures",   # unpivot/melt, wide→long reshape
     "scalar_variant_funcs",        # semi-structured Variant funcs
     # -- r11 second-wave rotation: the three highest-novelty new rows, in
@@ -374,18 +427,19 @@ JUDGE_WINDOW: list[str] = [
     # are r12 fodder by the standing protocol: each mirror-green on
     # registration with the driver's exact comparator AND value-hash
     # green at the sf1 sweep (SCALE.md).
-    "dedup_exact_substring",       # ExactSubstr summary row (span stage
-                                   # shared with the green apply row)
+    "dedup_recall_audit_sampled",  # the REGISTERED LSH recall/precision
+                                   # audit protocol, flat-cost at any SF
     "pipeline_cluster_balanced_sample",  # cluster-balanced D4-style
                                          # diversification over k-means
-    "pipeline_decontaminate_semantic",  # third decon mode: embedding-
-                                        # space leakage vs broadcast
-                                        # eval probes, integer cosine
+    "pipeline_unimax_mix",         # UniMax closed-form water-filling mix
     "text_lm_familiarity",         # bigram-LM quality signal
     "pipeline_chunk_overlap",      # overlapping context-window chunking
     "pipeline_rag_retrieval",      # chunk→embed→rank capstone
-    "sqlite_roundtrip_user_stats",  # K1 write→replay→read via SQLite
-    "csv_roundtrip_clerk_stats",   # CSV interchange round-trip (K4)
+    "stream_engine_backfill_repair",  # T6 THROUGH the engine: executor-
+                                      # mapped REST repair, exactly-once
+                                      # landing, killed + resumed
+    "stream_engine_polo_dialect",  # Poloniex positional dialect parsed
+                                   # end-to-end through the engine
     "mv_incremental_order_stats",  # delta-IVM over the commit log
     "scd2_order_status_history",   # SCD2 from the change feed
     "federated_tri_source_user_summary",  # 3 storage engines, 1 plan
@@ -406,23 +460,20 @@ JUDGE_WINDOW: list[str] = [
     "ts_anomaly_zscore",           # rolling z-score anomaly flags
     # -- r8 rotation: the 5 never-driver-judged late-r7 registrations -----
     "sim_ivf_pq_persisted_topk",   # composed IVFx,PQy as table layout
-    "avro_nested_roundtrip_order_stats",  # NESTED Avro: records/arrays/
-                                          # maps + decimal/ts-micros/date
-    # -- NEW in round 8 ---------------------------------------------------
-    "stream_engine_gap_alarm_timer",  # transformWithState EVENT-TIME
-                                      # TIMERS: gap-unrepaired alarms,
-                                      # killed + resumed mid-drain
+    "avro_evolved_read_order_stats",  # Avro schema RESOLUTION: evolved
+                                      # read over the nested fixture bytes
+    "avro_snappy_roundtrip_part_stats",  # from-the-spec snappy codec
+                                         # inside the Avro container
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
-    "stream_engine_pyds_tar_sink",  # custom Python stream source →
-                                    # engine → custom stream sink,
-                                    # per-epoch two-phase commit
+    "python_datasource_tar_stats",  # Python DataSource batch read over
+                                    # tar shards (pyds family judged rep)
     "sketch_kmv_set_ops_events",   # KMV closure: union/inter/Jaccard
-    "stream_engine_full_outer_join",  # engine FULL OUTER stream-stream
-                                      # join, two-sided null emission
+    "stream_engine_tws_session_timeout",  # tws sessionization: ListState
+                                          # + timers + deleteTimer hygiene
     "sim_recall_audit",            # EXACT recall@10 of persisted IVF +
                                    # IVF-PQ vs the exact baseline
-    "multimodal_jpeg420_decode",   # 4:2:0 chroma-subsampled MCU decode
+    "multimodal_tiff_decode",      # TIFF baseline decode (strips, tags)
     # -- r10 rotation: the last never-judged oracled row + the five new
     # r10 registrations. (out, all green in CORRECTNESS_r08 with family
     # coverage kept: text_bm25_search — lexical retrieval keeps
@@ -436,7 +487,8 @@ JUDGE_WINDOW: list[str] = [
     # artifact exists in-tree, so their driver certification is
     # unconfirmed — rotating them out could leave them unjudged.)
     "pipeline_leakage_safe_split",  # cluster-atomic train/val/test split
-    "pipeline_temperature_mix",    # α=0.5 mix, largest-remainder quotas
+    "stream_engine_tws_initial_state",  # handleInitialState batch→stream
+                                        # migration bootstrap
     "dedup_incremental_minhash",   # batch-vs-band-store near-dup ingest
     "stream_engine_chained_agg",   # two chained stateful window aggs in
                                    # one engine query (window_time path)

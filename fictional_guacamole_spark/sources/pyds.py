@@ -145,50 +145,43 @@ class TarShardStreamReader(DataSourceStreamReader):
             raise FileNotFoundError(f"no *.tar shards under {self.base}")
 
     def initialOffset(self) -> dict:
-        # only called on a FRESH start (no checkpoint); its absence before
-        # the first latestOffset() is how a recovered reader knows it is
-        # recovering (see below)
-        self._fresh_start = True
         return {"shard": 0}
 
     def latestOffset(self) -> dict:
         # One shard per micro-batch until the directory is drained.
         # ``_polled`` is in-memory only, so after a restart-from-checkpoint
         # it re-starts at 0 while the engine's committed start offset may
-        # already be ahead — returning a latestOffset BELOW the committed
-        # start would make offsets regress and re-plan already-committed
-        # shards (duplicate rows on recovery). ``_floor`` records the
-        # highest start offset the engine has shown us (partitions()/
-        # commit()) and clamps the poll counter monotonic w.r.t. recovery
-        # (r11 advisor, ADVICE.md pyds.py:150).
+        # already be ahead. ``_floor`` records the highest offset the
+        # engine has shown us (batch starts in partitions(), committed
+        # ends in commit()) and the poll paces ONE PAST the floor — so a
+        # recovered reader resumes one-shard-per-batch from wherever the
+        # engine proves it already is (r11 advisor).
         #
-        # Recovery after a CLEAN shutdown is the subtle case (r12 advisor):
-        # when the last batch was fully committed, the engine's first call
-        # on the fresh reader is latestOffset() — partitions()/commit()
-        # never ran, so _floor is unknown and the paced counter would
-        # REGRESS below the committed offset. If latestOffset() is reached
-        # without initialOffset() having been called on this instance
-        # (i.e. we are recovering) and no floor is known yet, return the
-        # directory end: the engine supplies the committed start from its
-        # own log, so only genuinely unread shards are planned and the
-        # offset can never regress.
+        # A virgin instance has no floor yet, and the engine polls
+        # latestOffset() BEFORE initialOffset() even on a genuinely fresh
+        # query (measured — an earlier revision keyed recovery off that
+        # ordering and broke fresh-start pacing into one directory-sized
+        # batch). So the first poll always answers {"shard": 1}; on a
+        # CLEAN-shutdown recovery (committed K > 1, no uncommitted batch
+        # to re-plan) the engine may then plan a batch around the stale
+        # answer — partitions() both TEACHES us K (its start) and slices
+        # from max(start, floor), so no committed shard is ever re-read;
+        # the poll after that resumes pacing at K+1 (r12 advisor,
+        # re-designed after the ordering heuristic was disproved).
         if not hasattr(self, "_polled"):
             self._polled = 0
-        if (not getattr(self, "_fresh_start", False)
-                and not hasattr(self, "_floor")):
-            self._polled = len(self.paths)
-            return {"shard": self._polled}
-        self._polled = min(max(self._polled + 1, getattr(self, "_floor", 0)),
-                           len(self.paths))
+        base = max(self._polled, getattr(self, "_floor", 0))
+        self._polled = min(base + 1, len(self.paths))
         return {"shard": self._polled}
 
     def partitions(self, start: dict, end: dict):
         self._floor = max(getattr(self, "_floor", 0), start["shard"])
-        # belt-and-braces: never slice a backwards range even if a stale
-        # latestOffset slipped through
+        # never re-read below the committed floor, and never slice a
+        # backwards range, even when a stale (pre-recovery) latestOffset
+        # answer reached the engine's log
+        lo = max(start["shard"], self._floor)
         return [_ShardPartition(p)
-                for p in self.paths[start["shard"]:max(start["shard"],
-                                                       end["shard"])]]
+                for p in self.paths[lo:max(lo, end["shard"])]]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         with open(partition.path, "rb") as fh:

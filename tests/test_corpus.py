@@ -412,14 +412,16 @@ class TestPythonDataSource:
         assert fresh2.partitions({"shard": 4}, {"shard": 2}) == []
 
     def test_stream_reader_clean_shutdown_recovery(self, tmp_path, spark):
-        # r12 advisor: after a CLEAN shutdown (last batch fully committed)
-        # the engine's FIRST call on the recovered reader is latestOffset()
-        # — partitions()/commit() never ran, so the floor clamp alone can't
-        # help and a paced counter would answer 1 (< committed), regressing
-        # the offset and re-planning committed shards as duplicates. A
-        # reader that reaches latestOffset() without initialOffset() must
-        # answer the directory end; the engine's own log supplies the
-        # committed start, so only unread shards are ever planned.
+        # r12 advisor, re-designed: after a CLEAN shutdown (last batch
+        # fully committed at K) the recovered reader's first poll happens
+        # before it has seen any engine offset — and the engine polls
+        # latestOffset() before initialOffset() even on FRESH queries
+        # (measured), so call order cannot distinguish the two. The paced
+        # first answer ({"shard": 1}) may therefore reach the engine's
+        # log while committed = K > 1; safety comes from partitions():
+        # it learns K from the batch start AND slices from
+        # max(start, floor), so a committed shard is never re-read, and
+        # the NEXT poll resumes pacing at K+1.
         from fictional_guacamole_spark.sources import tar_shards as T
         from fictional_guacamole_spark.sources.pyds import (
             TarShardStreamReader)
@@ -428,12 +430,19 @@ class TestPythonDataSource:
         base = str(tmp_path / "clean_restart_src")
         T.write_tar_shards(df, base, 4)
         recovered = TarShardStreamReader({"path": base})
-        assert recovered.latestOffset()["shard"] == 4   # not 1
-        # a genuinely FRESH query (initialOffset called) keeps the
-        # one-shard-per-micro-batch pacing
+        assert recovered.latestOffset()["shard"] == 1   # paced, virgin
+        # the engine plans around the stale answer: start = committed 3
+        assert recovered.partitions({"shard": 3}, {"shard": 1}) == []
+        # a regressed engine log can never re-read below the floor...
+        low = recovered.partitions({"shard": 1}, {"shard": 4})
+        assert [p.path.rsplit("-", 1)[-1] for p in low] == ["00003.tar"]
+        # ...and pacing resumes one past the taught floor
+        assert recovered.latestOffset()["shard"] == 4
+        # a genuinely fresh query paces one shard per micro-batch
         fresh = TarShardStreamReader({"path": base})
         assert fresh.initialOffset() == {"shard": 0}
         assert fresh.latestOffset()["shard"] == 1
+        assert fresh.latestOffset()["shard"] == 2
 
     def test_writer_overwrite_clears_stale_shards(self, spark, tmp_path):
         # mode("overwrite") with fewer tasks than a prior run must not
