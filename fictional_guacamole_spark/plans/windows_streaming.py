@@ -2119,32 +2119,23 @@ def stream_engine_tws_initial_state(spark: SparkSession,
                 "restart",
     oracle="""
     WITH p AS (
-      SELECT user_id, event_id,
-             LAG(event_id) OVER (PARTITION BY user_id
-                                 ORDER BY event_id) AS prev_id
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS r
       FROM events WHERE event_type = 'purchase'),
-    live AS (
-      SELECT CAST(user_id AS VARCHAR) AS product_id,
-             event_id AS trade_id, FALSE AS backfilled,
-             CAST(NULL AS VARCHAR) AS price,
-             CAST(NULL AS VARCHAR) AS volume,
-             CAST(NULL AS VARCHAR) AS side
-      FROM p),
-    g AS (
-      SELECT user_id, prev_id + 1 AS f, event_id - 1 AS l
-      FROM p WHERE prev_id IS NOT NULL AND event_id - prev_id > 1),
-    back AS (
-      SELECT CAST(user_id AS VARCHAR) AS product_id,
-             unnest(generate_series(f, l)) AS trade_id
-      FROM g)
-    SELECT product_id, trade_id, backfilled, price, volume, side
-    FROM live
+    t AS (SELECT user_id, r, r + r // 5 AS tid FROM p)
+    SELECT CAST(user_id AS VARCHAR) AS product_id, tid AS trade_id,
+           FALSE AS backfilled,
+           CAST(NULL AS VARCHAR) AS price,
+           CAST(NULL AS VARCHAR) AS volume,
+           CAST(NULL AS VARCHAR) AS side
+    FROM t
     UNION ALL
-    SELECT product_id, trade_id, TRUE,
-           CAST((trade_id * 7) % 1000 AS VARCHAR),
-           CAST(trade_id % 5 + 1 AS VARCHAR),
-           CASE WHEN trade_id % 2 = 1 THEN 'buy' ELSE 'sell' END
-    FROM back
+    SELECT CAST(user_id AS VARCHAR), tid - 1, TRUE,
+           CAST(((tid - 1) * 7) % 1000 AS VARCHAR),
+           CAST((tid - 1) % 5 + 1 AS VARCHAR),
+           CASE WHEN (tid - 1) % 2 = 1 THEN 'buy' ELSE 'sell' END
+    FROM t WHERE r % 5 = 0
     ORDER BY product_id, trade_id, backfilled
     """,
 )
@@ -2166,13 +2157,25 @@ def stream_engine_backfill_repair(spark: SparkSession,
     frames' NULL price fields; every missing id between consecutive
     purchases lands exactly once with backfilled=true and the fetcher's
     values. At 100 TB the same shape holds: gap ranges are driver-tiny,
-    the repair lands executor-side in the batch's own write."""
+    the repair lands executor-side in the batch's own write.
+
+    Fixture (r13 redesign, distinct from the book-kernel rows'): trade
+    ids are PER-USER RANKED with every fifth id skipped
+    (``tid = r + r div 5``), so the repair volume is n_trades/5 — LINEAR
+    in the data. The r12 fixture reused the book rows' global event-ids,
+    whose per-user gaps average the user count: missing-id volume grew
+    QUADRATICALLY with SF (1.28 M repaired rows at sf0.01, JVM-OOM at
+    sf1) — a fixture artifact, not operator value; the operator's own
+    scale posture (bounded ranges, executor-mapped fetch) is unchanged
+    and now actually sweepable at 100× the judged SF."""
     import os
     import shutil
     import tempfile
     import time
     import uuid
 
+    from fictional_guacamole_spark.streaming.frames import (
+        ensure_frame_schema)
     from fictional_guacamole_spark.streaming.pipeline import run_pipeline
 
     def fetcher(product_id: str, after: int) -> list[dict]:
@@ -2190,9 +2193,36 @@ def stream_engine_backfill_repair(spark: SparkSession,
             })
         return page
 
+    def bounded_gap_frames(ev: DataFrame) -> DataFrame:
+        # per-user rank r over event_id; tid = r + r div 5 skips one id
+        # before every fifth trade; arrival order (seq) and event time
+        # stay monotone in event_id, same ~14% duplicate delivery as the
+        # book rows
+        p = (ev.filter(F.col("event_type") == "purchase")
+             .withColumn("r", F.row_number().over(
+                 W.partitionBy("user_id").orderBy("event_id"))))
+        frames = p.select(
+            F.col("event_id").alias("seq"),
+            F.timestamp_seconds(F.lit(1704067200).cast("long")
+                                + F.col("event_id")).alias("server_ts"),
+            F.col("user_id").cast("string").alias("product_id"),
+            F.lit("match").alias("msg_type"),
+            F.lit(None).cast("array<array<string>>").alias("bids"),
+            F.lit(None).cast("array<array<string>>").alias("asks"),
+            F.lit(None).cast("array<array<string>>").alias("changes"),
+            (F.col("r") + F.expr("r DIV 5")).alias("trade_id"),
+            F.lit(None).cast("long").alias("sequence"),
+            F.lit(None).cast("string").alias("price"),
+            F.lit(None).cast("string").alias("volume"),
+            F.lit(None).cast("string").alias("side"),
+            F.lit(None).cast("timestamp").alias("exchange_ts"),
+        )
+        frames = ensure_frame_schema(frames)
+        return frames.unionByName(frames.filter(F.col("seq") % 7 == 3))
+
     base = _time_clustered_events_copy(
-        spark, sf_dir, transform=_match_frames_with_dups,
-        salt="bookframes1", cluster_col="seq")
+        spark, sf_dir, transform=bounded_gap_frames,
+        salt="backfillframes2", cluster_col="seq")
     schema = spark.read.parquet(base).schema
 
     root = tempfile.mkdtemp(prefix="fg_backfill_")
