@@ -113,6 +113,20 @@ class BookKernelProcessor(StatefulProcessor):
             row["bids_json"], row["asks_json"], row["last_emitted_json"],
             None if pd.isna(row["max_trade_id"])
             else int(row["max_trade_id"])))
+        if self.stale_after_ms is not None:
+            # arm the stale alarm for BOOTSTRAPPED products too, anchored
+            # at the migration cut point — a seeded product that never
+            # streams a frame is exactly the dead-feed case the alarm
+            # exists for (r13 review), and without this seed its book
+            # would sit stale forever unnoticed
+            if "as_of_ts" not in initialState.columns:
+                raise ValueError(
+                    "stale_after_s with an initial state requires an "
+                    "as_of_ts column (the migration cut point anchoring "
+                    "each bootstrapped product's stale timer)")
+            ms = int(pd.Timestamp(row["as_of_ts"]).value // 1_000_000)
+            self.last_ms.update((ms,))
+            self.handle.registerTimer(ms + self.stale_after_ms)
 
     def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
                         timerValues: TimerValues) -> Iterator[pd.DataFrame]:
@@ -171,7 +185,11 @@ def apply_book_kernel_tws(frames_df, depth: int = BOOK_DEPTH,
     ``stale_after_s`` arms the per-product stale-book alarm (event-time
     timers; requires a watermark on server_ts). ``initial_state``: batch
     DataFrame (product_id + STATE_SCHEMA columns) seeding each product's
-    book via handleInitialState — the batch→stream migration path."""
+    book via handleInitialState — the batch→stream migration path. With
+    BOTH set, the initial state must also carry an ``as_of_ts``
+    timestamp column (the migration cut point): every bootstrapped
+    product's stale timer arms from it, so a seeded product whose feed
+    never produces a frame still alarms."""
     from fictional_guacamole_spark.operators.gap_alarm import (
         _ensure_protobuf as _need)
     _need(required=True)

@@ -119,7 +119,12 @@ def _ensure_protobuf(required: bool = False) -> bool:
     first touches protobuf — so the fallback covers executors and the
     driver-side state-schema worker too."""
     if _protobuf_available():
-        _scope_version_bypass()
+        # a real runtime keeps REAL gencode-version validation — the
+        # scoped bypass below exists only for the bundled fallback, whose
+        # runtime may trail Spark's gencode by a minor version (r13
+        # review: bypassing here would turn a genuinely incompatible
+        # production runtime's loud VersionError into a late protocol
+        # failure)
         return True
     candidates = [os.environ.get(_PROTOBUF_DIR_ENV)]
     candidates += list(_PROTOBUF_FALLBACK_DIRS)

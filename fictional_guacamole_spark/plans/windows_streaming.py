@@ -381,17 +381,23 @@ def _ntile_bucketed_events_copy(spark: SparkSession, sf_dir: str,
             "user_id", "event_id",
             F.ntile(n_buckets).over(
                 W.orderBy("ts", "event_id")).alias("bucket"))
+        # persist: the per-bucket writes below would otherwise each
+        # re-execute the single-partition global-sort window (r13 review)
+        frame = frame.persist()
         t0 = time.time() - n_buckets
-        for b in range(1, n_buckets + 1):
-            part_dir = os.path.join(build, f"_b{b}")
-            (frame.filter(F.col("bucket") == b).coalesce(1)
-             .write.mode("overwrite").parquet(part_dir))
-            part = next(f for f in os.listdir(part_dir)
-                        if f.endswith(".parquet"))
-            dst = os.path.join(build, f"part-{b:05d}.parquet")
-            os.rename(os.path.join(part_dir, part), dst)
-            shutil.rmtree(part_dir, ignore_errors=True)
-            os.utime(dst, (t0 + b, t0 + b))
+        try:
+            for b in range(1, n_buckets + 1):
+                part_dir = os.path.join(build, f"_b{b}")
+                (frame.filter(F.col("bucket") == b).coalesce(1)
+                 .write.mode("overwrite").parquet(part_dir))
+                part = next(f for f in os.listdir(part_dir)
+                            if f.endswith(".parquet"))
+                dst = os.path.join(build, f"part-{b:05d}.parquet")
+                os.rename(os.path.join(part_dir, part), dst)
+                shutil.rmtree(part_dir, ignore_errors=True)
+                os.utime(dst, (t0 + b, t0 + b))
+        finally:
+            frame.unpersist()
         try:
             os.rename(build, base)
         except OSError:

@@ -82,9 +82,7 @@ def backfill_gaps(gaps: Iterable[dict], fetcher: Fetcher) -> list[dict]:
     return repaired
 
 
-# columns of the repaired-trade frame, in sink order (pipeline.TRADE_COLS)
-_REPAIR_COLS = ["product_id", "server_ts", "exchange_ts", "sequence",
-                "trade_id", "price", "volume", "side", "backfilled"]
+# repaired-trade frame schema, in sink order (pipeline.TRADE_COLS)
 _REPAIR_SCHEMA = ("product_id string, server_ts timestamp, "
                   "exchange_ts timestamp, sequence long, trade_id long, "
                   "price string, volume string, side string, "

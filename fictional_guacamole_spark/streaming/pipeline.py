@@ -85,6 +85,11 @@ def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         books, trades, gaps = demux_outputs(batch_df)
         write_idempotent(books, "books", batch_id)
+        # gaps are empty for most healthy micro-batches: check once and
+        # gate BOTH the repair (a repartition + mapInPandas stage that
+        # would otherwise run 32 empty tasks per trigger) and the audit
+        # sink on it
+        have_gaps = not gaps.isEmpty()
         # backfill BEFORE the trades write so live + repaired rows land in
         # one idempotent write (a second write into the same _batch
         # partition would overwrite the first). The repair is fully
@@ -93,11 +98,11 @@ def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
         # with mapInPandas, so an outage-sized gap expands to its id width
         # inside executor tasks, and the driver never holds a repaired row
         # (r12 verdict weak-row fix).
-        if fetcher is not None:
+        if fetcher is not None and have_gaps:
             repaired = repair_frame(gaps.limit(max_backfill_ranges), fetcher)
             trades = trades.unionByName(repaired.select(*TRADE_COLS))
         write_idempotent(trades, "trades", batch_id)
-        if not gaps.isEmpty():
+        if have_gaps:
             # the FULL distributed gaps frame — including any ranges past
             # the in-batch repair cap — lands in the audit sink
             write_idempotent(gaps, "gaps", batch_id)

@@ -400,6 +400,58 @@ class TestTwsBookKernel:
         assert books[0]["bids"] == ["3@100", "5@99"]   # seeded + delta
         assert books[0]["asks"] == ["2@101"]           # seeded only
 
+    def test_bootstrapped_silent_product_raises_stale_alarm(self, spark,
+                                                            tmp_path):
+        """A product seeded via handleInitialState whose feed never
+        streams a frame is the dead-feed case the stale alarm exists
+        for: its timer arms from the initial state's as_of_ts cut point
+        and fires when the watermark passes it. The streamed product's
+        own (re-armed) timer sits past the final watermark — no alarm."""
+        import datetime as dt
+
+        from fictional_guacamole_spark.operators.book import OrderBook
+        from fictional_guacamole_spark.operators.book_tws import (
+            apply_book_kernel_tws)
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            _rocksdb_state_store)
+
+        seeded = OrderBook()
+        seeded.install_snapshot([["100", "1"]], [["101", "2"]])
+        b, a, le, mt = seeded.to_state()
+        as_of = dt.datetime(2024, 1, 5, 10, 0, 0)
+        init = spark.createDataFrame(
+            [("SILENT", b, a, le, mt, as_of),
+             ("LIVE", b, a, le, mt, as_of)],
+            "product_id string, bids_json string, asks_json string, "
+            "last_emitted_json string, max_trade_id long, "
+            "as_of_ts timestamp")
+        frames = [json.dumps({"type": "l2update", "product_id": "LIVE",
+                              "changes": [["buy", "100", "3"]],
+                              "time": "2024-01-05T11:00:00.000000Z"})]
+        cap = write_capture(str(tmp_path / "silent.jsonl"), frames)
+        parsed = (ensure_frame_schema(
+            parse_gdax_frames(read_frames_stream(spark, cap,
+                                                 frames_per_batch=1)))
+            .withWatermark("server_ts", "0 seconds"))
+        out = apply_book_kernel_tws(parsed, stale_after_s=60,
+                                    initial_state=init)
+        sink = str(tmp_path / "silent_sink")
+        with _rocksdb_state_store(spark):
+            q = (out.writeStream.format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", str(tmp_path / "silent_ck"))
+                 .outputMode("append").queryName("tws_silent").start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = spark.read.parquet(sink)
+        stale = rows.filter(F.col("out_type") == "stale").collect()
+        # SILENT alarms at cut point + 60s; LIVE's re-armed timer is past
+        # the final watermark (11:00) and never fires
+        assert [(r["product_id"], str(r["server_ts"])) for r in stale] == [
+            ("SILENT", "2024-01-05 10:01:00")]
+
 
 class TestStateTtl:
     def test_ttl_stream_produces_same_active_output(self, spark,
