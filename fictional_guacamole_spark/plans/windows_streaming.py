@@ -2605,12 +2605,19 @@ def stream_engine_polo_dialect(spark: SparkSession,
         eid = F.col("event_id")
         prod = F.col("user_id") % 64
         pur = ev.filter(F.col("event_type") == "purchase")
+        # epoch seconds bounded: replica-scaled fixtures shift event_ids
+        # into the billions and epoch+event_id would pass pandas'
+        # year-2262 ns-timestamp bound in the kernel (ArrowInvalid at the
+        # sf10 sweep). The modulus is a NO-OP below sf10 (sf1 max
+        # event_id ≈ 7.6e8), and this row's timestamps feed only the
+        # unjudged server/exchange_ts columns — the kernel orders by seq.
+        epoch_s = F.lit(1704067200).cast("long") + eid % 1_000_000_000
         t_msg = F.concat(
             F.lit('["t","'), eid.cast("string"), F.lit('",'),
             (eid % 2).cast("string"), F.lit(',"'),
             ((eid * 7) % 1000).cast("string"), F.lit('","'),
             (eid % 5 + 1).cast("string"), F.lit('",'),
-            (F.lit(1704067200).cast("long") + eid).cast("string"),
+            epoch_s.cast("string"),
             F.lit("]"))
         o_msg = F.concat(
             F.lit('["o",'), (eid % 2).cast("string"), F.lit(',"'),
@@ -2635,7 +2642,7 @@ def stream_engine_polo_dialect(spark: SparkSession,
         return snaps.unionByName(trades)
 
     base = _time_clustered_events_copy(
-        spark, sf_dir, transform=to_polo_frames, salt="poloframes1",
+        spark, sf_dir, transform=to_polo_frames, salt="poloframes2",
         cluster_col="seq")
 
     root = tempfile.mkdtemp(prefix="fg_polo_")
