@@ -92,8 +92,13 @@ def _scope_version_bypass() -> None:
 
     def _scoped(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix,
                 location, *args, **kwargs):
+        # match ONLY the state-protocol gencode module (the one module
+        # this fallback exists for) — a bare 'pyspark' substring would
+        # also skip validation for unrelated pyspark protos (e.g. Spark
+        # Connect messages), turning a genuinely incompatible runtime's
+        # loud VersionError into a late protocol failure (r13 advisor)
         loc = str(location)
-        if "StateMessage" in loc or "pyspark" in loc:
+        if "StateMessage" in loc:
             return None
         return original(gen_domain, gen_major, gen_minor, gen_patch,
                         gen_suffix, location, *args, **kwargs)

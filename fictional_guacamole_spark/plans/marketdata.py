@@ -666,7 +666,7 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "compat_book_trades_shape",
     survey_ref="K3/K4 reference-schema parity: book_compat_view + "
-               "trades_compat_view (gdax_schema.sql:8-53's 34-col / 9-col "
+               "trades_compat_view (gdax_schema.sql:8-53's 32-col / 9-col "
                "all-TEXT shapes) judged byte-exact against a DuckDB oracle",
     description="Synthesized snapshot+match frames run through the REAL "
                 "book kernel, then the reference-schema compat views; "

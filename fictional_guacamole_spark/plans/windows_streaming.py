@@ -2487,13 +2487,22 @@ def stream_engine_tws_ttl_counter(spark: SparkSession,
     pace_s = 0.2  # >> ttl: the next batch's timestamp clears every TTL
 
     n_files = 4
-    landed = {"n": 0}
+    landed: set[int] = set()
 
     def land(batch_df, batch_id):
         if batch_df.isEmpty():   # processing-time no-data housekeeping
             return               # batches carry nothing to land
-        batch_df.write.mode("append").parquet(outdir)
-        landed["n"] += 1
+        # _batch=<id> dynamic overwrite (the make_batch_writer pattern):
+        # a foreachBatch retry after a transient failure REPLACES its own
+        # partition instead of double-landing the batch (r13 advisor);
+        # the landed set (not a counter) keeps replays from ending the
+        # drain early
+        (batch_df.withColumn("_batch", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch")
+         .parquet(outdir))
+        landed.add(batch_id)
         time.sleep(pace_s)
 
     def start_query():
@@ -2516,11 +2525,11 @@ def stream_engine_tws_ttl_counter(spark: SparkSession,
             # wait forever (observed: 400+ empty commits). The drain is
             # done when all n_files one-file data batches have landed.
             deadline = time.time() + 300
-            while landed["n"] < n_files and time.time() < deadline:
+            while len(landed) < n_files and time.time() < deadline:
                 time.sleep(0.1)
-            if landed["n"] < n_files:
+            if len(landed) < n_files:
                 raise RuntimeError(
-                    f"ttl drain landed {landed['n']}/{n_files} batches "
+                    f"ttl drain landed {len(landed)}/{n_files} batches "
                     "within 300s")
         finally:
             q.stop()

@@ -23,10 +23,11 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from typing import TYPE_CHECKING, Callable, Iterable
 
 if TYPE_CHECKING:  # pragma: no cover - typing only
-    from pyspark.sql import DataFrame
+    from pyspark.sql import DataFrame, SparkSession
 
 logger = logging.getLogger("fictional_guacamole_spark.backfill")
 
@@ -89,8 +90,22 @@ _REPAIR_SCHEMA = ("product_id string, server_ts timestamp, "
                   "backfilled boolean")
 # ranges are tiny rows but each expands to up to (last-first+1) trades;
 # spreading them over this many tasks bounds per-task expansion and REST
-# paging latency. At 32 local cores one wave covers 32 ranges.
-_REPAIR_PARTITIONS = 32
+# paging latency. Floor for the cluster-derived default below: at 32
+# local cores one wave covers 32 ranges.
+_REPAIR_PARTITIONS_FLOOR = 32
+
+
+def _repair_partitions(spark: "SparkSession") -> int:
+    """Repair-task parallelism: the cluster's defaultParallelism with a
+    32-task floor (r13 verdict: a constant 32 would cap an outage-burst
+    repair at 32 tasks on a 1000-executor cluster). Overridable via
+    SPARK_GRAFT_REPAIR_PARTITIONS for deployments that want to bound
+    concurrent REST load on the exchange instead."""
+    env = os.environ.get("SPARK_GRAFT_REPAIR_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(_REPAIR_PARTITIONS_FLOOR,
+               spark.sparkContext.defaultParallelism)
 
 
 def repair_frame(gaps: "DataFrame", fetcher: Fetcher) -> "DataFrame":
@@ -145,6 +160,6 @@ def repair_frame(gaps: "DataFrame", fetcher: Fetcher) -> "DataFrame":
             })
 
     ranges = gaps.select("product_id", "gap_first_id", "gap_last_id")
-    return (ranges.repartition(_REPAIR_PARTITIONS, "product_id",
-                               "gap_first_id")
+    return (ranges.repartition(_repair_partitions(gaps.sparkSession),
+                               "product_id", "gap_first_id")
             .mapInPandas(fetch, schema=_REPAIR_SCHEMA))

@@ -18,6 +18,7 @@ restarts exactly-once into the idempotent parquet appends.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,6 +37,8 @@ BOOK_COLS = ["product_id", "server_ts", "bids", "asks"]
 TRADE_COLS = ["product_id", "server_ts", "exchange_ts", "sequence",
               "trade_id", "price", "volume", "side", "backfilled"]
 GAP_COLS = ["product_id", "server_ts", "gap_first_id", "gap_last_id"]
+
+logger = logging.getLogger("fictional_guacamole_spark.pipeline")
 
 
 STALE_COLS = ["product_id", "server_ts"]
@@ -99,6 +102,20 @@ def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
         # inside executor tasks, and the driver never holds a repaired row
         # (r12 verdict weak-row fix).
         if fetcher is not None and have_gaps:
+            # count the (small: coalesced ranges, not ids) frame once so a
+            # burst past the cap is LOUD — the dropped ranges stay durable
+            # in the gaps sink below, but silence here would contradict
+            # the engine's no-silent-caps posture
+            gaps = gaps.localCheckpoint(eager=True)
+            n_ranges = gaps.count()
+            if n_ranges > max_backfill_ranges:
+                logger.warning(
+                    "backfill cap hit in batch %d: %d gap ranges exceed "
+                    "max_backfill_ranges=%d; %d ranges NOT repaired "
+                    "in-batch (recorded in the gaps sink; raise "
+                    "SPARK_GRAFT_MAX_BACKFILL_RANGES or run a catch-up "
+                    "pass)", batch_id, n_ranges, max_backfill_ranges,
+                    n_ranges - max_backfill_ranges)
             repaired = repair_frame(gaps.limit(max_backfill_ranges), fetcher)
             trades = trades.unionByName(repaired.select(*TRADE_COLS))
         write_idempotent(trades, "trades", batch_id)
@@ -170,7 +187,7 @@ def run_pipeline(
 
 def book_compat_view(books: DataFrame, depth: int = BOOK_DEPTH) -> DataFrame:
     """Engine-native book rows (arrays of packed levels) → the reference's
-    34-column TEXT shape: server_datetime, product_id, bids_1..bids_15,
+    32-column TEXT shape: server_datetime, product_id, bids_1..bids_15,
     asks_1..asks_15 (/root/reference/schema/gdax_schema.sql:8-41), each a
     ``"{volume}@{price}"`` string (real_guac.py:73-74). Shallow books yield
     NULL in the unused level columns (the reference crashed instead)."""

@@ -198,12 +198,15 @@ def test_source_dedup_within_watermark(spark, tmp_path):
     assert trades.select("trade_id").distinct().count() == trades.count()
 
 
-def test_gap_burst_bounds_in_batch_repair(spark, tmp_path):
+def test_gap_burst_bounds_in_batch_repair(spark, tmp_path, caplog):
     """Outage-sized gap burst: an exchange outage can emit far more gap
     ranges in one micro-batch than one trigger should repair. The batch
     writer must (a) repair at most the RANGE cap in-batch — executor-side,
-    the driver never holds a repaired row — and (b) still record EVERY
-    range in the gaps sink so a later repair pass can finish the job."""
+    the driver never holds a repaired row — (b) still record EVERY
+    range in the gaps sink so a later repair pass can finish the job,
+    and (c) WARN with the dropped count — a silently-capped repair
+    would contradict the no-silent-caps posture (r14 advisor fix)."""
+    import logging as _logging
     from datetime import datetime, timezone
 
     from fictional_guacamole_spark.operators.book import OUTPUT_SCHEMA
@@ -225,7 +228,14 @@ def test_gap_burst_bounds_in_batch_repair(spark, tmp_path):
 
     writer = make_batch_writer(str(tmp_path / "sink"), recovered_fetcher,
                                max_backfill_ranges=cap)
-    writer(batch, 0)
+    with caplog.at_level(_logging.WARNING,
+                         logger="fictional_guacamole_spark.pipeline"):
+        writer(batch, 0)
+    burst_warnings = [r for r in caplog.records
+                      if "backfill cap hit" in r.getMessage()]
+    assert len(burst_warnings) == 1
+    assert f"{n_gaps - cap} ranges NOT repaired" in (
+        burst_warnings[0].getMessage())
 
     # in-batch repair bounded by the RANGE cap: exactly cap ranges (of
     # width ids each) landed, no duplicates
