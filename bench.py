@@ -330,19 +330,43 @@ def main() -> None:
     }
     par_probes = best_attempt["par_probes"]
 
-    # heavy tier: outside the calibrated set (raw seconds; min-of-2 so the
-    # persisted-ANN index build amortizes out of the reading)
+    # heavy tier: outside the calibrated set (raw seconds). Round 14 (r13
+    # verdict task #3): the tier was single-shot min-of-2, so the
+    # cascade's 19.7 s r13 spike (historical band 8.2–18.8 s) was
+    # indistinguishable from a real 20 % regression. Now each row takes
+    # HEAVY_PASSES samples, the official reading is the MEDIAN of the
+    # tightest window (the headline protocol), rows past the spread gate
+    # get bounded extra samples, and the raw sample lists travel in the
+    # history record. Estimator break: r8–r13 heavy officials were
+    # min-of-2 (index-build amortization — which the median handles too,
+    # by voting a build-carrying first sample out); medians read slightly
+    # above mins, so cross-round heavy deltas spanning r13→r14 should be
+    # read against the published samples, not the scalar alone.
+    HEAVY_PASSES = 3
+    HEAVY_EXTRA_RUNS = 8
     heavy: dict[str, float] = {}
+    heavy_samples: dict[str, list[float]] = {}
+    heavy_spread: dict[str, float] = {}
+    heavy_extra = 0
     for name in HEAVY_TIER:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(HEAVY_PASSES):
             t0 = time.perf_counter()
             _materialize(q.builder(spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        heavy[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        med, sp = _win_stats(runs)
+        while sp > SPREAD_GATE_PCT / 100.0 and heavy_extra < HEAVY_EXTRA_RUNS:
+            heavy_extra += 1
+            t0 = time.perf_counter()
+            _materialize(q.builder(spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 4))
+            med, sp = _win_stats(runs)
+        heavy[name] = round(med, 4)
+        heavy_samples[name] = runs
+        heavy_spread[name] = round(sp, 3)
 
     # per-query delta vs the committed history's rolling median, so a real
     # regression (one query moves, plan changed) is distinguishable from a
@@ -440,9 +464,21 @@ def main() -> None:
         "spread_gate_met": (max(spread.values()) <= SPREAD_GATE_PCT / 100.0
                             if spread else True),
         "vs_prev_norm_total": vs_prev_total,
+        # per-HEADLINE-query calibrated ratio vs the previous committed
+        # line (r13 verdict task #8): on the contract line itself so
+        # cross-round movers are attributable from BENCH_r{N}.json alone
+        "vs_prev_norm": {qn: round(r, 2)
+                         for qn, r in sorted(vs_prev_ratio.items())},
         "contended": bool(par_load is not None
                           and par_load > PAR_LOAD_RETRY_THRESHOLD),
         "heavy": heavy,
+        "heavy_passes": HEAVY_PASSES,
+        "heavy_extra_runs": heavy_extra,
+        "heavy_max_spread_pct": (round(100 * max(heavy_spread.values()), 1)
+                                 if heavy_spread else None),
+        "heavy_spread_gate_met": (
+            max(heavy_spread.values()) <= SPREAD_GATE_PCT / 100.0
+            if heavy_spread else True),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     diagnostics = {
@@ -458,6 +494,8 @@ def main() -> None:
         "per_query_spread": spread,
         "per_pass_timings": [a["timings"] for a in used],
         "per_query_samples": samples,
+        "heavy_samples": heavy_samples,
+        "heavy_spread": heavy_spread,
     }
     print(json.dumps(diagnostics), file=sys.stderr)
     try:
@@ -473,6 +511,8 @@ def main() -> None:
                     queries_plain_median=plain_median,
                     resampled_tightest_window=resampled,
                     vs_prev_norm_ratio=vs_prev_ratio,
+                    heavy_samples=heavy_samples,
+                    heavy_spread=heavy_spread,
                     ts=int(time.time()),
                     round=os.environ.get("SPARK_GRAFT_ROUND"))
         # history lines stay raw-timings-only (+ the calibration sample so
@@ -485,13 +525,17 @@ def main() -> None:
         pass  # history is best-effort; never fail the bench line
     spark.stop()
     line = json.dumps(out)
-    if len(line) > 1500:  # defend the tail-capture budget, whatever grows
+    if len(line) > 1800:  # defend the tail-capture budget, whatever grows
         slim = dict(out, queries={q: round(t, 2)
-                                  for q, t in timings.items()})
+                                  for q, t in timings.items()},
+                    heavy={q: round(t, 2) for q, t in heavy.items()})
         line = json.dumps(slim)
-        if len(line) > 1500:
-            line = json.dumps({k: v for k, v in out.items()
-                               if k != "queries"})
+        if len(line) > 1800:
+            slim.pop("vs_prev_norm", None)
+            line = json.dumps(slim)
+            if len(line) > 1800:
+                line = json.dumps({k: v for k, v in slim.items()
+                                   if k != "queries"})
     print(line)  # LAST stdout line: the driver's parse target
 
 

@@ -402,6 +402,36 @@ JUDGE_WINDOW: list[str] = [
     # tar_shard_roundtrip_doc_stats + python_datasource_tar_write_stats
     # + stream_engine_pyds_tar_source — each test-pinned EQUAL to the
     # r12-judged sink row and to the in-window batch-read row).
+    # -- r14 rotation (r13 verdict task #1): CLOSURE — the final 4-row
+    # residue comes in, so a green CORRECTNESS_r14 makes the cumulative
+    # driver union 237/237 oracled rows (every oracled query ever
+    # driver-judged; the only row never judged stays the
+    # oracle-less-by-design bench frame). IN↔OUT, each outgoing row
+    # green in CORRECTNESS_r13 with its families kept:
+    # dedup_recall_audit ← dedup_recall_audit_sampled (same
+    # blocking_audit family — the exhaustive diagnostic form whose
+    # registered protocol IS the r13-judged sampled row; the cascade's
+    # blocked verify stage also stays in-window);
+    # tar_shard_roundtrip_doc_stats ← avro_snappy_roundtrip_part_stats
+    # (container write→read roundtrips both; columnar_formats keeps the
+    # in-window avro_evolved row, whose schema-resolution read decodes
+    # the same nested fixture bytes the flat snappy row's machinery
+    # shares — snappy itself stays r13-green + parity-tested);
+    # python_datasource_tar_write_stats ← python_datasource_tar_stats
+    # (the pyds family's judged rep flips from the batch READ to the
+    # WRITE path; the read row is r13-green and the quintet stays
+    # test-pinned equal);
+    # stream_engine_pyds_tar_source ← stream_engine_tws_session_timeout
+    # (python_surfaces/streaming keep a dozen reps; tws_sessionization
+    # keeps the in-window initial_state row, which drains the SAME
+    # session processor; arbitrary_state_timers keeps the tws kernel's
+    # stale-book timer + the initial-state row's session timers).
+    # The late-r14 registration delta_log_read_stats (the PUBLIC Delta
+    # _delta_log protocol reader) follows the standing late-registration
+    # protocol: mirror-green on registration with the driver's exact
+    # comparator + sf-swept; its named r15 slot is
+    # python_datasource_tar_write_stats (judged this round, quintet
+    # test-pinned) unless the r15 verdict prefers another takeover.
     "q1_pricing_summary",          # agg over wide projection (entry() flagship)
     "stream_engine_book_kernel_tws",  # the flagship kernel on
                                       # transformWithState: ValueState book
@@ -427,8 +457,10 @@ JUDGE_WINDOW: list[str] = [
     # are r12 fodder by the standing protocol: each mirror-green on
     # registration with the driver's exact comparator AND value-hash
     # green at the sf1 sweep (SCALE.md).
-    "dedup_recall_audit_sampled",  # the REGISTERED LSH recall/precision
-                                   # audit protocol, flat-cost at any SF
+    "dedup_recall_audit",          # the exhaustive-truth LSH recall/
+                                   # precision diagnostic (r14 closure; its
+                                   # registered flat-cost protocol is the
+                                   # r13-judged sampled row)
     "pipeline_cluster_balanced_sample",  # cluster-balanced D4-style
                                          # diversification over k-means
     "pipeline_unimax_mix",         # UniMax closed-form water-filling mix
@@ -462,15 +494,19 @@ JUDGE_WINDOW: list[str] = [
     "sim_ivf_pq_persisted_topk",   # composed IVFx,PQy as table layout
     "avro_evolved_read_order_stats",  # Avro schema RESOLUTION: evolved
                                       # read over the nested fixture bytes
-    "avro_snappy_roundtrip_part_stats",  # from-the-spec snappy codec
-                                         # inside the Avro container
+    "tar_shard_roundtrip_doc_stats",  # WebDataset-style tar-shard
+                                      # write→read roundtrip (r14 closure)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
-    "python_datasource_tar_stats",  # Python DataSource batch read over
-                                    # tar shards (pyds family judged rep)
+    "python_datasource_tar_write_stats",  # Python DataSource WRITE path
+                                          # over tar shards (r14 closure;
+                                          # the batch-read rep is r13-green)
     "sketch_kmv_set_ops_events",   # KMV closure: union/inter/Jaccard
-    "stream_engine_tws_session_timeout",  # tws sessionization: ListState
-                                          # + timers + deleteTimer hygiene
+    "stream_engine_pyds_tar_source",  # the custom STREAMING DataSource
+                                      # read path through the engine (r14
+                                      # closure; sessionization stays via
+                                      # the initial_state row, which
+                                      # drains the same processor)
     "sim_recall_audit",            # EXACT recall@10 of persisted IVF +
                                    # IVF-PQ vs the exact baseline
     "multimodal_tiff_decode",      # TIFF baseline decode (strips, tags)

@@ -899,6 +899,143 @@ def txnlog_schema_evolution_stats(spark: SparkSession,
             .orderBy("status"))
 
 
+@query(
+    "delta_log_read_stats",
+    survey_ref="Lakehouse INTEROP (r13 verdict task #5): the PUBLIC Delta "
+               "Lake _delta_log protocol read from the spec — JSON "
+               "add/remove replay, a parquet checkpoint load-bearing "
+               "after log cleanup, post-checkpoint remove, schema "
+               "evolution via metaData, and time travel",
+    description="A spec-conformant Delta log over deterministic orders "
+                "slices: head read (3 surviving files, pre-evolution rows "
+                "null-filled) and a version-pinned read answered from the "
+                "checkpoint alone (its JSON commits are deleted); "
+                "per-snapshot row/sum/nonnull/file-count stats",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS okey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status,
+             o_orderkey % 5 AS b
+      FROM orders)
+    SELECT 'head' AS snap, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN b = 4 AND status IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS status_nonnull,
+           3 AS n_files, 'cents,okey,status' AS cols
+    FROM r WHERE b IN (0, 2, 4)
+    UNION ALL
+    SELECT 'v2', COUNT(*), CAST(SUM(cents) AS BIGINT),
+           CAST(NULL AS BIGINT), 3, 'cents,okey'
+    FROM r WHERE b IN (0, 2, 3)
+    ORDER BY snap
+    """,
+)
+def delta_log_read_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last interchange surface a real lakehouse user hits (r13
+    verdict task #5): reading a table in the OPEN Delta Lake format —
+    plain parquet + a ``_delta_log`` of JSON actions and parquet
+    checkpoints (sources/delta_log.py implements the read side from the
+    public spec, no library). Every protocol feature in the fixture is
+    load-bearing for the judged values:
+
+    - okey%5 buckets 0..4 land as files A,B,C,E under schema (okey,
+      cents) and D under the WIDENED schema (+status);
+    - v0 adds A,B; v1 adds C and REMOVES B; v2 adds E, then a parquet
+      CHECKPOINT is written at v2 and commits 0-2 are DELETED (spec log
+      cleanup) — so the v2 time-travel read below is answerable ONLY
+      from the checkpoint;
+    - v3 widens the schema via metaData, adds D, and removes E — a
+      post-checkpoint JSON remove that must tombstone a
+      checkpoint-sourced add.
+
+    Head read → files A,C,D with D's schema (A,C rows null-filled in
+    ``status``); version=2 read → files A,C,E under the pre-evolution
+    schema (no status column at all — its stat reads NULL). A wrong
+    replay shifts n_rows/cents_sum; a checkpoint bypass raises; a missed
+    remove inflates head by E's bucket; a broken null-fill changes
+    status_nonnull.
+
+    100 TB shape: the log replay is KB-scale metadata by the spec's own
+    checkpoint design; the checkpoint parquet is read through Spark with
+    only the file MANIFEST collected (the repo's bounded-collect class);
+    the data read is an ordinary distributed parquet scan with explicit
+    schema, so pruning/pushdown apply untouched."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from fictional_guacamole_spark.sources import delta_log as _dlmod
+    from fictional_guacamole_spark.sources.delta_log import (
+        DeltaLogWriter, read_delta, snapshot_info)
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_orderkey") % 5).alias("b"))
+    s1 = StructType([StructField("okey", LongType()),
+                     StructField("cents", LongType())])
+    s2 = StructType([StructField("okey", LongType()),
+                     StructField("cents", LongType()),
+                     StructField("status", StringType())])
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    tag = hashlib.md5(
+        f"deltalog1:max{_dlmod.MAX_READER_VERSION}:{src}:"
+        f"{os.path.getmtime(src)}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"fg_deltalog_{tag}")
+    if not os.path.exists(base):
+        build = f"{base}.build.{uuid.uuid4().hex}"
+        w = DeltaLogWriter(build)
+
+        def _slice(bucket: int, schema: StructType):
+            return (rows.filter(F.col("b") == bucket)
+                    .select(*[f.name for f in schema.fields]))
+
+        fa = w.write_data_file(_slice(0, s1), "a.parquet")
+        fb = w.write_data_file(_slice(1, s1), "b.parquet")
+        fc = w.write_data_file(_slice(2, s1), "c.parquet")
+        fe = w.write_data_file(_slice(3, s1), "e.parquet")
+        fd = w.write_data_file(_slice(4, s2), "d.parquet")
+        w.commit([w.protocol_action(), w.metadata_action(s1),
+                  w.add_action(fa), w.add_action(fb)])
+        w.commit([w.add_action(fc), w.remove_action("b.parquet")])
+        w.commit([w.add_action(fe)])
+        w.checkpoint(spark)
+        w.clean_log_before(3)   # the v2 read now NEEDS the checkpoint
+        w.commit([w.metadata_action(s2), w.add_action(fd),
+                  w.remove_action("e.parquet")])
+        try:
+            os.rename(build, base)
+        except OSError:  # concurrent builder published first; ours is moot
+            shutil.rmtree(build, ignore_errors=True)
+
+    def _stats(label: str, version: int | None) -> DataFrame:
+        df = read_delta(spark, base, version=version)
+        info = snapshot_info(spark, base, version=version)
+        status_stat = (F.count("status").cast("long")
+                       if "status" in df.columns
+                       else F.lit(None).cast("long"))
+        return (df.agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.sum("cents").cast("long").alias("cents_sum"),
+                       status_stat.alias("status_nonnull"))
+                .select(F.lit(label).alias("snap"), "n_rows", "cents_sum",
+                        "status_nonnull",
+                        F.lit(info["n_files"]).cast("int").alias("n_files"),
+                        F.lit(",".join(sorted(info["columns"])))
+                        .alias("cols")))
+
+    return _stats("head", None).unionByName(
+        _stats("v2", 2)).orderBy("snap")
+
+
 def _cdc_orders_feed_table(spark: SparkSession, sf_dir: str) -> str:
     """The shared 3-commit keyed table both change-feed rows read:
     orders slice %3==0 upserted as v1 (seed), %3==1 as v2, keys %12==0

@@ -1,0 +1,146 @@
+"""Public Delta Lake ``_delta_log`` protocol reader (sources/delta_log.py).
+
+Covers the spec surfaces the judged row composes: add/remove replay,
+checkpoint + cleaned-up log, time travel, schema evolution null-fill,
+partition-value injection, and the protocol version gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from fictional_guacamole_spark.sources.delta_log import (
+    DeltaLogWriter,
+    DeltaProtocolError,
+    read_delta,
+    snapshot_info,
+)
+
+S1 = StructType([StructField("k", LongType()),
+                 StructField("v", StringType())])
+S2 = StructType([StructField("k", LongType()),
+                 StructField("v", StringType()),
+                 StructField("extra", LongType())])
+
+
+def _df(spark, rows, schema=S1):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """v0: schema S1 + files a(k=1,2) b(k=3); v1: add c(k=4), remove b;
+    v2: checkpoint; v3: schema S2 + add d(k=5 with extra), remove a."""
+    w = DeltaLogWriter(str(tmp_path / "t"))
+    a = w.write_data_file(_df(spark, [(1, "x"), (2, "y")]), "a.parquet")
+    b = w.write_data_file(_df(spark, [(3, "z")]), "b.parquet")
+    c = w.write_data_file(_df(spark, [(4, "w")]), "c.parquet")
+    d = w.write_data_file(_df(spark, [(5, "q", 50)], S2), "d.parquet")
+    w.commit([w.protocol_action(), w.metadata_action(S1),
+              w.add_action(a), w.add_action(b)])
+    w.commit([w.add_action(c), w.remove_action("b.parquet")])
+    w.commit([{"commitInfo": {"operation": "NOOP"}}])  # v2: metadata-only
+    w.checkpoint(spark)
+    w.commit([w.metadata_action(S2), w.add_action(d),
+              w.remove_action("a.parquet")])
+    return w
+
+
+class TestReplay:
+    def test_head_read_applies_adds_removes_and_evolution(self, spark,
+                                                          table):
+        got = read_delta(spark, table.table_dir).orderBy("k").collect()
+        # survivors: c (pre-evolution, extra null-filled) + d
+        assert [(r["k"], r["v"], r["extra"]) for r in got] == [
+            (4, "w", None), (5, "q", 50)]
+
+    def test_time_travel_each_version(self, spark, table):
+        ks = lambda v: sorted(  # noqa: E731
+            r["k"] for r in read_delta(spark, table.table_dir,
+                                       version=v).collect())
+        assert ks(0) == [1, 2, 3]
+        assert ks(1) == [1, 2, 4]
+        assert ks(2) == [1, 2, 4]
+        assert ks(3) == [4, 5]
+        # pre-evolution versions expose the OLD schema — no extra column
+        assert snapshot_info(spark, table.table_dir,
+                             version=2)["columns"] == ["k", "v"]
+        assert snapshot_info(spark, table.table_dir)["columns"] == [
+            "k", "v", "extra"]
+
+    def test_version_past_head_rejected(self, spark, table):
+        with pytest.raises(DeltaProtocolError, match="not in log"):
+            read_delta(spark, table.table_dir, version=9)
+
+
+class TestCheckpoint:
+    def test_cleaned_log_reads_from_checkpoint(self, spark, table):
+        # spec allows deleting commits ≤ the checkpointed version
+        table.clean_log_before(3)
+        assert not os.path.exists(
+            os.path.join(table.table_dir, "_delta_log",
+                         f"{0:020d}.json"))
+        got = read_delta(spark, table.table_dir).orderBy("k").collect()
+        assert [(r["k"], r["extra"]) for r in got] == [(4, None), (5, 50)]
+        # checkpoint-anchored time travel still works AT the checkpoint...
+        assert sorted(r["k"] for r in read_delta(
+            spark, table.table_dir, version=2).collect()) == [1, 2, 4]
+        # ...and fails LOUDLY below it
+        with pytest.raises(DeltaProtocolError, match="missing commit"):
+            read_delta(spark, table.table_dir, version=1)
+
+    def test_readd_after_remove_wins(self, spark, tmp_path):
+        w = DeltaLogWriter(str(tmp_path / "t2"))
+        a1 = w.write_data_file(_df(spark, [(1, "old")]), "a.parquet")
+        w.commit([w.protocol_action(), w.metadata_action(S1),
+                  w.add_action(a1)])
+        w.commit([w.remove_action("a.parquet")])
+        assert read_delta(spark, w.table_dir).count() == 0
+        a2 = w.write_data_file(_df(spark, [(9, "new")]), "a.parquet")
+        w.commit([w.add_action(a2)])
+        got = read_delta(spark, w.table_dir).collect()
+        assert [(r["k"], r["v"]) for r in got] == [(9, "new")]
+
+
+class TestPartitionedTable:
+    def test_partition_values_injected_typed(self, spark, tmp_path):
+        # per spec, partition columns are NOT in the data files — they
+        # come back typed from add.partitionValues
+        full = StructType([StructField("k", LongType()),
+                           StructField("region", StringType()),
+                           StructField("bucket", LongType())])
+        w = DeltaLogWriter(str(tmp_path / "p"))
+        f1 = w.write_data_file(_df(spark, [(1,), (2,)], "k long"),
+                               "region=eu/part-0.parquet")
+        f2 = w.write_data_file(_df(spark, [(3,)], "k long"),
+                               "region=us/part-0.parquet")
+        w.commit([w.protocol_action(),
+                  w.metadata_action(full, ["region", "bucket"]),
+                  w.add_action(f1, {"region": "eu", "bucket": "7"}),
+                  w.add_action(f2, {"region": "us", "bucket": "8"})])
+        got = read_delta(spark, w.table_dir).orderBy("k").collect()
+        assert [(r["k"], r["region"], r["bucket"]) for r in got] == [
+            (1, "eu", 7), (2, "eu", 7), (3, "us", 8)]
+        # partition pruning stays expressible: a filter on the injected
+        # literal collapses the pruned group's scan
+        assert read_delta(spark, w.table_dir).filter(
+            F.col("region") == "us").count() == 1
+
+
+class TestProtocolGate:
+    def test_higher_reader_version_rejected_loudly(self, spark, tmp_path):
+        w = DeltaLogWriter(str(tmp_path / "g"))
+        f = w.write_data_file(_df(spark, [(1, "x")]), "a.parquet")
+        w.commit([w.protocol_action(min_reader=3),
+                  w.metadata_action(S1), w.add_action(f)])
+        with pytest.raises(DeltaProtocolError, match="minReaderVersion=3"):
+            read_delta(spark, w.table_dir)
+
+    def test_non_delta_dir_rejected(self, spark, tmp_path):
+        with pytest.raises(DeltaProtocolError, match="not a Delta table"):
+            read_delta(spark, str(tmp_path))

@@ -310,6 +310,14 @@ def test_every_family_has_an_inwindow_representative():
                               "python_datasource_tar_write_stats",
                               "stream_engine_pyds_tar_source",
                               "stream_engine_pyds_tar_sink"},
+        # the WebDataset-style tar-shard container machinery (r14: the
+        # roundtrip row enters the window for union closure; the five
+        # rows stay test-pinned equal where outputs coincide)
+        "tar_shard_interchange": {"tar_shard_roundtrip_doc_stats",
+                                  "python_datasource_tar_stats",
+                                  "python_datasource_tar_write_stats",
+                                  "stream_engine_pyds_tar_source",
+                                  "stream_engine_pyds_tar_sink"},
         "blocking_audit": {"dedup_recall_audit",
                            "dedup_recall_audit_sampled",
                            # the cascade's 1-gram stage-3 verify

@@ -453,6 +453,124 @@ class TestTwsBookKernel:
             ("SILENT", "2024-01-05 10:01:00")]
 
 
+class _TwsCountProcessor:
+    """Minimal tws processor for the serializer tripwire: counts rows per
+    key, touches no state. Defined at module scope so cloudpickle's
+    by-value registration can ship it; the crash under test happens in
+    the INPUT serializer, before this code ever runs."""
+
+
+def _build_tws_count_processor():
+    from fictional_guacamole_spark.operators.gap_alarm import (
+        _ensure_protobuf)
+    _ensure_protobuf(required=True)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class P(StatefulProcessor, _TwsCountProcessor):
+        def __init__(self):
+            # a non-empty __dict__ is load-bearing: pickle skips
+            # __setstate__ entirely for stateless instances, and the
+            # protobuf fallback must run at unpickle time in the
+            # driver-side worker
+            self.tag = "tripwire"
+
+        def __setstate__(self, state):
+            _ensure_protobuf()
+            self.__dict__.update(state)
+
+        def init(self, handle):
+            self.seen = handle.getValueState("seen", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+            n = sum(len(pdf) for pdf in rows)
+            prev = self.seen.get()[0] if self.seen.exists() else 0
+            self.seen.update((prev + n,))
+            yield _pd.DataFrame({"k": [key[0]], "n": [prev + n]})
+
+        def close(self):
+            pass
+
+    return P()
+
+
+class TestTwsNestedArrayTripwire:
+    """UPSTREAM-BUG TRIPWIRE (r13 verdict task #4). This test passes
+    BECAUSE pyspark's transformWithStateInPandas input serializer
+    (sql/pandas/serializers.py row_stream → per-row arrow_to_pandas)
+    segfaults on array<array<string>> input columns whenever a grouping
+    key spans more than one row in a batch. book_tws.py works around it
+    by JSON-encoding the nested level arrays across the Arrow boundary
+    (_NESTED_COLS, book_tws.py:139-141,198-199) — an extra encode/decode
+    per frame. When a pyspark upgrade fixes the serializer, the nested
+    leg below will succeed, this test will FAIL LOUDLY, and the JSON
+    detour should be retired."""
+
+    def _run(self, spark, tmp_path, tag, nested):
+        import sys
+
+        from pyspark import cloudpickle
+        from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                       StructField, StructType)
+
+        from fictional_guacamole_spark.operators import gap_alarm as _ga
+        from fictional_guacamole_spark.plans.windows_streaming import (
+            _rocksdb_state_store)
+
+        cloudpickle.register_pickle_by_value(sys.modules[_ga.__name__])
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+        lvl = ArrayType(ArrayType(StringType())) if nested \
+            else ArrayType(StringType())
+        schema = StructType([StructField("k", LongType()),
+                             StructField("levels", lvl)])
+        # the minimal repro shape: TWO rows under ONE grouping key
+        val = [["1", "2"]] if nested else ["1", "2"]
+        src = tmp_path / f"src_{tag}"
+        spark.createDataFrame([(1, val), (1, val)], schema) \
+            .coalesce(1).write.parquet(str(src))
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = (stream.groupBy("k").transformWithStateInPandas(
+            _build_tws_count_processor(),
+            outputStructType="k long, n long",
+            outputMode="append", timeMode="none"))
+        with _rocksdb_state_store(spark):
+            q = (out.writeStream.format("memory")
+                 .queryName(f"tws_tripwire_{tag}")
+                 .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+                 .outputMode("append").start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return {(r["k"], r["n"])
+                for r in spark.table(f"tws_tripwire_{tag}").collect()}
+
+    def test_nested_array_input_still_crashes_the_worker(self, spark,
+                                                         tmp_path):
+        import pytest
+        from pyspark.errors.exceptions.base import PySparkException
+
+        # control leg: the SAME frames with a flat array<string> column
+        # must drain fine — if this leg fails, the environment (not the
+        # serializer bug) is broken and the tripwire is inconclusive
+        assert self._run(spark, tmp_path, "flat", nested=False) == {(1, 2)}
+
+        # tripwire leg: array<array<string>> with a key spanning 2 rows
+        try:
+            got = self._run(spark, tmp_path, "nested", nested=True)
+        except PySparkException:
+            return  # the upstream bug is still present — workaround stands
+        pytest.fail(
+            "pyspark's transformWithStateInPandas serializer now handles "
+            f"array<array<string>> input (drained {got}) — the upstream "
+            "segfault is FIXED. Retire the JSON-text detour in "
+            "operators/book_tws.py (_NESTED_COLS: to_json at the wiring, "
+            "json.loads in the processor) and route the nested level "
+            "arrays across the Arrow boundary natively.")
+
+
 class TestStateTtl:
     def test_ttl_stream_produces_same_active_output(self, spark,
                                                     gdax_capture, tmp_path):
