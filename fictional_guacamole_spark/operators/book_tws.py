@@ -177,9 +177,159 @@ class BookKernelProcessor(StatefulProcessor):
         pass
 
 
+class BucketedBookKernelProcessor(StatefulProcessor):
+    """T1–T5 with MANY products per state key (r13 verdict task #2).
+
+    The per-key processor above pays the arbitrary-state API's state
+    protocol per PRODUCT: every ValueState get/update is a socket round
+    trip to the state server, so a 15 k-product batch costs ~30 k round
+    trips per trigger (measured: the tws row ran 2.0× the classic kernel
+    at sf1 — SCALE.md r13). This variant groups products into
+    ``n_buckets`` coarser state keys and keeps each bucket's books in ONE
+    ValueState blob, so the protocol cost per trigger is O(buckets), not
+    O(products) — the pure kernel (``OrderBook`` + ``process_batch``) is
+    still reused verbatim per product, so T1–T5 semantics are identical
+    by construction (pinned by the cross-variant equality test and the
+    judged row's oracle under SPARK_GRAFT_TWS_BUCKETS).
+
+    The stale-book alarm survives bucketing with ONE timer per bucket:
+    the bucket arms at the MINIMUM product deadline; on expiry it emits
+    every product whose deadline the CURRENT watermark has passed (the
+    same fire condition per-key timers implement, so alarm sets and
+    timestamps are equal), then re-arms at the next minimum. Timer count
+    is bounded by buckets, not keys.
+
+    Trade-off, stated honestly: the bucket blob (every book in the
+    bucket) is decoded+encoded once per trigger whether or not all its
+    products saw frames — bucketing wins when batches touch most keys
+    (the exchange-feed shape: every product streams continuously) and
+    loses on sparse batches where few of a bucket's products appear. The
+    per-key processor remains the default; buckets are the measured
+    mitigation for dense high-cardinality deployments that want
+    timers/TTL (SCALE.md r14 keys-vs-overhead curve)."""
+
+    def __init__(self, depth: int = BOOK_DEPTH,
+                 stale_after_s: int | None = None):
+        self.depth = depth
+        self.stale_after_ms = (None if stale_after_s is None
+                               else stale_after_s * 1000)
+
+    def __setstate__(self, state):
+        _ensure_protobuf()
+        self.__dict__.update(state)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        # one blob per bucket: {"books": {pid: [bids_json, asks_json,
+        # last_emitted_json, max_trade_id]}, "anchors": {pid: last_ms},
+        # "armed": registered_timer_ms | None}
+        self.blob_state = handle.getValueState("bucket", "blob string")
+
+    def _load(self) -> dict:
+        if self.blob_state.exists():
+            return json.loads(self.blob_state.get()[0])
+        return {"books": {}, "anchors": {}, "armed": None}
+
+    def _save(self, blob: dict) -> None:
+        self.blob_state.update((json.dumps(blob),))
+
+    def _rearm(self, blob: dict) -> None:
+        """Keep exactly one armed timer: the bucket's min product
+        deadline. register/delete derive from the same stored values, so
+        hygiene is exact (the session processor's contract)."""
+        anchors = blob["anchors"]
+        want = (min(anchors.values()) + self.stale_after_ms
+                if anchors else None)
+        if blob["armed"] == want:
+            return
+        if blob["armed"] is not None:
+            self.handle.deleteTimer(blob["armed"])
+        if want is not None:
+            self.handle.registerTimer(want)
+        blob["armed"] = want
+
+    def handleInitialState(self, key, initialState: pd.DataFrame,
+                           timerValues: TimerValues) -> None:
+        blob = self._load()
+        for _, row in initialState.iterrows():
+            blob["books"][row["product_id"]] = [
+                row["bids_json"], row["asks_json"],
+                row["last_emitted_json"],
+                None if pd.isna(row["max_trade_id"])
+                else int(row["max_trade_id"])]
+            if self.stale_after_ms is not None:
+                if "as_of_ts" not in initialState.columns:
+                    raise ValueError(
+                        "stale_after_s with an initial state requires an "
+                        "as_of_ts column (the migration cut point)")
+                blob["anchors"][row["product_id"]] = int(
+                    pd.Timestamp(row["as_of_ts"]).value // 1_000_000)
+        if self.stale_after_ms is not None:
+            self._rearm(blob)
+        self._save(blob)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame],
+                        timerValues: TimerValues) -> Iterator[pd.DataFrame]:
+        blob = self._load()
+        books = blob["books"]
+        batches = list(rows)
+        pdf = pd.concat(batches) if len(batches) > 1 else batches[0]
+        for col in _NESTED_COLS:   # JSON text → lists (see _NESTED_COLS)
+            pdf[col] = pdf[col].map(
+                lambda s: json.loads(s) if isinstance(s, str) else None)
+        for pid, group in pdf.groupby("product_id", sort=True):
+            st = books.get(pid)
+            book = (OrderBook.from_state(*st) if st is not None
+                    else OrderBook())
+            # process_batch sorts by seq itself — per-product semantics
+            # are the per-key processor's, verbatim
+            out = process_batch(book, group, self.depth)
+            books[pid] = list(book.to_state())
+            if self.stale_after_ms is not None:
+                new_ms = int(pd.to_datetime(group["server_ts"]).max().value
+                             // 1_000_000)
+                old = blob["anchors"].get(pid)
+                blob["anchors"][pid] = (new_ms if old is None
+                                        else max(new_ms, old))
+            yield from _out_to_pdfs(out)
+        if self.stale_after_ms is not None:
+            self._rearm(blob)
+        self._save(blob)
+
+    def handleExpiredTimer(self, key, timerValues: TimerValues,
+                           expiredTimerInfo: ExpiredTimerInfo
+                           ) -> Iterator[pd.DataFrame]:
+        blob = self._load()
+        # drain every product the CURRENT watermark has passed (not just
+        # the fired min-deadline): per-key timers would each have fired
+        # by this watermark, and a timer registered during expiry
+        # handling is not re-polled within the same batch — draining to
+        # the watermark keeps the alarm set equal to the per-key kernel's
+        wm = timerValues.getCurrentWatermarkInMs()
+        anchors = blob["anchors"]
+        stale = sorted((p, ms + self.stale_after_ms)
+                       for p, ms in anchors.items()
+                       if ms + self.stale_after_ms <= wm)
+        blob["armed"] = None   # the fired timer is consumed
+        for p, _ in stale:
+            del anchors[p]     # one alarm per episode; next frame re-arms
+        self._rearm(blob)
+        self._save(blob)
+        if not stale:
+            return iter(())
+        return iter([_type_pdf("stale", {
+            "product_id": [p for p, _ in stale],
+            "server_ts": [pd.Timestamp(d, unit="ms") for _, d in stale],
+        })])
+
+    def close(self) -> None:
+        pass
+
+
 def apply_book_kernel_tws(frames_df, depth: int = BOOK_DEPTH,
                           stale_after_s: int | None = None,
-                          initial_state=None):
+                          initial_state=None,
+                          buckets: int | None = None):
     """Wire the tws kernel onto a (watermarked, for timers) frame stream.
 
     ``stale_after_s`` arms the per-product stale-book alarm (event-time
@@ -189,14 +339,40 @@ def apply_book_kernel_tws(frames_df, depth: int = BOOK_DEPTH,
     BOTH set, the initial state must also carry an ``as_of_ts``
     timestamp column (the migration cut point): every bootstrapped
     product's stale timer arms from it, so a seeded product whose feed
-    never produces a frame still alarms."""
+    never produces a frame still alarms.
+
+    ``buckets`` (default None = one state key per product; env default
+    SPARK_GRAFT_TWS_BUCKETS): group products into N coarser state keys
+    via BucketedBookKernelProcessor, cutting the per-key state-protocol
+    round trips from O(products) to O(buckets) per trigger — the
+    measured mitigation for dense high-cardinality feeds (SCALE.md r14).
+    Outputs are identical either way (same pure kernel per product; the
+    equality is test-pinned and oracle-judged)."""
+    import os
+
     from fictional_guacamole_spark.operators.gap_alarm import (
         _ensure_protobuf as _need)
     _need(required=True)
     _register_by_value()
+    if buckets is None:
+        env = os.environ.get("SPARK_GRAFT_TWS_BUCKETS")
+        buckets = int(env) if env else None
     # nested level arrays cross the boundary as JSON text (see _NESTED_COLS)
     frames_df = frames_df.withColumns(
         {c: F.to_json(F.col(c)) for c in _NESTED_COLS})
+    if buckets:
+        bucket_of = F.pmod(F.xxhash64("product_id"), F.lit(buckets))
+        grouped = (frames_df.withColumn("_bucket", bucket_of)
+                   .groupBy("_bucket"))
+        init = (initial_state.withColumn("_bucket", bucket_of)
+                .groupBy("_bucket") if initial_state is not None else None)
+        return grouped.transformWithStateInPandas(
+            BucketedBookKernelProcessor(depth, stale_after_s),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode=("eventTime" if stale_after_s is not None
+                      else "None"),
+            initialState=init)
     return (frames_df.groupBy("product_id")
             .transformWithStateInPandas(
                 BookKernelProcessor(depth, stale_after_s),

@@ -1516,6 +1516,28 @@ def stream_engine_dedup_then_agg(spark: SparkSession,
             .orderBy("window_start", "event_type"))
 
 
+# epoch+id fixture bound (r13 SCALE addendum, generalized r14): replica-
+# scaled event_ids reach ~1e10 at sf10 and `epoch + id` seconds passes
+# pandas' year-2262 ns ceiling inside the Arrow kernel boundary. The polo
+# row's plain modulus cannot be reused here — these fixtures run under a
+# dedupe WATERMARK, which needs server_ts MONOTONE in seq (a wrap would
+# make the watermark drop on-time frames as late). Instead: an exact
+# NO-OP below _TS_KNEE (sf1 max id ≈ 7.6e8), and 16:1 monotone
+# compression above it — sf10's max id ≈ 9.9e9 maps to epoch + ~6.2e9 s,
+# inside the ceiling with room to ~sf30. Ties among ≤16 consecutive ids
+# in the compressed region are harmless: dedupe keys on (product_id,
+# seq) and the kernel orders by seq.
+_TS_KNEE = 6_000_000_000
+
+
+def _bounded_epoch_secs(id_col):
+    """Monotone seconds offset for epoch+id fixture timestamps: identity
+    below _TS_KNEE, 16:1 compressed above (exact long arithmetic)."""
+    return F.when(id_col < _TS_KNEE, id_col).otherwise(
+        F.lit(_TS_KNEE).cast("long")
+        + F.floor((id_col - _TS_KNEE) / 16).cast("long")).cast("long")
+
+
 def _match_frames_with_dups(ev: DataFrame) -> DataFrame:
     """The shared book-kernel frame fixture: purchase events as 'match'
     frames (seq = trade_id = event_id, server_ts monotone in seq), with
@@ -1528,8 +1550,10 @@ def _match_frames_with_dups(ev: DataFrame) -> DataFrame:
     frames = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("seq"),
         # monotone-in-seq event time: 2024-01-01T00:00:00Z + seq s
+        # (bounded above the sf10 knee — see _bounded_epoch_secs)
         F.timestamp_seconds(F.lit(1704067200).cast("long")
-                            + F.col("event_id")).alias("server_ts"),
+                            + _bounded_epoch_secs(F.col("event_id")))
+        .alias("server_ts"),
         F.col("user_id").cast("string").alias("product_id"),
         F.lit("match").alias("msg_type"),
         F.lit(None).cast("array<array<string>>").alias("bids"),
@@ -1630,7 +1654,7 @@ def stream_engine_book_kernel(spark: SparkSession,
 
     base = _time_clustered_events_copy(
         spark, sf_dir, transform=_match_frames_with_dups,
-        salt="bookframes1", cluster_col="seq")
+        salt="bookframes2", cluster_col="seq")
     schema = spark.read.parquet(base).schema
 
     root = tempfile.mkdtemp(prefix="fg_bookstream_")
@@ -2210,7 +2234,8 @@ def stream_engine_backfill_repair(spark: SparkSession,
         frames = p.select(
             F.col("event_id").alias("seq"),
             F.timestamp_seconds(F.lit(1704067200).cast("long")
-                                + F.col("event_id")).alias("server_ts"),
+                                + _bounded_epoch_secs(F.col("event_id")))
+            .alias("server_ts"),
             F.col("user_id").cast("string").alias("product_id"),
             F.lit("match").alias("msg_type"),
             F.lit(None).cast("array<array<string>>").alias("bids"),
@@ -2228,7 +2253,7 @@ def stream_engine_backfill_repair(spark: SparkSession,
 
     base = _time_clustered_events_copy(
         spark, sf_dir, transform=bounded_gap_frames,
-        salt="backfillframes2", cluster_col="seq")
+        salt="backfillframes3", cluster_col="seq")
     schema = spark.read.parquet(base).schema
 
     root = tempfile.mkdtemp(prefix="fg_backfill_")
@@ -2334,15 +2359,19 @@ def stream_engine_book_kernel_tws(spark: SparkSession,
 
     base = _time_clustered_events_copy(
         spark, sf_dir, transform=_match_frames_with_dups,
-        salt="bookframes1", cluster_col="seq")
+        salt="bookframes2", cluster_col="seq")
     schema = spark.read.parquet(base).schema
 
     # stale_after = (largest gap between consecutive frames of one
     # product) + 1s: every mid-stream gap re-arms its timer before the
     # watermark can reach the old deadline, so alarms are exactly the
     # end-of-stream-stale products — a batch-boundary-free closed form.
+    # `s` is the frame's SECONDS offset (the fixture's bounded epoch
+    # arithmetic — identical to seq below the sf10 knee), so this closed
+    # form and the kernel's ms timers stay in the same clock at any SF.
     frames = spark.read.parquet(base).select(
-        "product_id", F.col("seq").cast("long").alias("s"))
+        "product_id",
+        _bounded_epoch_secs(F.col("seq").cast("long")).alias("s"))
     gap_s = (frames.withColumn(
         "d", F.col("s") - F.lag("s").over(
             W.partitionBy("product_id").orderBy("s")))
