@@ -86,48 +86,61 @@ def make_batch_writer(sink_dir: str, fetcher: Fetcher | None = None,
          .parquet(os.path.join(sink_dir, sub)))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        books, trades, gaps = demux_outputs(batch_df)
-        write_idempotent(books, "books", batch_id)
-        # gaps are empty for most healthy micro-batches: check once and
-        # gate BOTH the repair (a repartition + mapInPandas stage that
-        # would otherwise run 32 empty tasks per trigger) and the audit
-        # sink on it
-        have_gaps = not gaps.isEmpty()
-        # backfill BEFORE the trades write so live + repaired rows land in
-        # one idempotent write (a second write into the same _batch
-        # partition would overwrite the first). The repair is fully
-        # executor-side: the bounded RANGES frame (never rows — see
-        # MAX_BACKFILL_RANGES_PER_BATCH above) maps through the fetcher
-        # with mapInPandas, so an outage-sized gap expands to its id width
-        # inside executor tasks, and the driver never holds a repaired row
-        # (r12 verdict weak-row fix).
-        if fetcher is not None and have_gaps:
-            # count the (small: coalesced ranges, not ids) frame once so a
-            # burst past the cap is LOUD — the dropped ranges stay durable
-            # in the gaps sink below, but silence here would contradict
-            # the engine's no-silent-caps posture
-            gaps = gaps.localCheckpoint(eager=True)
-            n_ranges = gaps.count()
-            if n_ranges > max_backfill_ranges:
-                logger.warning(
-                    "backfill cap hit in batch %d: %d gap ranges exceed "
-                    "max_backfill_ranges=%d; %d ranges NOT repaired "
-                    "in-batch (recorded in the gaps sink; raise "
-                    "SPARK_GRAFT_MAX_BACKFILL_RANGES or run a catch-up "
-                    "pass)", batch_id, n_ranges, max_backfill_ranges,
-                    n_ranges - max_backfill_ranges)
-            repaired = repair_frame(gaps.limit(max_backfill_ranges), fetcher)
-            trades = trades.unionByName(repaired.select(*TRADE_COLS))
-        write_idempotent(trades, "trades", batch_id)
-        if have_gaps:
-            # the FULL distributed gaps frame — including any ranges past
-            # the in-batch repair cap — lands in the audit sink
-            write_idempotent(gaps, "gaps", batch_id)
-        if stale_sink:
-            stale = (batch_df.filter(F.col("out_type") == "stale")
-                     .select(*STALE_COLS))
-            if not stale.isEmpty():
-                write_idempotent(stale, "stale", batch_id)
+        # CACHE the micro-batch before demuxing (r14, measured at sf1):
+        # every foreachBatch ACTION re-executes the batch plan from the
+        # source — INCLUDING the stateful kernel and its state-store
+        # round trips — and this writer runs 4 actions per healthy batch
+        # (books write, gap probe, trades write, gap audit) plus 2 more
+        # with the stale sink armed. persist() makes the kernel run once
+        # per trigger (the multi-sink foreachBatch pattern Spark's own
+        # docs prescribe); values are unchanged, only execution count.
+        batch_df.persist()
+        try:
+            books, trades, gaps = demux_outputs(batch_df)
+            write_idempotent(books, "books", batch_id)
+            # gaps are empty for most healthy micro-batches: check once
+            # and gate BOTH the repair (a repartition + mapInPandas stage
+            # that would otherwise run 32 empty tasks per trigger) and
+            # the audit sink on it
+            have_gaps = not gaps.isEmpty()
+            # backfill BEFORE the trades write so live + repaired rows
+            # land in one idempotent write (a second write into the same
+            # _batch partition would overwrite the first). The repair is
+            # fully executor-side: the bounded RANGES frame (never rows —
+            # see MAX_BACKFILL_RANGES_PER_BATCH above) maps through the
+            # fetcher with mapInPandas, so an outage-sized gap expands to
+            # its id width inside executor tasks, and the driver never
+            # holds a repaired row (r12 verdict weak-row fix).
+            if fetcher is not None and have_gaps:
+                # count the (small: coalesced ranges, not ids) frame once
+                # so a burst past the cap is LOUD — the dropped ranges
+                # stay durable in the gaps sink below, but silence here
+                # would contradict the engine's no-silent-caps posture
+                n_ranges = gaps.count()
+                if n_ranges > max_backfill_ranges:
+                    logger.warning(
+                        "backfill cap hit in batch %d: %d gap ranges "
+                        "exceed max_backfill_ranges=%d; %d ranges NOT "
+                        "repaired in-batch (recorded in the gaps sink; "
+                        "raise SPARK_GRAFT_MAX_BACKFILL_RANGES or run a "
+                        "catch-up pass)", batch_id, n_ranges,
+                        max_backfill_ranges,
+                        n_ranges - max_backfill_ranges)
+                repaired = repair_frame(gaps.limit(max_backfill_ranges),
+                                        fetcher)
+                trades = trades.unionByName(repaired.select(*TRADE_COLS))
+            write_idempotent(trades, "trades", batch_id)
+            if have_gaps:
+                # the FULL distributed gaps frame — including any ranges
+                # past the in-batch repair cap — lands in the audit sink
+                write_idempotent(gaps, "gaps", batch_id)
+            if stale_sink:
+                stale = (batch_df.filter(F.col("out_type") == "stale")
+                         .select(*STALE_COLS))
+                if not stale.isEmpty():
+                    write_idempotent(stale, "stale", batch_id)
+        finally:
+            batch_df.unpersist()
 
     return write_batch
 
