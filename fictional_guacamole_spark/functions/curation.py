@@ -141,6 +141,58 @@ def sql_hashed_tf(table: str, id_col: str, text_col: str,
 
 # --- exact integer cosine verification over blocked candidates --------------
 
+def _dense_vectors(rows: DataFrame, val_col: str, dim: int) -> DataFrame:
+    """(doc, v, n2) dense rendering of sparse (doc, dim, val) rows: ``v``
+    is the length-``dim`` long array (absent dims = 0), ``n2`` the exact
+    integer squared norm.
+
+    Round-15 verify-path optimization (guide §2.3/§2.4, measured on the
+    cascade's 1-gram-blocked stage: 735 K candidate pairs from 1 701
+    survivor docs): the old sparse verify exploded every candidate pair
+    through a per-dim equi-join (pair × nnz rows through two SMJs), then
+    re-joined per-doc norms twice more — five exchanges over the pair
+    set. With one dense row per doc, verification is cand ⋈ vec ⋈ vec
+    and the dot runs as a fused JVM ``zip_with``/``aggregate`` over the
+    array — two exchanges, no groupBy, no norm joins. The arithmetic is
+    the identical exact integer sum (missing dims contribute 0), so pair
+    sets are bit-equal to the sparse form the oracles replay."""
+    m = rows.groupBy("doc").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim").cast("int").alias("k"),
+                                    F.col(val_col).alias("v")))).alias("m"),
+        F.sum(F.col(val_col) * F.col(val_col)).alias("n2"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return m.select(
+        "doc",
+        F.transform(idx, lambda i: F.coalesce(F.try_element_at("m", i),
+                                              F.lit(0).cast("long")))
+         .alias("v"),
+        "n2")
+
+
+def _verify_pairs_dense(cand: DataFrame, vec: DataFrame, tau_num: int,
+                        tau_den: int, guard_nonneg: bool) -> DataFrame:
+    """Exact integer cosine ≥ tau_num/tau_den over candidate pairs and
+    dense (doc, v, n2) vectors (see :func:`_dense_vectors`). Shuffled-hash
+    hints on the per-doc vector side keep the r10 OOM posture (pair-shaped
+    frames mis-estimate toward driver-breaking broadcasts at large SF —
+    the build side here is one bounded row per DOC, never per pair) while
+    skipping the sort-merge sort of the wide pair-side rows."""
+    x = (vec.select(F.col("doc").alias("doc_a"), F.col("v").alias("va"),
+                    F.col("n2").alias("na")).hint("shuffle_hash"))
+    y = (vec.select(F.col("doc").alias("doc_b"), F.col("v").alias("vb"),
+                    F.col("n2").alias("nb")).hint("shuffle_hash"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda s, p: s + p)
+    j = cand.join(x, "doc_a").join(y, "doc_b").withColumn("dot", dot)
+    cond = (F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
+            >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb"))
+    if guard_nonneg:
+        cond = (F.col("dot") >= 0) & cond
+    return j.filter(cond).select("doc_a", "doc_b")
+
+
 def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
                    tau_num: int = 19, tau_den: int = 20,
                    shingle_n: int = 3) -> DataFrame:
@@ -165,38 +217,17 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
     width is the standard banding knob as the corpus grows."""
     sig = _D.minhash_signatures(docs, id_col, text_col, n=shingle_n)
     bk = _D.minhash_band_keys(sig).localCheckpoint(eager=True)
-    cand = (bk.alias("x").join(
-                bk.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.band_sig") == F.col("y.band_sig"))
-                & (F.col("x.doc") < F.col("y.doc")))
-            .select(F.col("x.doc").alias("doc_a"),
-                    F.col("y.doc").alias("doc_b"))
-            .distinct())
-    tf = hashed_tf(docs, id_col, text_col).localCheckpoint(eager=True)
-    # merge-join hints on the verification stage: on a dup-saturated
-    # corpus the candidate set is pair-shaped (~134 M rows at the sf10
-    # replica), and Catalyst's pre-shuffle estimate of the derived
-    # cand/nrm frames can pick a broadcast that the driver cannot build
-    # (observed OOM at sf10). SMJ costs nothing at the judged SF and
-    # shuffles-by-key at any SF.
-    x, y = tf.alias("x").hint("merge"), tf.alias("y").hint("merge")
-    dots = (cand.join(x, F.col("x.doc") == F.col("doc_a"))
-            .join(y, (F.col("y.doc") == F.col("doc_b"))
-                  & (F.col("y.dim") == F.col("x.dim")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.col("x.c") * F.col("y.c")).alias("dot")))
-    nrm = tf.groupBy("doc").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
-    return (dots
-            .join(nrm.select(F.col("doc").alias("doc_a"),
-                             F.col("n2").alias("na")).hint("merge"),
-                  "doc_a")
-            .join(nrm.select(F.col("doc").alias("doc_b"),
-                             F.col("n2").alias("nb")).hint("merge"),
-                  "doc_b")
-            .filter(F.lit(tau_den * tau_den) * F.col("dot") * F.col("dot")
-                    >= F.lit(tau_num * tau_num) * F.col("na") * F.col("nb"))
-            .select("doc_a", "doc_b"))
+    cand = _D.band_candidates(bk)
+    # dense verify (r15, guide §2.3/§2.4): one (doc, v[256], n2) row per
+    # doc replaces the sparse per-dim equi-join + groupBy + two norm
+    # joins — identical exact integer arithmetic (absent dims add 0; a
+    # zero dot can never pass the cross-multiplied compare), measured
+    # 8.4 s → ~1 s on the cascade's 735 K-candidate 1-gram stage. The
+    # non-negativity of counts makes the dot ≥ 0 guard unnecessary here.
+    vec = (_dense_vectors(hashed_tf(docs, id_col, text_col), "c", HASH_DIM)
+           .localCheckpoint(eager=True))
+    return _verify_pairs_dense(cand, vec, tau_num, tau_den,
+                               guard_nonneg=False)
 
 
 def sql_semantic_pairs(table: str, id_col: str, text_col: str,
@@ -372,37 +403,17 @@ def semantic_pairs_embeddings(qv: DataFrame, tau_num: int = 9,
     equi-join on dim over blocked pairs only → integer compare."""
     qv = qv.localCheckpoint(eager=True)
     bk = srp_band_keys(qv).localCheckpoint(eager=True)
-    cand = (bk.alias("x").join(
-                bk.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.band_sig") == F.col("y.band_sig"))
-                & (F.col("x.doc") < F.col("y.doc")))
-            .select(F.col("x.doc").alias("doc_a"),
-                    F.col("y.doc").alias("doc_b"))
-            .distinct())
-    # merge-join hints, same rationale as semantic_pairs: pair-shaped
-    # candidate frames mis-estimate toward driver-breaking broadcasts at
-    # large SF (the r10 sf10 OOM); SMJ shuffles by key at any SF.
-    x, y = qv.alias("x").hint("merge"), qv.alias("y").hint("merge")
-    dots = (cand.join(x, F.col("x.doc") == F.col("doc_a"))
-            .join(y, (F.col("y.doc") == F.col("doc_b"))
-                  & (F.col("y.dim") == F.col("x.dim")))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.col("x.q") * F.col("y.q")).alias("dot")))
-    nrm = qv.groupBy("doc").agg(F.sum(F.col("q") * F.col("q")).alias("n2"))
-    return (dots
-            .join(nrm.select(F.col("doc").alias("doc_a"),
-                             F.col("n2").alias("na")).hint("merge"),
-                  "doc_a")
-            .join(nrm.select(F.col("doc").alias("doc_b"),
-                             F.col("n2").alias("nb")).hint("merge"),
-                  "doc_b")
-            .filter((F.col("dot") >= 0)
-                    & (F.lit(tau_den * tau_den)
-                       * F.col("dot") * F.col("dot")
-                       >= F.lit(tau_num * tau_num)
-                       * F.col("na") * F.col("nb")))
-            .select("doc_a", "doc_b"))
+    cand = _D.band_candidates(bk)
+    # dense verify (r15, guide §2.3/§2.4): one (doc, v[64], n2) row per
+    # vector replaces the sparse per-dim equi-join + groupBy + two norm
+    # joins — identical exact integer arithmetic; the dot ≥ 0 guard stays
+    # because embedding coordinates are signed. A candidate whose sparse
+    # dot had no shared dims now computes dot = 0, which the guard +
+    # compare reject exactly as the absent-row form did.
+    vec = (_dense_vectors(qv, "q", SEM_DIM)
+           .localCheckpoint(eager=True))
+    return _verify_pairs_dense(cand, vec, tau_num, tau_den,
+                               guard_nonneg=True)
 
 
 def sql_semantic_pairs_embeddings(qv_sql: str, tau_num: int = 9,

@@ -326,6 +326,63 @@ class BucketedBookKernelProcessor(StatefulProcessor):
         pass
 
 
+def resolve_buckets(buckets: int | None = None) -> int | None:
+    """The effective bucket count: explicit argument, else
+    ``SPARK_GRAFT_TWS_BUCKETS``, else None (one state key per product)."""
+    import os
+
+    if buckets is not None:
+        return buckets
+    env = os.environ.get("SPARK_GRAFT_TWS_BUCKETS")
+    return int(env) if env else None
+
+
+def check_bucket_marker(checkpoint_dir: str,
+                        buckets: int | None = None) -> None:
+    """Fail loudly when a checkpoint is resumed under a DIFFERENT state
+    layout (r14 advice): the bucket count is baked into the grouping key
+    (``pmod(xxhash64(product_id), buckets)``), so restarting an existing
+    checkpoint with a different count — or toggling bucketed vs per-key —
+    silently reshuffles products into state keys whose blobs lack their
+    books and anchors: books rebuild from empty and stale alarms vanish
+    with no error. A tiny marker file in the checkpoint dir pins the
+    layout for the checkpoint's lifetime.
+
+    Local-filesystem checkpoints only (the test/driver shape); a
+    URI-schemed location is skipped with a warning rather than guessed
+    at — on such deployments keep the env value stable per checkpoint."""
+    import json as _json
+    import logging
+    import os
+
+    if "://" in checkpoint_dir:
+        logging.getLogger(__name__).warning(
+            "tws bucket-layout marker skipped for non-local checkpoint %s; "
+            "keep SPARK_GRAFT_TWS_BUCKETS stable for its lifetime",
+            checkpoint_dir)
+        return
+    n = resolve_buckets(buckets)
+    layout = ({"layout": "bucketed", "buckets": n} if n
+              else {"layout": "perkey"})
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_fg_tws_layout.json")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            recorded = _json.load(fh)
+        if recorded != layout:
+            raise ValueError(
+                f"tws state-layout mismatch for checkpoint "
+                f"{checkpoint_dir!r}: recorded {recorded}, requested "
+                f"{layout}. The bucket count is baked into the state "
+                "grouping key; resuming under a different layout would "
+                "silently rebuild books from empty state. Keep "
+                "SPARK_GRAFT_TWS_BUCKETS stable for the lifetime of a "
+                "checkpoint, or start a fresh checkpoint directory.")
+    else:
+        with open(marker, "w", encoding="utf-8") as fh:
+            _json.dump(layout, fh)
+
+
 def apply_book_kernel_tws(frames_df, depth: int = BOOK_DEPTH,
                           stale_after_s: int | None = None,
                           initial_state=None,
@@ -348,15 +405,11 @@ def apply_book_kernel_tws(frames_df, depth: int = BOOK_DEPTH,
     measured mitigation for dense high-cardinality feeds (SCALE.md r14).
     Outputs are identical either way (same pure kernel per product; the
     equality is test-pinned and oracle-judged)."""
-    import os
-
     from fictional_guacamole_spark.operators.gap_alarm import (
         _ensure_protobuf as _need)
     _need(required=True)
     _register_by_value()
-    if buckets is None:
-        env = os.environ.get("SPARK_GRAFT_TWS_BUCKETS")
-        buckets = int(env) if env else None
+    buckets = resolve_buckets(buckets)
     # nested level arrays cross the boundary as JSON text (see _NESTED_COLS)
     frames_df = frames_df.withColumns(
         {c: F.to_json(F.col(c)) for c in _NESTED_COLS})

@@ -186,16 +186,9 @@ def _blocking_recall_frame(docs: DataFrame) -> DataFrame:
     # dup-saturated replica corpus — the same failure mode the r10
     # semantic verify hit). The remaining pair joins carry merge hints:
     # SMJ shuffles by key at any SF.
-    bk = D.minhash_band_keys(
-        D.minhash_signatures(docs, "doc_id", "text", 3))
-    cand = (bk.alias("x").join(
-                bk.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.band_sig") == F.col("y.band_sig"))
-                & (F.col("x.doc") < F.col("y.doc")))
-            .select(F.col("x.doc").alias("doc_a"),
-                    F.col("y.doc").alias("doc_b"))
-            .distinct().hint("merge").cache())
+    cand = (D.band_candidates(D.minhash_band_keys(
+                D.minhash_signatures(docs, "doc_id", "text", 3)))
+            .hint("merge").cache())
     hits = (truth.hint("merge")
             .join(cand.withColumn("__hit", F.lit(1)),
                   ["doc_a", "doc_b"], "left")

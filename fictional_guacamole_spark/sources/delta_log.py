@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
@@ -135,6 +136,14 @@ def _list_log(table_dir: str) -> tuple[list[int], list[int]]:
             commits.append(int(stem))
         elif ext == "checkpoint.parquet":
             checkpoints.append(int(stem))
+        elif re.fullmatch(r"checkpoint\.\d{10}\.\d{10}\.parquet", ext):
+            # multi-part checkpoints are legal at minReaderVersion 1 but
+            # unimplemented here; silently skipping one would surface as a
+            # misleading "missing commit(s)" error once the pre-checkpoint
+            # log has been cleaned — reject loudly instead (r14 advice)
+            raise DeltaProtocolError(
+                f"multi-part checkpoint {name!r} is not supported by this "
+                "reader (single-part checkpoints only)")
     return sorted(commits), sorted(checkpoints)
 
 
@@ -260,7 +269,12 @@ def read_delta(spark: "SparkSession", table_dir: str,
         groups.setdefault(key, []).append(
             os.path.join(table_dir, path))
     scans = []
-    for key, paths in sorted(groups.items()):
+    # None-safe ordering: partition values may be null (spec §Part.V.), and
+    # tuple comparison of (col, None) vs (col, "str") raises TypeError — the
+    # sort only provides deterministic union order (r14 advice)
+    for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]]):
         df = spark.read.schema(data_schema).parquet(*sorted(paths))
         pvals = dict(key)
         for c in part_cols:

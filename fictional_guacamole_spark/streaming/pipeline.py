@@ -181,7 +181,11 @@ def run_pipeline(
                   .dropDuplicatesWithinWatermark(["product_id", "seq"]))
     if kernel == "tws":
         from fictional_guacamole_spark.operators.book_tws import (
-            apply_book_kernel_tws)
+            apply_book_kernel_tws, check_bucket_marker)
+        # the bucket count is baked into the state grouping key: pin it to
+        # the checkpoint so a resume under a different layout fails loudly
+        # instead of silently rebuilding books from empty (r14 advice)
+        check_bucket_marker(checkpoint_dir)
         out = apply_book_kernel_tws(frames, stale_after_s=stale_after_s)
     else:
         out = apply_book_kernel(frames)

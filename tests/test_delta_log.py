@@ -144,3 +144,39 @@ class TestProtocolGate:
     def test_non_delta_dir_rejected(self, spark, tmp_path):
         with pytest.raises(DeltaProtocolError, match="not a Delta table"):
             read_delta(spark, str(tmp_path))
+
+
+class TestAdviceHardening:
+    def test_null_partition_values_mix_with_strings(self, spark, tmp_path):
+        """Externally written tables may carry null partition values; the
+        per-group union order sort must not TypeError on None vs str
+        (r14 advice)."""
+        full = StructType([StructField("k", LongType()),
+                           StructField("region", StringType())])
+        w = DeltaLogWriter(str(tmp_path / "np"))
+        f1 = w.write_data_file(_df(spark, [(1,)], "k long"),
+                               "region=eu/part-0.parquet")
+        f2 = w.write_data_file(_df(spark, [(2,)], "k long"),
+                               "region=__HIVE_DEFAULT_PARTITION__/p.parquet")
+        w.commit([w.protocol_action(), w.metadata_action(full, ["region"]),
+                  w.add_action(f1, {"region": "eu"}),
+                  w.add_action(f2, {"region": None})])
+        got = read_delta(spark, w.table_dir).orderBy("k").collect()
+        assert [(r["k"], r["region"]) for r in got] == [
+            (1, "eu"), (2, None)]
+
+    def test_multipart_checkpoint_rejected_loudly(self, spark, tmp_path):
+        """A multi-part checkpoint must raise the documented 'unsupported'
+        rejection, not a misleading missing-commit error (r14 advice)."""
+        w = DeltaLogWriter(str(tmp_path / "mp"))
+        f = w.write_data_file(_df(spark, [(1, "x")]), "a.parquet")
+        w.commit([w.protocol_action(), w.metadata_action(S1),
+                  w.add_action(f)])
+        part = os.path.join(
+            w.table_dir, "_delta_log",
+            f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+        with open(part, "wb") as fh:
+            fh.write(b"")
+        with pytest.raises(DeltaProtocolError,
+                           match="multi-part checkpoint"):
+            read_delta(spark, w.table_dir)

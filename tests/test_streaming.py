@@ -807,3 +807,36 @@ class TestCompatViews:
         export_csv(compat, str(tmp_path / "csv"))
         back = spark.read.option("header", True).csv(str(tmp_path / "csv"))
         assert back.count() == 2
+
+
+class TestTwsBucketMarker:
+    """The bucket count is baked into the tws state grouping key; a resume
+    under a different layout must fail loudly (r14 advice)."""
+
+    def test_marker_pins_layout_across_restarts(self, tmp_path, monkeypatch):
+        from fictional_guacamole_spark.operators.book_tws import (
+            check_bucket_marker)
+        import pytest
+
+        ckpt = str(tmp_path / "ck")
+        monkeypatch.delenv("SPARK_GRAFT_TWS_BUCKETS", raising=False)
+        check_bucket_marker(ckpt)               # first start: per-key
+        check_bucket_marker(ckpt)               # same layout resumes fine
+        with pytest.raises(ValueError, match="state-layout mismatch"):
+            check_bucket_marker(ckpt, buckets=64)   # toggled to bucketed
+        ckpt2 = str(tmp_path / "ck2")
+        check_bucket_marker(ckpt2, buckets=64)  # bucketed from birth
+        check_bucket_marker(ckpt2, buckets=64)
+        with pytest.raises(ValueError, match="state-layout mismatch"):
+            check_bucket_marker(ckpt2, buckets=128)  # count changed
+        # env-derived count participates identically
+        monkeypatch.setenv("SPARK_GRAFT_TWS_BUCKETS", "64")
+        check_bucket_marker(ckpt2)
+
+    def test_non_local_checkpoint_skipped_with_warning(self, caplog):
+        from fictional_guacamole_spark.operators.book_tws import (
+            check_bucket_marker)
+
+        with caplog.at_level("WARNING"):
+            check_bucket_marker("hdfs://nn/ck", buckets=8)
+        assert any("marker skipped" in r.message for r in caplog.records)

@@ -121,7 +121,7 @@ def _fixture_dir(sf_dir: str) -> str:
     if not os.path.isdir(base):
         raise SystemExit(f"fixture not built for {sf_dir} — run "
                          "tools/driver_mirror.py stream_engine_book_kernel "
-                         "once at this SF first ({base})")
+                         f"once at this SF first ({base})")
     return base
 
 
