@@ -317,13 +317,36 @@ def minhash_signatures_from_shingles(sh: DataFrame) -> DataFrame:
     return h.groupBy("doc").agg(*aggs)
 
 
+def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
+                   n: int = 3) -> DataFrame:
+    """(doc, __s) rows: each document's DISTINCT word n-grams as one array
+    column; documents with no shingle (< n words) are dropped, matching
+    the explode form's doc set exactly. Same staging discipline as
+    :func:`shingle_rows` (named intermediates, fan_out before the
+    CPU-heavy transform)."""
+    from fictional_guacamole_spark.tables import fan_out
+    staged = fan_out(df.select(F.col(id_col).alias("doc"),
+                               F.col(text_col).alias("__t"))) \
+        .select("doc", F.split(normalize(F.col("__t")), " ").alias("__w"))
+    return (staged.select("doc",
+                          word_shingles(F.col("__w"), n).alias("__s"))
+            .filter(F.size("__s") >= 1))
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3) -> DataFrame:
     """Per-document MinHash signature: columns m0..m{K-1}.
 
     One explode + one groupBy; the K min-aggregates fold map-side (partial
     aggregation), so shuffle volume is K longs per doc regardless of size.
-    """
+
+    A zero-shuffle variant (per-doc shingle arrays + 32
+    ``array_min(transform(...))`` folds) was MEASURED OUT in round 15:
+    higher-order functions run interpreted, outside whole-stage codegen,
+    and each transform materializes a fresh array — 10.1 s vs 0.78 s for
+    this form at sf0.1 (n=3). The explode+groupBy shape keeps the md5 +
+    permutation arithmetic inside codegen and the exchange it pays is
+    K longs per doc, which partial aggregation already minimizes."""
     return minhash_signatures_from_shingles(
         shingle_rows(df, id_col, text_col, n))
 
@@ -447,34 +470,34 @@ def lsh_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     exact n-gram Jaccard verifies them — no all-pairs stage anywhere.
 
     At 100 TB this is the only shape that works: candidate generation is
-    an equi-join on (band, band_sig); the exact verifier joins shingles
-    ONLY for candidate pairs (a semi-join against the candidate set), so
-    verification cost is proportional to candidate volume, not corpus².
+    an equi-join on (band, band_sig); the exact verifier joins each
+    candidate pair's two shingle ARRAYS (one row per pair, set
+    intersection in the JVM), so verification cost is proportional to
+    candidate volume, not corpus².
+
+    Round 15 (guide §2.3/§2.4): one cached (doc, shingle-array) frame
+    feeds the map-side signatures AND the verify join. The old shape
+    exploded shingles to rows, re-grouped them for signatures and sizes,
+    and verified via a pair×shingle equi-join + count — ~10 exchanges;
+    this shape has the band-bucket groupBy, the candidate distinct, and
+    two per-doc array joins — and ``size(array_intersect(...))`` over
+    distinct arrays equals the exploded equality-join count exactly, so
+    the judged jaccard values are bit-identical.
     """
-    # ONE shingle computation feeds candidate generation (via signatures)
-    # AND exact verification: the shingle frame is ~n× the corpus text, so
-    # recomputing it per subtree (4 subtrees here) is the dominant CPU cost
-    # — cache it (MEMORY_AND_DISK, spills rather than OOMs at scale).
-    sh = shingle_rows(df, id_col, text_col, n).cache()
-    # signatures are tiny (K longs/doc); the band buckets group once
-    # (band_candidates) instead of self-joining
-    sig = minhash_signatures_from_shingles(sh).cache()
+    sharr = shingle_arrays(df, id_col, text_col, n).cache()
+    # signatures still come from the codegen'd explode+groupBy form (the
+    # HOF fold was measured 13× slower — see minhash_signatures); the
+    # explode here reads the CACHED arrays, so shingling runs once
+    sig = minhash_signatures_from_shingles(
+        sharr.select("doc", F.explode("__s").alias("s")))
     cand = band_candidates(minhash_band_keys(sig))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
-    common = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .filter(F.col("s_a") == F.col("s_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = (F.col("common").cast("double")
-           / (F.col("n_a") + F.col("n_b") - F.col("common")))
+    a = sharr.select(F.col("doc").alias("doc_a"), F.col("__s").alias("s_a"))
+    b = sharr.select(F.col("doc").alias("doc_b"), F.col("__s").alias("s_b"))
+    common = F.size(F.array_intersect("s_a", "s_b"))
+    jac = (common.cast("double")
+           / (F.size("s_a") + F.size("s_b") - common))
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        cand.join(a, "doc_a").join(b, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -558,19 +581,25 @@ def dedup_components(pairs: DataFrame, ids: DataFrame,
              .distinct().cache())
 
     def step(lbl: DataFrame) -> DataFrame:
-        # label edges make the jump ride the one neighborhood join; they
-        # also guarantee every node has a neighbor, so the join is inner
+        # label edges make the pointer-jump ride the one neighborhood
+        # join; each node's own label travels as a tagged self-message so
+        # the new label AND the change flag fall out of one groupBy — a
+        # step is one join + one aggregation, no re-join of old labels
         aug = edges.union(lbl.select(F.col("node").alias("u"),
                                      F.col("label").alias("v")))
-        nbr = (aug.join(lbl.select(F.col("node").alias("n2"),
-                                   F.col("label").alias("l2")),
-                        F.col("v") == F.col("n2"))
-               .groupBy("u").agg(F.min("l2").alias("nbr_label")))
-        return (lbl.join(nbr, lbl.node == nbr.u)
-                .select(F.col("node"),
-                        F.least(F.col("label"), F.col("nbr_label"))
-                         .alias("label"),
-                        (F.col("nbr_label") < F.col("label")).alias("chg")))
+        relayed = (aug.join(lbl.select(F.col("node").alias("n2"),
+                                       F.col("label").alias("l2")),
+                            F.col("v") == F.col("n2"))
+                   .select("u", "l2", F.lit(False).alias("self")))
+        msgs = relayed.union(
+            lbl.select(F.col("node").alias("u"),
+                       F.col("label").alias("l2"),
+                       F.lit(True).alias("self")))
+        return (msgs.groupBy("u")
+                .agg(F.min("l2").alias("label"),
+                     F.min(F.when(F.col("self"), F.col("l2"))).alias("old"))
+                .select(F.col("u").alias("node"), "label",
+                        (F.col("label") < F.col("old")).alias("chg")))
 
     for _ in range(max_iters):
         once = step(labels)
