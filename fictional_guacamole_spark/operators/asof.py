@@ -50,12 +50,6 @@ def asof_join(
     value_cols = value_cols or [c for c in right.columns
                                 if c not in keys and c != right_time]
 
-    # Dedupe the right side to one row per (key, time): keep max tiebreak.
-    if tiebreak is not None:
-        wdedup = W.partitionBy(*keys, right_time).orderBy(F.desc(tiebreak))
-        right = (right.withColumn("__rdup", F.row_number().over(wdedup))
-                 .filter(F.col("__rdup") == 1).drop("__rdup"))
-
     # Side ordering encodes strictness (see the comment below); the
     # forward direction mirrors it: the right row at EQUAL time must sort
     # outside the left row's window exactly when the bound is strict.
@@ -63,38 +57,53 @@ def asof_join(
         l_side, r_side = (0, 1) if strict else (1, 0)
     else:
         l_side, r_side = (1, 0) if strict else (0, 1)
+    # The right row travels as ONE struct so the window's last()/first()
+    # picks the whole winning row atomically (row-level as-of semantics,
+    # and a single window expression instead of one per value column).
+    r_struct_t = F.struct(*[F.col(c) for c in value_cols])
     l_tag = left.select(
         *[F.col(k) for k in keys],
         F.col(left_time).alias("__t"),
         F.lit(l_side).alias("__side"),
         F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in value_cols],
+        F.lit(None).cast(
+            right.select(r_struct_t.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
+        *([F.lit(None).cast(right.schema[tiebreak].dataType).alias("__tb")]
+          if tiebreak is not None else []),
     )
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_time).alias("__t"),
         F.lit(r_side).alias("__side"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        r_struct_t.alias("__r"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak is not None else []),
     )
     # Ordering trick: with strict=True left rows sort BEFORE right rows at
     # equal time, so the backward-looking window sees only strictly-earlier
     # right rows; with strict=False the right row at t == left time is seen.
+    # The tiebreak (max wins among right rows at equal (key, time)) rides
+    # the SAME ordering — ascending before a last(), descending before a
+    # first() — instead of a separate row_number dedup pass, so duplicate
+    # right rows cost no extra shuffle (round 15, guide §2.4: the dedup
+    # window partitioned by (key, time) was a second exchange of the whole
+    # right side; the fused ordering folds it into the one as-of shuffle).
     if direction == "backward":
-        w = (W.partitionBy(*keys).orderBy("__t", "__side")
+        order = ["__t", "__side"] + (["__tb"] if tiebreak is not None else [])
+        w = (W.partitionBy(*keys).orderBy(*order)
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-        fill = [F.last(f"__r_{c}", ignorenulls=True).over(w)
-                .alias(f"__f_{c}") for c in value_cols]
+        fill = F.last("__r", ignorenulls=True).over(w).alias("__f")
     else:
-        w = (W.partitionBy(*keys).orderBy("__t", "__side")
+        order = [F.col("__t").asc(), F.col("__side").asc()] + \
+            ([F.col("__tb").desc()] if tiebreak is not None else [])
+        w = (W.partitionBy(*keys).orderBy(*order)
              .rowsBetween(W.currentRow, W.unboundedFollowing))
-        fill = [F.first(f"__r_{c}", ignorenulls=True).over(w)
-                .alias(f"__f_{c}") for c in value_cols]
-    filled = r_tag.unionByName(l_tag).select("__l", *fill)
+        fill = F.first("__r", ignorenulls=True).over(w).alias("__f")
+    filled = r_tag.unionByName(l_tag).select("__l", fill)
     out = filled.filter(F.col("__l").isNotNull())
     proj: list[Column] = [F.col(f"__l.{c}").alias(c) for c in left.columns]
-    proj += [F.col(f"__f_{c}").alias(c) for c in value_cols]
+    proj += [F.col(f"__f.{c}").alias(c) for c in value_cols]
     return out.select(*proj)
 
 

@@ -39,6 +39,7 @@ from dataclasses import dataclass, field
 from typing import Any, Iterator, NamedTuple
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import types as T
 
@@ -350,35 +351,32 @@ def _out_to_pdfs(out: BatchOut) -> Iterator[pd.DataFrame]:
                                 "gap_first_id": first, "gap_last_id": last})
 
 
-def process_batch(book: OrderBook, pdf: pd.DataFrame,
-                  depth: int = BOOK_DEPTH) -> BatchOut:
-    """Columnar fast path over a pandas frame batch for ONE product.
+def _process_sorted(book: OrderBook, mt: list, col,
+                    depth: int = BOOK_DEPTH) -> BatchOut:
+    """Shared kernel loop over ONE product's frames already in seq order.
 
-    Semantically identical to ``process_frames`` over the same rows (a
-    test pins the per-type row sequences as equal); avoids materializing a
-    13-field dict per frame — per-type field access and compact per-type
-    tuples only. This is the path the Spark kernels use; process_frames
-    remains the readable reference implementation.
+    ``mt`` is the seq-sorted msg_type list; ``col(name)`` returns that
+    column's values in the same order. Columns are pulled once per batch,
+    lazily, gated on the message kinds present (profiling showed the
+    per-access closure was ~10% of kernel CPU) — so each backend (pandas
+    for the streaming state API, pyarrow for batch replays) only converts
+    the columns this batch actually touches.
     """
-    pdf = pdf.sort_values("seq", kind="mergesort")
-    mt = pdf["msg_type"].tolist()
     kinds = set(mt)
     out = BatchOut([], [], [])
-    # columns pulled once per batch, gated on the message kinds present
-    # (profiling showed the per-access closure was ~10% of kernel CPU)
-    pids = pdf["product_id"].tolist()
-    tss = pdf["server_ts"].tolist()
-    chg = pdf["changes"].tolist() if "l2update" in kinds else None
+    pids = col("product_id")
+    tss = col("server_ts")
+    chg = col("changes") if "l2update" in kinds else None
     if "match" in kinds:
-        tids = pdf["trade_id"].tolist()
-        seqs = pdf["sequence"].tolist()
-        prices = pdf["price"].tolist()
-        vols = pdf["volume"].tolist()
-        sides = pdf["side"].tolist()
-        xtss = pdf["exchange_ts"].tolist()
+        tids = col("trade_id")
+        seqs = col("sequence")
+        prices = col("price")
+        vols = col("volume")
+        sides = col("side")
+        xtss = col("exchange_ts")
     if "snapshot" in kinds:
-        snap_bids = pdf["bids"].tolist()
-        snap_asks = pdf["asks"].tolist()
+        snap_bids = col("bids")
+        snap_asks = col("asks")
 
     apply_change = book.apply_change
     emit_if_changed = book.emit_if_changed
@@ -407,6 +405,34 @@ def process_batch(book: OrderBook, pdf: pd.DataFrame,
             if emitted is not None:
                 add_book((pids[i], tss[i], emitted[0], emitted[1]))
     return out
+
+
+def process_batch(book: OrderBook, pdf: pd.DataFrame,
+                  depth: int = BOOK_DEPTH) -> BatchOut:
+    """pandas backend of :func:`_process_sorted` (the streaming state API
+    hands pandas frames). Semantically identical to ``process_frames``
+    over the same rows (a test pins the per-type row sequences as equal);
+    avoids materializing a 13-field dict per frame — per-type field access
+    and compact per-type tuples only."""
+    pdf = pdf.sort_values("seq", kind="mergesort")
+    return _process_sorted(book, pdf["msg_type"].tolist(),
+                           lambda c: pdf[c].tolist(), depth)
+
+
+def process_table(book: OrderBook, tbl, depth: int = BOOK_DEPTH) -> BatchOut:
+    """pyarrow backend of :func:`_process_sorted` (batch ``applyInArrow``
+    path, round 15 — guide §4.1/§4.2): no pandas materialization at all.
+    Ordering is a stable argsort on ``seq`` with each extracted column
+    permuted once — the same order ``sort_values(kind="mergesort")``
+    yields, since both sorts are stable."""
+    seq_sort = tbl.column("seq").to_pylist()
+    order = sorted(range(len(seq_sort)), key=seq_sort.__getitem__)
+
+    def col(c: str) -> list:
+        vals = tbl.column(c).to_pylist()
+        return [vals[i] for i in order]
+
+    return _process_sorted(book, col("msg_type"), col, depth)
 
 
 def make_book_kernel(state_ttl_ms: int | None = None):
@@ -466,6 +492,73 @@ def book_kernel_batch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
+# Arrow types of the non-timestamp OUTPUT_SCHEMA columns; the two timestamp
+# columns take their type from the INPUT batch's server_ts field so the
+# session-timezone annotation always matches what the JVM sent.
+_PA_TYPES = {
+    "out_type": "string", "product_id": "string",
+    "bids": "list<string>", "asks": "list<string>",
+    "trade_id": "int64", "sequence": "int64",
+    "price": "string", "volume": "string", "side": "string",
+    "backfilled": "bool", "gap_first_id": "int64", "gap_last_id": "int64",
+}
+
+
+def _pa_out_schema(ts_type):
+    lookup = {"string": pa.string(), "list<string>": pa.list_(pa.string()),
+              "int64": pa.int64(), "bool": pa.bool_()}
+    return pa.schema([(c, lookup[_PA_TYPES[c]] if c in _PA_TYPES else ts_type)
+                      for c in _OUT_COLS])
+
+
+def _out_to_tables(out: BatchOut, schema) -> Iterator:
+    """Render the per-type streams straight to (up to) three pyarrow
+    Tables in OUTPUT_SCHEMA shape — the batch-path twin of
+    :func:`_out_to_pdfs`, skipping the object-dtype pandas frame and its
+    per-cell Arrow re-conversion entirely (guide §4.2)."""
+
+    def table(out_type: str, filled: dict) -> pa.Table:
+        n = len(filled["product_id"])
+        filled["out_type"] = [out_type] * n
+        return pa.Table.from_arrays(
+            [pa.array(filled.get(c, [None] * n), type=schema.field(c).type)
+             for c in _OUT_COLS], schema=schema)
+
+    if out.books:
+        pid, ts, bids, asks = (list(c) for c in zip(*out.books))
+        yield table("book", {"product_id": pid, "server_ts": ts,
+                             "bids": bids, "asks": asks})
+    if out.trades:
+        pid, ts, tid, seq, price, vol, side, xts = (
+            list(c) for c in zip(*out.trades))
+        yield table("trade", {
+            "product_id": pid, "server_ts": ts, "trade_id": tid,
+            "sequence": seq, "price": price, "volume": vol, "side": side,
+            "exchange_ts": xts, "backfilled": [False] * len(pid)})
+    if out.gaps:
+        pid, ts, first, last = (list(c) for c in zip(*out.gaps))
+        yield table("gap", {"product_id": pid, "server_ts": ts,
+                            "gap_first_id": first, "gap_last_id": last})
+
+
+def book_kernel_batch_arrow(key: tuple, tbl: pa.Table) -> pa.Table:
+    """Stateless ``applyInArrow`` twin of :func:`book_kernel_batch`
+    (round 15): identical kernel loop and emission order, but the frame
+    batch stays a pyarrow Table on both sides of the boundary. Measured at
+    sf0.1 the pandas object-frame conversion was the dominant term of the
+    batch replay (identity-kernel probe: ~1.1 s of a 2.3 s row); this path
+    removes it for every batch replay consumer. (Both parameters carry
+    type hints — PySpark's ``infer_group_arrow_eval_type_from_func``
+    raises on partially-annotated functions.)"""
+    schema = _pa_out_schema(tbl.schema.field("server_ts").type)
+    parts = list(_out_to_tables(process_table(OrderBook(), tbl), schema))
+    if not parts:
+        return schema.empty_table()
+    if len(parts) == 1:
+        return parts[0]
+    return pa.concat_tables(parts)
+
+
 def apply_book_kernel(frames_df, output_mode: str = "append",
                       state_ttl_ms: int | None = None):
     """Wire the kernel onto a frame DataFrame.
@@ -488,6 +581,13 @@ def apply_book_kernel(frames_df, output_mode: str = "append",
     while the nested Arrow transfer it replaced overlapped with kernel
     compute. The grouped nested-Arrow path stays because it is the
     fastest shape actually observed, not by assumption.
+
+    Round 15: the batch leg switched from ``applyInPandas`` to
+    ``applyInArrow`` (same grouping, same kernel loop via
+    :func:`_process_sorted`) after an identity-kernel probe attributed
+    ~1.1 s of the 2.3 s throughput row to the Arrow↔pandas object-frame
+    conversions, not the kernel math. The streaming leg stays pandas —
+    ``applyInPandasWithState`` has no Arrow-native variant.
     """
     grouped = frames_df.groupBy("product_id")
     if frames_df.isStreaming:
@@ -499,7 +599,7 @@ def apply_book_kernel(frames_df, output_mode: str = "append",
             timeoutConf=("ProcessingTimeTimeout" if state_ttl_ms
                          else "NoTimeout"),
         )
-    return grouped.applyInPandas(book_kernel_batch, schema=OUTPUT_SCHEMA)
+    return grouped.applyInArrow(book_kernel_batch_arrow, schema=OUTPUT_SCHEMA)
 
 
 def replay_frames_batch(spark, frames: list[dict[str, Any]],

@@ -650,16 +650,21 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion."""
     ev = load_table(spark, sf_dir, "events")
     left = ev.select("user_id", "event_id", "ts", "event_type")
-    right = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(F.max_by("value", "event_id").alias("last_purchase_value"),
-             F.max("event_id").alias("last_purchase_event_id"))
-    )
+    # Raw purchase rows ride straight into the as-of window; the oracle's
+    # (user_id, ts) pre-aggregation (max_by(value, event_id), MAX(event_id))
+    # is subsumed by the operator's fused tiebreak ordering — the window
+    # picks the max-event_id row at the winning ts atomically, which IS
+    # that group's (max_by value, max event_id) pair (values proven
+    # identical on the driver comparator; round 15, guide §2.1: one fewer
+    # exchange + two fewer HashAggregates over the purchase rows).
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("value").alias("last_purchase_value"),
+        F.col("event_id").alias("last_purchase_event_id"))
     joined = asof_join(left, right, on="user_id", left_time="ts",
                        right_time="ts",
                        value_cols=["last_purchase_value", "last_purchase_event_id"],
-                       strict=True)
+                       strict=True, tiebreak="last_purchase_event_id")
     return joined.orderBy("user_id", "event_id")
 
 

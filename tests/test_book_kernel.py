@@ -369,6 +369,37 @@ def test_process_batch_equals_process_frames(deltas, trade_ids):
         for r in ref if r["out_type"] == "gap"]
 
 
+@settings(max_examples=50, deadline=None)
+@given(deltas=changes,
+       trade_ids=st.lists(st.integers(1, 40), min_size=0, max_size=10))
+def test_process_table_equals_process_batch(deltas, trade_ids):
+    """The pyarrow backend (batch applyInArrow path, round 15) must emit
+    the byte-identical BatchOut of the pandas backend over the same
+    frames — including when the batch arrives OUT of seq order, since the
+    arrow path orders via a stable argsort where pandas uses a stable
+    frame sort."""
+    import pandas as pd
+    import pyarrow as pa
+    from fictional_guacamole_spark.operators.book import (
+        process_batch, process_table)
+
+    frames = [frame(0, "snapshot", bids=[["100", "1"], ["90", "2"]],
+                    asks=[["110", "1"]])]
+    seq = 1
+    for side, price, volume in deltas:
+        frames.append(frame(seq, "l2update", changes=[[side, price, volume]]))
+        seq += 1
+    for tid in trade_ids:
+        frames.append(frame(seq, "match", trade_id=tid,
+                            price="1", volume="1", side="buy"))
+        seq += 1
+    frames = frames[::-1]  # exercise both backends' stable seq sort
+
+    fast = process_batch(OrderBook(), pd.DataFrame(frames))
+    arr = process_table(OrderBook(), pa.Table.from_pylist(frames))
+    assert arr == fast
+
+
 @settings(max_examples=200, deadline=None)
 @given(snapshot_bids=snapshot_levels, snapshot_asks=snapshot_levels,
        deltas=changes)
