@@ -466,10 +466,11 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
 
     The probed cell set is resolved driver-side first (|Q| × n_probe
     values — a bounded collect over the TINY query frame, the same class
-    as the ANN trainers' documented collects); each distinct cell becomes
-    one ``read_pruned`` whose zone maps drop every file the clustered
-    compaction placed wholly outside that cell, and the residual
-    ``cid = cell`` filter is pushed to the surviving row groups. Output
+    as the ANN trainers' documented collects); the whole set feeds ONE
+    multi-range ``read_pruned`` whose zone maps drop every file the
+    clustered compaction placed wholly outside all probed cells, and the
+    residual ``cid IN (...)`` filter is pushed to the surviving row
+    groups (one scan node however many cells are probed). Output
     is BIT-IDENTICAL to :func:`ivf_topk` with the same centroids: same
     assignments (stored), same candidates (cid equi-join semantics),
     same scoring fold and tie-break."""
@@ -490,15 +491,17 @@ def ivf_probe_topk(spark: SparkSession, table_path: str,
             T.StructField("neighbor_id", id_type),
             T.StructField("cos_sim", T.DoubleType()),
             T.StructField("rank", T.IntegerType())]))
-    parts = []
-    for cell in probed:
-        # one pruned read per distinct probed cell; the exact predicate
-        # lands on the surviving files' row groups via Catalyst pushdown
-        parts.append(t.read_pruned(spark, {"cid": (cell, cell)})
-                     .filter(F.col("cid") == cell))
-    corpus = parts[0]
-    for p in parts[1:]:
-        corpus = corpus.unionByName(p)
+    # ONE pruned read over the union of the probed cells' surviving
+    # files (multi-range zone maps — a file survives if it may hold ANY
+    # probed cell), with the exact IN-list predicate pushed to the
+    # surviving row groups. Round 15 (guide §2.1, §6.2): the former
+    # per-cell read+union built one scan NODE per probed cell (a
+    # |probed|-arm plan, 2|probed| at PQ's two consumers); row set is
+    # identical — a file holding a cid=c row always zone-map-survives
+    # (c, c), so per-cell filter-unions and one IN-filtered scan keep
+    # exactly the rows with cid ∈ probed, each once.
+    corpus = (t.read_pruned(spark, {"cid": [(c, c) for c in probed]})
+              .filter(F.col("cid").isin(probed)))
     if candidate_filter is not None:
         # filtered vector search, post-filter semantics: ONE shared index,
         # predicate applied to the pruned candidates before scoring (and
@@ -886,11 +889,11 @@ def ivf_pq_probe_topk(spark: SparkSession, table_path: str,
             T.StructField("neighbor_id", id_type),
             T.StructField("cos_sim", T.DoubleType()),
             T.StructField("rank", T.IntegerType())]))
-    parts = [t.read_pruned(spark, {"cid": (cell, cell)})
-             .filter(F.col("cid") == cell) for cell in probed]
-    corpus = parts[0]
-    for p in parts[1:]:
-        corpus = corpus.unionByName(p)
+    # one multi-range pruned scan (see ivf_probe_topk) — this corpus
+    # subtree feeds BOTH codes and vecs below, so collapsing the
+    # per-cell union halves twice the plan arms here
+    corpus = (t.read_pruned(spark, {"cid": [(c, c) for c in probed]})
+              .filter(F.col("cid").isin(probed)))
     codes = corpus.select(F.col(id_col), "cid", "code")
     vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
                          F.col(vec_col).alias("n_vec"), "c_norm")

@@ -613,8 +613,9 @@ def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is WRITTEN once into a commit-log table (clustered OPTIMIZE on
     ``cid`` + per-file ``cid`` zone maps, functions/similarity.py::
     ivf_persist_index), and the probe reads ONLY the probed cells' files
-    (read_pruned per distinct cell — file skipping before Spark plans the
-    scan, residual ``cid`` filter pushed to surviving row groups). The
+    (one multi-range read_pruned over the probed-cell set — file skipping
+    before Spark plans the scan, residual ``cid IN`` filter pushed to
+    surviving row groups, one scan node for any number of cells). The
     index builds once per corpus (cached per sf_dir mtime, atomic
     publish) and every query amortizes it — the production economics at
     100 TB, where re-training per query (the judged-SF convenience form)

@@ -137,15 +137,19 @@ def zone_map_survives(stats: dict, bounds: dict) -> bool:
 
     ``stats``: column → [min, max] (encoded via :func:`_stat_key`) or
     None. ``bounds``: column → (lo, hi) encoded, either side None for
-    open. Missing/None stats can never prune — the safety direction.
+    open — or a LIST of such ranges, meaning the file survives when it
+    may intersect ANY of them (the IN-list / probed-cell-set shape: one
+    pruning pass over the file list instead of one scan per value).
+    Missing/None stats can never prune — the safety direction.
     Module-level so the property tests can drive it against a row model
     without a SparkSession in the loop."""
-    for col, (lo, hi) in bounds.items():
+    for col, rs in bounds.items():
         mm = stats.get(col)
         if mm is None or mm[0] is None or mm[1] is None:
             continue  # no/opaque stats for this column: cannot prune
-        if (hi is not None and mm[0] > hi) or \
-           (lo is not None and mm[1] < lo):
+        ranges = rs if isinstance(rs, list) else [rs]
+        if not any((hi is None or mm[0] <= hi) and
+                   (lo is None or mm[1] >= lo) for lo, hi in ranges):
             return False
     return True
 
@@ -447,13 +451,17 @@ class TransactionalParquetTable:
         """Snapshot read with zone-map file skipping.
 
         ``ranges`` maps column → ``(lo, hi)`` inclusive bounds (either
-        side ``None`` for open). A data file is skipped when its recorded
-        [min, max] on ANY bounded column cannot intersect the requested
-        range; files (or whole commits) without recorded stats always
-        survive — skipping can only drop provably-irrelevant files, never
-        rows the predicate wants. The surviving file list is resolved
-        HERE, once, and pinned into the plan (same snapshot-isolation
-        contract as :meth:`read`).
+        side ``None`` for open), or a LIST of such bounds meaning the
+        file survives when it may intersect ANY of them (the probed-cell
+        / IN-list shape: ONE scan node over the union of surviving
+        files, instead of a per-value union of scans). A data file is
+        skipped when its recorded [min, max] on ANY bounded column
+        cannot intersect the requested range(s); files (or whole
+        commits) without recorded stats always survive — skipping can
+        only drop provably-irrelevant files, never rows the predicate
+        wants. The surviving file list is resolved HERE, once, and
+        pinned into the plan (same snapshot-isolation contract as
+        :meth:`read`).
 
         This is an OPTIMIZATION, not the predicate: the result may
         contain out-of-range rows from surviving files, and the caller
@@ -474,7 +482,9 @@ class TransactionalParquetTable:
             return _stat_key(_session_naive_dt_to_utc(spark, v)) \
                 if v is not None else None
 
-        bounds = {c: (enc(lo), enc(hi)) for c, (lo, hi) in ranges.items()}
+        bounds = {c: [(enc(lo), enc(hi)) for lo, hi in r]
+                  if isinstance(r, list) else (enc(r[0]), enc(r[1]))
+                  for c, r in ranges.items()}
 
         entries = self._entries()
         if version is not None:

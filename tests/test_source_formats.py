@@ -561,6 +561,42 @@ class TestZoneMapSkipping:
         assert len(lo_only.inputFiles()) < full_files
         assert lo_only.filter("k >= 110").count() == 10
 
+    def test_multi_range_in_list_prunes_like_per_value_union(self, spark,
+                                                             tmp_path):
+        # the probed-cell shape: a LIST of (lo, hi) ranges survives a
+        # file iff ANY single range would — so one multi-range read
+        # equals the union of per-value pruned reads, with one scan node
+        t = self._clustered_table(spark, tmp_path)
+        multi = t.read_pruned(spark, {"k": [(5, 5), (100, 100)]})
+        per_value = {f for v in (5, 100)
+                     for f in t.read_pruned(spark,
+                                            {"k": (v, v)}).inputFiles()}
+        assert sorted(multi.inputFiles()) == sorted(per_value)
+        assert len(multi.inputFiles()) < len(t.read(spark).inputFiles())
+        got = sorted(r.k for r in
+                     multi.filter("k IN (5, 100)").collect())
+        assert got == [5, 100]
+
+    def test_multi_range_single_commit_is_one_scan(self, spark, tmp_path):
+        # the optimization's point: however many ranges are probed, a
+        # single-commit (post-OPTIMIZE) table plans ONE scan node — no
+        # Union over per-range reads
+        from fictional_guacamole_spark.sources.txnlog import (
+            TransactionalParquetTable)
+
+        t = TransactionalParquetTable(str(tmp_path / "t1"))
+        df = (spark.range(0, 120)
+              .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS v")
+              .repartitionByRange(12, "k"))
+        t.commit(df, "c1", stats_cols=["k"])
+        multi = t.read_pruned(spark, {"k": [(5, 5), (57, 57), (111, 111)]})
+        assert len(multi.inputFiles()) < len(t.read(spark).inputFiles())
+        plan = multi._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" not in plan
+        got = sorted(r.k for r in
+                     multi.filter("k IN (5, 57, 111)").collect())
+        assert got == [5, 57, 111]
+
     def test_unstatted_column_never_prunes(self, spark, tmp_path):
         # stats were recorded for k only: a range on v cannot drop files
         t = self._clustered_table(spark, tmp_path, stats_cols=("k",))
