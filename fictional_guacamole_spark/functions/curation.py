@@ -342,7 +342,10 @@ def srp_band_keys(qv: DataFrame) -> DataFrame:
     combined groupBy (plane entries are ±1 literals inlined via
     element_at, no join, no plane-table shuffle); each 8-plane band packs
     its sign bits into one integer key. Shuffle: 48 longs per vector.
-    100 TB: this is the 'assign' stage — scan-speed, output ∝ vectors."""
+    100 TB: this is the 'assign' stage — scan-speed, output ∝ vectors.
+    Prefer :func:`srp_band_keys_dense` when the vector is already a
+    dense array column — it skips this path's explode + groupBy shuffle
+    entirely (r15, guide §2.4)."""
     planes = [
         F.array(*[F.lit(srp_plane_sign(p, i)) for i in range(SEM_DIM)])
         for p in range(SEM_PLANES)
@@ -353,6 +356,12 @@ def srp_band_keys(qv: DataFrame) -> DataFrame:
         for p in range(SEM_PLANES)
     ]
     sig = qv.groupBy("doc").agg(*dots)
+    return _srp_bands_from_dots(sig)
+
+
+def _srp_bands_from_dots(sig: DataFrame) -> DataFrame:
+    """(doc, band, band_sig) from a frame carrying d0..d47 plane dots:
+    each 8-plane band packs its sign bits into one integer key."""
     n_bands = SEM_PLANES // SEM_BAND_W
     band_structs = [
         F.struct(
@@ -365,6 +374,45 @@ def srp_band_keys(qv: DataFrame) -> DataFrame:
     return (sig.select("doc", F.explode(F.array(*band_structs)).alias("bs"))
             .select("doc", F.col("bs.band").alias("band"),
                     F.col("bs.band_sig").alias("band_sig")))
+
+
+def quantized_embeddings_dense(emb: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """(doc, v) DENSE integer quantization of float embedding arrays:
+    v[i] = FLOOR(double(x_i) · SEM_SCALE), computed as one map-side
+    ``transform`` over the array — no posexplode, no shuffle (r15,
+    guide §2.4; contrast :func:`quantized_embedding_rows`, which renders
+    the exploded (doc, dim, q) rows the k-means / decon dot joins need)."""
+    return emb.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("long")
+        ).alias("v"))
+
+
+def srp_band_keys_dense(qdense: DataFrame) -> DataFrame:
+    """(doc, band, band_sig) SRP banding of DENSE (doc, v) quantized
+    vectors: one posexplode into the same 48-fused-conditional-sum
+    groupBy as :func:`srp_band_keys`. Measured alternative (r15, sf0.1,
+    2 400 docs × 64 dims): computing the 48 plane dots as in-array
+    ``zip_with``/``aggregate`` folds (zero-shuffle) matches this shape
+    warm (~0.9 s) but pays ~5 s of first-execution codegen for the 48
+    fold lambdas — a once-per-session cost the per-pass bench protocol
+    re-pays, so the explode+groupBy aggregation (cheap codegen, map-side
+    combined, one skinny shuffle of docs × dims longs) stays. The dots
+    are identical exact integer sums either way."""
+    ex = qdense.select("doc", F.posexplode("v").alias("dim", "q"))
+    planes = [
+        F.array(*[F.lit(srp_plane_sign(p, i)) for i in range(SEM_DIM)])
+        for p in range(SEM_PLANES)
+    ]
+    dots = [
+        F.sum(F.col("q") * F.element_at(planes[p], F.col("dim") + 1))
+         .alias(f"d{p}")
+        for p in range(SEM_PLANES)
+    ]
+    return _srp_bands_from_dots(ex.groupBy("doc").agg(*dots))
 
 
 def sql_srp_band_keys(qv_cte: str) -> str:
@@ -391,27 +439,36 @@ def sql_srp_band_keys(qv_cte: str) -> str:
       GROUP BY doc, band"""
 
 
-def semantic_pairs_embeddings(qv: DataFrame, tau_num: int = 9,
+def semantic_pairs_embeddings(qdense: DataFrame, tau_num: int = 9,
                               tau_den: int = 10) -> DataFrame:
-    """(doc_a, doc_b) pairs of quantized embedding rows with exact integer
+    """(doc_a, doc_b) pairs of DENSE quantized embedding vectors
+    (doc, v — :func:`quantized_embeddings_dense`) with exact integer
     cosine ≥ tau_num/tau_den, candidates from SRP banding (never
     all-pairs). The verify guards dot ≥ 0 before the cross-multiplied
     square compare — embedding coordinates are signed, unlike the
     non-negative hashed-TF counts in :func:`semantic_pairs`.
 
-    100 TB shape: assign (map-side) → 6 band equi-joins → sparse dot
-    equi-join on dim over blocked pairs only → integer compare."""
-    qv = qv.localCheckpoint(eager=True)
-    bk = srp_band_keys(qv).localCheckpoint(eager=True)
+    Round-15 shape (guide §2.4): quantization stays on the dense array
+    (a map-side ``transform`` — no posexplode rebuild of the vector),
+    the SRP dots run in ONE exploded groupBy (srp_band_keys_dense), the
+    verify reads v directly with n2 as a single in-array fold — so the
+    old shape's exploded (doc, dim, q) frame, its second groupBy
+    (map_from_entries vector rebuild) and all three eager
+    localCheckpoints are gone; the band-key frame feeds exactly one
+    consumer (band_candidates' single-pass in-bucket expansion) and the
+    per-doc verify sides are cheap map-side recomputes of a pruned
+    scan, so nothing here is worth a checkpoint. Measured at sf0.1
+    (steady-state bench-pass protocol, full judged row): 7.6 s → 6.3 s
+    per pass; pair set bit-equal (398 = 398 at sf0.1).
+
+    100 TB shape: assign (map-side quantize + one skinny dots shuffle)
+    → 6 band equi-joins → dense dot over blocked pairs only → integer
+    compare."""
+    bk = srp_band_keys_dense(qdense)
     cand = _D.band_candidates(bk)
-    # dense verify (r15, guide §2.3/§2.4): one (doc, v[64], n2) row per
-    # vector replaces the sparse per-dim equi-join + groupBy + two norm
-    # joins — identical exact integer arithmetic; the dot ≥ 0 guard stays
-    # because embedding coordinates are signed. A candidate whose sparse
-    # dot had no shared dims now computes dot = 0, which the guard +
-    # compare reject exactly as the absent-row form did.
-    vec = (_dense_vectors(qv, "q", SEM_DIM)
-           .localCheckpoint(eager=True))
+    n2 = F.aggregate("v", F.lit(0).cast("long"),
+                     lambda s, x: s + x * x).alias("n2")
+    vec = qdense.select("doc", "v", n2)
     return _verify_pairs_dense(cand, vec, tau_num, tau_den,
                                guard_nonneg=True)
 

@@ -279,24 +279,28 @@ def dedup_semantic_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     only blocked pairs via the sparse dim equi-join; components is the
     sf10-proven distributed labeling. SEM_BAND_W is the knob that keeps
     candidate volume linear as the corpus grows."""
-    # re-split before the explode-heavy quantize + 48-sum SRP stage: the
-    # raw scan's few input splits would otherwise cap the map parallelism
-    # (same sf10 lesson as the cascade's survivor repartition)
+    # re-split before the 48-fold SRP map stage: the raw scan's few input
+    # splits would otherwise cap the map parallelism (same sf10 lesson as
+    # the cascade's survivor repartition)
     emb = (load_table(spark, sf_dir, "embeddings")
            .repartition(F.col("vec_id")))
-    qv_orig = C.quantized_embedding_rows(emb)
+    # r15 (guide §2.4): quantization stays on the DENSE array — one
+    # map-side transform per branch (the replica's doubled coordinate is
+    # an index-aware transform), no posexplode, no groupBy rebuild. The
+    # per-element arithmetic is unchanged, so vectors are bit-equal to
+    # the exploded form the oracle replays.
+    qd_orig = C.quantized_embeddings_dense(emb)
     rep = emb.filter(F.col("vec_id") % 5 == 0)
-    qv_rep = (rep.select(
+    qd_rep = rep.select(
         (F.col("vec_id") + _SEMP_STRIDE).alias("doc"),
-        F.col("vec_id").alias("orig_id"),
-        F.posexplode("embedding").alias("dim", "x"))
-        .select("doc", "dim",
-                F.floor(F.col("x").cast("double") * C.SEM_SCALE
-                        * F.when(F.col("dim") == F.col("orig_id")
-                                 % C.SEM_DIM, 2).otherwise(1))
-                 .cast("long").alias("q")))
-    qv = qv_orig.unionByName(qv_rep)
-    pairs = C.semantic_pairs_embeddings(qv)
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.floor(
+                x.cast("double") * C.SEM_SCALE
+                * F.when(i == F.col("vec_id") % C.SEM_DIM, 2).otherwise(1)
+            ).cast("long")).alias("v"))
+    qdense = qd_orig.unionByName(qd_rep)
+    pairs = C.semantic_pairs_embeddings(qdense)
     ids = (emb.select(F.col("vec_id"))
            .unionByName(rep.select(
                (F.col("vec_id") + _SEMP_STRIDE).alias("vec_id"))))

@@ -239,6 +239,26 @@ class TestSemanticPretrained:
         hit = sum(1 for d in reps if cl[d] == cl[d - 100000])
         assert reps and hit / len(reps) >= 0.95, (hit, len(reps))
 
+    def test_dense_pipeline_matches_exploded_reference(self, spark):
+        # r15 optimization parity: the dense map-side quantization and
+        # its band keys must equal the exploded (doc, dim, q) reference
+        # forms element-for-element on the fixture corpus
+        from fictional_guacamole_spark.tables import load_table
+        emb = load_table(spark, SF_SMALL, "embeddings")
+        qd = {r["doc"]: list(r["v"])
+              for r in C.quantized_embeddings_dense(emb).collect()}
+        ref = {}
+        for r in C.quantized_embedding_rows(emb).collect():
+            ref.setdefault(r["doc"], [0] * C.SEM_DIM)[r["dim"]] = r["q"]
+        assert qd == ref
+        dense_bk = {(r["doc"], r["band"]): r["band_sig"]
+                    for r in C.srp_band_keys_dense(
+                        C.quantized_embeddings_dense(emb)).collect()}
+        ref_bk = {(r["doc"], r["band"]): r["band_sig"]
+                  for r in C.srp_band_keys(
+                      C.quantized_embedding_rows(emb)).collect()}
+        assert dense_bk == ref_bk
+
 
 class TestDedupCascade:
     @pytest.fixture(scope="class")
