@@ -216,8 +216,11 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
     per-candidate sparse dot (equi-join on dim) → integer compare. Band
     width is the standard banding knob as the corpus grows."""
     sig = _D.minhash_signatures(docs, id_col, text_col, n=shingle_n)
-    bk = _D.minhash_band_keys(sig).localCheckpoint(eager=True)
-    cand = _D.band_candidates(bk)
+    # no checkpoint on the band keys (r15): band_candidates consumes
+    # them exactly once since its single-pass in-bucket expansion, so
+    # the chain sig → bands → candidates is linear and an eager
+    # materialization would only add a pass
+    cand = _D.band_candidates(_D.minhash_band_keys(sig))
     # dense verify (r15, guide §2.3/§2.4): one (doc, v[256], n2) row per
     # doc replaces the sparse per-dim equi-join + groupBy + two norm
     # joins — identical exact integer arithmetic (absent dims add 0; a

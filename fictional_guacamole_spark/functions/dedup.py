@@ -391,10 +391,23 @@ def band_candidates(bk: DataFrame) -> DataFrame:
     unchanged from the self-join (a band bucket always lands in one
     task either way), so the skew posture at 100 TB is the same: bucket
     size is governed by banding selectivity, the documented knob.
+
+    Second r15 pass: duplicate doc-SET buckets are dropped BEFORE the
+    O(k²) pair expansion (``.distinct()`` on the sorted member array).
+    Under weakly-selective banding the same doc set recurs across
+    bands — measured on the cascade's 1-gram sem stage (sf0.1): 96
+    buckets but only 12 distinct member sets, so the expansion emitted
+    5.88 M pair structs to distinct down to 735 K; deduping the sets
+    first emits each pair from at most a few set-variants
+    (4.8 s → 1.5 s, pair set identical). The extra exchange moves one
+    array row per bucket — the same bytes the expansion input already
+    shuffles — and duplicate pairs from DIFFERENT member sets still
+    fold in the final pair-level distinct, exactly as before.
     """
     grp = (bk.groupBy("band", "band_sig")
            .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
-           .filter(F.size("ds") >= 2))
+           .filter(F.size("ds") >= 2)
+           .select("ds").distinct())
     pairs = F.flatten(F.transform(
         F.col("ds"),
         lambda a, i: F.transform(
