@@ -279,11 +279,14 @@ def dedup_semantic_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     only blocked pairs via the sparse dim equi-join; components is the
     sf10-proven distributed labeling. SEM_BAND_W is the knob that keeps
     candidate volume linear as the corpus grows."""
-    # re-split before the 48-fold SRP map stage: the raw scan's few input
-    # splits would otherwise cap the map parallelism (same sf10 lesson as
-    # the cascade's survivor repartition)
+    # re-split before the SRP dots stage: the raw scan's few input
+    # splits would otherwise cap the map parallelism (same sf10 lesson
+    # as the cascade's survivor repartition); the count is pinned to
+    # cores so AQE's byte-based coalescing cannot single-thread the
+    # CPU-bound stage at small byte volumes (r15, guide §2.6)
     emb = (load_table(spark, sf_dir, "embeddings")
-           .repartition(F.col("vec_id")))
+           .repartition(spark.sparkContext.defaultParallelism,
+                        F.col("vec_id")))
     # r15 (guide §2.4): quantization stays on the DENSE array — one
     # map-side transform per branch (the replica's doubled coordinate is
     # an index-aware transform), no posexplode, no groupBy rebuild. The
@@ -786,9 +789,14 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ran 3-way parallel on a 32-core host (a >10-minute straggler
     # stage). One cheap shuffle of the text restores full parallelism;
     # at 100 TB this is the standard re-split between a pruned scan and
-    # a CPU-bound map stage.
+    # a CPU-bound map stage. The COUNT is pinned to the cluster's core
+    # count (r15, guide §2.6): left implicit, AQE's byte-based
+    # coalescing folded the tiny-bytes survivor text to ONE partition
+    # at sf0.1, single-threading the CPU-bound shingle stage the bytes
+    # estimate cannot price.
     s1_docs = (docs.join(s1.select(F.col("doc").alias("doc_id")), "doc_id")
-               .repartition(F.col("doc_id")))
+               .repartition(spark.sparkContext.defaultParallelism,
+                            F.col("doc_id")))
     mh_pairs = (D.minhash_lsh_pairs(s1_docs, "doc_id", "text", n=3)
                 .filter(F.col("est_jaccard") >= 0.5)
                 .select("doc_a", "doc_b"))

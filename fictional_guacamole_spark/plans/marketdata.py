@@ -432,10 +432,18 @@ def bench_book_kernel_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel — at 100 TB this halves shuffle volume vs. shuffling the
     # packed frames and keeps the hot projection off the scan's narrow
     # parallelism.
+    # Partition COUNT is pinned to the cluster's core count (r15, guide
+    # §2.6): with the count left implicit, AQE's byte-based coalescing
+    # sized the exchange for JVM bytes (15 partitions on a 32-core
+    # host) and halved the parallelism of the PYTHON kernel stage,
+    # whose per-row cost the byte estimate cannot see — measured
+    # 3.6 s → 2.7 s at sf0.1. defaultParallelism scales with the
+    # cluster, so this is a shape, not a local[32] constant.
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_shipdate", "l_suppkey",
                   "l_returnflag", "l_extendedprice", "l_quantity")
-          .repartition(F.col("l_suppkey").cast("string")))
+          .repartition(spark.sparkContext.defaultParallelism,
+                       F.col("l_suppkey").cast("string")))
     is_trade = F.col("l_returnflag") == "R"
     frames = li.select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
