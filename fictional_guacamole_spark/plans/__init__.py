@@ -498,9 +498,18 @@ JUDGE_WINDOW: list[str] = [
                                       # write→read roundtrip (r14 closure)
     "text_bpe_subword_stats",      # real BPE trainer + vocab-join encoder
     # -- r9 rotation: registry closure + the two new r9 rows --------------
-    "python_datasource_tar_write_stats",  # Python DataSource WRITE path
-                                          # over tar shards (r14 closure;
-                                          # the batch-read rep is r13-green)
+    "delta_log_read_stats",        # r15 rotation (r14 verdict task #1):
+                                   # the PUBLIC Delta _delta_log protocol
+                                   # reader takes its NAMED slot from
+                                   # python_datasource_tar_write_stats
+                                   # (judged green r14; the pyds/tar
+                                   # families keep the in-window
+                                   # stream_engine_pyds_tar_source +
+                                   # tar_shard_roundtrip_doc_stats reps
+                                   # and the quintet stays test-pinned
+                                   # equal). Judging this row closes the
+                                   # cumulative driver union at 238/238
+                                   # oracled rows ever judged.
     "sketch_kmv_set_ops_events",   # KMV closure: union/inter/Jaccard
     "stream_engine_pyds_tar_source",  # the custom STREAMING DataSource
                                       # read path through the engine (r14
