@@ -26,7 +26,7 @@ from __future__ import annotations
 import random
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Observation, Window as W
 from pyspark.sql import functions as F
 
 from fictional_guacamole_spark.functions.text import normalize
@@ -576,8 +576,10 @@ def dedup_components(pairs: DataFrame, ids: DataFrame,
       join — convergence needs ~O(log diameter) rounds instead of
       O(diameter), at zero extra joins per round;
     - two propagation steps run per checkpoint + convergence probe (the
-      fixed cost), and the probe is a flag-column scan of the
-      checkpointed frame instead of an old-vs-new re-join.
+      fixed cost), and the probe rides the checkpoint itself: an
+      ``observe`` metric (sum of change flags) is collected by the SAME
+      job that materializes the eager localCheckpoint, so a cycle costs
+      ONE Spark job instead of two (checkpoint + a separate count scan).
 
     Every step is monotone decreasing toward the same unique fixpoint
     (labels are always component-member ids; at a fixpoint labels are
@@ -620,10 +622,16 @@ def dedup_components(pairs: DataFrame, ids: DataFrame,
         # nothing, step 1's output was already the fixpoint, so the loop
         # may exit regardless of what step 1 did
         new_labels = step(once.select("node", "label"))
+        # convergence probe fused into the checkpoint (r15): the observe
+        # metric is collected by the eager checkpoint's own
+        # materialization job, so no separate count() job runs per cycle
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs, F.sum(F.col("chg").cast("long")).alias("changed"))
         # localCheckpoint truncates lineage — without it each round's plan
         # embeds every previous round and analysis cost compounds
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter("chg").count()
+        changed = obs.get["changed"] or 0  # None on an empty frame
         labels = new_labels.select("node", "label")
         if changed == 0:
             break

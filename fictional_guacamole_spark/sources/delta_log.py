@@ -244,12 +244,24 @@ def read_delta(spark: "SparkSession", table_dir: str,
     Distributed parquet scan over the snapshot's surviving files with
     the snapshot's OWN schema: files written before a schema widening
     read with the added columns null-filled; partition-column values
-    (absent from data files, per spec) are injected as typed literals
-    per partition group."""
-    from functools import reduce
+    (absent from data files, per spec) are injected via a broadcast
+    file→values map joined on ``input_file_name()``.
 
+    Plan width is O(1) regardless of partition count (r15, guide §3.3 /
+    §5 "very large plans"): the previous shape unioned one scan node per
+    distinct partition-value tuple, so a real lakehouse table
+    partitioned date×product planned thousands of union arms on the
+    driver. Now ALL surviving files feed ONE scan (the explicit
+    data-file schema null-fills pre-evolution files exactly as the
+    per-group scans did), and each row's partition values are attached
+    by a BroadcastHashJoin against the KB-scale manifest keyed on the
+    file URI. The join key is exact, not a string guess: the map is
+    keyed by Hadoop's own qualified-URI rendering of each manifest path
+    (``Path.makeQualified(...).toUri().toString()``), which is
+    character-identical to what ``input_file_name()`` reports, and an
+    unmatched row raises in-plan instead of dropping silently."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
     snap = _replay(spark, table_dir, version)
     schema = StructType.fromJson(snap.schema_json)
@@ -261,28 +273,52 @@ def read_delta(spark: "SparkSession", table_dir: str,
     if not snap.files:
         return spark.createDataFrame([], schema)
 
-    # group files by their partition values: one scan per group, the
-    # group's serialized values injected as typed literal columns
-    groups: dict[tuple, list[str]] = {}
-    for path, pvals in snap.files.items():
-        key = tuple(sorted(pvals.items()))
-        groups.setdefault(key, []).append(
-            os.path.join(table_dir, path))
-    scans = []
-    # None-safe ordering: partition values may be null (spec §Part.V.), and
-    # tuple comparison of (col, None) vs (col, "str") raises TypeError — the
-    # sort only provides deterministic union order (r14 advice)
-    for key, paths in sorted(
-            groups.items(),
-            key=lambda kv: [(c, v is not None, v or "") for c, v in kv[0]]):
-        df = spark.read.schema(data_schema).parquet(*sorted(paths))
-        pvals = dict(key)
-        for c in part_cols:
-            raw = pvals.get(c)  # serialized string or None (spec §Part.V.)
-            typed = F.lit(raw).cast(part_fields[c].dataType)
-            df = df.withColumn(c, typed)
-        scans.append(df.select(*[f.name for f in schema.fields]))
-    return reduce(lambda a, b: a.unionByName(b), scans)
+    out_cols = [f.name for f in schema.fields]
+    all_paths = sorted(os.path.join(table_dir, p) for p in snap.files)
+    df = spark.read.schema(data_schema).parquet(*all_paths)
+    if not part_cols:
+        return df.select(*out_cols)
+
+    file_col, mark_col = "__fg_delta_file", "__fg_delta_matched"
+    pv = {c: f"__fg_delta_pv_{i}" for i, c in enumerate(part_cols)}
+    clash = ({file_col, mark_col, *pv.values()}
+             & {f.name for f in data_schema.fields})
+    if clash:
+        raise DeltaProtocolError(
+            f"data columns collide with reader internals: {sorted(clash)}")
+
+    # exact join key: Hadoop's qualified-URI rendering of the manifest
+    # path — the same string FileScanRDD publishes through
+    # input_file_name() (percent-encoding included)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _qualified(p: str) -> str:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        return jp.getFileSystem(hconf).makeQualified(jp).toUri().toString()
+
+    map_schema = StructType(
+        [StructField(file_col, StringType(), False),
+         StructField(mark_col, StringType(), False)]
+        + [StructField(pv[c], StringType(), True) for c in part_cols])
+    map_rows = [
+        tuple([_qualified(os.path.join(table_dir, path)), "y"]
+              + [pvals.get(c) for c in part_cols])  # None = null (spec)
+        for path, pvals in sorted(snap.files.items())]
+    manifest = spark.createDataFrame(map_rows, map_schema)
+
+    joined = (df.withColumn(file_col, F.input_file_name())
+              .join(F.broadcast(manifest), file_col, "left"))
+    # loud in-plan guard: a scanned file absent from the manifest map is
+    # a reader bug, never a data condition — fail, don't null-fill
+    guard = F.when(F.col(mark_col).isNull(), F.raise_error(F.concat(
+        F.lit("delta partition map missed file: "), F.col(file_col))))
+    projected = [
+        F.coalesce(guard, F.col(pv[c]))
+        .cast(part_fields[c].dataType).alias(c)
+        if c in pv else F.col(c)
+        for c in out_cols]
+    return joined.select(*projected)
 
 
 # ---------------------------------------------------------------------------

@@ -180,3 +180,51 @@ class TestAdviceHardening:
         with pytest.raises(DeltaProtocolError,
                            match="multi-part checkpoint"):
             read_delta(spark, w.table_dir)
+
+
+class TestBoundedPlanWidth:
+    def test_bounded_plan_width_1000_partition_values(self, spark,
+                                                      tmp_path):
+        """r15 plan-width bound (r14 verdict task #3): a log with 1 000
+        distinct partition-value tuples must plan O(1) arms — ONE file
+        scan + the broadcast manifest — not one union arm per group."""
+        import shutil
+
+        full = StructType([StructField("k", LongType()),
+                           StructField("region", StringType())])
+        w = DeltaLogWriter(str(tmp_path / "wide"))
+        seed = w.write_data_file(_df(spark, [(1,)], "k long"),
+                                 "region=r0/part-0.parquet")
+        adds = [w.add_action(seed, {"region": "r0"})]
+        for i in range(1, 1000):
+            rel = f"region=r{i}/part-0.parquet"
+            dest = os.path.join(w.table_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.copy(os.path.join(w.table_dir, seed["path"]), dest)
+            adds.append(w.add_action({**seed, "path": rel},
+                                     {"region": f"r{i}"}))
+        w.commit([w.protocol_action(), w.metadata_action(full, ["region"]),
+                  *adds])
+        df = read_delta(spark, w.table_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        assert plan.collectLeaves().size() == 2  # file scan + manifest
+        assert "Union" not in plan.toString()
+        got = df.groupBy().agg(
+            F.count("*").alias("n"),
+            F.countDistinct("region").alias("d")).collect()[0]
+        assert (got["n"], got["d"]) == (1000, 1000)
+
+    def test_uri_key_exact_on_special_char_paths(self, spark, tmp_path):
+        """The manifest join key must be character-identical to
+        input_file_name() even when the relative path needs URI escaping
+        (space, '+'): a mismatch would trip the in-plan raise_error
+        guard, never silently drop or null rows."""
+        full = StructType([StructField("k", LongType()),
+                           StructField("region", StringType())])
+        w = DeltaLogWriter(str(tmp_path / "odd"))
+        f1 = w.write_data_file(_df(spark, [(1,)], "k long"),
+                               "region=a b+c/part 0.parquet")
+        w.commit([w.protocol_action(), w.metadata_action(full, ["region"]),
+                  w.add_action(f1, {"region": "a b+c"})])
+        got = read_delta(spark, w.table_dir).collect()
+        assert [(r["k"], r["region"]) for r in got] == [(1, "a b+c")]
