@@ -119,13 +119,17 @@ N_PASSES = 3
 # median-of-3 run — the pass-level contention gate cannot see a
 # single-query scheduling spike. The gate is now per-query retry-until:
 # any query whose (max−min)/median across the used passes exceeds
-# SPREAD_GATE_PCT gets additional min-of-3 samples (up to
-# SPREAD_EXTRA_RUNS across the whole set), and its official number
+# SPREAD_GATE_PCT gets additional min-of-3 samples (per-row budget
+# below), and its official number
 # becomes the median of the TIGHTEST N_PASSES-sample window — adding
 # samples lets the window vote a spike out entirely, which a plain
 # widening median cannot.
 SPREAD_GATE_PCT = 10.0
-SPREAD_EXTRA_RUNS = 24
+# r15: the budget moved per-row (see the resample loop) after single-row
+# stalls exhausted the shared pool twice; 4 matches the heavy tier's
+# per-row budget and 13 rows × 4 bounds the worst case at 52 extra
+# min-of-3 samples (the old global cap was 24 shared).
+SPREAD_EXTRA_RUNS_PER_ROW = 4
 
 # Round 8 (r7 verdict task #7): a SECOND bench tier for the heavy paths the
 # headline set predates — the persisted-ANN probe and an engine-executed
@@ -298,7 +302,17 @@ def main() -> None:
     resampled: dict[str, int] = {}
     for qn, _ in ordered:
         med, sp = _win_stats(samples[qn])
-        while sp > SPREAD_GATE_PCT / 100.0 and spread_runs < SPREAD_EXTRA_RUNS:
+        # Round 15 (declared in OPTIMIZATION_r15.md; same measurement fix
+        # the heavy tier took this round): the extra-sample budget is per
+        # ROW, not global — a single stalled query late in the list
+        # (q5 77.9 % mid-round, stream_session_window 62.2 % in a
+        # degraded-host close attempt) could otherwise exhaust the shared
+        # budget and publish the gate failing on visibly tight steady
+        # states. `spread_extra_runs` still reports the total.
+        row_extra = 0
+        while (sp > SPREAD_GATE_PCT / 100.0
+               and row_extra < SPREAD_EXTRA_RUNS_PER_ROW):
+            row_extra += 1
             spread_runs += 1
             resampled[qn] = resampled.get(qn, 0) + 1
             best = float("inf")
