@@ -118,10 +118,20 @@ def hashed_tf(docs: DataFrame, id_col: str, text_col: str,
     vocabulary reach cos ≥ 0.95 by chance (485 'near-dup' pairs, half of
     them lexically unrelated); at 256 the chance pairs vanish (265 → the
     lexically-real set)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("t"))
-    toks = toks.filter(F.col("t") != "")
+    return hashed_tf_from_words(
+        _D.words_frame(docs, id_col, text_col), dim)
+
+
+def hashed_tf_from_words(words: DataFrame, dim: int = HASH_DIM) -> DataFrame:
+    """:func:`hashed_tf` over an existing (doc, __w) words frame (see
+    ``dedup.words_frame``) — the shared-tokenize entry point (r16): a
+    pipeline that also bands minhash shingles over the same documents
+    caches ONE words frame and derives both, instead of re-running
+    scan → normalize → split per subtree. Values are identical: the
+    explode of the staged word array is the same token multiset the
+    inline split produced."""
+    toks = (words.select("doc", F.explode("__w").alias("t"))
+            .filter(F.col("t") != ""))
     return (toks.select("doc", (md5_long(F.col("t")) % dim).alias("dim"))
             .groupBy("doc", "dim")
             .agg(F.least(F.count(F.lit(1)), F.lit(TF_CAP)).alias("c")))
@@ -155,19 +165,46 @@ def _dense_vectors(rows: DataFrame, val_col: str, dim: int) -> DataFrame:
     and the dot runs as a fused JVM ``zip_with``/``aggregate`` over the
     array — two exchanges, no groupBy, no norm joins. The arithmetic is
     the identical exact integer sum (missing dims contribute 0), so pair
-    sets are bit-equal to the sparse form the oracles replay."""
-    m = rows.groupBy("doc").agg(
-        F.map_from_entries(
+    sets are bit-equal to the sparse form the oracles replay.
+
+    Round-16 build (guide §2.4; r15 verdict task #6): the dense array is
+    assembled by a SCATTER over the dim-sorted entries — for each entry,
+    emit the zero-gap since the previous dim, then the value, then pad
+    the tail — so the work per doc is O(nnz + dim). The r15 form probed
+    a map with ``try_element_at`` once per output slot, and Spark's map
+    lookup is a linear key scan, so each doc paid O(dim × nnz)
+    comparisons — measured 1.6 s for the cascade's 1 701-doc verify
+    checkpoint at dim=256, and quadratic-ish if the hash dim grows.
+    Entries are unique per dim (upstream groupBy) and read via O(1)
+    array indexing; a −1 sentinel head makes every gap
+    ``d[j] − d[j−1] − 1`` with no branch. The sentinel-padded entry
+    array is STAGED as a named column before the scatter lambda (the
+    measured 20× HOF pitfall: an inline concat would re-evaluate — i.e.
+    re-copy — per lambda invocation, putting the quadratic right
+    back)."""
+    zero = F.lit(0).cast("long")
+    ent = rows.groupBy("doc").agg(
+        F.array_sort(
             F.collect_list(F.struct(F.col("dim").cast("int").alias("k"),
-                                    F.col(val_col).alias("v")))).alias("m"),
+                                    F.col(val_col).alias("x")))).alias("e"),
         F.sum(F.col(val_col) * F.col(val_col)).alias("n2"))
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    return m.select(
-        "doc",
-        F.transform(idx, lambda i: F.coalesce(F.try_element_at("m", i),
-                                              F.lit(0).cast("long")))
-         .alias("v"),
-        "n2")
+    staged = ent.select(
+        "doc", "n2",
+        F.concat(F.array(F.struct(F.lit(-1).cast("int").alias("k"),
+                                  zero.alias("x"))),
+                 F.col("e")).alias("__p"))
+    p = F.col("__p")
+    scatter = F.flatten(F.transform(
+        F.sequence(F.lit(2), F.size(p)),
+        lambda j: F.concat(
+            F.array_repeat(zero, F.element_at(p, j)["k"]
+                           - F.element_at(p, j - 1)["k"] - 1),
+            F.array(F.element_at(p, j)["x"]))))
+    v = F.concat(
+        scatter,
+        F.array_repeat(zero, F.lit(dim - 1)
+                       - F.element_at(p, F.size(p))["k"]))
+    return staged.select("doc", v.alias("v"), "n2")
 
 
 def _verify_pairs_dense(cand: DataFrame, vec: DataFrame, tau_num: int,
@@ -214,8 +251,26 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
 
     100 TB shape: embed map-side → 8 band equi-joins (never all-pairs) →
     per-candidate sparse dot (equi-join on dim) → integer compare. Band
-    width is the standard banding knob as the corpus grows."""
-    sig = _D.minhash_signatures(docs, id_col, text_col, n=shingle_n)
+    width is the standard banding knob as the corpus grows.
+
+    Round 16 (guide §2.4/§6): the blocking (minhash shingles) and embed
+    (hashed-TF) legs both tokenize the same text; ONE cached (doc, words)
+    frame now feeds both — the cache fills as a side effect of the
+    verify-vector checkpoint's own materialization job, so the
+    scan → normalize → split pipeline runs once instead of twice."""
+    words = _D.words_frame(docs, id_col, text_col).cache()
+    return semantic_pairs_from_words(words, tau_num, tau_den, shingle_n)
+
+
+def semantic_pairs_from_words(words: DataFrame, tau_num: int = 19,
+                              tau_den: int = 20,
+                              shingle_n: int = 3) -> DataFrame:
+    """:func:`semantic_pairs` over an existing (doc, __w) words frame
+    (``dedup.words_frame``) — pass a CACHED/checkpointed frame when it
+    feeds other consumers too (the dedup cascade shares one survivor
+    token frame across its minhash AND semantic stages, r16)."""
+    sig = _D.minhash_signatures_from_shingles(
+        _D.shingle_rows_from_words(words, shingle_n))
     # no checkpoint on the band keys (r15): band_candidates consumes
     # them exactly once since its single-pass in-bucket expansion, so
     # the chain sig → bands → candidates is linear and an eager
@@ -227,7 +282,7 @@ def semantic_pairs(docs: DataFrame, id_col: str, text_col: str,
     # zero dot can never pass the cross-multiplied compare), measured
     # 8.4 s → ~1 s on the cascade's 735 K-candidate 1-gram stage. The
     # non-negativity of counts makes the dot ≥ 0 guard unnecessary here.
-    vec = (_dense_vectors(hashed_tf(docs, id_col, text_col), "c", HASH_DIM)
+    vec = (_dense_vectors(hashed_tf_from_words(words), "c", HASH_DIM)
            .localCheckpoint(eager=True))
     return _verify_pairs_dense(cand, vec, tau_num, tau_den,
                                guard_nonneg=False)

@@ -76,9 +76,9 @@ def word_shingles(words_col: Column, n: int = 3) -> Column:
             .otherwise(F.array().cast("array<string>"))
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str,
-                 n: int = 3) -> DataFrame:
-    """(doc, shingle) rows: words staged as a column, then n-grams exploded.
+def words_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, __w) rows: each document's normalized, space-split word array
+    — the ONE tokenize stage every text-dedup path derives from.
 
     The two-step projection matters: a named intermediate column is
     computed once per row, while an inline expression is re-evaluated
@@ -88,13 +88,31 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str,
     split + n-gram transform + md5 downstream is the CPU-heavy part of
     every dedup path, and a single-row-group local scan would otherwise
     pin it to one core (no-op on a many-partition cluster scan).
+
+    Round 16 (guide §2.4/§6): extracted as the shared tokenize frame so a
+    pipeline that needs BOTH minhash shingles and hashed-TF tokens over
+    the same documents (semantic_pairs, the dedup cascade) can cache ONE
+    (doc, words) frame and derive both — the old shape re-ran
+    scan → survivor-join → normalize → split once per consumer subtree.
     """
     from fictional_guacamole_spark.tables import fan_out
-    staged = fan_out(df.select(F.col(id_col).alias("doc"),
-                               F.col(text_col).alias("__t"))) \
+    return fan_out(df.select(F.col(id_col).alias("doc"),
+                             F.col(text_col).alias("__t"))) \
         .select("doc", F.split(normalize(F.col("__t")), " ").alias("__w"))
-    return staged.select("doc",
-                         F.explode(word_shingles(F.col("__w"), n)).alias("s"))
+
+
+def shingle_rows_from_words(words: DataFrame, n: int = 3) -> DataFrame:
+    """(doc, s) exploded n-gram shingles from a (doc, __w) words frame
+    (see :func:`words_frame`)."""
+    return words.select("doc",
+                        F.explode(word_shingles(F.col("__w"), n)).alias("s"))
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str,
+                 n: int = 3) -> DataFrame:
+    """(doc, shingle) rows: words staged as a column, then n-grams
+    exploded (see :func:`words_frame` for the staging discipline)."""
+    return shingle_rows_from_words(words_frame(df, id_col, text_col), n)
 
 
 def sql_word_shingles(expr: str, n: int = 3) -> str:
@@ -322,14 +340,10 @@ def shingle_arrays(df: DataFrame, id_col: str, text_col: str,
     """(doc, __s) rows: each document's DISTINCT word n-grams as one array
     column; documents with no shingle (< n words) are dropped, matching
     the explode form's doc set exactly. Same staging discipline as
-    :func:`shingle_rows` (named intermediates, fan_out before the
+    :func:`words_frame` (named intermediates, fan_out before the
     CPU-heavy transform)."""
-    from fictional_guacamole_spark.tables import fan_out
-    staged = fan_out(df.select(F.col(id_col).alias("doc"),
-                               F.col(text_col).alias("__t"))) \
-        .select("doc", F.split(normalize(F.col("__t")), " ").alias("__w"))
-    return (staged.select("doc",
-                          word_shingles(F.col("__w"), n).alias("__s"))
+    return (words_frame(df, id_col, text_col)
+            .select("doc", word_shingles(F.col("__w"), n).alias("__s"))
             .filter(F.size("__s") >= 1))
 
 
@@ -421,7 +435,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       n: int = 3) -> DataFrame:
     """Candidate near-duplicate pairs from LSH banding, with the estimated
     Jaccard (fraction of agreeing signature components) attached."""
-    sig = minhash_signatures(df, id_col, text_col, n).cache()
+    return minhash_lsh_pairs_from_words(
+        words_frame(df, id_col, text_col), n)
+
+
+def minhash_lsh_pairs_from_words(words: DataFrame, n: int = 3) -> DataFrame:
+    """:func:`minhash_lsh_pairs` over an existing (doc, __w) words frame —
+    lets a pipeline that tokenizes once (the dedup cascade's shared
+    survivor token frame, r16) feed the banding without re-running
+    scan → normalize → split."""
+    sig = minhash_signatures_from_shingles(
+        shingle_rows_from_words(words, n)).cache()
     cand = band_candidates(minhash_band_keys(sig))
     sa = sig.select(F.col("doc").alias("doc_a"),
                     *[F.col(f"m{i}").alias(f"a{i}") for i in range(MINHASH_K)])

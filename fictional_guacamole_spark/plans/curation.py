@@ -797,15 +797,27 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1_docs = (docs.join(s1.select(F.col("doc").alias("doc_id")), "doc_id")
                .repartition(spark.sparkContext.defaultParallelism,
                             F.col("doc_id")))
-    mh_pairs = (D.minhash_lsh_pairs(s1_docs, "doc_id", "text", n=3)
+    # ONE tokenize subtree for stages 2 AND 3 (r16, guide §2.4/§6): the
+    # survivor text is normalized + split ONCE into a cached (doc, words)
+    # frame; stage 2 derives its 3-gram minhash shingles from it, and
+    # stage 3 — whose input s2 ⊆ s1 — derives BOTH its 1-gram blocking
+    # shingles and its hashed-TF vectors from the same cache via a
+    # survivor-keys join (tokenization is per-row, so filtering the token
+    # frame ≡ tokenizing the filtered docs). The cache fills as a side
+    # effect of stage 2's own components checkpoint, so no extra pass
+    # materializes it; the old shape ran scan → survivor-join →
+    # normalize → split THREE times (mh shingles, sem shingles, sem TF).
+    s1_w = D.words_frame(s1_docs, "doc_id", "text").cache()
+    mh_pairs = (D.minhash_lsh_pairs_from_words(s1_w, n=3)
                 .filter(F.col("est_jaccard") >= 0.5)
                 .select("doc_a", "doc_b"))
     mh_comp = D.dedup_components(mh_pairs, s1).localCheckpoint(eager=True)
     s2 = (mh_comp.filter(F.col("doc") == F.col("canonical_id"))
           .select("doc"))
-    s2_docs = docs.join(s2.select(F.col("doc").alias("doc_id")), "doc_id")
-    sem_pairs = C.semantic_pairs(s2_docs, "doc_id", "text",
-                                 tau_num=9, tau_den=10, shingle_n=1)
+    s2_w = s1_w.join(s2, "doc")
+    sem_pairs = C.semantic_pairs_from_words(s2_w,
+                                            tau_num=9, tau_den=10,
+                                            shingle_n=1)
     sem_comp = D.dedup_components(sem_pairs, s2)
     mh = mh_comp.select("doc", F.col("canonical_id").alias("mh_canon"))
     sem = sem_comp.select("doc", F.col("canonical_id").alias("sem_canon"))

@@ -259,6 +259,58 @@ class TestSemanticPretrained:
                       C.quantized_embedding_rows(emb)).collect()}
         assert dense_bk == ref_bk
 
+    @pytest.mark.parametrize("dim", [8, 256, 1024])
+    def test_dense_vectors_scatter_matches_map_probe_reference(
+            self, spark, dim):
+        # r16 optimization parity (verdict task #6): the O(nnz + dim)
+        # scatter build must equal the r15 map-probe form (one
+        # try_element_at per output slot) element-for-element, including
+        # the edge shapes: an entry at dim 0, an entry at dim-1, a
+        # single-entry doc, and a fully-dense doc.
+        rows = [(1, 0, 3), (1, dim - 1, 5),          # both boundary dims
+                (2, dim // 2, 7),                    # single mid entry
+                (3, 0, 1), (3, 1, 2), (3, 2, 9)]     # leading run
+        rows += [(4, d, d + 1) for d in range(dim)]  # fully dense
+        df = spark.createDataFrame(rows, "doc long, dim long, c long")
+
+        def map_probe(r):                            # the r15 reference
+            m = r.groupBy("doc").agg(
+                F.map_from_entries(F.collect_list(
+                    F.struct(F.col("dim").cast("int").alias("k"),
+                             F.col("c").alias("v")))).alias("m"),
+                F.sum(F.col("c") * F.col("c")).alias("n2"))
+            idx = F.sequence(F.lit(0), F.lit(dim - 1))
+            return m.select(
+                "doc",
+                F.transform(idx, lambda i: F.coalesce(
+                    F.try_element_at("m", i),
+                    F.lit(0).cast("long"))).alias("v"),
+                "n2")
+
+        want = {r["doc"]: (list(r["v"]), r["n2"])
+                for r in map_probe(df).collect()}
+        got = {r["doc"]: (list(r["v"]), r["n2"])
+               for r in C._dense_vectors(df, "c", dim).collect()}
+        assert got == want
+        assert all(len(v) == dim for v, _ in got.values())
+
+    def test_words_frame_filter_commutes_with_tokenize(self, spark):
+        # the cascade's shared-token-frame substitution (r16): filtering
+        # the words frame by surviving doc keys must equal tokenizing the
+        # filtered documents — tokenization is per-row
+        from fictional_guacamole_spark.functions import dedup as D
+        from fictional_guacamole_spark.tables import load_table
+        docs = load_table(spark, SF_SMALL, "documents")
+        keys = docs.filter(F.col("doc_id") % 3 == 0) \
+                   .select(F.col("doc_id").alias("doc"))
+        via_join = {r["doc"]: list(r["__w"]) for r in
+                    D.words_frame(docs, "doc_id", "text")
+                    .join(keys, "doc").collect()}
+        via_filter = {r["doc"]: list(r["__w"]) for r in
+                      D.words_frame(docs.filter(F.col("doc_id") % 3 == 0),
+                                    "doc_id", "text").collect()}
+        assert via_join == via_filter and via_join
+
 
 class TestDedupCascade:
     @pytest.fixture(scope="class")
