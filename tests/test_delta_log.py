@@ -228,3 +228,91 @@ class TestBoundedPlanWidth:
                   w.add_action(f1, {"region": "a b+c"})])
         got = read_delta(spark, w.table_dir).collect()
         assert [(r["k"], r["region"]) for r in got] == [(1, "a b+c")]
+
+
+class TestR16ReaderScale:
+    """r16 reader-scale surfaces: driver-side partition pruning
+    (partition_filters — the single-scan plan's answer to the pruning
+    the old per-group union arms got for free), the manifest broadcast
+    size gate (sort-merge fallback past BROADCAST_MANIFEST_MAX_FILES),
+    and the O(1)-py4j qualified-URI construction (string-extended from
+    one qualified base, pinned against harder escapes than the r15
+    space/'+' test)."""
+
+    def _partitioned(self, spark, tmp_path, name="pf"):
+        full = StructType([StructField("k", LongType()),
+                           StructField("region", StringType()),
+                           StructField("bucket", LongType())])
+        w = DeltaLogWriter(str(tmp_path / name))
+        f1 = w.write_data_file(_df(spark, [(1,), (2,)], "k long"),
+                               "region=eu/part-0.parquet")
+        f2 = w.write_data_file(_df(spark, [(3,)], "k long"),
+                               "region=us/part-0.parquet")
+        f3 = w.write_data_file(_df(spark, [(4,)], "k long"),
+                               "region=null/part-0.parquet")
+        w.commit([w.protocol_action(),
+                  w.metadata_action(full, ["region", "bucket"]),
+                  w.add_action(f1, {"region": "eu", "bucket": "7"}),
+                  w.add_action(f2, {"region": "us", "bucket": "8"}),
+                  w.add_action(f3, {"region": None, "bucket": "9"})])
+        return w
+
+    def test_partition_filters_prune_scan_to_matching_files(
+            self, spark, tmp_path):
+        w = self._partitioned(spark, tmp_path)
+        full = read_delta(spark, w.table_dir)
+        pruned = read_delta(spark, w.table_dir,
+                            partition_filters={"region": "eu"})
+        want = sorted((r["k"], r["region"], r["bucket"]) for r in
+                      full.filter(F.col("region") == "eu").collect())
+        got = sorted((r["k"], r["region"], r["bucket"])
+                     for r in pruned.collect())
+        assert got == want == [(1, "eu", 7), (2, "eu", 7)]
+        # the pruning is REAL: the non-matching files never enter the plan
+        assert len(pruned.inputFiles()) == 1
+        assert len(full.inputFiles()) == 3
+
+    def test_partition_filters_multi_value_and_null(self, spark, tmp_path):
+        w = self._partitioned(spark, tmp_path, "pf2")
+        got = sorted(
+            (r["k"], r["region"]) for r in
+            read_delta(spark, w.table_dir,
+                       partition_filters={"region": ["us", None]})
+            .collect())
+        assert got == [(3, "us"), (4, None)]
+
+    def test_partition_filters_unknown_column_raises(self, spark, tmp_path):
+        w = self._partitioned(spark, tmp_path, "pf3")
+        with pytest.raises(DeltaProtocolError, match="non-partition"):
+            read_delta(spark, w.table_dir, partition_filters={"regoin": "eu"})
+
+    def test_manifest_sort_merge_gate_matches_broadcast(
+            self, spark, tmp_path, monkeypatch):
+        """Past the size gate the manifest attach plans WITHOUT a
+        broadcast and the rows are identical to the broadcast path."""
+        from fictional_guacamole_spark.sources import delta_log as dl
+
+        w = self._partitioned(spark, tmp_path, "pf4")
+        bc_rows = sorted(map(tuple, read_delta(spark, w.table_dir)
+                             .collect()))
+        monkeypatch.setattr(dl, "BROADCAST_MANIFEST_MAX_FILES", 0)
+        df = read_delta(spark, w.table_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert sorted(map(tuple, df.collect())) == bc_rows == [
+            (1, "eu", 7), (2, "eu", 7), (3, "us", 8), (4, None, 9)]
+
+    def test_uri_key_exact_on_percent_and_hash_paths(self, spark, tmp_path):
+        """The string-extended qualified URI must match input_file_name()
+        on characters java.net.URI percent-escapes ('%', '#') AND on the
+        RFC 2396 literals it does not ('+', '=', ','); a mismatch trips
+        the in-plan raise_error guard."""
+        full = StructType([StructField("k", LongType()),
+                           StructField("region", StringType())])
+        w = DeltaLogWriter(str(tmp_path / "odd16"))
+        f1 = w.write_data_file(_df(spark, [(1,)], "k long"),
+                               "region=p%25q#2/part,0.parquet")
+        w.commit([w.protocol_action(), w.metadata_action(full, ["region"]),
+                  w.add_action(f1, {"region": "p%25q#2"})])
+        got = read_delta(spark, w.table_dir).collect()
+        assert [(r["k"], r["region"]) for r in got] == [(1, "p%25q#2")]
